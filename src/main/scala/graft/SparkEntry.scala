@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
+    _root_.graft.queries.Scans,
     _root_.graft.queries.Aggregates
   )
 

@@ -3,7 +3,8 @@ package graft.queries
 import graft.{Det, QueryGroup, Tables}
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2.D — aggregation operators. */
+/** SURVEY §2.D — aggregation operators. Float discipline per Det (exact
+  * DECIMAL results; round-4 ratios/stats). */
 object Aggregates extends QueryGroup {
   import Det._
 
@@ -21,8 +22,106 @@ object Aggregates extends QueryGroup {
           avgd(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
-    })
+    }),
+
+    // Ungrouped global aggregate (single output row).
+    "agg_global" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sumd(col("l_extendedprice")).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("cnt"))),
+
+    // Exact COUNT(DISTINCT) per group (Spark plans the 2-phase expand).
+    "agg_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_suppkey")),
+
+    // Subtotal hierarchy. COALESCE the nullable grouping keys to a
+    // sentinel so null-ordering differences can't bite (fixtures have no
+    // natural nulls in these columns — D4).
+    "agg_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("rf", "ls")),
+
+    "agg_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("rf", "ls")),
+
+    // Explicit grouping sets ((rf), (ls), ()) — distinguishable without
+    // GROUPING() because each set nulls a different key.
+    "agg_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("rf", "ls")),
+
+    // Non-associative float stats — ROUND 4 absorbs summation-order drift.
+    "agg_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+        .orderBy("l_returnflag")),
+
+    // max_by/min_by with a struct ordering key (D6 tie-break on orderkey).
+    "agg_minmax_by" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"))
+        .orderBy("o_custkey")),
+
+    // Per-supplier sorted list of partkeys (bag semantics, stable order).
+    "agg_collect_sorted" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .orderBy("l_suppkey")),
+
+    // HLL++ sketch — approximate, so no oracle (D3); bounds asserted in
+    // the ScalaTest suite instead.
+    "agg_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"))
   )
+
+  private val rollupBody =
+    """  COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem""".stripMargin
 
   def oracles: Seq[(String, String)] = Seq(
     "agg_groupby" ->
@@ -35,6 +134,41 @@ object Aggregates extends QueryGroup {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_global" ->
+      """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  COUNT(*) AS cnt
+        |FROM lineitem""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "agg_rollup" ->
+      s"SELECT\n$rollupBody\nGROUP BY ROLLUP(l_returnflag, l_linestatus)\nORDER BY rf, ls",
+    "agg_cube" ->
+      s"SELECT\n$rollupBody\nGROUP BY CUBE(l_returnflag, l_linestatus)\nORDER BY rf, ls",
+    "agg_grouping_sets" ->
+      s"SELECT\n$rollupBody\nGROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())\nORDER BY rf, ls",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_minmax_by" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+        |  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT l_suppkey, list(l_partkey ORDER BY l_partkey) AS parts
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
   )
 }

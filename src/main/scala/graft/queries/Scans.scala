@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.A scans/sources + §2.B projection/filter. All queries end in
+  * a total order over a provably-unique key set (rule D1). */
+object Scans extends QueryGroup {
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Full scan, stable order. Catalyst plans a plain FileScan.
+    "scan_parquet" -> ((s, dir) =>
+      Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber")),
+
+    // Column pruning: 3 of 11 cols must survive to the parquet reader
+    // (ReadSchema in .explain confirms).
+    "scan_pruned" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Predicate pushdown to parquet row-group stats (PushedFilters).
+    "scan_pushdown" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Parse the events.props JSON strings into typed columns.
+    "source_json_inline" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // Computed projection — raw double arithmetic is per-row IEEE and
+    // bit-identical across engines (no aggregate ⇒ no order dependence).
+    "project_expr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("revenue"),
+          (col("l_quantity") * col("l_extendedprice")).as("gross"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // AND/OR/NOT, IN, BETWEEN, LIKE over part.
+    "filter_compound" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .filter(
+          (col("p_brand").like("Brand#1%") &&
+            col("p_size").between(5, 40) &&
+            !(col("p_size") === 7)) ||
+          col("p_brand").isInCollection(Seq("Brand#2", "Brand#22")))
+        .orderBy("p_partkey")),
+
+    // 3-valued logic over synthesized nulls (D4): left join against a
+    // filtered build side, predicates over the nullable columns, plus a
+    // null-safe-equality column.
+    "filter_null_semantics" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select(
+          col("o_orderkey"), col("c_custkey"), col("c_acctbal"),
+          col("c_custkey").isNull.as("unmatched"),
+          (col("c_custkey") <=> col("o_custkey")).as("nsafe_eq"))
+        .filter(col("c_acctbal").isNull || col("c_acctbal") > 7000)
+        .orderBy("o_orderkey")
+    })
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_pruned" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "source_json_inline" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue,
+        |  l_quantity * l_extendedprice AS gross
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_compound" ->
+      """SELECT * FROM part
+        |WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 5 AND 40 AND NOT p_size = 7)
+        |   OR p_brand IN ('Brand#2', 'Brand#22')
+        |ORDER BY p_partkey""".stripMargin,
+    "filter_null_semantics" ->
+      """SELECT o_orderkey, c_custkey, c_acctbal,
+        |  c_custkey IS NULL AS unmatched,
+        |  c_custkey IS NOT DISTINCT FROM o_custkey AS nsafe_eq
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey
+        |WHERE c_acctbal IS NULL OR c_acctbal > 7000
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
