@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
     _root_.graft.queries.Scans,
-    _root_.graft.queries.Aggregates
+    _root_.graft.queries.Aggregates,
+    _root_.graft.queries.Joins,
+    _root_.graft.queries.Windows,
+    _root_.graft.queries.SetOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

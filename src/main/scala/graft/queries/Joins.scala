@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.C — join operators. Join-strategy choices (broadcast, SMJ)
+  * change plan shape only, never results; the as-of join is the one
+  * operator Spark lacks and is composed scalably (union-tag + single
+  * window pass — one shuffle, no N² pair blowup). */
+object Joins extends QueryGroup {
+
+  def queries: Seq[(String, Q)] = Seq(
+    "join_inner_equi" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Small dimension side explicitly broadcast (plan-shape assertion is
+    // in the test suite; result identical to a shuffled join).
+    "join_broadcast" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "p_brand", "p_retailprice")
+        .orderBy(graft.Det.liKey.head, graft.Det.liKey.tail: _*)
+    }),
+
+    // Same equi-join pinned to sort-merge via hint.
+    "join_sort_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).hint("merge")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "c_acctbal")
+        .orderBy("o_orderkey")
+    }),
+
+    // Outer joins against a filtered build side produce the nulls (D4).
+    "join_left_outer" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select("o_orderkey", "c_custkey", "c_name")
+        .orderBy("o_orderkey")
+    }),
+
+    // Full outer: rich-customer subset vs per-customer order counts —
+    // unmatched rows appear on both sides.
+    "join_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+      val o = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_orders"))
+        .orderBy("custkey")
+    }),
+
+    "join_left_semi" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_left_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_cross" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      r.select(col("r_regionkey"), col("r_name")).crossJoin(n)
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    // Non-equi theta join (physical BNLJ): ordered nation pairs.
+    "join_theta_range" -> ((s, dir) => {
+      val a = Tables.nation(s, dir).select(
+        col("n_nationkey").as("k1"), col("n_name").as("name1"))
+      val b = Tables.nation(s, dir).select(
+        col("n_nationkey").as("k2"), col("n_name").as("name2"))
+      a.join(b, col("k1") < col("k2"))
+        .orderBy("k1", "k2")
+    }),
+
+    // Equi + band predicate: lineitem shipped within 90 days of its order.
+    "join_interval" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      l.join(o,
+          l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "o_orderdate", "l_shipdate")
+        .orderBy(graft.Det.liKey.head, graft.Det.liKey.tail: _*)
+    }),
+
+    // As-of join (no Spark builtin): for each order, the latest strictly
+    // earlier order of the same customer; date ties broken by max
+    // orderkey (D6). Union-tag + last_value(ignoreNulls) over a single
+    // (custkey, date, tag, key) sort — query rows (tag 0) sort before
+    // same-date build rows (tag 1), so ROWS ... AND -1 sees only strictly
+    // earlier dates. One shuffle, linear in input — the 100 TB-scale
+    // as-of algorithm (vs the O(pairs) self-join the oracle uses).
+    "join_asof" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+      val probe = o.withColumn("tag", lit(0))
+        .withColumn("bid", lit(null).cast("long"))
+      val build = o.withColumn("tag", lit(1))
+        .withColumn("bid", col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("tag"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      probe.unionByName(build)
+        .withColumn("prev_orderkey", last(col("bid"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 0)
+        .select("o_orderkey", "prev_orderkey")
+        .orderBy("o_orderkey")
+    })
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "join_inner_equi" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, p_brand, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    "join_sort_merge" ->
+      """SELECT o_orderkey, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT o_orderkey, c_custkey, c_name
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT a.n_nationkey AS k1, a.n_name AS name1,
+        |       b.n_nationkey AS k2, b.n_name AS name2
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |ORDER BY k1, k2""".stripMargin,
+    "join_interval" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, o_orderdate, l_shipdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    "join_asof" ->
+      """SELECT o.o_orderkey, b.o_orderkey AS prev_orderkey
+        |FROM orders o LEFT JOIN orders b
+        |  ON b.o_custkey = o.o_custkey AND b.o_orderdate < o.o_orderdate
+        |QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+        |  ORDER BY b.o_orderdate DESC NULLS LAST, b.o_orderkey DESC NULLS LAST) = 1
+        |ORDER BY o.o_orderkey""".stripMargin
+  )
+}

@@ -1,30 +1,34 @@
 package graft.queries
 
-import graft.{QueryGroup, Tables}
+import graft.{Det, QueryGroup, Tables}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.A scans/sources + §2.B projection/filter. All queries end in
-  * a total order over a provably-unique key set (rule D1). */
+  * a total order over a provably-unique key set (rule D1) — for lineitem
+  * that means the full 5-column Det.liKey. */
 object Scans extends QueryGroup {
+  import Det.{liKey, liKeySql}
 
   def queries: Seq[(String, Q)] = Seq(
     // Full scan, stable order. Catalyst plans a plain FileScan.
     "scan_parquet" -> ((s, dir) =>
-      Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber")),
+      Tables.lineitem(s, dir).orderBy(liKey.head, liKey.tail: _*)),
 
-    // Column pruning: 3 of 11 cols must survive to the parquet reader
+    // Column pruning: 6 of 11 cols must survive to the parquet reader
     // (ReadSchema in .explain confirms).
     "scan_pruned" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_quantity")
+        .orderBy(liKey.head, liKey.tail: _*)),
 
     // Predicate pushdown to parquet row-group stats (PushedFilters).
     "scan_pushdown" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_shipdate", "l_quantity")
+        .orderBy(liKey.head, liKey.tail: _*)),
 
     // Parse the events.props JSON strings into typed columns.
     "source_json_inline" -> ((s, dir) =>
@@ -39,11 +43,12 @@ object Scans extends QueryGroup {
     "project_expr" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .select(
-          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
             .as("revenue"),
           (col("l_quantity") * col("l_extendedprice")).as("gross"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy(liKey.head, liKey.tail: _*)),
 
     // AND/OR/NOT, IN, BETWEEN, LIKE over part.
     "filter_compound" -> ((s, dir) =>
@@ -73,22 +78,24 @@ object Scans extends QueryGroup {
 
   def oracles: Seq[(String, String)] = Seq(
     "scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      s"SELECT * FROM lineitem ORDER BY $liKeySql",
     "scan_pruned" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity
+         |FROM lineitem ORDER BY $liKeySql""".stripMargin,
     "scan_pushdown" ->
-      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_shipdate, l_quantity
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+         |ORDER BY $liKeySql""".stripMargin,
     "source_json_inline" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "project_expr" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue,
-        |  l_quantity * l_extendedprice AS gross
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+         |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue,
+         |  l_quantity * l_extendedprice AS gross
+         |FROM lineitem ORDER BY $liKeySql""".stripMargin,
     "filter_compound" ->
       """SELECT * FROM part
         |WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 5 AND 40 AND NOT p_size = 7)

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{Det, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.E window functions + §2.F sort/limit/top-k. Window orderings
+  * always end in a unique key (D6) so every function value is
+  * deterministic; ranking functions additionally exercise genuine ties
+  * (integer-valued l_quantity). */
+object Windows extends QueryGroup {
+  import Det._
+
+  def queries: Seq[(String, Q)] = Seq(
+    "win_ranking" -> ((s, dir) => {
+      val wTies = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+      val wUnique = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"), col("l_quantity"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          row_number().over(wUnique).as("rn"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    }),
+
+    "win_analytic" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Running revenue: ROWS UNBOUNDED PRECEDING → CURRENT (exact decimal).
+    "win_frame_rows" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"),
+          outDec(sum(dec(col("l_extendedprice"))).over(w)).as("running_rev"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    }),
+
+    // RANGE frame: peers (equal o_totalprice) are included together, so
+    // the result is deterministic even across tie orderings.
+    "win_frame_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          outDec(sum(dec(col("o_totalprice"))).over(w)).as("cum_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // Multi-key sort, mixed direction, explicit null placement (D4 nulls
+    // synthesized via CASE).
+    "sort_multi" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 500, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment").asc, col("bal").desc_nulls_last, col("c_custkey").asc)),
+
+    // 3-table join + group + global top-10 (TakeOrderedAndProject).
+    "topk_global" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(outDec(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // Top-3 lineitems per supplier via row_number ≤ 3 (D6 tie-break).
+    "topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("l_suppkey", "rn")
+    })
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "win_ranking" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity,
+        |  rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS drnk,
+        |  row_number() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_partkey, l_extendedprice) AS rn
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+    "win_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_frame_rows" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_rev
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+    "win_frame_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS cum_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_distribution" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "sort_multi" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END AS bal
+        |FROM customer
+        |ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey ASC""".stripMargin,
+    "topk_global" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+  )
+}
