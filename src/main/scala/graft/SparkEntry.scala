@@ -13,7 +13,9 @@ object SparkEntry {
     _root_.graft.queries.Aggregates,
     _root_.graft.queries.Joins,
     _root_.graft.queries.Windows,
-    _root_.graft.queries.SetOps
+    _root_.graft.queries.SetOps,
+    _root_.graft.queries.Scalars,
+    _root_.graft.queries.StreamingBatch
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

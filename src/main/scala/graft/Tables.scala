@@ -25,8 +25,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     // ts arrives as nanos-since-epoch long; integer-divide to micros
-    // (floor for the positive 2024 range) then reinterpret.
-    raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    // (floor for the positive 2024 range) then reinterpret. Must be
+    // integral `div` — Column./ is double division and loses 1 µs at
+    // 1e18-nano magnitudes.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

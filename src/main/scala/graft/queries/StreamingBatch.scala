@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{Det, QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.I — streaming operators in their batch-equivalent DataFrame
+  * form (identical semantics; Spark's window/session_window functions work
+  * in batch). True micro-batch execution of the same shapes — file-source
+  * replay, watermarks, state store — is exercised in the streaming test
+  * suite (graft.streaming), not by the DuckDB oracle (D3).
+  */
+object StreamingBatch extends QueryGroup {
+  import Det._
+
+  def queries: Seq[(String, Q)] = Seq(
+    // 1-hour tumbling count+sum per event_type (epoch-aligned windows).
+    "stream_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")),
+
+    // 1-hour window sliding every 15 minutes (4 windows per event).
+    "stream_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")),
+
+    // Per-user sessions, 30-minute inactivity gap. Session end = last
+    // event + gap; an event exactly gap after the previous starts a NEW
+    // session (half-open windows).
+    "stream_session" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
+        .orderBy("user_id", "ws")),
+
+    // First event per (user_id, event_type) — batch form of
+    // withWatermark+dropDuplicates (D6 tie-break on event_id).
+    "stream_dedup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("first_event_id"),
+          min(col("ts")).as("first_ts"))
+        .orderBy("user_id", "event_type")),
+
+    // Watermarked tumbling agg — in batch the watermark is a no-op, so
+    // this matches stream_tumbling; the replay test asserts late-row
+    // dropping under true streaming (D3 ⇒ no oracle).
+    "stream_late_data" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")),
+
+    // Running per-user event count — batch cross-check of the arbitrary-
+    // stateful streaming op (transformWithState in the streaming suite).
+    "stream_stateful" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("running_n"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - g * INTERVAL '15 minutes' AS ws,
+        |  event_type, COUNT(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS g) gs
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags)
+        |SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL '30 minutes' AS we, COUNT(*) AS n
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, ws""".stripMargin,
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  CAST(ts AS TIMESTAMP) AS first_ts
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "stream_stateful" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS running_n
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
