@@ -15,12 +15,18 @@ object SparkEntry {
     _root_.graft.queries.Windows,
     _root_.graft.queries.SetOps,
     _root_.graft.queries.Scalars,
-    _root_.graft.queries.StreamingBatch
+    _root_.graft.queries.StreamingBatch,
+    _root_.graft.queries.ApQueries,
+    _root_.graft.queries.Dedup,
+    _root_.graft.queries.TextOps,
+    _root_.graft.queries.UdfSurface
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001: the reference's own
+    * deliverable — AP exemplar cluster sizes (66 rows expected, see
+    * FIXTURES.md pinned constants); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("agg_groupby")(spark, "/root/testdata/sf0.001")
+    queries("ap_cluster_sizes")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,154 @@
+package graft.ap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Affinity Propagation (Frey & Dueck, Science 315:972–976, 2007) as
+  * native Spark DataFrame dataflow — the Spark re-expression of the
+  * reference's MapReduce formulation (SURVEY §2.J / §3.3).
+  *
+  * The message matrices live as one Dataset of (i, k, s, r, a) rows —
+  * the Spark analog of the MapReduce (i, k, value) triples. Each
+  * iteration is exactly two exchanges, the provable minimum the
+  * MapReduce formulation also pays:
+  *   - responsibility (eq. 1) is row-local  → Window.partitionBy("i")
+  *   - availability  (eq. 2–3) is col-local → Window.partitionBy("k")
+  * Nothing is ever collected to the driver except the N-row diagonal
+  * (for convergence tracking), so the dataflow scales with cluster
+  * parallelism; the dense N² pair set itself is AP's intrinsic cost.
+  * `localCheckpoint` every `checkpointEvery` iterations truncates the
+  * growing window-plan lineage (the classic iterative-Spark failure
+  * mode, SURVEY §4.3).
+  *
+  * Defaults follow the public Frey–Dueck/scikit-learn convention:
+  * damping 0.5, maxIter 200, convergenceIter 15, preference = median of
+  * off-diagonal similarities, similarity = −‖x−y‖².
+  */
+object AffinityPropagation {
+
+  /** Off-diagonal similarities s(i,k) = −‖x_i−x_k‖² over an embeddings
+    * table (vec_id, embedding: array<float>). Elements are cast to
+    * double before arithmetic; the sum is a sequential left fold, so the
+    * value is bit-deterministic. */
+  def similarities(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("k"), col("v").as("vb"))
+    a.join(b, col("i") =!= col("k"))
+      .select(col("i"), col("k"),
+        (-aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)).as("s"))
+  }
+
+  /** Shared preference: exact median of the off-diagonal similarities. */
+  def preference(offdiag: DataFrame): Double =
+    offdiag.select(percentile(col("s"), lit(0.5))).head().getDouble(0)
+
+  /** Initial message state: off-diagonal similarities + diagonal
+    * preference rows, r = a = 0. */
+  def init(embeddings: DataFrame, pref: Double): DataFrame = {
+    val offd = similarities(embeddings)
+    val diag = embeddings.select(
+      col("vec_id").as("i"), col("vec_id").as("k"), lit(pref).as("s"))
+    offd.unionByName(diag)
+      .withColumn("r", lit(0.0))
+      .withColumn("a", lit(0.0))
+  }
+
+  /** One responsibility update (eq. 1), row-local:
+    * r(i,k) ← s(i,k) − max_{k'≠k}(a(i,k') + s(i,k')).
+    * Top-2 trick: the argmax row subtracts the second max, everyone else
+    * the max — two partition-local window passes, one exchange. With
+    * damping λ: r ← λ·r_old + (1−λ)·r_new. */
+  def responsibilityPass(msgs: DataFrame, damping: Double): DataFrame = {
+    val wI = Window.partitionBy("i")
+    val ord = Window.partitionBy("i").orderBy(col("asum").desc, col("k"))
+    msgs
+      .withColumn("asum", col("a") + col("s"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("m1", max(col("asum")).over(wI))
+      .withColumn("m2", max(when(col("rn") > 1, col("asum"))).over(wI))
+      .withColumn("r",
+        lit(damping) * col("r") + lit(1.0 - damping) *
+          (col("s") - when(col("rn") === 1, col("m2")).otherwise(col("m1"))))
+      .drop("asum", "rn", "m1", "m2")
+  }
+
+  /** One availability update (eq. 2–3), column-local:
+    * a(i,k) ← min(0, r(k,k) + Σ_{i'∉{i,k}} max(0, r(i',k))),  i ≠ k
+    * a(k,k) ← Σ_{i'≠k} max(0, r(i',k))
+    * expressed as one column-sum window minus each row's own
+    * contribution — one exchange. */
+  def availabilityPass(msgs: DataFrame, damping: Double): DataFrame = {
+    val wK = Window.partitionBy("k")
+    msgs
+      .withColumn("rp",
+        when(col("i") === col("k"), lit(0.0)).otherwise(greatest(col("r"), lit(0.0))))
+      .withColumn("srp", sum(col("rp")).over(wK))
+      .withColumn("rkk", sum(when(col("i") === col("k"), col("r"))).over(wK))
+      .withColumn("a",
+        lit(damping) * col("a") + lit(1.0 - damping) *
+          when(col("i") === col("k"), col("srp"))
+            .otherwise(least(lit(0.0), col("rkk") + col("srp") - col("rp"))))
+      .drop("rp", "srp", "rkk")
+  }
+
+  final case class Result(
+    messages: DataFrame, exemplars: Seq[Long], iterations: Int, converged: Boolean)
+
+  /** Full damped loop. Stops when the exemplar indicator set is unchanged
+    * for `convergenceIter` consecutive iterations (and non-empty), or at
+    * `maxIter`. */
+  def run(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      damping: Double = 0.5,
+      maxIter: Int = 200,
+      convergenceIter: Int = 15,
+      checkpointEvery: Int = 10,
+      prefOverride: Option[Double] = None): Result = {
+
+    val offd = similarities(embeddings)
+    val pref = prefOverride.getOrElse(preference(offd))
+    var msgs = init(embeddings, pref).localCheckpoint()
+
+    var lastExemplars: Set[Long] = null
+    var stable = 0
+    var it = 0
+    var converged = false
+
+    while (it < maxIter && !converged) {
+      it += 1
+      msgs = availabilityPass(responsibilityPass(msgs, damping), damping)
+      if (it % checkpointEvery == 0) msgs = msgs.localCheckpoint()
+
+      // Convergence tracking: only the N diagonal rows leave the cluster.
+      val ex = msgs.filter(col("i") === col("k"))
+        .filter(col("r") + col("a") > 0)
+        .select(col("k")).collect().map(_.getLong(0)).toSet
+      if (ex == lastExemplars) stable += 1 else { stable = 0; lastExemplars = ex }
+      if (stable >= convergenceIter - 1 && ex.nonEmpty) converged = true
+    }
+
+    Result(msgs.localCheckpoint(), lastExemplars.toSeq.sorted, it, converged)
+  }
+
+  /** Assignment given an exemplar set: label(i) = argmax_{k∈E} s(i,k),
+    * exemplars self-assigned; ties broken by smallest k (D6). */
+  def assign(offdiag: DataFrame, exemplars: Seq[Long], spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ex = exemplars.toDF("ex_k")
+    val w = Window.partitionBy("i").orderBy(col("s").desc, col("k"))
+    val nonEx = offdiag
+      .join(broadcast(ex), col("k") === col("ex_k"))
+      .join(broadcast(ex.select(col("ex_k").as("self"))), col("i") === col("self"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("i"), col("k").as("exemplar"))
+    val selfRows = ex.select(col("ex_k").as("i"), col("ex_k").as("exemplar"))
+    nonEx.unionByName(selfRows)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import graft.ap.AffinityPropagation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** SURVEY §2.J — the Affinity Propagation surface (the reference's own
+  * capability, Frey & Dueck 2007). Single-pass message updates are fully
+  * oracled in DuckDB SQL (the same window algebra); the damped fixpoint
+  * loop is iterative and float-compounding, so its keys are D3-exempt and
+  * pinned by the BruteForceAP test oracle instead (FIXTURES.md constants).
+  *
+  * Float discipline: message values are ROUND(x,6)+0.0 — the +0.0
+  * normalizes IEEE −0.0 (from rounding tiny negatives) so both engines
+  * hash identically.
+  */
+object ApQueries extends QueryGroup {
+
+  private def r6z(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+
+  // The full loop is referenced by three keys; run it once per sf dir.
+  private val runCache = TrieMap.empty[String, AffinityPropagation.Result]
+  private def fullRun(s: SparkSession, dir: String): AffinityPropagation.Result =
+    runCache.getOrElseUpdate(dir,
+      AffinityPropagation.run(s, Tables.embeddings(s, dir)))
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Pairwise s(i,k) = −‖x_i−x_k‖² (off-diagonal).
+    "ap_similarity" -> ((s, dir) =>
+      AffinityPropagation.similarities(Tables.embeddings(s, dir))
+        .select(col("i"), col("k"), r6z(col("s")).as("s"))
+        .orderBy("i", "k")),
+
+    // Shared preference = exact median of off-diagonal similarities.
+    "ap_preference" -> ((s, dir) =>
+      AffinityPropagation.similarities(Tables.embeddings(s, dir))
+        .agg(r6z(percentile(col("s"), lit(0.5))).as("preference"))),
+
+    // ONE undamped responsibility update from (a = 0) init.
+    "ap_responsibility" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pref = AffinityPropagation.preference(AffinityPropagation.similarities(emb))
+      AffinityPropagation.responsibilityPass(AffinityPropagation.init(emb, pref), 0.0)
+        .select(col("i"), col("k"), r6z(col("r")).as("r"))
+        .orderBy("i", "k")
+    }),
+
+    // ONE undamped availability update applied to that responsibility.
+    "ap_availability" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pref = AffinityPropagation.preference(AffinityPropagation.similarities(emb))
+      AffinityPropagation.availabilityPass(
+          AffinityPropagation.responsibilityPass(AffinityPropagation.init(emb, pref), 0.0), 0.0)
+        .select(col("i"), col("k"), r6z(col("a")).as("a"))
+        .orderBy("i", "k")
+    }),
+
+    // Full damped fixpoint loop (λ=0.5, ≤200 iters, 15-stable stop) —
+    // iterative, D3-exempt; BruteForceAP test pins exemplar counts.
+    "ap_damped_iterate" -> ((s, dir) =>
+      fullRun(s, dir).messages
+        .select(col("i"), col("k"), r6z(col("r")).as("r"), r6z(col("a")).as("a"))
+        .orderBy("i", "k")),
+
+    "ap_exemplars" -> ((s, dir) => {
+      import s.implicits._
+      fullRun(s, dir).exemplars.toDF("exemplar").orderBy("exemplar")
+    }),
+
+    // Assignment-after-one-iteration: exemplars from the single undamped
+    // r+a pass, each non-exemplar labeled argmax_{k∈E} s(i,k) (ties →
+    // smallest k), exemplars self-assigned. Fully SQL-expressible.
+    "ap_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val offd = AffinityPropagation.similarities(emb)
+      val pref = AffinityPropagation.preference(offd)
+      val one = AffinityPropagation.availabilityPass(
+        AffinityPropagation.responsibilityPass(AffinityPropagation.init(emb, pref), 0.0), 0.0)
+      val ex = one.filter(col("i") === col("k") && col("r") + col("a") > 0)
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+      AffinityPropagation.assign(offd, ex, s).orderBy("i")
+    }),
+
+    // Flagship deliverable: exemplar → member count from the full loop.
+    "ap_cluster_sizes" -> ((s, dir) => {
+      val res = fullRun(s, dir)
+      val offd = AffinityPropagation.similarities(Tables.embeddings(s, dir))
+      AffinityPropagation.assign(offd, res.exemplars, s)
+        .groupBy("exemplar").agg(count(lit(1)).as("n_members"))
+        .orderBy("exemplar")
+    })
+  )
+
+  /** Shared oracle CTE chain: similarities → preference → one r-pass →
+    * one a-pass, in the same window algebra as the Spark build. */
+  private val chain =
+    """WITH offd AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS k,
+      |    -list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS s
+      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |sim AS (
+      |  SELECT i, k, s FROM offd
+      |  UNION ALL
+      |  SELECT vec_id AS i, vec_id AS k, (SELECT median(s) FROM offd) AS s FROM embeddings),
+      |r1 AS (
+      |  SELECT i, k, s,
+      |    row_number() OVER (PARTITION BY i ORDER BY s DESC, k) AS rn,
+      |    max(s) OVER (PARTITION BY i) AS m1
+      |  FROM sim),
+      |r2 AS (SELECT *, max(CASE WHEN rn > 1 THEN s END) OVER (PARTITION BY i) AS m2 FROM r1),
+      |resp AS (SELECT i, k, s, s - CASE WHEN rn = 1 THEN m2 ELSE m1 END AS rr FROM r2),
+      |av1 AS (SELECT *, CASE WHEN i = k THEN 0.0 ELSE greatest(rr, 0.0) END AS rp FROM resp),
+      |av2 AS (SELECT *,
+      |    SUM(rp) OVER (PARTITION BY k) AS srp,
+      |    SUM(CASE WHEN i = k THEN rr END) OVER (PARTITION BY k) AS rkk
+      |  FROM av1),
+      |avail AS (
+      |  SELECT i, k, s, rr,
+      |    CASE WHEN i = k THEN srp ELSE least(0.0, rkk + srp - rp) END AS aa
+      |  FROM av2)""".stripMargin
+
+  def oracles: Seq[(String, String)] = Seq(
+    "ap_similarity" ->
+      """SELECT a.vec_id AS i, b.vec_id AS k,
+        |  round(-list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'), 6) + 0.0 AS s
+        |FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        |ORDER BY i, k""".stripMargin,
+    "ap_preference" ->
+      """SELECT round(median(s), 6) + 0.0 AS preference FROM (
+        |  SELECT -list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS s
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)""".stripMargin,
+    "ap_responsibility" ->
+      s"$chain\nSELECT i, k, round(rr, 6) + 0.0 AS r FROM resp ORDER BY i, k",
+    "ap_availability" ->
+      s"$chain\nSELECT i, k, round(aa, 6) + 0.0 AS a FROM avail ORDER BY i, k",
+    "ap_assign" ->
+      s"""$chain,
+         |ex AS (SELECT k FROM avail WHERE i = k AND rr + aa > 0),
+         |best AS (
+         |  SELECT o.i, o.k AS exemplar FROM offd o
+         |  WHERE o.k IN (SELECT k FROM ex) AND o.i NOT IN (SELECT k FROM ex)
+         |  QUALIFY row_number() OVER (PARTITION BY o.i ORDER BY o.s DESC, o.k) = 1)
+         |SELECT * FROM (
+         |  SELECT i, exemplar FROM best
+         |  UNION ALL
+         |  SELECT k AS i, k AS exemplar FROM ex)
+         |ORDER BY i""".stripMargin
+  )
+}

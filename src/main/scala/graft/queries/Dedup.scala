@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.K (part 1) — deduplication + similarity search, the
+  * training-data-pipeline operators. Exact methods (hash-group, shingle
+  * Jaccard, brute-force cosine) are oracled; the sketch/approximate
+  * methods (MinHash-LSH, SimHash, IVF) are the 100 TB-scale paths and are
+  * validated against their exact counterparts in the test suite (D3).
+  */
+object Dedup extends QueryGroup {
+
+  /** Distinct 3-word shingles per document (docs shorter than 3 words
+    * have none). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(words) - 3),
+          j => concat_ws(" ", slice(words, j + 1, lit(3))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Embeddings as double vectors with L2 norms. */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+
+  /** 32 minhashes via salted xxhash64 (fixed seed ⇒ deterministic),
+    * banded 8×4 for LSH bucketing. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
+      .select(col("doc_id"), transform(sequence(lit(0), lit(31)), j =>
+        array_min(transform(col("shs"),
+          sh => xxhash64(concat(sh, lit("#"), j.cast("string")))))).as("sig"))
+
+  /** 64-bit SimHash over token votes. */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("term")))
+    toks
+      .select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("vote",
+        col("tf") * (expr("shiftright(h, CAST(b AS INT)) & CAST(1 AS BIGINT)") * 2 - 1))
+      .groupBy("doc_id", "b").agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Exact duplicate texts: first doc_id wins, copy count kept.
+    "dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    // Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.2. The shingle
+    // self-join is the exact quadratic baseline the LSH path approximates.
+    "dedup_jaccard" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash-LSH candidate pairs — the scale path: band-bucket join
+    // instead of the all-pairs shingle join. Recall vs dedup_jaccard is
+    // asserted in the test suite (D3 ⇒ no oracle).
+    "dedup_minhash" -> ((s, dir) => {
+      val bands = minhashSigs(s, dir)
+        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(7)), b =>
+          struct(b.as("band"), slice(col("sig"), b * 4 + 1, lit(4)).as("bsig")))).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      bands.select(col("doc_id").as("doc_a"), col("band"), col("bsig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bsig")),
+          Seq("band", "bsig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 64-bit fingerprint + hamming-nearest neighbor per doc.
+    "dedup_simhash" -> ((s, dir) => {
+      val sh = simhashes(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(b, col("doc_a") =!= col("doc_b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(
+          min_by(col("doc_b"), struct(col("hamming"), col("doc_b"))).as("nn_doc"),
+          min(col("hamming")).as("nn_hamming"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-cosine near-dup pairs (exact, oracled).
+    "dedup_embedding" -> ((s, dir) => {
+      val n = normed(s, dir)
+      val a = n.select(col("vec_id").as("va_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("vb_id"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("va_id") < col("vb_id"))
+        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("va_id").as("id_a"), col("vb_id").as("id_b"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force top-5 cosine neighbors per vector — the exact baseline
+    // for ANN (oracled; ranking on raw doubles identical in both engines
+    // because the fold order matches).
+    "simsearch_topk" -> ((s, dir) => {
+      val n = normed(s, dir)
+      val a = n.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("k"), col("v").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy("i").orderBy(col("cos").desc, col("k"))
+      a.join(b, col("i") =!= col("k"))
+        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("i"), col("k"), col("rnk"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .orderBy("i", "rnk")
+    }),
+
+    // IVF-bucketed ANN — the scale path: assign every vector to its
+    // nearest of 16 seed centroids (deterministic: lowest vec_ids), then
+    // each query probes only its 2 nearest centroid buckets. Recall vs
+    // simsearch_topk is asserted in the test suite (approximate ⇒ no
+    // oracle).
+    "simsearch_ivf" -> ((s, dir) => {
+      val n = normed(s, dir)
+      val cents = n.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
+      // nprobe=2 bucket assignment per vector (rank ≤ 2); rank 1 is the
+      // vector's home bucket, both ranks are probed at query time.
+      val assigned = n.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+        .withColumn("crnk", row_number().over(wAssign))
+        .filter(col("crnk") <= 2)
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"), col("crnk"))
+      val home = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id").as("k"), col("v").as("vb"), col("nrm").as("nb"), col("c_id"))
+      val w = Window.partitionBy("i").orderBy(col("cos").desc, col("k"))
+      assigned
+        .select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"), col("c_id"))
+        .join(home, "c_id")
+        .filter(col("i") =!= col("k"))
+        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("i"), col("k"), col("rnk"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .orderBy("i", "rnk")
+    })
+  )
+
+  private val shingleSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+      |       UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 3)""".stripMargin
+
+  private val normedSql =
+    """n AS (
+      |  SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings))""".stripMargin
+
+  private def cosSql(va: String, vb: String, na: String, nb: String) =
+    s"list_aggregate(list_transform(list_zip($va, $vb), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum') / ($na * $nb)"
+
+  def oracles: Seq[(String, String)] = Seq(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $shingleSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+         |  FROM pairs
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b)
+         |WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $normedSql
+         |SELECT id_a, id_b, round(cos, 4) + 0.0 AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "simsearch_topk" ->
+      s"""WITH $normedSql
+         |SELECT i, k, rnk, round(cos, 4) + 0.0 AS cos FROM (
+         |  SELECT a.vec_id AS i, b.vec_id AS k,
+         |    ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rnk
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+         |WHERE rnk <= 5
+         |ORDER BY i, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.{Det, QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.K (part 2) — text analysis + multimodal-column plumbing for
+  * the training-data pipeline. Scoring that feeds a ranking decision uses
+  * exact integer arithmetic (associative ⇒ engine-order-proof); float
+  * ratios are round-4 outputs only.
+  *
+  * Multimodal: the fixtures carry no real image/audio bytes, so the
+  * mm_* keys treat the document text as an opaque binary payload. The
+  * Spark-side plumbing — binary column, per-chunk framing, digest
+  * features — is real; a production decoder (image resize, audio
+  * features) would replace the digest step with a vectorized
+  * mapPartitions/Arrow UDF over the same (id, payload) batch shape.
+  */
+object TextOps extends QueryGroup {
+  import Det._
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Corpus word counts.
+    "text_tokenize" -> ((s, dir) =>
+      tokens(s, dir)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy("term")),
+
+    // tf·idf per (doc, term); idf = ln((N+1)/(df+1)) + 1.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count()
+      val tf = tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .withColumn("tfidf", round(
+          col("tf") * (log((lit(nDocs) + 1).cast("double") / (col("df") + 1)) + 1), 4))
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", "term")
+    }),
+
+    // Bigram counts across the corpus (positional lead within doc).
+    "text_ngrams" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .withColumn("nxt", lead(col("term"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(concat(col("term"), lit(" "), col("nxt")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy("bigram")
+    }),
+
+    // Per-(lang, source) corpus stats.
+    "text_lang_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          avgd(col("n_chars").cast("double")).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "source")),
+
+    // Language ID: count-space naive-Bayes-style classifier. Per-lang
+    // token-count profiles (trained on the corpus), each doc scored by
+    // Σ tf·count_lang(term) — exact integer arithmetic, so the argmax is
+    // engine-order-proof. Ties → lexicographically smallest lang.
+    "text_langid" -> ((s, dir) => {
+      val tf = tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val prof = tokens(s, dir).groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+      val pred = tf.join(prof, "term")
+        .groupBy("doc_id", "lang").agg(sum(col("tf") * col("c")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"))
+      pred.join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("pred_lang"),
+          (col("pred_lang") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token stats + stopword ratio + length flags.
+    "text_quality" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "in", "to")
+      val t = tokens(s, dir)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_distinct"),
+          sum(length(col("term"))).as("chars_in_tokens"),
+          sum(when(col("term").isInCollection(stop), 1L).otherwise(0L)).as("n_stop"))
+      Tables.documents(s, dir).select("doc_id", "n_chars")
+        .join(t, "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("chars_in_tokens").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          (col("n_tokens") >= 20 && col("n_chars") >= 100).as("len_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: 31-polynomial rolling hash over characters
+    // mod 1e9+7 — exact integer fold, identical in both engines.
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+            lit(0L),
+            (acc, c) => pmod(acc * 31 + c, lit(1000000007L))).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: text treated as opaque binary payload; digest
+    // features stand in for a real decoder (STUB — see object docs).
+    "mm_features" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"))
+        .orderBy("doc_id")),
+
+    // Frame sampling over the binary payload: 32-byte frames, every 2nd
+    // frame kept — the (id, frame_no, frame) batch shape a video pipeline
+    // feeds to a decoder.
+    "mm_frame_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), ceil(length(col("text")) / lit(32.0)).cast("long") - 1))
+            .as("frame_no"))
+        .filter(col("frame_no") % 2 === 0)
+        .select(col("doc_id"), col("frame_no"),
+          md5(col("text").substr(col("frame_no").cast("int") * 32 + 1, lit(32)))
+            .as("frame_digest"))
+        .orderBy("doc_id", "frame_no"))
+  )
+
+  def oracles: Seq[(String, String)] = Seq(
+    "text_tokenize" ->
+      """SELECT term, COUNT(*) AS n
+        |FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+        |GROUP BY term ORDER BY term""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term, tf,
+        |  ROUND(tf * (ln(CAST((SELECT n FROM nd) + 1 AS DOUBLE) / (df + 1)) + 1), 4) AS tfidf
+        |FROM tf JOIN df USING (term)
+        |ORDER BY doc_id, term""".stripMargin,
+    "text_ngrams" ->
+      """SELECT ws[i] || ' ' || ws[i+1] AS bigram, COUNT(*) AS n
+        |FROM (SELECT string_split(text, ' ') AS ws FROM documents) w,
+        |     UNNEST(range(1, len(ws))) AS t(i)
+        |GROUP BY bigram ORDER BY bigram""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  ROUND(CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(n_chars), 4) AS avg_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, term
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |prof AS (SELECT lang, term, COUNT(*) AS c FROM toks GROUP BY lang, term),
+        |scored AS (
+        |  SELECT tf.doc_id, prof.lang, SUM(tf.tf * prof.c) AS score
+        |  FROM tf JOIN prof USING (term)
+        |  GROUP BY tf.doc_id, prof.lang),
+        |pred AS (
+        |  SELECT doc_id, lang AS pred_lang FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
+        |SELECT d.doc_id, p.pred_lang, p.pred_lang = d.lang AS correct
+        |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    COUNT(DISTINCT term) AS n_distinct,
+        |    SUM(length(term)) AS chars_in_tokens,
+        |    SUM(CASE WHEN term IN ('the','a','of','and','in','to') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, t.n_tokens, t.n_distinct,
+        |  ROUND(CAST(t.chars_in_tokens AS DOUBLE) / t.n_tokens, 4) AS avg_token_len,
+        |  ROUND(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 4) AS distinct_ratio,
+        |  ROUND(CAST(t.n_stop AS DOUBLE) / t.n_tokens, 4) AS stop_ratio,
+        |  t.n_tokens >= 20 AND d.n_chars >= 100 AS len_ok
+        |FROM documents d JOIN t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, i AS frame_no, md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_digest
+        |FROM documents,
+        |     UNNEST(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin
+  )
+}
