@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main — times the headline query shapes BASELINE.md pins,
+  * on SPARK_GRAFT_SF_DIR (default sf0.1). Per BASELINE.md:29-31 the 2×
+  * envelope targets per-query steady state with JVM/codegen warmup
+  * amortized across the run, so each query is executed three times and
+  * the minimum is reported. The AP row additionally runs at the
+  * baseline's own config (N=500, full loop to convergence). Prints ONE
+  * JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +17,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val headline = Seq(
+      "agg_groupby",      // BASELINE: 0.084 s (TPC-H Q1 shape)
+      "topk_global",      // BASELINE: 0.065 s (3-table join + top-k)
+      "topk_per_group",   // BASELINE: 0.150 s (window top-3/suppkey)
+      "stream_tumbling",  // BASELINE: 0.024 s (1-h tumbling windows)
+      "simsearch_topk")   // BASELINE: 0.358 s (brute-force cosine knn)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val runs = (1 to 3).map(_ => time(fn(spark, sfDir).count()))
+      results(name) = runs.min
+    }
+
+    // AP full loop at the baseline's own config: N=500, to convergence.
+    val emb500 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500)
+    results("ap_full_n500") = (1 to 2).map(_ => time {
+      val r = graft.ap.AffinityPropagation.solve(spark, emb500)
+      require(r.exemplars.nonEmpty)
+    }).min
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

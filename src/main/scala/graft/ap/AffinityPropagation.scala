@@ -97,7 +97,62 @@ object AffinityPropagation {
   }
 
   final case class Result(
-    messages: DataFrame, exemplars: Seq[Long], iterations: Int, converged: Boolean)
+    messagesFn: () => DataFrame, exemplars: Seq[Long], iterations: Int, converged: Boolean) {
+    def messages: DataFrame = messagesFn()
+  }
+
+  /** Below this point count the dense N² message matrices fit easily in
+    * one task (N=4000 → 3×16M doubles ≈ 384 MB) and the per-iteration
+    * scheduling cost of the distributed loop dwarfs the arithmetic —
+    * solve locally, matching single-node reference throughput. Above it,
+    * use the distributed two-exchange dataflow. */
+  val localThreshold = 4000
+
+  /** Dispatch: local dense kernel for small N, distributed dataflow
+    * beyond [[localThreshold]]. Same math and conventions either way
+    * (the test suite asserts exemplar-set equality between the paths). */
+  def solve(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      damping: Double = 0.5,
+      maxIter: Int = 200,
+      convergenceIter: Int = 15,
+      prefOverride: Option[Double] = None): Result = {
+    if (embeddings.count() <= localThreshold)
+      runLocal(spark, embeddings, damping, maxIter, convergenceIter, prefOverride)
+    else
+      run(spark, embeddings, damping, maxIter, convergenceIter,
+        checkpointEvery = 10, prefOverride)
+  }
+
+  /** Small-N path: collect the (id, vector) rows (N×d — small), run the
+    * dense [[LocalAP]] kernel, expose the message matrices as a DataFrame
+    * on demand. */
+  def runLocal(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      damping: Double = 0.5,
+      maxIter: Int = 200,
+      convergenceIter: Int = 15,
+      prefOverride: Option[Double] = None): Result = {
+    val rows = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .orderBy("vec_id").collect()
+    val ids = rows.map(_.getLong(0))
+    val xs = rows.map(_.getSeq[Double](1).toArray)
+    val st = LocalAP.run(ids, xs, damping, maxIter, convergenceIter, prefOverride)
+    val messagesFn = () => {
+      import spark.implicits._
+      val n = ids.length
+      spark.sparkContext
+        .parallelize(0 until n, math.max(1, n / 256))
+        .flatMap { i =>
+          (0 until n).iterator.map(k => (ids(i), ids(k), st.s(i)(k), st.r(i)(k), st.a(i)(k)))
+        }
+        .toDF("i", "k", "s", "r", "a")
+    }
+    Result(messagesFn, st.exemplars.toSeq.sorted, st.iterations, st.converged)
+  }
 
   /** Full damped loop. Stops when the exemplar indicator set is unchanged
     * for `convergenceIter` consecutive iterations (and non-empty), or at
@@ -133,7 +188,8 @@ object AffinityPropagation {
       if (stable >= convergenceIter - 1 && ex.nonEmpty) converged = true
     }
 
-    Result(msgs.localCheckpoint(), lastExemplars.toSeq.sorted, it, converged)
+    val finalMsgs = msgs.localCheckpoint()
+    Result(() => finalMsgs, lastExemplars.toSeq.sorted, it, converged)
   }
 
   /** Assignment given an exemplar set: label(i) = argmax_{k∈E} s(i,k),

@@ -1,0 +1,104 @@
+package graft.ap
+
+/** Dense in-memory Affinity Propagation kernel (Frey & Dueck 2007,
+  * eq. 1–3) on primitive arrays — the small-N fast path used by
+  * [[AffinityPropagation.solve]] when the N² message matrices fit in one
+  * task's memory (matching single-node reference throughput), and the
+  * test oracle for the distributed dataflow. Same math, same iteration
+  * and convergence conventions as the distributed path: damping 0.5,
+  * max_iter 200, convergence_iter 15, preference = exact median of
+  * off-diagonal similarities, s = −‖x−y‖². */
+object LocalAP {
+
+  final case class State(
+    ids: Array[Long],
+    s: Array[Array[Double]],
+    r: Array[Array[Double]],
+    a: Array[Array[Double]],
+    exemplars: Set[Long],
+    iterations: Int,
+    converged: Boolean)
+
+  def run(
+      ids: Array[Long],
+      x: Array[Array[Double]],
+      damping: Double = 0.5,
+      maxIter: Int = 200,
+      convIter: Int = 15,
+      prefOverride: Option[Double] = None): State = {
+    val n = x.length
+    val s = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < n) {
+        if (i != k) {
+          var d = 0.0
+          var j = 0
+          while (j < x(i).length) { val t = x(i)(j) - x(k)(j); d += t * t; j += 1 }
+          s(i)(k) = -d
+        }
+        k += 1
+      }
+      i += 1
+    }
+    // exact median of the n²−n off-diagonal values
+    val off = new Array[Double](n * n - n)
+    var p = 0
+    for (a0 <- 0 until n; b0 <- 0 until n if a0 != b0) { off(p) = s(a0)(b0); p += 1 }
+    java.util.Arrays.sort(off)
+    val pref = prefOverride.getOrElse(
+      if (off.length % 2 == 1) off(off.length / 2)
+      else (off(off.length / 2 - 1) + off(off.length / 2)) / 2.0)
+    i = 0; while (i < n) { s(i)(i) = pref; i += 1 }
+
+    val r = Array.ofDim[Double](n, n)
+    val a = Array.ofDim[Double](n, n)
+    var last: Set[Int] = null
+    var stable = 0
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      it += 1
+      // r-pass (row-local, eq. 1): top-2 of a+s per row
+      i = 0
+      while (i < n) {
+        var m1 = Double.NegativeInfinity; var m2 = Double.NegativeInfinity; var arg = -1
+        var k = 0
+        while (k < n) {
+          val v = a(i)(k) + s(i)(k)
+          if (v > m1) { m2 = m1; m1 = v; arg = k } else if (v > m2) m2 = v
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val sub = if (k == arg) m2 else m1
+          r(i)(k) = damping * r(i)(k) + (1 - damping) * (s(i)(k) - sub)
+          k += 1
+        }
+        i += 1
+      }
+      // a-pass (column-local, eq. 2–3)
+      var k = 0
+      while (k < n) {
+        var sp = 0.0
+        i = 0
+        while (i < n) { if (i != k) sp += math.max(0.0, r(i)(k)); i += 1 }
+        val rkk = r(k)(k)
+        i = 0
+        while (i < n) {
+          val anew =
+            if (i == k) sp
+            else math.min(0.0, rkk + sp - math.max(0.0, r(i)(k)))
+          a(i)(k) = damping * a(i)(k) + (1 - damping) * anew
+          i += 1
+        }
+        k += 1
+      }
+      val ex = (0 until n).filter(k0 => r(k0)(k0) + a(k0)(k0) > 0).toSet
+      if (ex == last) stable += 1 else { stable = 0; last = ex }
+      if (stable >= convIter - 1 && ex.nonEmpty) converged = true
+    }
+    State(ids, s, r, a, last.map(ids(_)), it, converged)
+  }
+}

@@ -24,7 +24,7 @@ object ApQueries extends QueryGroup {
   private val runCache = TrieMap.empty[String, AffinityPropagation.Result]
   private def fullRun(s: SparkSession, dir: String): AffinityPropagation.Result =
     runCache.getOrElseUpdate(dir,
-      AffinityPropagation.run(s, Tables.embeddings(s, dir)))
+      AffinityPropagation.solve(s, Tables.embeddings(s, dir)))
 
   def queries: Seq[(String, Q)] = Seq(
     // Pairwise s(i,k) = −‖x_i−x_k‖² (off-diagonal).

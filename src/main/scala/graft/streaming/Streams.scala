@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.I — true Structured Streaming execution of the engine's
+  * stream operators. The same transforms back the batch-equivalent
+  * queries in [[graft.queries.StreamingBatch]]; here they run over a
+  * replayable file-source stream with watermarks and the state store
+  * (exercised by the streaming test suite — D3, not the SQL oracle). */
+object Streams {
+
+  /** events schema after the nanos→micros conversion Tables.events does
+    * for batch (a file-source stream needs an explicit schema). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source events stream over a directory of parquet chunks.
+    * maxFilesPerTrigger=1 makes each chunk one micro-batch, so the
+    * watermark advances between chunks — the replay harness for
+    * late-data semantics. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** 1-hour tumbling count+sum per event_type with a 10-min watermark
+    * (append mode ⇒ a window only emits once it's closed). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming dedup: first event per (user_id, event_type) within the
+    * watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** Per-user session windows (30-minute gap). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
+
+  /** Arbitrary stateful op: running per-user event count via
+    * flatMapGroupsWithState (Update mode) — each event emits the user's
+    * count so far. */
+  def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fn = (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) => {
+      var n = state.getOption.getOrElse(0L)
+      val out = rows.toSeq.sortBy(_._2).map { case (_, eventId) =>
+        n += 1
+        (userId, eventId, n)
+      }
+      state.update(n)
+      out.iterator
+    }
+    events
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "event_id", "running_n")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ap.AffinityPropagation
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.2 items 4–5: AP end-to-end oracle + message-invariant
+  * properties, pinned against FIXTURES.md ground truth. */
+class ApSpec extends SparkSuite {
+
+  private lazy val embRows = {
+    Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
+
+  test("LocalAP kernel reproduces the pinned ground truth: 66 exemplars on sf0.001") {
+    val res = graft.ap.LocalAP.run(embRows.map(_._1), embRows.map(_._2))
+    assert(res.converged, s"did not converge in ${res.iterations} iterations")
+    assert(res.exemplars.size == 66,
+      s"expected 66 exemplars (FIXTURES.md), got ${res.exemplars.size} at iter ${res.iterations}")
+  }
+
+  test("Spark AP loop matches LocalAP kernel exemplar set exactly") {
+    val brute = graft.ap.LocalAP.run(embRows.map(_._1), embRows.map(_._2))
+    val dist = AffinityPropagation.run(spark, Tables.embeddings(spark, sf001))
+    assert(dist.converged)
+    assert(dist.exemplars.toSet == brute.exemplars,
+      s"spark=${dist.exemplars.size} brute=${brute.exemplars.size} " +
+        s"symdiff=${(dist.exemplars.toSet diff brute.exemplars) ++ (brute.exemplars diff dist.exemplars.toSet)}")
+  }
+
+  test("alternative preferences hit the pinned exemplar counts (min→33, 2·min→14)") {
+    val ids = embRows.map(_._1); val xs = embRows.map(_._2)
+    var minS = Double.PositiveInfinity
+    for (a <- xs.indices; b <- xs.indices if a != b) {
+      var d = 0.0
+      var j = 0
+      while (j < xs(a).length) { val t = xs(a)(j) - xs(b)(j); d += t * t; j += 1 }
+      if (-d < minS) minS = -d
+    }
+    assert(graft.ap.LocalAP.run(ids, xs, prefOverride = Some(minS)).exemplars.size == 33)
+    assert(graft.ap.LocalAP.run(ids, xs, prefOverride = Some(2 * minS)).exemplars.size == 14)
+  }
+
+  test("availability is non-positive off-diagonal; exemplars self-assign") {
+    val emb = Tables.embeddings(spark, sf001)
+    val pref = AffinityPropagation.preference(AffinityPropagation.similarities(emb))
+    val one = AffinityPropagation.availabilityPass(
+      AffinityPropagation.responsibilityPass(AffinityPropagation.init(emb, pref), 0.0), 0.0)
+    assert(one.filter(col("i") =!= col("k") && col("a") > 1e-12).count() == 0)
+
+    val offd = AffinityPropagation.similarities(emb)
+    val ex = Seq(1L, 7L, 42L)
+    val asg = AffinityPropagation.assign(offd, ex, spark)
+    val selfAssigned = asg.filter(col("i").isin(ex: _*))
+      .filter(col("i") =!= col("exemplar")).count()
+    assert(selfAssigned == 0)
+    assert(asg.count() == 500)
+  }
+}

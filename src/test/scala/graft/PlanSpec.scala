@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape assertions (SURVEY §4): pushdown/pruning reach the parquet
+  * scan, small dims broadcast, hot aggregates stay in whole-stage codegen.
+  * These guard the 100 TB properties that row counts can't see. */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_pushdown pushes the shipdate predicate to parquet") {
+    val p = planOf("scan_pushdown")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"no pushed filter in plan:\n$p")
+  }
+
+  test("scan_pruned reads only the selected columns") {
+    val p = planOf("scan_pruned")
+    assert(p.contains("l_quantity") && !p.contains("l_tax"),
+      s"pruning failed — l_tax survived to the scan:\n$p")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(planOf("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_left_semi / anti plan semi/anti hash joins") {
+    assert(planOf("join_left_semi").contains("LeftSemi"))
+    assert(planOf("join_left_anti").contains("LeftAnti"))
+  }
+
+  test("topk_global plans TakeOrderedAndProject (no global sort)") {
+    assert(planOf("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_groupby runs inside whole-stage codegen with partial aggregation") {
+    val df = SparkEntry.queries("agg_groupby")(spark, sf001)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val p = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen stages print as "*(n) Operator" in the plan
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+    assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SURVEY §5.2 item 6 — streaming replay: the §2.I shapes executed as
+  * true micro-batch streams over an ordered file-source replay of the
+  * events fixture, compared against their batch equivalents; plus the
+  * late-data drop that only exists under streaming semantics. */
+class StreamingSpec extends SparkSuite {
+
+  /** Write events as `parts` ts-ordered parquet chunks; returns dir. */
+  private def replayDir(parts: Int, lateTail: Boolean = false): String = {
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val ev = Tables.events(spark, sf001).orderBy("ts").collect()
+    val schema = Tables.events(spark, sf001).schema
+    val chunks = ev.grouped(math.ceil(ev.length.toDouble / parts).toInt).toSeq
+    val ordered = if (lateTail) {
+      // move the earliest chunk to the end — its rows arrive hours late
+      chunks.tail :+ chunks.head
+    } else chunks
+    ordered.zipWithIndex.foreach { case (rows, idx) =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(s"$dir/chunk_$idx")
+      // register written files under one glob-able dir
+    }
+    // flatten: move part files up so the stream source sees them in order
+    val flat = Files.createTempDirectory("graft-replay-flat").toString
+    ordered.indices.foreach { idx =>
+      val src = new java.io.File(s"$dir/chunk_$idx").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(f"$flat/chunk_$idx%03d.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + idx * 1000)
+    }
+    flat
+  }
+
+  private def runToCompletion(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling windows over an ordered replay match the batch result for closed windows") {
+    val dir = replayDir(parts = 4)
+    val got = runToCompletion(Streams.tumbling(Streams.eventsStream(spark, dir)),
+      "t_tumbling", "append")
+      .select(col("ws"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toMap2
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf001)
+      .select(col("ws"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toMap2
+    assert(got.nonEmpty, "append mode emitted no closed windows")
+    got.foreach { case (k, n) =>
+      assert(batch(k) == n, s"window $k: stream=$n batch=${batch(k)}")
+    }
+  }
+
+  test("streaming dedup emits one row per (user_id, event_type)") {
+    val dir = replayDir(parts = 4)
+    val got = runToCompletion(Streams.dedup(Streams.eventsStream(spark, dir)),
+      "t_dedup", "append")
+    val batch = SparkEntry.queries("stream_dedup")(spark, sf001)
+    assert(got.select("user_id", "event_type").distinct().count() == got.count())
+    assert(got.count() == batch.count())
+  }
+
+  test("late rows beyond the watermark are dropped") {
+    val dir = replayDir(parts = 5, lateTail = true)
+    val got = runToCompletion(Streams.tumbling(Streams.eventsStream(spark, dir)),
+      "t_late", "append")
+    val totalEmitted = got.agg(sum(col("n"))).head().getLong(0)
+    val totalRows = Tables.events(spark, sf001).count()
+    // the late chunk's rows fall into windows already closed when it
+    // arrives, so they can never be counted
+    assert(totalEmitted < totalRows,
+      s"late rows were not dropped: emitted=$totalEmitted of $totalRows")
+  }
+
+  test("stateful running count matches batch per-user totals") {
+    val dir = replayDir(parts = 3)
+    val got = runToCompletion(
+      Streams.runningCounts(spark, Streams.eventsStream(spark, dir)),
+      "t_state", "update")
+    val finals = got.groupBy("user_id").agg(max(col("running_n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf001).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finals == batch)
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
+  }
+}
