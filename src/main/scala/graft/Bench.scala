@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // fixture parquet files are a few MB — split them so scans
+      // parallelize instead of running as one task
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

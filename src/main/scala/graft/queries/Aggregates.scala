@@ -15,11 +15,12 @@ object Aggregates extends QueryGroup {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sumd(col("l_quantity")).as("sum_qty"),
-          sumd(col("l_extendedprice")).as("sum_base_price"),
-          outDec(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+          sumd2(col("l_quantity")).as("sum_qty"),
+          sumd2(col("l_extendedprice")).as("sum_base_price"),
+          // price·(1−disc) in integer 1e-4 units: cents × (100 − cents)
+          fixedToDec(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))), 10000)
             .as("sum_disc_price"),
-          avgd(col("l_quantity")).as("avg_qty"),
+          avgd2(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -29,7 +30,7 @@ object Aggregates extends QueryGroup {
       Tables.lineitem(s, dir).agg(
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        sumd(col("l_extendedprice")).as("sum_price"),
+        sumd2(col("l_extendedprice")).as("sum_price"),
         min(col("l_shipdate")).as("min_ship"),
         max(col("l_shipdate")).as("max_ship"),
         count(lit(1)).as("cnt"))),
@@ -49,7 +50,7 @@ object Aggregates extends QueryGroup {
     "agg_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -59,7 +60,7 @@ object Aggregates extends QueryGroup {
     "agg_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube("l_returnflag", "l_linestatus")
-        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -73,7 +74,7 @@ object Aggregates extends QueryGroup {
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),

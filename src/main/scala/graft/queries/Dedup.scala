@@ -133,21 +133,14 @@ object Dedup extends QueryGroup {
     }),
 
     // Brute-force top-5 cosine neighbors per vector — the exact baseline
-    // for ANN (oracled; ranking on raw doubles identical in both engines
-    // because the fold order matches).
-    "simsearch_topk" -> ((s, dir) => {
-      val n = normed(s, dir)
-      val a = n.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("k"), col("v").as("vb"), col("nrm").as("nb"))
-      val w = Window.partitionBy("i").orderBy(col("cos").desc, col("k"))
-      a.join(b, col("i") =!= col("k"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+    // for ANN, via the broadcast-index kernel (graft.functions.Ann):
+    // same fold order as the SQL oracle, so cosines and ranks are
+    // bit-identical, at single-node-reference throughput.
+    "simsearch_topk" -> ((s, dir) =>
+      graft.functions.Ann.topkCosine(s, Tables.embeddings(s, dir), 5)
         .select(col("i"), col("k"), col("rnk"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
-        .orderBy("i", "rnk")
-    }),
+        .orderBy("i", "rnk")),
 
     // IVF-bucketed ANN — the scale path: assign every vector to its
     // nearest of 16 seed centroids (deterministic: lowest vec_ids), then

@@ -18,7 +18,7 @@ object StreamingBatch extends QueryGroup {
     "stream_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("ws", "event_type")),
 

@@ -50,7 +50,7 @@ object Windows extends QueryGroup {
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_extendedprice"),
-          outDec(sum(dec(col("l_extendedprice"))).over(w)).as("running_rev"))
+          fixedToDec(sum(cents(col("l_extendedprice"))).over(w), 100).as("running_rev"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
     }),
 
@@ -62,7 +62,7 @@ object Windows extends QueryGroup {
       Tables.orders(s, dir)
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          outDec(sum(dec(col("o_totalprice"))).over(w)).as("cum_price"))
+          fixedToDec(sum(cents(col("o_totalprice"))).over(w), 100).as("cum_price"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -87,14 +87,18 @@ object Windows extends QueryGroup {
         .orderBy(col("c_mktsegment").asc, col("bal").desc_nulls_last, col("c_custkey").asc)),
 
     // 3-table join + group + global top-10 (TakeOrderedAndProject).
+    // The fact table streams; the joined dimension side (orders⋈customer)
+    // is broadcast so lineitem is never shuffled or built into a hash map.
     "topk_global" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      val dim = broadcast(
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name")))
+      l.join(dim, l("l_orderkey") === dim("o_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(outDec(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+        .agg(fixedToDec(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))), 10000)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
