@@ -131,6 +131,32 @@ object TextOps extends QueryGroup {
           ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"))
         .orderBy("doc_id")),
 
+    // Batched decode over (id, payload) partitions — the Scala analog of
+    // a vectorized mapInPandas decode stage: binary column in, fixed
+    // 64-row batches through a per-batch "decoder", typed feature rows
+    // out. The decoder itself is a STUB (no image/audio codecs in this
+    // container): it derives deterministic fake dimensions from the
+    // payload bytes; a real one would decode each batch with a codec
+    // library. Schema, partitioning, and batch shape are the real
+    // production plumbing and are what the oracle checks.
+    "mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            // STUB decode: real impl calls the codec once per batch
+            batch.iterator.map { case (id, bytes) =>
+              val n = bytes.length.toLong
+              (id, n, 64 + n % 1856, 64 + (n * 7) % 1016, "rgb8")
+            }
+          }
+        }
+        .toDF("doc_id", "n_bytes", "width", "height", "format")
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling over the binary payload: 32-byte frames, every 2nd
     // frame kept — the (id, frame_no, frame) batch shape a video pipeline
     // feeds to a decoder.
@@ -216,6 +242,13 @@ object TextOps extends QueryGroup {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest,
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1856 AS width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 1016 AS height,
+        |  'rgb8' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, i AS frame_no, md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_digest

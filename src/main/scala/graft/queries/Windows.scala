@@ -116,6 +116,24 @@ object Windows extends QueryGroup {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("l_suppkey", "rn")
+    }),
+
+    // Same top-3 via the bounded top-k Aggregator (graft.functions
+    // .TopKRows): map-side partials carry ≤3 rows per group, so the
+    // shuffle is ≤ k·groups·partitions rows instead of every input row —
+    // the shape that wins once the shuffle, not the local sort, is the
+    // bottleneck (100 TB path). Bit-identical rows to topk_per_group.
+    "topk_bounded_agg" -> ((s, dir) => {
+      s.udf.register("li_top3", udaf(new graft.functions.TopKRows(3)))
+      Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(expr("li_top3(l_extendedprice, l_orderkey, l_linenumber, l_partkey)").as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("l_suppkey"), col("t.orderkey").as("l_orderkey"),
+          col("t.linenumber").as("l_linenumber"),
+          col("t.price").as("l_extendedprice"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("l_suppkey", "rn")
     })
   )
 
@@ -173,6 +191,13 @@ object Windows extends QueryGroup {
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_suppkey
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "topk_bounded_agg" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS INT) AS rn
         |  FROM lineitem) t
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
   )
