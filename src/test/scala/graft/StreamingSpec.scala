@@ -81,6 +81,19 @@ class StreamingSpec extends SparkSuite {
       s"late rows were not dropped: emitted=$totalEmitted of $totalRows")
   }
 
+  test("session windows over replay match batch sessions for closed sessions") {
+    val dir = replayDir(parts = 4)
+    val got = runToCompletion(Streams.sessions(Streams.eventsStream(spark, dir)),
+      "t_sessions", "append")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(3)).toMap
+    val batch = SparkEntry.queries("stream_session")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty, "no closed sessions emitted")
+    got.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"session $k: stream=$n batch=${batch.get(k)}")
+    }
+  }
+
   test("stateful running count matches batch per-user totals") {
     val dir = replayDir(parts = 3)
     val got = runToCompletion(
