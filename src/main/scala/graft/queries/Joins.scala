@@ -108,6 +108,25 @@ object Joins extends QueryGroup {
         .orderBy(graft.Det.liKey.head, graft.Det.liKey.tail: _*)
     }),
 
+    // Skew-mitigated equi-join: the build side is replicated across 8
+    // salt buckets and the probe side picks a deterministic bucket, so a
+    // hot key's rows spread over 8 reducers instead of one. Result is
+    // exactly the plain equi-join (the oracle), making the technique
+    // verifiable; at 100 TB this is the fallback when AQE skew-split
+    // isn't available (e.g. non-AQE engines or stateful ops).
+    "join_skew_salted" -> ((s, dir) => {
+      val salts = 8
+      val l = Tables.lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(salts)).cast("int"))
+      val sup = Tables.supplier(s, dir)
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      l.join(sup,
+          l("l_suppkey") === sup("s_suppkey") && l("salt") === sup("salt"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "s_name", "s_nationkey")
+        .orderBy(graft.Det.liKey.head, graft.Det.liKey.tail: _*)
+    }),
+
     // As-of join (no Spark builtin): for each order, the latest strictly
     // earlier order of the same customer; date ties broken by max
     // orderkey (D6). Union-tag + last_value(ignoreNulls) over a single
@@ -178,6 +197,10 @@ object Joins extends QueryGroup {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, o_orderdate, l_shipdate
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, s_name, s_nationkey
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
     "join_asof" ->
       """SELECT o.o_orderkey, b.o_orderkey AS prev_orderkey

@@ -35,6 +35,25 @@ class PlanSpec extends SparkSuite {
     assert(planOf("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed tables co-locate the join (no shuffle exchange)") {
+    // default warehouse (./spark-warehouse, gitignored) — the option is a
+    // static conf and can't move after session start
+    Tables.orders(spark, sf001).write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.customer(spark, sf001).write
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+    val j = spark.table("orders_b").join(
+      spark.table("customer_b"),
+      org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+  }
+
   test("agg_groupby runs inside whole-stage codegen with partial aggregation") {
     val df = SparkEntry.queries("agg_groupby")(spark, sf001)
     df.collect() // finalize the adaptive plan so codegen stages materialize
