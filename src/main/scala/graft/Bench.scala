@@ -18,10 +18,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // fixture parquet files are a few MB — split them so scans
       // parallelize instead of running as one task
-      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4194304"))
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

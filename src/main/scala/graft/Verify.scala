@@ -11,12 +11,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // write INT64 micros (not INT96) so any parquet reader sees the
+      // same timestamp type DuckDB produces for the oracle side
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Timestamps leave as TIMESTAMP_NTZ micros: under the UTC session the
+    // wall-clock value is unchanged, and every parquet reader (DuckDB,
+    // pyarrow) then sees the exact type the DuckDB oracle produces —
+    // Spark's INT96/adjusted-UTC defaults read back as ns or timestamptz
+    // and trip type-sensitive comparators.
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.TimestampType
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == TimestampType) col(f.name).cast("timestamp_ntz").as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
