@@ -32,15 +32,16 @@ object AffinityPropagation {
     * double before arithmetic; the sum is a sequential left fold, so the
     * value is bit-deterministic. */
   def similarities(embeddings: DataFrame): DataFrame = {
+    // vec_sqdist is a native codegen Expression (graft.functions) — the
+    // same left fold as the builtin zip_with+aggregate form (and the
+    // DuckDB oracle), minus the per-row intermediate array.
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
     val e = embeddings.select(
       col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val a = e.select(col("vec_id").as("i"), col("v").as("va"))
     val b = e.select(col("vec_id").as("k"), col("v").as("vb"))
     a.join(b, col("i") =!= col("k"))
-      .select(col("i"), col("k"),
-        (-aggregate(
-          zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)).as("s"))
+      .select(col("i"), col("k"), (-expr("vec_sqdist(va, vb)")).as("s"))
   }
 
   /** Shared preference: exact median of the off-diagonal similarities. */

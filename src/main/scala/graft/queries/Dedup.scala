@@ -25,15 +25,18 @@ object Dedup extends QueryGroup {
       .distinct()
   }
 
-  /** Embeddings as double vectors with L2 norms. */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  /** Embeddings as double vectors with L2 norms (vec_dot is the native
+    * codegen Expression — same fold order as the oracle's list fold). */
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+  }
 
-  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+  private def cosine(va: String, vb: String, na: String, nb: String): Column =
+    expr(s"vec_dot($va, $vb)") / (col(na) * col(nb))
 
   /** 32 minhashes via salted xxhash64 (fixed seed ⇒ deterministic),
     * banded 8×4 for LSH bucketing. */
@@ -125,7 +128,7 @@ object Dedup extends QueryGroup {
       val a = n.select(col("vec_id").as("va_id"), col("v").as("va"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("vb_id"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("va_id") < col("vb_id"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("cos", cosine("va", "vb", "na", "nb"))
         .filter(col("cos") >= 0.4)
         .select(col("va_id").as("id_a"), col("vb_id").as("id_b"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
@@ -155,7 +158,7 @@ object Dedup extends QueryGroup {
       // nprobe=2 bucket assignment per vector (rank ≤ 2); rank 1 is the
       // vector's home bucket, both ranks are probed at query time.
       val assigned = n.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+        .withColumn("csim", cosine("v", "cv", "nrm", "cn"))
         .withColumn("crnk", row_number().over(wAssign))
         .filter(col("crnk") <= 2)
         .select(col("vec_id"), col("v"), col("nrm"), col("c_id"), col("crnk"))
@@ -166,7 +169,7 @@ object Dedup extends QueryGroup {
         .select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"), col("c_id"))
         .join(home, "c_id")
         .filter(col("i") =!= col("k"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("cos", cosine("va", "vb", "na", "nb"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("i"), col("k"), col("rnk"), (round(col("cos"), 4) + lit(0.0)).as("cos"))

@@ -37,7 +37,19 @@ class PlanSpec extends SparkSuite {
 
   test("bucketed tables co-locate the join (no shuffle exchange)") {
     // default warehouse (./spark-warehouse, gitignored) — the option is a
-    // static conf and can't move after session start
+    // static conf and can't move after session start. Clear leftovers
+    // from prior JVMs (a fresh metastore orphans the old locations).
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Tables.orders(spark, sf001).write
       .bucketBy(4, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("orders_b")
