@@ -141,7 +141,7 @@ object Dedup extends QueryGroup {
     // bit-identical, at single-node-reference throughput.
     "simsearch_topk" -> ((s, dir) =>
       graft.functions.Ann.topkCosine(s, Tables.embeddings(s, dir), 5)
-        .select(col("i"), col("k"), col("rnk"),
+        .select(col("i"), col("k"), col("rnk").cast("long").as("rnk"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
         .orderBy("i", "rnk")),
 
@@ -172,7 +172,8 @@ object Dedup extends QueryGroup {
         .withColumn("cos", cosine("va", "vb", "na", "nb"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
-        .select(col("i"), col("k"), col("rnk"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .select(col("i"), col("k"), col("rnk").cast("long").as("rnk"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
         .orderBy("i", "rnk")
     })
   )

@@ -21,9 +21,9 @@ object Windows extends QueryGroup {
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_extendedprice"), col("l_quantity"),
-          rank().over(wTies).as("rnk"),
-          dense_rank().over(wTies).as("drnk"),
-          row_number().over(wUnique).as("rn"))
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          row_number().over(wUnique).cast("long").as("rn"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
     }),
 
@@ -71,7 +71,7 @@ object Windows extends QueryGroup {
       Tables.customer(s, dir)
         .select(
           col("c_mktsegment"), col("c_custkey"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
         .orderBy("c_mktsegment", "c_custkey")
@@ -113,7 +113,7 @@ object Windows extends QueryGroup {
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("l_suppkey", "rn")
     }),
@@ -132,7 +132,7 @@ object Windows extends QueryGroup {
         .select(col("l_suppkey"), col("t.orderkey").as("l_orderkey"),
           col("t.linenumber").as("l_linenumber"),
           col("t.price").as("l_extendedprice"),
-          (col("pos") + 1).cast("int").as("rn"))
+          (col("pos") + 1).cast("long").as("rn"))
         .orderBy("l_suppkey", "rn")
     })
   )
@@ -196,8 +196,8 @@ object Windows extends QueryGroup {
     "topk_bounded_agg" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        |    CAST(row_number() OVER (PARTITION BY l_suppkey
-        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS INT) AS rn
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS rn
         |  FROM lineitem) t
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
   )

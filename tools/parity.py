@@ -36,12 +36,15 @@ def main():
             except Exception:
                 return False
         try:
-            gcols = [r[0] for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall()]
-            wcols = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()]
-            gc, wc = sorted(gcols), sorted(wcols)
+            gdesc = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall()}
+            wdesc = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+            gc, wc = sorted(gdesc), sorted(wdesc)
             if gc != wc:
                 print(f"FAIL {key}: columns {gc} vs {wc}"); n_bad += 1; continue
+            tdiff = [(c, gdesc[c], wdesc[c]) for c in gc if gdesc[c] != wdesc[c]]
+            if tdiff:
+                print(f"FAIL {key}: dtype mismatch {tdiff}"); n_bad += 1; continue
             proj = ", ".join(f'"{c}"' for c in gc)
             got = con.execute(
                 f"SELECT {proj} FROM read_parquet('{files[0]}')").fetchall()
