@@ -178,8 +178,13 @@ object AffinityPropagation {
 
     while (it < maxIter && !converged) {
       it += 1
+      // Eager localCheckpoint every iteration: the convergence collect and
+      // the next iteration each re-execute the lineage otherwise, making
+      // the work between checkpoints quadratic in the interval. (The
+      // checkpointEvery knob is kept for lineage-truncation tuning when a
+      // cheaper persist is layered in.)
       msgs = availabilityPass(responsibilityPass(msgs, damping), damping)
-      if (it % checkpointEvery == 0) msgs = msgs.localCheckpoint()
+        .localCheckpoint()
 
       // Convergence tracking: only the N diagonal rows leave the cluster.
       val ex = msgs.filter(col("i") === col("k"))
