@@ -83,6 +83,16 @@ object ApQueries extends QueryGroup {
       AffinityPropagation.assign(offd, ex, s).orderBy("i")
     }),
 
+    // Sparse m-NN AP (m=50): the O(N·m) scale path run through the
+    // distributed dataflow — absent pairs ≡ s = −∞ per Frey & Dueck's
+    // sparse formulation. Approximation of the dense loop ⇒ no oracle;
+    // the suite pins dense-equivalence at m = N−1 and convergence here.
+    "ap_sparse_exemplars" -> ((s, dir) => {
+      import s.implicits._
+      AffinityPropagation.run(s, Tables.embeddings(s, dir), neighbors = Some(50))
+        .exemplars.toDF("exemplar").orderBy("exemplar")
+    }),
+
     // Flagship deliverable: exemplar → member count from the full loop.
     "ap_cluster_sizes" -> ((s, dir) => {
       val res = fullRun(s, dir)

@@ -44,6 +44,22 @@ class ApSpec extends SparkSuite {
     assert(graft.ap.LocalAP.run(ids, xs, prefOverride = Some(2 * minS)).exemplars.size == 14)
   }
 
+  test("sparse m-NN AP equals dense at m = N−1 and converges at m = 50") {
+    import spark.implicits._
+    val emb150 = Tables.embeddings(spark, sf001).orderBy("vec_id").limit(150)
+    val dense = AffinityPropagation.run(spark, emb150)
+    val fullSparse = AffinityPropagation.run(spark, emb150, neighbors = Some(149))
+    assert(fullSparse.exemplars == dense.exemplars,
+      s"m=N−1 sparse diverged: dense=${dense.exemplars.size} sparse=${fullSparse.exemplars.size}")
+
+    val sparse = AffinityPropagation.run(spark, Tables.embeddings(spark, sf001),
+      neighbors = Some(50))
+    assert(sparse.converged && sparse.exemplars.nonEmpty)
+    // measured (numpy + here): m=50 with dense-median preference lands on
+    // the same cluster count as dense AP
+    assert(sparse.exemplars.size == 66, s"got ${sparse.exemplars.size}")
+  }
+
   test("availability is non-positive off-diagonal; exemplars self-assign") {
     val emb = Tables.embeddings(spark, sf001)
     val pref = AffinityPropagation.preference(AffinityPropagation.similarities(emb))
