@@ -73,6 +73,16 @@ object Dedup extends QueryGroup {
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),
 
+    // Exact dedup by content digest — at 100 TB you group by a 128-bit
+    // hash instead of shuffling full document bodies; md5 is computed
+    // identically by both engines so this stays fully oracled.
+    "dedup_exact_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(encode(col("text"), "UTF-8")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "digest", "n_copies")
+        .orderBy("doc_id")),
+
     // Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.2. The shingle
     // self-join is the exact quadratic baseline the LSH path approximates.
     "dedup_jaccard" -> ((s, dir) => {
@@ -198,6 +208,9 @@ object Dedup extends QueryGroup {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_exact_hash" ->
+      """SELECT MIN(doc_id) AS doc_id, md5(text) AS digest, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $shingleSql,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

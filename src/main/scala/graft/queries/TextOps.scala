@@ -131,6 +131,25 @@ object TextOps extends QueryGroup {
           ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"))
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split — the hash-stable stratification
+    // a training pipeline needs (same doc always lands in the same split).
+    "sample_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // PII-style masking: word-boundary regex replacement (the shape of a
+    // redaction pass; patterns are config).
+    "text_pii_mask" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\b(key|order|customer)\\b", "[MASKED]")
+            .as("masked"))
+        .orderBy("doc_id")),
+
     // Batched decode over (id, payload) partitions — the Scala analog of
     // a vectorized mapInPandas decode stage: binary column in, fixed
     // 64-row batches through a per-batch "decoder", typed feature rows
@@ -242,6 +261,16 @@ object TextOps extends QueryGroup {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest,
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |       WHEN doc_id % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '\b(key|order|customer)\b', '[MASKED]', 'g') AS masked
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
