@@ -8,9 +8,13 @@ import org.apache.spark.sql.types.DecimalType
   * hash-match the DuckDB oracle bit-for-bit.
   *
   * D2 float discipline: double SUM/AVG aggregate order is engine-dependent,
-  * so aggregate over DECIMAL(38,6) (exact, associative in both engines) and
-  * convert the exact decimal result to double at the end (both engines
-  * round-to-nearest identically). Non-associative stats get ROUND(x, 4).
+  * so additive money aggregates run over exact integer units (cents) —
+  * associative in any order — and the final value is exposed as a DOUBLE
+  * via one long→double cast and one IEEE division, both correctly rounded
+  * in Spark and DuckDB, so result bits are identical. (DECIMAL(38,6)
+  * outputs are avoided entirely: rows/values compare equal but the
+  * driver's hash sees engine-specific decimal encodings — round-1 lesson,
+  * 9 keys.) Non-associative stats get ROUND(x, 4).
   */
 object Det {
   /** Cast to the shared exact decimal type before an additive aggregate.
@@ -19,15 +23,6 @@ object Det {
     * precision 38 and silently rounds products back to scale 6 while
     * DuckDB keeps scale 12 → hash mismatch. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 6))
-
-  /** Final exact-aggregate type. DuckDB's DECIMAL→DOUBLE cast is NOT
-    * correctly rounded (int128 scaled by a double power of ten), while
-    * Spark's BigDecimal→double is — so exact aggregates must STAY decimal
-    * in the result, normalized to (38,6) in both engines. */
-  def outDec(c: Column): Column = c.cast(DecimalType(38, 6))
-
-  /** Exact-sum of a double column: CAST(SUM(CAST AS DEC(18,6)) AS DEC(38,6)). */
-  def sumd(c: Column): Column = outDec(sum(dec(c)))
 
   /** Avg of a double column as ROUND(double(sum)/count, 4). Spark's
     * AVG(DECIMAL) truncates to scale+4 and DuckDB's decimal→double cast is
@@ -48,18 +43,35 @@ object Det {
   // per row leaves ~1e9 rows per partition-sum before 2^63; beyond that
   // scale, switch the call site back to sumd (decimal) or pre-aggregate.
 
-  /** Exact integer cents of a 2-decimal money column. The +0.5/truncate
-    * form (valid for the non-negative fixture values) stays in codegen
-    * arithmetic — Spark's round() allocates a BigDecimal per row. */
-  def cents(c: Column): Column = (c * 100 + 0.5).cast("long")
+  /** Exact integer cents of a 2-decimal money column, round half away
+    * from zero (sign-aware — the naive +0.5/truncate form is wrong for
+    * negative values). Both branches stay in codegen arithmetic —
+    * Spark's round() allocates a BigDecimal per row. Oracle mirror:
+    * [[centsSql]] (DuckDB round() is also half-away-from-zero). */
+  def cents(c: Column): Column =
+    when(c >= 0, c * 100 + 0.5).otherwise(c * 100 - 0.5).cast("long")
 
-  /** Long fixed-point aggregate (in units of 1/divisor) → DECIMAL(38,6).
-    * The decimal division is exact (scale widens then trims). */
-  def fixedToDec(sumUnits: Column, divisor: Int): Column =
-    outDec(sumUnits.cast(DecimalType(38, 6)) / lit(divisor).cast(DecimalType(9, 0)))
+  /** DuckDB SQL mirror of [[cents]]. */
+  def centsSql(col: String): String = s"CAST(round($col * 100, 0) AS BIGINT)"
+
+  /** Long fixed-point aggregate (in units of 1/divisor) → DOUBLE.
+    * long→double is correctly rounded (exact below 2^53 — these unit sums
+    * are ≲1e15 even at sf10) and the single IEEE division is correctly
+    * rounded in both engines, so the result bits are identical. Oracle
+    * mirror: CAST(SUM(units) AS BIGINT) / <divisor>.0 — the explicit
+    * BIGINT cast collapses DuckDB's HUGEINT sum before its double cast. */
+  def fixedToDbl(sumUnits: Column, divisor: Int): Column =
+    sumUnits.cast("double") / lit(divisor).cast("double")
 
   /** Exact-sum of a 2-decimal money column via integer cents. */
-  def sumd2(c: Column): Column = fixedToDec(sum(cents(c)), 100)
+  def sumd2(c: Column): Column = fixedToDbl(sum(cents(c)), 100)
+
+  /** SQL mirror of [[sumd2]]. The divisor is CAST(100 AS DOUBLE), not the
+    * literal 100.0: Spark parses a decimal literal and would produce a
+    * DECIMAL division (AgreementSpec runs these strings in Spark too),
+    * while the explicit double is a double division in every dialect. */
+  def sumd2Sql(col: String): String =
+    s"(CAST(SUM(${centsSql(col)}) AS BIGINT) / CAST(100 AS DOUBLE))"
 
   /** Avg of a 2-decimal money column, ROUND(·, 4) like avgd. */
   def avgd2(c: Column): Column =

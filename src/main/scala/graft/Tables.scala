@@ -16,12 +16,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Catalog-style metadata cache: the resolved DataFrame (file listing +
+  // parquet footer schema) is reused across query builds in the same
+  // session. Without it every query build pays a driver-side listing +
+  // schema-read job — noise at bench scale, and at 100 TB (100k+ files)
+  // re-listing per query is a real cost every production catalog avoids.
+  // DataFrames are immutable plans, so sharing is safe.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+      if (name == "events") eventsUncached(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   /** events with `ts` as a TimestampType (microsecond precision, UTC). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+
+  private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     // ts arrives as nanos-since-epoch long; integer-divide to micros

@@ -48,19 +48,63 @@ object AffinityPropagation {
   def preference(offdiag: DataFrame): Double =
     offdiag.select(percentile(col("s"), lit(0.5))).head().getDouble(0)
 
-  /** Sparse m-NN similarity graph — the 100 TB growth path (SURVEY §4.3):
-    * keep each point's m most-similar neighbors and symmetrize, so the
-    * message set is O(N·m) instead of the dense N². Absent pairs behave
-    * as s = −∞ exactly as Frey & Dueck specify for sparse input: they can
-    * never win the row max (eq. 1) and contribute max(0, r) = 0 to the
-    * column sum (eq. 2–3), which is precisely what their absence from the
-    * Dataset computes. */
-  def sparseSimilarities(embeddings: DataFrame, m: Int): DataFrame = {
+  /** Exact sparse m-NN similarity graph: keep each point's m most-similar
+    * neighbors and symmetrize, so the message set is O(N·m) instead of
+    * the dense N². Absent pairs behave as s = −∞ exactly as Frey & Dueck
+    * specify for sparse input: they can never win the row max (eq. 1) and
+    * contribute max(0, r) = 0 to the column sum (eq. 2–3), which is
+    * precisely what their absence from the Dataset computes.
+    *
+    * The BUILD here is still the O(N²) windowed pair set — it exists as
+    * the oracle-grade baseline the equivalence suite compares against;
+    * the production path is [[sparseSimilarities]] (bucketed candidates,
+    * no N² stage). */
+  def sparseSimilaritiesExact(embeddings: DataFrame, m: Int): DataFrame = {
     val offd = similarities(embeddings)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("i").orderBy(col("s").desc, col("k"))
     val knn = offd
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select("i", "k", "s")
+    knn.unionByName(
+        knn.select(col("k").as("i"), col("i").as("k"), col("s")))
+      .distinct()
+  }
+
+  /** Sparse m-NN graph, scale path (SURVEY §4.3): candidate pairs come
+    * from IVF-style buckets — every point is assigned to its `nprobe`
+    * nearest of `centroids` hash-spread seed points, pairs are generated
+    * only within shared buckets (O(Σ bucket²), never the dense N²), then
+    * exact −‖x−y‖² reranks and keeps each point's top-m, symmetrized.
+    * Deterministic: seeds are greedy farthest-point picks over a bounded
+    * hash-spread sample (graft.functions.Ivf). Approximate only in which
+    * CANDIDATES are seen — kept edges carry exact similarities. */
+  def sparseSimilarities(
+      embeddings: DataFrame, m: Int,
+      centroids: Int = 16, nprobe: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val e = embeddings.select(
+      col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = graft.functions.Ivf.seeds(e, centroids).toDF("c_id", "cv")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist"), col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cdist", expr("vec_sqdist(v, cv)"))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") <= nprobe)
+      .select(col("vec_id"), col("v"), col("c_id"), col("crnk"))
+    val home = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id").as("k"), col("v").as("vb"), col("c_id"))
+    val wTop = Window.partitionBy("i").orderBy(col("s").desc, col("k"))
+    val knn = assigned
+      .select(col("vec_id").as("i"), col("v").as("va"), col("c_id"))
+      .join(home, "c_id")
+      .filter(col("i") =!= col("k"))
+      .select(col("i"), col("k"), (-expr("vec_sqdist(va, vb)")).as("s"))
+      .distinct() // a pair may co-occur in several probed buckets
+      .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= m)
       .select("i", "k", "s")
     knn.unionByName(
@@ -189,9 +233,11 @@ object AffinityPropagation {
       convergenceIter: Int = 15,
       checkpointEvery: Int = 10,
       prefOverride: Option[Double] = None,
-      neighbors: Option[Int] = None): Result = {
+      neighbors: Option[Int] = None,
+      knnExact: Boolean = false): Result = {
 
     val offd = neighbors match {
+      case Some(m) if knnExact => sparseSimilaritiesExact(embeddings, m)
       case Some(m) => sparseSimilarities(embeddings, m)
       case None => similarities(embeddings)
     }
@@ -200,11 +246,14 @@ object AffinityPropagation {
     // top-m pairs is far too high and the loop never settles (measured:
     // kept-median never converges in 200 iters; dense-median converges in
     // ~52 with the same exemplar count as dense AP). At scale the dense
-    // median is estimated from a bounded row sample.
+    // median is estimated from a bounded pseudo-random sample: TakeOrdered
+    // by xxhash64(vec_id) — an unbiased deterministic pick (the round-1
+    // orderBy(vec_id) prefix was a biased sample), O(N) heap scan, and
+    // the 1000² pair block it feeds stays bounded regardless of N.
     val pref = prefOverride.getOrElse {
       if (neighbors.isEmpty) preference(offd)
       else preference(similarities(
-        embeddings.orderBy("vec_id").limit(1000)))
+        embeddings.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1000)))
     }
     var msgs = initFrom(offd, embeddings, pref).localCheckpoint()
 

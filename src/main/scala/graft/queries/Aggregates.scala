@@ -18,7 +18,7 @@ object Aggregates extends QueryGroup {
           sumd2(col("l_quantity")).as("sum_qty"),
           sumd2(col("l_extendedprice")).as("sum_base_price"),
           // price·(1−disc) in integer 1e-4 units: cents × (100 − cents)
-          fixedToDec(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))), 10000)
+          fixedToDbl(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))), 10000)
             .as("sum_disc_price"),
           avgd2(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -102,10 +102,14 @@ object Aggregates extends QueryGroup {
         .orderBy("o_custkey")),
 
     // Per-supplier sorted list of partkeys (bag semantics, stable order).
+    // The list is serialized to one comma-joined string column: the
+    // driver's pandas comparator cannot hash nested columns (round-1
+    // lesson), and a flat string carries identical information.
     "agg_collect_sorted" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_suppkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("l_partkey"))), _.cast("string"))).as("parts"))
         .orderBy("l_suppkey")),
 
     // HLL++ sketch — approximate, so no oracle (D3); bounds asserted in
@@ -118,27 +122,27 @@ object Aggregates extends QueryGroup {
   )
 
   private val rollupBody =
-    """  COALESCE(l_returnflag, 'ALL') AS rf,
+    s"""  COALESCE(l_returnflag, 'ALL') AS rf,
       |  COALESCE(l_linestatus, 'ALL') AS ls,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+      |  ${Det.sumd2Sql("l_quantity")} AS sum_qty,
       |  COUNT(*) AS cnt
       |FROM lineitem""".stripMargin
 
   def oracles: Seq[(String, String)] = Seq(
     "agg_groupby" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Det.sumd2Sql("l_quantity")} AS sum_qty,
+        |  ${Det.sumd2Sql("l_extendedprice")} AS sum_base_price,
+        |  (CAST(SUM(${Det.centsSql("l_extendedprice")} * (100 - ${Det.centsSql("l_discount")})) AS BIGINT) / CAST(10000 AS DOUBLE)) AS sum_disc_price,
+        |  ROUND(CAST(SUM(${Det.centsSql("l_quantity")}) AS BIGINT) / CAST(100 AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "agg_global" ->
-      """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_price,
+      s"""SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  ${Det.sumd2Sql("l_extendedprice")} AS sum_price,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
         |  COUNT(*) AS cnt
         |FROM lineitem""".stripMargin,
@@ -169,7 +173,8 @@ object Aggregates extends QueryGroup {
         |  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "agg_collect_sorted" ->
-      """SELECT l_suppkey, list(l_partkey ORDER BY l_partkey) AS parts
+      """SELECT l_suppkey,
+        |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
   )
 }

@@ -118,18 +118,29 @@ object Dedup extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash: 64-bit fingerprint + hamming-nearest neighbor per doc.
+    // SimHash near-dup pairs via banded bucketing: the 64-bit fingerprint
+    // splits into 4×16-bit bands; by pigeonhole, two fingerprints within
+    // hamming distance ≤ 3 agree EXACTLY on at least one band, so the
+    // band-equality join finds every such pair — exact result, but only
+    // bucket-mates are ever compared (no N² cross join; at 100 TB the
+    // bucket join shuffles O(N·4) rows and compares O(Σ bucket²) pairs).
+    // Validated against the brute-force all-pairs scan in SketchSpec.
     "dedup_simhash" -> ((s, dir) => {
       val sh = simhashes(s, dir)
-      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-      a.join(b, col("doc_a") =!= col("doc_b"))
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(
-          min_by(col("doc_b"), struct(col("hamming"), col("doc_b"))).as("nn_doc"),
-          min(col("hamming")).as("nn_hamming"))
-        .orderBy("doc_id")
+      val banded = sh
+        .select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
+      val a = banded.select(
+        col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bkey"))
+      val b = banded.select(
+        col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .orderBy("doc_a", "doc_b")
     }),
 
     // Embedding-cosine near-dup pairs (exact, oracled).
@@ -156,37 +167,50 @@ object Dedup extends QueryGroup {
         .orderBy("i", "rnk")),
 
     // IVF-bucketed ANN — the scale path: assign every vector to its
-    // nearest of 16 seed centroids (deterministic: lowest vec_ids), then
-    // each query probes only its 2 nearest centroid buckets. Recall vs
-    // simsearch_topk is asserted in the test suite (approximate ⇒ no
-    // oracle).
-    "simsearch_ivf" -> ((s, dir) => {
-      val n = normed(s, dir)
-      val cents = n.orderBy("vec_id").limit(16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
-      // nprobe=2 bucket assignment per vector (rank ≤ 2); rank 1 is the
-      // vector's home bucket, both ranks are probed at query time.
-      val assigned = n.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine("v", "cv", "nrm", "cn"))
-        .withColumn("crnk", row_number().over(wAssign))
-        .filter(col("crnk") <= 2)
-        .select(col("vec_id"), col("v"), col("nrm"), col("c_id"), col("crnk"))
-      val home = assigned.filter(col("crnk") === 1)
-        .select(col("vec_id").as("k"), col("v").as("vb"), col("nrm").as("nb"), col("c_id"))
-      val w = Window.partitionBy("i").orderBy(col("cos").desc, col("k"))
-      assigned
-        .select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"), col("c_id"))
-        .join(home, "c_id")
-        .filter(col("i") =!= col("k"))
-        .withColumn("cos", cosine("va", "vb", "na", "nb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("i"), col("k"), col("rnk").cast("long").as("rnk"),
-          (round(col("cos"), 4) + lit(0.0)).as("cos"))
-        .orderBy("i", "rnk")
-    })
+    // nearest of 16 seed centroids, then each query probes only its
+    // nprobe nearest centroid buckets. Seeds are deterministic greedy
+    // farthest-point picks over a bounded hash-spread sample
+    // (graft.functions.Ivf — the k-center 2-approximation); round 1's
+    // lowest-16-ids seeding was degenerate. nprobe trades recall for
+    // scan fraction: the fixture embeddings are ISOTROPIC RANDOM (no
+    // cluster structure — measured: same-label cosine ≈ cross-label ≈ 0),
+    // the regime where any sublinear ANN is information-theoretically
+    // weak, so recall ≥ 0.7 needs nprobe 8/16 here; on clustered data
+    // (the real 100 TB workload) nprobe 2 already exceeds 0.9 — both
+    // asserted in SketchSpec.
+    "simsearch_ivf" -> ((s, dir) =>
+      ivfTopk(s, normed(s, dir), k = 5, centroids = 16, nprobe = 8)
+        .orderBy("i", "rnk"))
   )
+
+  /** IVF ANN top-k kernel shared by the query key and the clustered-data
+    * mechanism test: farthest-point seeds → nprobe bucket assignment →
+    * in-bucket exact cosine rerank. `n` must carry (vec_id, v, nrm). */
+  def ivfTopk(s: SparkSession, n: DataFrame, k: Int,
+      centroids: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val cents = graft.functions.Ivf.seeds(n, centroids).toDF("c_id", "cv")
+      .withColumn("cn", sqrt(expr("vec_dot(cv, cv)")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine("v", "cv", "nrm", "cn"))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") <= nprobe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"), col("crnk"))
+    val home = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id").as("k"), col("v").as("vb"), col("nrm").as("nb"), col("c_id"))
+    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("k"))
+    assigned
+      .select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"), col("c_id"))
+      .join(home, "c_id")
+      .filter(col("i") =!= col("k"))
+      .withColumn("cos", cosine("va", "vb", "na", "nb"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("i"), col("k"), col("rnk").cast("long").as("rnk"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"))
+  }
 
   private val shingleSql =
     """sh AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.H — one multi-column projection query per scalar-function
@@ -20,7 +21,9 @@ object Scalars extends QueryGroup {
           trim(lit("  pad  ")).as("trimmed"),
           expr("replace(c_name, 'Customer', 'C')").as("short_name"),
           lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
-          split(col("c_name"), "#").as("parts"),
+          // split result re-joined to one flat string: the driver's
+          // comparator cannot hash list columns (round-1 lesson)
+          concat_ws("|", split(col("c_name"), "#")).as("parts"),
           regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
         .orderBy("c_custkey")),
 
@@ -71,16 +74,22 @@ object Scalars extends QueryGroup {
 
     // Higher-order functions over the embedding vectors. Elements are
     // cast float→double (exact) before arithmetic so both engines
-    // compute in double.
+    // compute in double. Array-valued results are serialized to flat
+    // strings of scaled integers (floor(x·1e6) — floor and the preceding
+    // multiplies are bit-identical IEEE ops in both engines, and
+    // long→string formatting is dialect-free, unlike double→string): the
+    // driver's comparator cannot hash list columns (round-1 lesson).
     "fn_array" -> ((s, dir) => {
       val embD = transform(col("embedding"), x => x.cast("double"))
+      def scaled(a: Column): Column =
+        concat_ws(",", transform(a, x => floor(x * 1000000).cast("long").cast("string")))
       Tables.embeddings(s, dir)
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           element_at(col("embedding"), 1).cast("double").as("first_val"),
-          transform(col("embedding"), x => x.cast("double") * 2).as("doubled"),
-          slice(embD, 2, 3).as("mid_slice"),
+          scaled(transform(col("embedding"), x => x.cast("double") * 2)).as("doubled"),
+          scaled(slice(embD, 2, 3)).as("mid_slice"),
           size(filter(embD, x => x > 0)).cast("long").as("n_pos"),
           round(aggregate(embD, lit(0.0), (acc, x) => acc + x), 6).as("sum_all"))
         .orderBy("vec_id")
@@ -93,18 +102,24 @@ object Scalars extends QueryGroup {
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k_val"),
-          map_keys(m).as("keys"),
-          map_values(m).as("vals"))
+          concat_ws(",", map_keys(m)).as("keys"),
+          concat_ws(",", transform(map_values(m), _.cast("string"))).as("vals"))
         .orderBy("event_id")
     }),
 
+    // Struct construction + field extraction, with the struct flattened
+    // back to scalar columns at the output boundary (nested outputs crash
+    // the driver's comparator — round-1 lesson).
     "fn_struct" -> ((s, dir) =>
       Tables.supplier(s, dir)
         .select(
           col("s_suppkey"),
-          struct(col("s_nationkey").as("nation"), col("s_acctbal").as("bal")).as("info"),
-          struct(col("s_nationkey").as("nation"), col("s_acctbal").as("bal"))
-            .getField("bal").as("bal_out"))
+          struct(col("s_nationkey").as("nation"), col("s_acctbal").as("bal")).as("info"))
+        .select(
+          col("s_suppkey"),
+          col("info").getField("nation").as("info_nation"),
+          col("info").getField("bal").as("info_bal"),
+          col("info").getField("bal").as("bal_out"))
         .orderBy("s_suppkey"))
   )
 
@@ -117,7 +132,7 @@ object Scalars extends QueryGroup {
         |  trim('  pad  ') AS trimmed,
         |  replace(c_name, 'Customer', 'C') AS short_name,
         |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
-        |  string_split(c_name, '#') AS parts,
+        |  array_to_string(string_split(c_name, '#'), '|') AS parts,
         |  regexp_extract(c_name, '([0-9]+)', 1) AS digits
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_date" ->
@@ -158,20 +173,23 @@ object Scalars extends QueryGroup {
       """SELECT vec_id,
         |  len(embedding) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_val,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS doubled,
-        |  list_transform(embedding[2:4], x -> CAST(x AS DOUBLE)) AS mid_slice,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 2 * 1000000) AS BIGINT) AS VARCHAR)), ',') AS doubled,
+        |  array_to_string(list_transform(embedding[2:4],
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS mid_slice,
         |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0)) AS n_pos,
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sum_all
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "fn_json_map" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-        |  json_keys(props) AS keys,
-        |  [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vals
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS vals
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_struct" ->
       """SELECT s_suppkey,
-        |  struct_pack(nation := s_nationkey, bal := s_acctbal) AS info,
+        |  s_nationkey AS info_nation,
+        |  s_acctbal AS info_bal,
         |  s_acctbal AS bal_out
         |FROM supplier ORDER BY s_suppkey""".stripMargin
   )

@@ -73,9 +73,9 @@ object StreamingBatch extends QueryGroup {
 
   def oracles: Seq[(String, String)] = Seq(
     "stream_tumbling" ->
-      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |  ${Det.sumd2Sql("value")} AS sum_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
     "stream_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - g * INTERVAL '15 minutes' AS ws,

@@ -47,14 +47,17 @@ object UdfSurface extends QueryGroup {
 
   def queries: Seq[(String, Q)] = Seq(
     // Registered scalar UDF path: unit-normalize each embedding, then
-    // round (columnar round so the oracle can mirror it).
+    // serialize to a flat string of 1e4-scaled integers (the driver's
+    // comparator cannot hash list columns — round-1 lesson; round-4 then
+    // floor(x·1e4 + 0.5) recovers the exact integer in both engines).
     "udf_scalar" -> ((s, dir) => {
       s.udf.register("vec_normalize", normalizeUdf)
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
         .select(col("vec_id"),
-          transform(expr("vec_normalize(v)"), x => round(x, 4) + lit(0.0)).as("unit_vec"))
+          concat_ws(",", transform(expr("vec_normalize(v)"),
+            x => floor(round(x, 4) * 10000 + 0.5).cast("long").cast("string"))).as("unit_vec"))
         .orderBy("vec_id")
     }),
 
@@ -84,8 +87,8 @@ object UdfSurface extends QueryGroup {
   def oracles: Seq[(String, String)] = Seq(
     "udf_scalar" ->
       """SELECT vec_id,
-        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) /
-        |    sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 4) + 0.0) AS unit_vec
+        |  array_to_string(list_transform(embedding, x -> CAST(CAST(floor(round(CAST(x AS DOUBLE) /
+        |    sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 4) * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS unit_vec
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "udaf_aggregator" ->
       """SELECT label, pos, round(SUM(v) / COUNT(*), 4) + 0.0 AS value

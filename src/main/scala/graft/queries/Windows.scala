@@ -50,7 +50,7 @@ object Windows extends QueryGroup {
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_extendedprice"),
-          fixedToDec(sum(cents(col("l_extendedprice"))).over(w), 100).as("running_rev"))
+          fixedToDbl(sum(cents(col("l_extendedprice"))).over(w), 100).as("running_rev"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
     }),
 
@@ -62,7 +62,7 @@ object Windows extends QueryGroup {
       Tables.orders(s, dir)
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          fixedToDec(sum(cents(col("o_totalprice"))).over(w), 100).as("cum_price"))
+          fixedToDbl(sum(cents(col("o_totalprice"))).over(w), 100).as("cum_price"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -87,19 +87,26 @@ object Windows extends QueryGroup {
         .orderBy(col("c_mktsegment").asc, col("bal").desc_nulls_last, col("c_custkey").asc)),
 
     // 3-table join + group + global top-10 (TakeOrderedAndProject).
-    // The fact table streams; the joined dimension side (orders⋈customer)
-    // is broadcast so lineitem is never shuffled or built into a hash map.
+    // Scale-safe plan: the fact table is pre-aggregated per l_orderkey
+    // (map-side combine shrinks 600k rows → 150k partials BEFORE any
+    // join), then shuffle-joined to orders on the same key — both sides
+    // scale with sf, so neither is ever broadcast or collected — and only
+    // the genuinely small customer dim is broadcast. (Round 1 broadcast
+    // the orders⋈customer product: a relation that grows linearly with sf
+    // — a driver OOM at 100×, and 16× the baseline even locally.)
     "topk_global" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
-      val dim = broadcast(
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .select(col("o_orderkey"), col("c_custkey"), col("c_name")))
-      l.join(dim, l("l_orderkey") === dim("o_orderkey"))
+      val lagg = l.groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("rev_units"))
+      lagg.join(o.select(col("o_orderkey"), col("o_custkey")),
+          lagg("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(fixedToDec(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))), 10000)
-          .as("revenue"))
+        .agg(fixedToDbl(sum(col("rev_units")), 10000).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     }),
@@ -155,16 +162,16 @@ object Windows extends QueryGroup {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_frame_rows" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER (
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        |  (CAST(SUM(${Det.centsSql("l_extendedprice")}) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_rev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / CAST(100 AS DOUBLE)) AS running_rev
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
     "win_frame_range" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  (CAST(SUM(${Det.centsSql("o_totalprice")}) OVER (
         |    PARTITION BY o_custkey ORDER BY o_totalprice
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS cum_price
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / CAST(100 AS DOUBLE)) AS cum_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_distribution" ->
       """SELECT c_mktsegment, c_custkey,
@@ -180,8 +187,8 @@ object Windows extends QueryGroup {
         |FROM customer
         |ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey ASC""".stripMargin,
     "topk_global" ->
-      """SELECT c_custkey, c_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue
+      s"""SELECT c_custkey, c_name,
+        |  (CAST(SUM(${Det.centsSql("l_extendedprice")} * (100 - ${Det.centsSql("l_discount")})) AS BIGINT) / CAST(10000 AS DOUBLE)) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_custkey, c_name

@@ -48,16 +48,34 @@ class ApSpec extends SparkSuite {
     import spark.implicits._
     val emb150 = Tables.embeddings(spark, sf001).orderBy("vec_id").limit(150)
     val dense = AffinityPropagation.run(spark, emb150)
-    val fullSparse = AffinityPropagation.run(spark, emb150, neighbors = Some(149))
+    // exact m-NN builder at m = N−1 keeps every pair → the sparse message
+    // algebra must reproduce dense AP bit-for-bit at the exemplar level
+    val fullSparse = AffinityPropagation.run(spark, emb150, neighbors = Some(149),
+      knnExact = true)
     assert(fullSparse.exemplars == dense.exemplars,
       s"m=N−1 sparse diverged: dense=${dense.exemplars.size} sparse=${fullSparse.exemplars.size}")
 
+    // the bucketed m-NN graph must agree with the exact m-NN graph on
+    // most kept edges (candidate recall; the fixture is isotropic random
+    // — the hardest case for any bucketed candidate generator)
+    val exactEdges = AffinityPropagation.sparseSimilaritiesExact(
+      Tables.embeddings(spark, sf001), 50).select("i", "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketEdges = AffinityPropagation.sparseSimilarities(
+      Tables.embeddings(spark, sf001), 50).select("i", "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactEdges.count(bucketEdges).toDouble / exactEdges.size
+    assert(recall >= 0.6, s"bucketed m-NN edge recall = $recall")
+
+    // production bucketed-candidate graph (no N² stage): deterministic
+    // seeds ⇒ deterministic outcome; converges with a cluster count close
+    // to dense AP's 66 (exact equality held only for the exact m-NN
+    // build — an approximate graph legitimately perturbs the fixpoint)
     val sparse = AffinityPropagation.run(spark, Tables.embeddings(spark, sf001),
       neighbors = Some(50))
     assert(sparse.converged && sparse.exemplars.nonEmpty)
-    // measured (numpy + here): m=50 with dense-median preference lands on
-    // the same cluster count as dense AP
-    assert(sparse.exemplars.size == 66, s"got ${sparse.exemplars.size}")
+    assert(math.abs(sparse.exemplars.size - 66) <= 7,
+      s"got ${sparse.exemplars.size}, expected within 66±7")
   }
 
   test("availability is non-positive off-diagonal; exemplars self-assign") {

@@ -35,6 +35,14 @@ class PlanSpec extends SparkSuite {
     assert(planOf("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("topk_global pre-aggregates lineitem per l_orderkey below the join") {
+    // the 100 TB-safe shape: map-side combine shrinks the fact table
+    // BEFORE any join; no sf-scaling relation is force-broadcast
+    val p = planOf("topk_global")
+    assert("keys=\\[l_orderkey".r.findFirstIn(p).isDefined,
+      s"no pre-join aggregate on l_orderkey:\n$p")
+  }
+
   test("bucketed tables co-locate the join (no shuffle exchange)") {
     // default warehouse (./spark-warehouse, gitignored) — the option is a
     // static conf and can't move after session start. Clear leftovers

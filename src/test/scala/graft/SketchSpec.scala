@@ -24,13 +24,82 @@ class SketchSpec extends SparkSuite {
     }
   }
 
-  test("IVF ANN achieves reasonable recall vs brute force") {
+  test("IVF ANN achieves high recall vs brute force") {
     val exact = SparkEntry.queries("simsearch_topk")(spark, sf001)
       .select("i", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = SparkEntry.queries("simsearch_ivf")(spark, sf001)
       .select("i", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(approx).toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall@5 = $recall")
+    assert(recall >= 0.7, s"IVF recall@5 = $recall")
+  }
+
+  test("IVF locality wins on clustered data: recall ≥ 0.9 probing 2/16 buckets") {
+    // The fixture embeddings are isotropic random — the worst case for
+    // any sublinear ANN. This test proves the index MECHANISM delivers
+    // locality where locality exists: 16 well-separated Gaussian clusters
+    // (the real shape of production embedding corpora), nprobe = 2.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val d = 16
+    val centers = Array.fill(16)(Array.fill(d)(rnd.nextGaussian() * 10.0))
+    val rows = (0 until 480).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.5).toSeq)
+    }
+    val n = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val approx = graft.queries.Dedup.ivfTopk(spark, n, k = 5, centroids = 16, nprobe = 2)
+      .select("i", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact top-5 by the same (cos DESC, id ASC) rule, brute-forced
+    val vs = rows.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = rows.flatMap { case (i, v) =>
+      rows.filter(_._1 != i)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(5)
+        .map { case (j, _) => (i, j) }
+    }.toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.9, s"clustered IVF recall@5 = $recall")
+  }
+
+  test("banded simhash pairs equal the brute-force all-pairs scan (pigeonhole exactness)") {
+    // 4 bands × 16 bits: any pair within hamming ≤ 3 shares ≥1 exact band,
+    // so the banded bucket join must return EXACTLY the brute-force set.
+    val banded = SparkEntry.queries("dedup_simhash")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // fingerprints come from the engine (single source of truth — Spark's
+    // xxhash64 isn't reproducible on the JVM side); only the pair scan is
+    // brute-forced here
+    val fps: Array[(Long, Long)] = {
+      import org.apache.spark.sql.functions.{col => c}
+      Tables.documents(spark, sf001)
+        .select(c("doc_id"), explode(split(c("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(c("term")))
+        .select(c("doc_id"), c("tf"), c("h"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("vote",
+          c("tf") * (expr("shiftright(h, CAST(b AS INT)) & CAST(1 AS BIGINT)") * 2 - 1))
+        .groupBy("doc_id", "b").agg(sum(c("vote")).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(when(c("v") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val brute = (for {
+      (ida, ha) <- fps
+      (idb, hb) <- fps
+      if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ida, idb, d.toLong)).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}; missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture has no near-dup simhash pairs — test is vacuous")
   }
 
   test("approx_count_distinct is within rsd bounds of exact") {
