@@ -21,11 +21,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // coalesce tiny shuffle outputs down to few tasks instead of
-      // keeping cpu-count empty partitions (6-group aggregates were
-      // paying 32 no-op tasks per stage); at real scale AQE sizes
-      // partitions to advisoryPartitionSizeInBytes either way
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // keep AQE's parallelism-first coalescing (default): forcing
+      // size-based coalesce collapses the several-hundred-MB window and
+      // LSH shuffles to one task on this box — measured 30-50% slower
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_PF", "true"))
       // fixture parquet files are a few MB — split them so scans
       // parallelize instead of running as one task
       .config("spark.sql.files.maxPartitionBytes",

@@ -13,16 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryGroup {
 
-  /** Distinct 3-word shingles per document (docs shorter than 3 words
-    * have none). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** 3-word shingles per document (docs shorter than 3 words have none).
+    * `dedup = true` gives exact SET semantics (a distinct shuffle) for
+    * Jaccard; minhash skips it — min() is idempotent over duplicates. */
+  private def shingles(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame = {
     val words = split(col("text"), " ")
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .filter(size(words) >= 3)
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), size(words) - 3),
           j => concat_ws(" ", slice(words, j + 1, lit(3))))).as("shingle"))
-      .distinct()
+    if (dedup) base.distinct() else base
   }
 
   /** Embeddings as double vectors with L2 norms (vec_dot is the native
@@ -38,14 +39,22 @@ object Dedup extends QueryGroup {
   private def cosine(va: String, vb: String, na: String, nb: String): Column =
     expr(s"vec_dot($va, $vb)") / (col(na) * col(nb))
 
-  /** 32 minhashes via salted xxhash64 (fixed seed ⇒ deterministic),
-    * banded 8×4 for LSH bucketing. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
-      .select(col("doc_id"), transform(sequence(lit(0), lit(31)), j =>
-        array_min(transform(col("shs"),
-          sh => xxhash64(concat(sh, lit("#"), j.cast("string")))))).as("sig"))
+  /** 32 minhashes via salted xxhash64 (fixed seed ⇒ deterministic) as
+    * (doc_id, seed, minh) rows: explode the 32 salts over the exploded
+    * shingle set and take the min per (doc, seed) in one codegen'd hash
+    * aggregate. The equivalent collect_set + nested transform/array_min
+    * form computes the same values through INTERPRETED higher-order
+    * functions — measured 10× slower at sf0.1. */
+  private def minhashRows(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir, dedup = false)
+      // hash the shingle string ONCE; the per-(shingle,seed) hash then
+      // combines two fixed-width values in codegen — no string allocation
+      // on the 32×-exploded hot path (measured 2× of the whole query)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("seed"))
+      .groupBy("doc_id", "seed")
+      .agg(min(xxhash64(col("h"), col("seed"))).as("minh"))
 
   /** 64-bit SimHash over token votes. */
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
@@ -103,13 +112,20 @@ object Dedup extends QueryGroup {
     }),
 
     // MinHash-LSH candidate pairs — the scale path: band-bucket join
-    // instead of the all-pairs shingle join. Recall vs dedup_jaccard is
-    // asserted in the test suite (D3 ⇒ no oracle).
+    // instead of the all-pairs shingle join. 8 bands × 4 rows; a band's
+    // 4 minhashes collapse to one xxhash64 bucket key (collisions only
+    // ADD candidates, with probability ~2⁻⁶⁴). Recall vs dedup_jaccard
+    // is asserted in the test suite (D3 ⇒ no oracle).
     "dedup_minhash" -> ((s, dir) => {
-      val bands = minhashSigs(s, dir)
-        .select(col("doc_id"), explode(transform(sequence(lit(0), lit(7)), b =>
-          struct(b.as("band"), slice(col("sig"), b * 4 + 1, lit(4)).as("bsig")))).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      val bands = minhashRows(s, dir)
+        .groupBy(col("doc_id"), expr("CAST(seed / 4 AS INT)").as("band"))
+        .agg(
+          max(when(col("seed") % 4 === 0, col("minh"))).as("m0"),
+          max(when(col("seed") % 4 === 1, col("minh"))).as("m1"),
+          max(when(col("seed") % 4 === 2, col("minh"))).as("m2"),
+          max(when(col("seed") % 4 === 3, col("minh"))).as("m3"))
+        .select(col("doc_id"), col("band"),
+          xxhash64(col("m0"), col("m1"), col("m2"), col("m3")).as("bsig"))
       bands.select(col("doc_id").as("doc_a"), col("band"), col("bsig"))
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bsig")),
           Seq("band", "bsig"))
