@@ -55,9 +55,18 @@ object Det {
   def centsSql(col: String): String = s"CAST(round($col * 100, 0) AS BIGINT)"
 
   /** Long fixed-point aggregate (in units of 1/divisor) → DOUBLE.
-    * long→double is correctly rounded (exact below 2^53 — these unit sums
-    * are ≲1e15 even at sf10) and the single IEEE division is correctly
-    * rounded in both engines, so the result bits are identical. Oracle
+    * long→double is correctly rounded, and the single IEEE division is
+    * correctly rounded in both engines, so the result bits are identical.
+    * Headroom (round-2 ADVICE): plain cent sums are ≲1e13 per group even
+    * at sf10, but the 1e-4-unit disc-price path sums cents·(100−cents)
+    * ≈ 3.6e8 per row — ~5e15 per sf10 group, already past 2^53 (the
+    * long→double cast stops being exact, though both engines round the
+    * SAME long identically, so parity holds until 2^63). Near 2^63 the
+    * engines DIVERGE: Spark's non-ANSI sum(long) wraps silently while
+    * DuckDB raises on its HUGEINT→BIGINT cast. Past ~1e3× that scale,
+    * switch the call site to decimal aggregation (dec/avgd) or
+    * pre-aggregate per partition key; [[graft.Verify]] runs the oracle
+    * compare that would catch a wrapped sum as a hash mismatch. Oracle
     * mirror: CAST(SUM(units) AS BIGINT) / <divisor>.0 — the explicit
     * BIGINT cast collapses DuckDB's HUGEINT sum before its double cast. */
   def fixedToDbl(sumUnits: Column, divisor: Int): Column =

@@ -178,7 +178,10 @@ object AffinityPropagation {
 
   /** Dispatch: local dense kernel for small N, distributed dataflow
     * beyond [[localThreshold]]. Same math and conventions either way
-    * (the test suite asserts exemplar-set equality between the paths). */
+    * (the test suite asserts exemplar-set equality between the paths).
+    * One Spark action total on the local path: collecting the first
+    * threshold+1 rows both answers "is N small?" and, when it is,
+    * delivers the kernel input — no separate count() job. */
   def solve(
       spark: SparkSession,
       embeddings: DataFrame,
@@ -186,8 +189,11 @@ object AffinityPropagation {
       maxIter: Int = 200,
       convergenceIter: Int = 15,
       prefOverride: Option[Double] = None): Result = {
-    if (embeddings.count() <= localThreshold)
-      runLocal(spark, embeddings, damping, maxIter, convergenceIter, prefOverride)
+    val probe = embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .orderBy("vec_id").limit(localThreshold + 1).collect()
+    if (probe.length <= localThreshold)
+      runLocalRows(spark, probe, damping, maxIter, convergenceIter, prefOverride)
     else
       run(spark, embeddings, damping, maxIter, convergenceIter,
         checkpointEvery = 10, prefOverride)
@@ -202,10 +208,20 @@ object AffinityPropagation {
       damping: Double = 0.5,
       maxIter: Int = 200,
       convergenceIter: Int = 15,
-      prefOverride: Option[Double] = None): Result = {
-    val rows = embeddings
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .orderBy("vec_id").collect()
+      prefOverride: Option[Double] = None): Result =
+    runLocalRows(spark,
+      embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .orderBy("vec_id").collect(),
+      damping, maxIter, convergenceIter, prefOverride)
+
+  private def runLocalRows(
+      spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      damping: Double,
+      maxIter: Int,
+      convergenceIter: Int,
+      prefOverride: Option[Double]): Result = {
     val ids = rows.map(_.getLong(0))
     val xs = rows.map(_.getSeq[Double](1).toArray)
     val st = LocalAP.run(ids, xs, damping, maxIter, convergenceIter, prefOverride)

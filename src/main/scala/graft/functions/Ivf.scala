@@ -39,7 +39,8 @@ object Ivf {
 
     val chosen = scala.collection.mutable.ArrayBuffer(sample.minBy(_._1))
     val minD = Array.fill(sample.length)(Double.PositiveInfinity)
-    while (chosen.length < math.min(k, sample.length)) {
+    var exhausted = false
+    while (chosen.length < math.min(k, sample.length) && !exhausted) {
       var bi = -1; var bd = -1.0
       var i = 0
       while (i < sample.length) {
@@ -50,7 +51,13 @@ object Ivf {
         if (dd > bd) { bd = dd; bi = i }
         i += 1
       }
-      chosen += sample(bi)
+      // bd == 0 ⇒ every remaining sample point coincides with a chosen
+      // seed (duplicate embeddings — plausible in a dedup corpus). Stop
+      // rather than emit duplicate seeds: downstream bucket assignment
+      // has no distinct, and a duplicated centroid would let the same
+      // neighbor fill two of the top-k rank slots (round-2 ADVICE).
+      if (bd <= 0.0) exhausted = true
+      else chosen += sample(bi)
     }
     chosen.map { case (id, v) => (id, v.toSeq) }.toSeq
   }

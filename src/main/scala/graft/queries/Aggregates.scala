@@ -67,19 +67,22 @@ object Aggregates extends QueryGroup {
           col("sum_qty"), col("cnt"))
         .orderBy("rf", "ls")),
 
-    // Explicit grouping sets ((rf), (ls), ()) — distinguishable without
-    // GROUPING() because each set nulls a different key.
+    // Explicit grouping sets ((rf), (ls), ()) with the GROUPING_ID()
+    // disambiguator (SURVEY §2.D): gid tells a subtotal row apart from a
+    // genuine null grouping value (bit per key, 1 = aggregated-away),
+    // and the D1 sort leads with it.
     "agg_grouping_sets" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
-        .select(
+        .agg(grouping_id().cast("long").as("gid"),
+          sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(col("gid"),
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("cnt"))
-        .orderBy("rf", "ls")),
+        .orderBy("gid", "rf", "ls")),
 
     // Non-associative float stats — ROUND 4 absorbs summation-order drift.
     "agg_stats" -> ((s, dir) =>
@@ -154,7 +157,11 @@ object Aggregates extends QueryGroup {
     "agg_cube" ->
       s"SELECT\n$rollupBody\nGROUP BY CUBE(l_returnflag, l_linestatus)\nORDER BY rf, ls",
     "agg_grouping_sets" ->
-      s"SELECT\n$rollupBody\nGROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())\nORDER BY rf, ls",
+      s"""SELECT
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |$rollupBody
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,

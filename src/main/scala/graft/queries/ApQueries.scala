@@ -20,11 +20,20 @@ object ApQueries extends QueryGroup {
 
   private def r6z(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
 
-  // The full loop is referenced by three keys; run it once per sf dir.
-  private val runCache = TrieMap.empty[String, AffinityPropagation.Result]
-  private def fullRun(s: SparkSession, dir: String): AffinityPropagation.Result =
-    runCache.getOrElseUpdate(dir,
-      AffinityPropagation.solve(s, Tables.embeddings(s, dir)))
+  // The full loop is referenced by three keys; run it once per (session,
+  // sf dir) — weak-keyed by the session object so a second session in the
+  // same JVM never reuses results bound to a stopped session (and dead
+  // sessions' results are GC-able).
+  private val runCache = new java.util.WeakHashMap[
+    SparkSession, TrieMap[String, AffinityPropagation.Result]]()
+  private def fullRun(s: SparkSession, dir: String): AffinityPropagation.Result = {
+    val m = runCache.synchronized {
+      var t = runCache.get(s)
+      if (t == null) { t = TrieMap.empty; runCache.put(s, t) }
+      t
+    }
+    m.getOrElseUpdate(dir, AffinityPropagation.solve(s, Tables.embeddings(s, dir)))
+  }
 
   def queries: Seq[(String, Q)] = Seq(
     // Pairwise s(i,k) = −‖x_i−x_k‖² (off-diagonal).

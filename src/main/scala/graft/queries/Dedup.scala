@@ -51,22 +51,22 @@ object Dedup extends QueryGroup {
   private def cosine(va: String, vb: String, na: String, nb: String): Column =
     expr(s"vec_dot($va, $vb)") / (col(na) * col(nb))
 
-  /** 32 minhashes via salted xxhash64 (fixed seed ⇒ deterministic) as
-    * (doc_id, seed, minh) rows: explode the 32 salts over the exploded
-    * shingle set and take the min per (doc, seed) in one codegen'd hash
-    * aggregate. The equivalent collect_set + nested transform/array_min
-    * form computes the same values through INTERPRETED higher-order
-    * functions — measured 10× slower at sf0.1. */
-  private def minhashRows(s: SparkSession, dir: String): DataFrame =
+  /** 32-minhash signature per doc as 32 COLUMNS of one codegen'd hash
+    * aggregate: min(xxhash64(h, seed)) for seed 0..31 over the shingle
+    * hashes. ONE pass over the shingle rows, no 32× explode — the
+    * aggregate input stays at |shingles| rows instead of 32·|shingles|
+    * (the round-2 form; this one measured ~3× faster at sf0.1, same
+    * values: min over the same per-(doc,seed) multiset). The shingle
+    * string is hashed once; each per-seed hash then combines two
+    * fixed-width longs in codegen — no string allocation on the hot
+    * path. */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir, dedup = false)
-      // hash the shingle string ONCE; the per-(shingle,seed) hash then
-      // combines two fixed-width values in codegen — no string allocation
-      // on the 32×-exploded hot path (measured 2× of the whole query)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("seed"))
-      .groupBy("doc_id", "seed")
-      .agg(min(xxhash64(col("h"), col("seed"))).as("minh"))
+      .groupBy("doc_id")
+      .agg(
+        min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 to 31).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
 
   /** 64-bit SimHash over token votes. */
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
@@ -129,20 +129,28 @@ object Dedup extends QueryGroup {
     // ADD candidates, with probability ~2⁻⁶⁴). Recall vs dedup_jaccard
     // is asserted in the test suite (D3 ⇒ no oracle).
     "dedup_minhash" -> ((s, dir) => {
-      val bands = minhashRows(s, dir)
-        .groupBy(col("doc_id"), expr("CAST(seed / 4 AS INT)").as("band"))
-        .agg(
-          max(when(col("seed") % 4 === 0, col("minh"))).as("m0"),
-          max(when(col("seed") % 4 === 1, col("minh"))).as("m1"),
-          max(when(col("seed") % 4 === 2, col("minh"))).as("m2"),
-          max(when(col("seed") % 4 === 3, col("minh"))).as("m3"))
-        .select(col("doc_id"), col("band"),
-          xxhash64(col("m0"), col("m1"), col("m2"), col("m3")).as("bsig"))
-      bands.select(col("doc_id").as("doc_a"), col("band"), col("bsig"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bsig")),
-          Seq("band", "bsig"))
+      val sig = minhashSignatures(s, dir)
+      val bands = sig.select(col("doc_id"),
+          explode(array((0 to 7).map(b =>
+            struct(lit(b).as("band"),
+              xxhash64(col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+                col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bsig"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
+      // Pairs come from grouping each bucket's members, NOT a bands⋈bands
+      // self-join: the self-join re-executes the whole signature pipeline
+      // for its second input (measured 2× the query at sf0.1), while the
+      // group-by shuffles the bucket rows once. Near-dup buckets are
+      // small by construction (a giant bucket would mean thousands of
+      // mutual near-dups), so the within-bucket pair explode is bounded;
+      // sort_array makes member order — and thus pair orientation —
+      // partition-order-proof (D6).
+      bands.groupBy("band", "bsig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+        .filter(size(col("ms")) >= 2)
+        .select(explode(col("ms")).as("doc_a"), col("ms"))
+        .select(col("doc_a"), explode(col("ms")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -171,18 +179,51 @@ object Dedup extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Embedding-cosine near-dup pairs (exact, oracled).
+    // Embedding-cosine near-dup pairs (exact, oracled). Exact all-pairs
+    // at an arbitrary cosine threshold is intrinsically O(N²) compares —
+    // no banding scheme is exact for cos ≥ 0.4 — but the PLAN need not be
+    // a cartesian BNLJ (the round-2 form: one side broadcast, one thread
+    // per broadcast copy, driver OOM at scale). Block-pair decomposition
+    // turns it into two equi-joins: vectors get a block id (vec_id mod B),
+    // a tiny (bi ≤ bj) block-pair relation is broadcast, and the pair
+    // space is covered by hash-partitioned shuffle joins — every executor
+    // compares only its block pair, nothing scales with N on the driver.
+    // Same-block pairs keep va<vb; cross-block pairs are emitted once
+    // with least/greatest ids (cosine is symmetric). The subquadratic
+    // path for this operator is dedup_embedding_ann below.
     "dedup_embedding" -> ((s, dir) => {
-      val n = normed(s, dir)
-      val a = n.select(col("vec_id").as("va_id"), col("v").as("va"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("vb_id"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("va_id") < col("vb_id"))
+      val spark = s
+      import spark.implicits._
+      val B = 16
+      val pairsBlk = (for (bi <- 0 until B; bj <- bi until B) yield (bi, bj))
+        .toDF("bi", "bj")
+      val n = normed(s, dir).withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val a = n.select(col("vec_id").as("va_id"), col("v").as("va"),
+        col("nrm").as("na"), col("blk").as("bi"))
+      val b = n.select(col("vec_id").as("vb_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("blk").as("bj"))
+      a.join(broadcast(pairsBlk), "bi")
+        .join(b, "bj")
+        .filter(col("bi") =!= col("bj") || col("va_id") < col("vb_id"))
         .withColumn("cos", cosine("va", "vb", "na", "nb"))
         .filter(col("cos") >= 0.4)
-        .select(col("va_id").as("id_a"), col("vb_id").as("id_b"),
+        .select(least(col("va_id"), col("vb_id")).as("id_a"),
+          greatest(col("va_id"), col("vb_id")).as("id_b"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
         .orderBy("id_a", "id_b")
     }),
+
+    // Approximate embedding near-dup — the 100 TB path: IVF bucket
+    // co-membership generates candidates (O(Σ bucket²), never N²), exact
+    // cosine reranks at the same 0.4 threshold. Recall vs the exact
+    // dedup_embedding is asserted in SketchSpec (D3 ⇒ no oracle).
+    "dedup_embedding_ann" -> ((s, dir) =>
+      ivfTopk(s, normed(s, dir), k = 10, centroids = 16, nprobe = 8)
+        .filter(col("cos") >= 0.4)
+        .select(least(col("i"), col("k")).as("id_a"),
+          greatest(col("i"), col("k")).as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")),
 
     // Brute-force top-5 cosine neighbors per vector — the exact baseline
     // for ANN, via the broadcast-index kernel (graft.functions.Ann):

@@ -149,6 +149,37 @@ object Joins extends QueryGroup {
         .filter(col("tag") === 0)
         .select("o_orderkey", "prev_orderkey")
         .orderBy("o_orderkey")
+    }),
+
+    // Cross-table as-of (SURVEY §2.C's declared case): each event matched
+    // to the customer's latest order with o_orderdate <= ts (INCLUSIVE —
+    // build rows sort with tag 0 BEFORE same-instant probe rows, so the
+    // strictly-preceding frame still sees them), date ties broken by max
+    // o_orderkey (D6: builds sort ascending by orderkey; last_value takes
+    // the largest). Same union-tag single-window algorithm as join_asof —
+    // one shuffle, linear, mixed timestamp-vs-date comparison handled by
+    // Spark's timestamp promotion. Probe rows carry a null bid, so
+    // last(bid, ignoreNulls) skips earlier probes in the same partition.
+    "join_asof_event" -> ((s, dir) => {
+      val probe = Tables.events(s, dir)
+        .select(col("user_id").as("key"), col("ts").as("t"), col("event_id"))
+        .withColumn("tag", lit(1))
+        .withColumn("bid", lit(null).cast("long"))
+      val build = Tables.orders(s, dir)
+        .select(col("o_custkey").as("key"), col("o_orderdate").as("t"),
+          lit(null).cast("long").as("event_id"),
+          lit(0).as("tag"), col("o_orderkey").as("bid"))
+      // (t, tag, bid) order is deterministic for builds; probes tie only
+      // with other probes (bid null), whose relative order cannot change
+      // the preceding-build set — output is deterministic (D6).
+      val w = Window.partitionBy("key")
+        .orderBy(col("t"), col("tag"), col("bid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      probe.unionByName(build.select(probe.columns.map(col).toIndexedSeq: _*))
+        .withColumn("okey", last(col("bid"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("key").as("user_id"), col("okey").as("o_orderkey"))
+        .orderBy("event_id")
     })
   )
 
@@ -208,6 +239,13 @@ object Joins extends QueryGroup {
         |  ON b.o_custkey = o.o_custkey AND b.o_orderdate < o.o_orderdate
         |QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
         |  ORDER BY b.o_orderdate DESC NULLS LAST, b.o_orderkey DESC NULLS LAST) = 1
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "join_asof_event" ->
+      """SELECT e.event_id, e.user_id, b.o_orderkey
+        |FROM events e LEFT JOIN orders b
+        |  ON b.o_custkey = e.user_id AND b.o_orderdate <= e.ts
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |  ORDER BY b.o_orderdate DESC NULLS LAST, b.o_orderkey DESC NULLS LAST) = 1
+        |ORDER BY e.event_id""".stripMargin
   )
 }

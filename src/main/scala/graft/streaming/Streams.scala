@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY §2.I — true Structured Streaming execution of the engine's
@@ -56,25 +56,45 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
 
-  /** Arbitrary stateful op: running per-user event count via
-    * flatMapGroupsWithState (Update mode) — each event emits the user's
-    * count so far. */
+  /** Arbitrary stateful op: running per-user event count — each event
+    * emits the user's count so far. Implemented on `transformWithState`
+    * (the Spark 4-current arbitrary-state API; supersedes
+    * flatMapGroupsWithState per SURVEY §7.4-5) with a ValueState[Long]
+    * per user. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` — the API rejects
+    * the default HDFS-backed store). */
   def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val fn = (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) => {
-      var n = state.getOption.getOrElse(0L)
-      val out = rows.toSeq.sortBy(_._2).map { case (_, eventId) =>
-        n += 1
-        (userId, eventId, n)
-      }
-      state.update(n)
-      out.iterator
-    }
     events
       .select(col("user_id"), col("event_id"))
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "event_id", "running_n")
+  }
+}
+
+/** Per-user running count as a [[StatefulProcessor]]: one ValueState[Long]
+  * holds the count-so-far; each input batch's rows are processed in
+  * event_id order (deterministic within a replay chunk). */
+class RunningCountProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var n = if (count.exists()) count.get() else 0L
+    val out = rows.toSeq.sortBy(_._2).map { case (_, eventId) =>
+      n += 1
+      (userId, eventId, n)
+    }
+    count.update(n)
+    out.iterator
   }
 }

@@ -74,6 +74,16 @@ class PlanSpec extends SparkSuite {
       s"bucketed join still shuffles:\n$p")
   }
 
+  test("dedup_embedding plans equi-joins, not a cartesian BNLJ") {
+    // exact all-pairs cosine is intrinsically O(N²) COMPARES, but the
+    // round-2 plan was also a BroadcastNestedLoopJoin — single-threaded
+    // per broadcast copy and a driver OOM at scale. The block-pair
+    // decomposition must keep every join hash-partitioned.
+    val p = planOf("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"dedup_embedding still plans an all-pairs join operator:\n$p")
+  }
+
   test("agg_groupby runs inside whole-stage codegen with partial aggregation") {
     val df = SparkEntry.queries("agg_groupby")(spark, sf001)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -33,12 +33,30 @@ class SketchSpec extends SparkSuite {
     assert(recall >= 0.7, s"IVF recall@5 = $recall")
   }
 
+  test("dedup_embedding_ann recalls the exact cosine near-dup pairs") {
+    val exact = SparkEntry.queries("dedup_embedding")(spark, sf001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("dedup_embedding_ann")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no cos ≥ 0.4 pairs — test is vacuous")
+    val recall = exact.count(approx).toDouble / exact.size
+    // near-dup pairs sit at the TOP of each other's neighbor lists, so
+    // IVF@nprobe 8/16 recalls them far better than average-rank kNN.
+    assert(recall >= 0.7, s"embedding-ANN recall = $recall over ${exact.size} pairs")
+    // precision: every reported pair must genuinely pass the threshold
+    // (candidates are exact-reranked, so false positives are impossible)
+    assert((approx -- exact).isEmpty,
+      s"ANN reported pairs the exact scan lacks: ${(approx -- exact).take(3)}")
+  }
+
   test("IVF locality wins on clustered data: recall ≥ 0.9 probing 2/16 buckets") {
     // The fixture embeddings are isotropic random — the worst case for
     // any sublinear ANN. This test proves the index MECHANISM delivers
     // locality where locality exists: 16 well-separated Gaussian clusters
     // (the real shape of production embedding corpora), nprobe = 2.
     import spark.implicits._
+    graft.functions.VectorExprs.register(spark) // vec_dot below must not
+    // depend on an earlier test in the suite having registered it
     val rnd = new scala.util.Random(1234)
     val d = 16
     val centers = Array.fill(16)(Array.fill(d)(rnd.nextGaussian() * 10.0))

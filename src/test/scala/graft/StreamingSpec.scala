@@ -96,9 +96,19 @@ class StreamingSpec extends SparkSuite {
 
   test("stateful running count matches batch per-user totals") {
     val dir = replayDir(parts = 3)
-    val got = runToCompletion(
+    // transformWithState requires the RocksDB state store; scope the
+    // provider switch to this query (runtime conf, read at query start).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val got = try runToCompletion(
       Streams.runningCounts(spark, Streams.eventsStream(spark, dir)),
       "t_state", "update")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     val finals = got.groupBy("user_id").agg(max(col("running_n")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = Tables.events(spark, sf001).groupBy("user_id").count()
