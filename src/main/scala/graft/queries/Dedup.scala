@@ -61,8 +61,21 @@ object Dedup extends QueryGroup {
     * fixed-width longs in codegen — no string allocation on the hot
     * path. */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir, dedup = false)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // Shingle identity here is the hashed WORD TRIPLE, not the joined
+    // string dedup_jaccard builds: same per-doc shingle set (modulo
+    // 64-bit collision), but no string concat/allocation on the exploded
+    // hot path. The minhash keys are D3 (recall-tested vs the string
+    // shingles' exact Jaccard), so the two bases need not hash alike.
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
+      .select(col("doc_id"), xxhash64(
+        element_at(col("ws"), col("j") + 1),
+        element_at(col("ws"), col("j") + 2),
+        element_at(col("ws"), col("j") + 3)).as("h"))
       .groupBy("doc_id")
       .agg(
         min(xxhash64(col("h"), lit(0))).as("m0"),

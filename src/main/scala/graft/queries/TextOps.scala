@@ -176,6 +176,51 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // The same decode stage with a REAL columnar batch: each 64-row group
+    // is materialized as an Arrow VectorSchemaRoot (BigIntVector ids +
+    // VarBinaryVector payloads — the exact memory layout a C-data-
+    // interface codec, a Python worker, or any Arrow-native library
+    // consumes), and the "decoder" reads the batch through the Arrow
+    // buffer API: getValueLength walks the offset buffer, no per-row
+    // byte[] materialization. Decode math is the same stub as mm_decode
+    // (no codecs in this container) — the Arrow batch plumbing is what
+    // is real, and the oracle certifies it row-for-row against the
+    // row-path stub.
+    "mm_decode_arrow" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          import org.apache.arrow.memory.RootAllocator
+          import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+          val alloc = new RootAllocator()
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => alloc.close())
+          it.grouped(64).flatMap { batch =>
+            val ids = new BigIntVector("doc_id", alloc)
+            val pay = new VarBinaryVector("payload", alloc)
+            ids.allocateNew(batch.size)
+            pay.allocateNew()
+            var i = 0
+            batch.foreach { case (id, bytes) =>
+              ids.setSafe(i, id); pay.setSafe(i, bytes); i += 1
+            }
+            ids.setValueCount(batch.size); pay.setValueCount(batch.size)
+            val root = new VectorSchemaRoot(
+              java.util.List.of[org.apache.arrow.vector.FieldVector](ids, pay))
+            val out = (0 until root.getRowCount).map { r =>
+              val n = pay.getValueLength(r).toLong // offset-buffer read
+              (ids.get(r), n, 64 + n % 1856, 64 + (n * 7) % 1016, "rgb8")
+            }
+            root.close()
+            out
+          }
+        }
+        .toDF("doc_id", "n_bytes", "width", "height", "format")
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling over the binary payload: 32-byte frames, every 2nd
     // frame kept — the (id, frame_no, frame) batch shape a video pipeline
     // feeds to a decoder.
@@ -273,6 +318,13 @@ object TextOps extends QueryGroup {
         |  regexp_replace(text, '\b(key|order|customer)\b', '[MASKED]', 'g') AS masked
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1856 AS width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 1016 AS height,
+        |  'rgb8' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_arrow" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1856 AS width,
