@@ -28,7 +28,13 @@ object Dedup extends QueryGroup {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .repartition(s.sparkContext.defaultParallelism)
+      // partition BY doc_id, not round-robin: the same exchange that
+      // spreads the explode also satisfies every downstream per-doc
+      // clustering (distinct on (doc_id, shingle), groupBy(doc_id)) —
+      // one shuffle instead of two. Hash spread over all doc_ids is
+      // balanced here; at 100 TB a pathologically hot document would
+      // call for salting this key.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
       .select(col("doc_id"), concat_ws(" ",
@@ -69,7 +75,9 @@ object Dedup extends QueryGroup {
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .repartition(s.sparkContext.defaultParallelism)
+      // by doc_id (see shingles): this exchange doubles as the
+      // signature groupBy(doc_id)'s required clustering — one shuffle
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
       .select(col("doc_id"), xxhash64(

@@ -97,7 +97,9 @@ object Windows extends QueryGroup {
     "topk_global" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
+      // declare the orderkey access path: if the catalog has a bucketed
+      // projection, the pre-aggregate and join need no exchange
+      val l = Tables.projection(s, dir, "lineitem", "l_orderkey")
       val lagg = l.groupBy(col("l_orderkey"))
         .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
           .as("rev_units"))
