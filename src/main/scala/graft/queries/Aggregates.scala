@@ -115,6 +115,20 @@ object Aggregates extends QueryGroup {
           transform(sort_array(collect_list(col("l_partkey"))), _.cast("string"))).as("parts"))
         .orderBy("l_suppkey")),
 
+    // Exact interpolated percentiles per group. Spark's percentile and
+    // DuckDB's quantile_cont both use the rank = p·(N−1) linear-
+    // interpolation convention (R type 7); ROUND 4 absorbs the last-ulp
+    // division differences (D2b).
+    "agg_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
+        .orderBy("l_returnflag")),
+
     // HLL++ sketch — approximate, so no oracle (D3); bounds asserted in
     // the ScalaTest suite instead.
     "agg_approx_distinct" -> ((s, dir) =>
@@ -182,6 +196,13 @@ object Aggregates extends QueryGroup {
     "agg_collect_sorted" ->
       """SELECT l_suppkey,
         |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts
-        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

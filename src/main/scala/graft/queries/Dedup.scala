@@ -44,6 +44,23 @@ object Dedup extends QueryGroup {
     if (dedup) base.distinct() else base
   }
 
+  /** Exact 3-word-shingle Jaccard ≥ 0.2 pairs (doc_a < doc_b) — shared by
+    * the pair query and the connected-components clustering. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.2)
+  }
+
   /** Embeddings as double vectors with L2 norms (vec_dot is the native
     * codegen Expression — same fold order as the oracle's list fold). */
   private def normed(s: SparkSession, dir: String): DataFrame = {
@@ -127,21 +144,43 @@ object Dedup extends QueryGroup {
 
     // Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.2. The shingle
     // self-join is the exact quadratic baseline the LSH path approximates.
-    "dedup_jaccard" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-        .filter(col("jaccard") >= 0.2)
+    "dedup_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")),
+
+    // Near-dup CLUSTERS: connected components of the jaccard ≥ 0.2 pair
+    // graph, every document labeled with the smallest doc_id reachable
+    // from it (singletons label themselves) — the canonicalization step a
+    // dedup pipeline runs after pair generation ("keep one doc per
+    // component"). Distributed min-label propagation: each iteration
+    // every node takes the min of its own and its neighbors' labels
+    // (join + groupBy = 2 shuffles over the edge list), until a fixpoint
+    // — O(component diameter) iterations, O(E) work per iteration, no
+    // driver state beyond the convergence counter. Near-dup components
+    // are shallow (near-cliques), so the loop ends in 2-3 passes; at
+    // 100 TB the same loop runs with the large-star/small-star
+    // optimization, which this formulation is the textbook base of.
+    "dedup_cluster" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir).select("doc_a", "doc_b")
+      val adj = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .localCheckpoint() // computed once, reused every iteration
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id").as("u"), col("doc_id").as("lbl"))
+      var changed = 1L
+      while (changed > 0) {
+        val nbr = adj.join(labels.withColumnRenamed("u", "v"), "v")
+          .select(col("u"), col("lbl"))
+        val next = labels.unionByName(nbr)
+          .groupBy("u").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
+          .filter(col("lbl") < col("old")).count()
+        labels = next
+      }
+      labels.select(col("u").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
     }),
 
     // MinHash-LSH candidate pairs — the scale path: band-bucket join
@@ -340,6 +379,31 @@ object Dedup extends QueryGroup {
          |  JOIN sz nb ON nb.doc_id = doc_b)
          |WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |p0 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+         |    FROM p0
+         |    JOIN sz na ON na.doc_id = doc_a
+         |    JOIN sz nb ON nb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.2),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |walk(u, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r)
+         |SELECT u AS doc_id, MIN(r) AS cluster FROM walk GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $normedSql
          |SELECT id_a, id_b, round(cos, 4) + 0.0 AS cos FROM (

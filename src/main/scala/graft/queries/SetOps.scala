@@ -37,7 +37,22 @@ object SetOps extends QueryGroup {
 
     "set_except" -> ((s, dir) =>
       subsetA(s, dir).except(subsetB(s, dir))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // Bag (multiset) semantics — projected to o_custkey so each side
+    // genuinely carries duplicates (o_orderkey is unique, custkey isn't):
+    // intersectAll keeps min(countA, countB) copies per key, exceptAll
+    // keeps countA − countB. Duplicate output rows are identical, so D1
+    // holds under any tie order.
+    "set_intersect_all" -> ((s, dir) =>
+      subsetA(s, dir).select("o_custkey")
+        .intersectAll(subsetB(s, dir).select("o_custkey"))
+        .orderBy("o_custkey")),
+
+    "set_except_all" -> ((s, dir) =>
+      subsetA(s, dir).select("o_custkey")
+        .exceptAll(subsetB(s, dir).select("o_custkey"))
+        .orderBy("o_custkey"))
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -52,6 +67,14 @@ object SetOps extends QueryGroup {
     "set_intersect" ->
       s"SELECT * FROM (($sqlA) INTERSECT ($sqlB)) ORDER BY o_orderkey",
     "set_except" ->
-      s"SELECT * FROM (($sqlA) EXCEPT ($sqlB)) ORDER BY o_orderkey"
+      s"SELECT * FROM (($sqlA) EXCEPT ($sqlB)) ORDER BY o_orderkey",
+    "set_intersect_all" ->
+      s"""SELECT * FROM (
+         |  (SELECT o_custkey FROM ($sqlA)) INTERSECT ALL (SELECT o_custkey FROM ($sqlB)))
+         |ORDER BY o_custkey""".stripMargin,
+    "set_except_all" ->
+      s"""SELECT * FROM (
+         |  (SELECT o_custkey FROM ($sqlA)) EXCEPT ALL (SELECT o_custkey FROM ($sqlB)))
+         |ORDER BY o_custkey""".stripMargin
   )
 }
