@@ -68,6 +68,39 @@ object StreamingBatch extends QueryGroup {
         .select(col("event_id"), col("user_id"),
           row_number().over(w).cast("long").as("running_n"))
         .orderBy("event_id")
+    }),
+
+    // Stream-static enrichment: each event joined to its customer row —
+    // in streaming the dim side is a broadcast static table re-read per
+    // micro-batch (replay test in the streaming suite); semantics are the
+    // plain join.
+    "stream_enrich" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_name"))),
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
+        .orderBy("event_id")),
+
+    // Stream-stream interval self-join: every purchase matched to the
+    // same user's clicks in the preceding hour (inclusive both ends).
+    // In streaming both sides carry watermarks and the time-range
+    // condition bounds the join state (replay test, streaming suite);
+    // the batch form is the identical interval join.
+    "stream_stream_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+        .orderBy("purchase_id", "click_id")
     })
   )
 
@@ -109,6 +142,18 @@ object StreamingBatch extends QueryGroup {
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS running_n
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "stream_enrich" ->
+      """SELECT event_id, user_id, c_name, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND CAST(c.ts AS TIMESTAMP) BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |                                  AND CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

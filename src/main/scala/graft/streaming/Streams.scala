@@ -56,6 +56,36 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
 
+  /** Stream-static enrichment: the events stream joined to a broadcast
+    * static dimension (re-resolved per micro-batch — the standard dim
+    * refresh semantics). */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
+
+  /** Stream-stream interval self-join: purchases matched to the same
+    * user's clicks in the preceding hour. Watermarks on BOTH sides plus
+    * the time-range condition let the state store evict clicks older
+    * than (watermark − 1 h) — bounded state, the requirement for an
+    * unbounded 100 TB/day stream. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Arbitrary stateful op: running per-user event count — each event
     * emits the user's count so far. Implemented on `transformWithState`
     * (the Spark 4-current arbitrary-state API; supersedes

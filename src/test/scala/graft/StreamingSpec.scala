@@ -94,6 +94,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-static enrichment matches the batch join") {
+    val dir = replayDir(parts = 3)
+    val got = runToCompletion(
+      Streams.enrich(Streams.eventsStream(spark, dir), Tables.customer(spark, sf001)),
+      "t_enrich", "append")
+      .select("event_id", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = SparkEntry.queries("stream_enrich")(spark, sf001)
+      .select("event_id", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == batch)
+  }
+
+  test("stream-stream interval join emits exactly batch pairs (closed horizon)") {
+    val dir = replayDir(parts = 4)
+    val got = runToCompletion(
+      Streams.clickToPurchase(Streams.eventsStream(spark, dir)),
+      "t_ssjoin", "append")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("stream_stream_join")(spark, sf001)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "stream-stream join emitted nothing")
+    // append mode withholds matches still inside the final watermark
+    // horizon, so streamed ⊆ batch, covering all but the last ~2 h
+    assert((got -- batch).isEmpty, s"stream emitted non-batch pairs: ${(got -- batch).take(3)}")
+    assert(got.size >= (batch.size * 8) / 10,
+      s"stream emitted ${got.size} of ${batch.size} batch pairs")
+  }
+
   test("stateful running count matches batch per-user totals") {
     val dir = replayDir(parts = 3)
     // transformWithState requires the RocksDB state store; scope the
