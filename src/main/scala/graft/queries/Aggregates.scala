@@ -129,6 +129,35 @@ object Aggregates extends QueryGroup {
           round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
         .orderBy("l_returnflag")),
 
+    // PIVOT: per-user event counts spread into one column per event type.
+    // The value list is explicit (deterministic column set — no
+    // data-driven schema); missing combos are 0, not null, to match the
+    // COUNT(*) FILTER oracle.
+    "agg_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+
+    // UNPIVOT/melt: the four lineitem measures to (key, metric, v) rows —
+    // the inverse reshape, Dataset.unpivot (Spark 4 melt).
+    "fn_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "v")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // HLL++ sketch — approximate, so no oracle (D3); bounds asserted in
     // the ScalaTest suite instead.
     "agg_approx_distinct" -> ((s, dir) =>
@@ -197,6 +226,24 @@ object Aggregates extends QueryGroup {
       """SELECT l_suppkey,
         |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "fn_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, v FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,

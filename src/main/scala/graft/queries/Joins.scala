@@ -151,6 +151,22 @@ object Joins extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // Null-safe equality join (<=>): rows with a NULL key still match the
+    // NULL group — a plain equi-join silently drops them (the classic
+    // nullable-dimension bug). Keys are synthesized nulls (D4: bal < 500
+    // ⇒ segment unknown); the right side is the per-segment count
+    // INCLUDING the null group.
+    "join_null_safe" -> ((s, dir) => {
+      val a = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 500, lit(null)).otherwise(col("c_mktsegment")).as("seg"))
+      val g = a.groupBy("seg").agg(count(lit(1)).as("n"))
+        .withColumnRenamed("seg", "gseg") // disambiguate the self-derived side
+      a.join(g, col("seg") <=> col("gseg"))
+        .select(col("c_custkey"), col("seg"), col("n"))
+        .orderBy("c_custkey")
+    }),
+
     // Cross-table as-of (SURVEY §2.C's declared case): each event matched
     // to the customer's latest order with o_orderdate <= ts (INCLUSIVE —
     // build rows sort with tag 0 BEFORE same-instant probe rows, so the
@@ -240,6 +256,15 @@ object Joins extends QueryGroup {
         |QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
         |  ORDER BY b.o_orderdate DESC NULLS LAST, b.o_orderkey DESC NULLS LAST) = 1
         |ORDER BY o.o_orderkey""".stripMargin,
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 500 THEN NULL ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |g AS (SELECT seg, COUNT(*) AS n FROM a GROUP BY seg)
+        |SELECT a.c_custkey, a.seg, g.n
+        |FROM a JOIN g ON a.seg IS NOT DISTINCT FROM g.seg
+        |ORDER BY a.c_custkey""".stripMargin,
     "join_asof_event" ->
       """SELECT e.event_id, e.user_id, b.o_orderkey
         |FROM events e LEFT JOIN orders b
