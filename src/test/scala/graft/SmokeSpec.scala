@@ -8,10 +8,12 @@ class SmokeSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("declared surface covers the SURVEY §2 inventory") {
-    assert(SparkEntry.queries.size >= 70,
+  test("declared surface covers the SURVEY §2 + §2.M inventory") {
+    // pinned to the shipped counts (SURVEY §2.M): 99 keys, 89 oracled —
+    // a dropped key or oracle fails here before the driver sees it
+    assert(SparkEntry.queries.size >= 99,
       s"only ${SparkEntry.queries.size} keys declared")
-    assert(SparkEntry.oracleSql.size >= 60,
+    assert(SparkEntry.oracleSql.size >= 89,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
   }
 
