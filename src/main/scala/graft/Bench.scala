@@ -68,10 +68,12 @@ object Bench {
     headline.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
 
     // Phase 2: measurement — fresh DataFrame per rep (planning included).
+    // Min-of-5: run-to-run variance on a shared box is ±30% (BENCH_NOTES
+    // §1), so 3 reps regularly eat a noise spike; 5 costs ~2 s total.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val runs = (1 to 3).map(_ => time(fn(spark, sfDir).count()))
+      val runs = (1 to 5).map(_ => time(fn(spark, sfDir).count()))
       results(name) = runs.min
     }
 
