@@ -84,6 +84,37 @@ class PlanSpec extends SparkSuite {
       s"dedup_embedding still plans an all-pairs join operator:\n$p")
   }
 
+  test("bucket-aligned warm cache eliminates the window exchange") {
+    // Tables.warm with a bucket column must make the cached relation
+    // report its HashPartitioning so a window partitioned on the same
+    // key plans with no exchange — the mechanism behind the
+    // topk_per_group bench win (BENCH_NOTES round 3 §4).
+    val s2 = spark.newSession()
+    Tables.warm(s2, sf001, Seq("lineitem" -> Some("l_suppkey")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey").orderBy("l_orderkey")
+    val df = Tables.lineitem(s2, sf001)
+      .select(org.apache.spark.sql.functions.col("l_suppkey"),
+        org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.row_number().over(w).as("rn"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is INSIDE the cached relation's ingest
+    // plan (its one repartition); the window itself must reuse it
+    val aboveCache = p.split("InMemoryRelation").head
+    assert(!aboveCache.contains("Exchange hashpartitioning"),
+      s"window still shuffles above the bucketed cache:\n$p")
+  }
+
+  test("table cache is session-scoped: a second session gets its own DataFrames") {
+    val s2 = spark.newSession()
+    val a = Tables.lineitem(spark, sf001)
+    val b = Tables.lineitem(s2, sf001)
+    assert(a eq Tables.lineitem(spark, sf001), "cache miss within a session")
+    assert(!(a eq b), "two sessions shared one cached DataFrame")
+    assert(b.sparkSession eq s2, "second session's DataFrame bound to the wrong session")
+  }
+
   test("agg_groupby runs inside whole-stage codegen with partial aggregation") {
     val df = SparkEntry.queries("agg_groupby")(spark, sf001)
     df.collect() // finalize the adaptive plan so codegen stages materialize
