@@ -40,6 +40,23 @@ object Windows extends QueryGroup {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // nth_value / lag with default / IGNORE NULLS — the analytic-function
+    // surface win_analytic doesn't touch. Nulls are synthesized (D4:
+    // price < 20000 ⇒ null) so ignoreNulls has real work to do.
+    "win_nth" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("big_price",
+          when(col("o_totalprice") < 20000, lit(null)).otherwise(col("o_totalprice")))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 3).over(wFrame).as("third_price"),
+          lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_or_default"),
+          last(col("big_price"), ignoreNulls = true).over(w).as("last_big"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Running revenue: ROWS UNBOUNDED PRECEDING → CURRENT (exact decimal).
     "win_frame_rows" -> ((s, dir) => {
       val w = Window.partitionBy("l_suppkey")
@@ -160,6 +177,16 @@ object Windows extends QueryGroup {
         |  first_value(o_totalprice) OVER w AS first_price,
         |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_totalprice, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price,
+        |  lag(o_totalprice, 1, -1.0) OVER w AS prev_or_default,
+        |  last_value(CASE WHEN o_totalprice < 20000 THEN NULL ELSE o_totalprice END IGNORE NULLS)
+        |    OVER w AS last_big
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
