@@ -107,6 +107,21 @@ object Tables {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** One-time date-partitioned materialization of events under /tmp —
+    * the Hive-style partitioned layout `scan_partition_prune` reads.
+    * Idempotent per sf-dir (guarded by the parquet _SUCCESS marker); at
+    * 100 TB this is the ingest-side partitioning that lets every
+    * date-ranged query plan prune directories instead of scanning. */
+  def eventsByDay(spark: SparkSession, sfDir: String): String = this.synchronized {
+    val path = s"/tmp/graft_partitioned/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/events_by_day"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      events(spark, sfDir)
+        .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("d").parquet(path)
+    }
+    path
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -25,6 +25,18 @@ object Aggregates extends QueryGroup {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Fixed-width histogram: 10 equal buckets of o_totalprice, top
+    // bucket open-ended. The bucket id is one IEEE division + floor —
+    // bit-identical in both engines — and the group-by is a plain
+    // 10-group hash aggregate (map-side combine collapses each
+    // partition to ≤10 rows before the exchange).
+    "agg_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(least(floor(col("o_totalprice") / lit(60000).cast("double")), lit(9L))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sumd2(col("o_totalprice")).as("total"))
+        .orderBy("bucket")),
+
     // Ungrouped global aggregate (single output row).
     "agg_global" -> ((s, dir) =>
       Tables.lineitem(s, dir).agg(
@@ -186,6 +198,10 @@ object Aggregates extends QueryGroup {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_histogram" ->
+      s"""SELECT CAST(LEAST(FLOOR(o_totalprice / CAST(60000 AS DOUBLE)), 9) AS BIGINT) AS bucket,
+        |  COUNT(*) AS cnt, ${Det.sumd2Sql("o_totalprice")} AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_global" ->
       s"""SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  ${Det.sumd2Sql("l_extendedprice")} AS sum_price,

@@ -27,6 +27,20 @@ object Scalars extends QueryGroup {
           regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
         .orderBy("c_custkey")),
 
+    // Regex family over real document text. Patterns stay in the plain
+    // character-class/quantifier subset where Java regex (Spark) and RE2
+    // (DuckDB) agree; DuckDB's regexp_replace needs the explicit 'g' flag
+    // to match Spark's replace-all default.
+    "fn_regexp" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+          regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_numbers"),
+          col("text").rlike("[0-9]").as("has_digit"),
+          regexp_replace(col("text"), "[aeiou]", "*").as("masked"))
+        .orderBy("doc_id")),
+
     "fn_date" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(
@@ -135,6 +149,13 @@ object Scalars extends QueryGroup {
         |  array_to_string(string_split(c_name, '#'), '|') AS parts,
         |  regexp_extract(c_name, '([0-9]+)', 1) AS digits
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        |  CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+        |  regexp_matches(text, '[0-9]') AS has_digit,
+        |  regexp_replace(text, '[aeiou]', '*', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,

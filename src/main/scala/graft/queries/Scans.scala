@@ -50,6 +50,23 @@ object Scans extends QueryGroup {
           (col("l_quantity") * col("l_extendedprice")).as("gross"))
         .orderBy(liKey.head, liKey.tail: _*)),
 
+    // Hive-style partition pruning: events materialized once as a
+    // date-partitioned layout (Tables.eventsByDay), then read back with
+    // a predicate on the partition column — Catalyst resolves it against
+    // the directory listing at planning time (PartitionFilters in
+    // .explain), so the scan touches 5 of the ~30 date directories and
+    // never opens the rest. The d column is emitted as a string on both
+    // sides (partition-value type inference yields DATE; the cast keeps
+    // the comparator engine-neutral).
+    "scan_partition_prune" -> ((s, dir) => {
+      val path = Tables.eventsByDay(s, dir)
+      s.read.parquet(path)
+        .filter(col("d").between("2024-01-10", "2024-01-14"))
+        .select(col("event_id"), col("event_type"),
+          date_format(col("d"), "yyyy-MM-dd").as("d"))
+        .orderBy("event_id")
+    }),
+
     // AND/OR/NOT, IN, BETWEEN, LIKE over part.
     "filter_compound" -> ((s, dir) =>
       Tables.part(s, dir)
@@ -96,6 +113,11 @@ object Scans extends QueryGroup {
          |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue,
          |  l_quantity * l_extendedprice AS gross
          |FROM lineitem ORDER BY $liKeySql""".stripMargin,
+    "scan_partition_prune" ->
+      """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS d
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14'
+        |ORDER BY event_id""".stripMargin,
     "filter_compound" ->
       """SELECT * FROM part
         |WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 5 AND 40 AND NOT p_size = 7)

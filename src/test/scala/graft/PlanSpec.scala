@@ -22,6 +22,16 @@ class PlanSpec extends SparkSuite {
       s"pruning failed — l_tax survived to the scan:\n$p")
   }
 
+  test("scan_partition_prune resolves the date predicate to PartitionFilters") {
+    val p = planOf("scan_partition_prune")
+    // the predicate must bind to the partition directory listing, not a
+    // post-scan Filter: PartitionFilters carries the d range and the
+    // data-filter list stays free of d
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("d#"),
+      s"partition predicate not pruned at plan time:\n$p")
+  }
+
   test("join_broadcast plans a BroadcastHashJoin") {
     assert(planOf("join_broadcast").contains("BroadcastHashJoin"))
   }
