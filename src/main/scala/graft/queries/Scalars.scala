@@ -27,6 +27,21 @@ object Scalars extends QueryGroup {
           regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
         .orderBy("c_custkey")),
 
+    // Bitwise family over the 64-bit order key — integer ops are exact
+    // in both engines; bit_count is cast to BIGINT (Spark emits INT,
+    // DuckDB TINYINT).
+    "fn_bitwise" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("lo_byte"),
+          (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_flag"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("mixed"),
+          shiftleft(col("o_orderkey"), 2).as("shl2"),
+          shiftright(col("o_orderkey"), 3).as("shr3"),
+          bit_count(col("o_orderkey")).cast("long").as("popcnt"))
+        .orderBy("o_orderkey")),
+
     // Regex family over real document text. Patterns stay in the plain
     // character-class/quantifier subset where Java regex (Spark) and RE2
     // (DuckDB) agree; DuckDB's regexp_replace needs the explicit 'g' flag
@@ -149,6 +164,15 @@ object Scalars extends QueryGroup {
         |  array_to_string(string_split(c_name, '#'), '|') AS parts,
         |  regexp_extract(c_name, '([0-9]+)', 1) AS digits
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS lo_byte,
+        |  o_orderkey | 4096 AS with_flag,
+        |  xor(o_orderkey, o_custkey) AS mixed,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 3 AS shr3,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_regexp" ->
       """SELECT doc_id,
         |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,

@@ -9,11 +9,11 @@ class SmokeSpec extends SparkSuite {
   }
 
   test("declared surface covers the SURVEY §2 + §2.M inventory") {
-    // pinned to the shipped counts (SURVEY §2.M): 103 keys, 93 oracled —
+    // pinned to the shipped counts (SURVEY §2.M): 104 keys, 94 oracled —
     // a dropped key or oracle fails here before the driver sees it
-    assert(SparkEntry.queries.size >= 103,
+    assert(SparkEntry.queries.size >= 104,
       s"only ${SparkEntry.queries.size} keys declared")
-    assert(SparkEntry.oracleSql.size >= 93,
+    assert(SparkEntry.oracleSql.size >= 94,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
   }
 
