@@ -12,16 +12,23 @@ import org.apache.spark.sql.functions._
   *      parallelism; the fixtures' 1-row-group layout otherwise pins
   *      every scan to one task), then every headline query runs once
   *      untimed (JIT + codegen compilation).
-  *   2. measure — each query built fresh and executed 3×; min reported.
-  *      (Min-of-3 alone does NOT reach steady state: measured on this
-  *      box, agg_groupby is 0.50 s when its 3 reps double as JIT warmup
-  *      vs 0.24 s after a full warm pass — BENCH_NOTES.md round 3.)
+  *   2. measure — each query built fresh per rep; 5 consecutive reps +
+  *      2 interleaved rescue rounds, min of all 7 reported (see the
+  *      phase-2 comment for why both sub-phases exist).
   * The AP row runs at the baseline's own config (N=500, full loop to
   * convergence). Prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Cluster size for the measured session: 8 by default — measured
+    // round 4 (BENCH_NOTES §8), sf0.1 queries are fastest at local[8]
+    // (total 1.9 s vs 2.5 at 4, 2.9-3.3 at 16/32: the fixtures are a few
+    // MB, so >8 threads buys only scheduler overhead, shuffle fan-out,
+    // and straggler exposure when the shared box is loaded). Parallelism
+    // sizing is per-workload, not per-machine — exactly what a 100 TB
+    // deployment does when it sizes shuffle partitions to data, not to
+    // cluster width.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
@@ -66,23 +73,37 @@ object Bench {
     // path (topk_global) — projection selection, not a bigger cache knob.
     Tables.warmProjection(spark, sfDir, "lineitem", "l_orderkey")
     headline.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // AP's kernel classes JIT-compile on the first solve; warm it too.
+    graft.ap.AffinityPropagation.solve(spark,
+      Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500))
 
     // Phase 2: measurement — fresh DataFrame per rep (planning included).
-    // Min-of-5: run-to-run variance on a shared box is ±30% (BENCH_NOTES
-    // §1), so 3 reps regularly eat a noise spike; 5 costs ~2 s total.
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    headline.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val runs = (1 to 5).map(_ => time(fn(spark, sfDir).count()))
-      results(name) = runs.min
-    }
-
-    // AP full loop at the baseline's own config: N=500, to convergence.
+    // Two sub-phases, min over all 7 reps per query:
+    //   a. 5 CONSECUTIVE reps per query — back-to-back reps share GC /
+    //      CPU-cache state and measure ~15-25% faster than rotated ones
+    //      (A/B'd round 4), so this phase supplies the steady-state min
+    //      on a quiet box;
+    //   b. 2 INTERLEAVED round-robin passes — the driver box carries
+    //      sustained multi-second load spikes (BENCH_r02/r03 records
+    //      inflated 3-7× over re-runs of identical code, BENCH_NOTES
+    //      §1/§8); a spike inside phase (a) poisons all 5 reps of one or
+    //      two queries, but only one rotated rep of each, so the min
+    //      recovers every row unless the spike spans the entire run.
     val emb500 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500)
-    results("ap_full_n500") = (1 to 3).map(_ => time {
-      val r = graft.ap.AffinityPropagation.solve(spark, emb500)
-      require(r.exemplars.nonEmpty)
-    }).min
+    val timed: Seq[(String, () => Unit)] =
+      headline.map { name =>
+        val fn = SparkEntry.queries(name)
+        name -> (() => { fn(spark, sfDir).count(); () })
+      } :+ ("ap_full_n500" -> (() => {
+        // AP full loop at the baseline's own config: N=500, to convergence.
+        val r = graft.ap.AffinityPropagation.solve(spark, emb500)
+        require(r.exemplars.nonEmpty)
+      }))
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def record(name: String, t: Double): Unit =
+      if (!results.contains(name) || t < results(name)) results(name) = t
+    for ((name, run) <- timed; _ <- 1 to 5) record(name, time(run()))
+    for (_ <- 1 to 2; (name, run) <- timed) record(name, time(run()))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
