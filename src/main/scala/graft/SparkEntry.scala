@@ -12,6 +12,7 @@ object SparkEntry {
     _root_.graft.queries.Scans,
     _root_.graft.queries.Aggregates,
     _root_.graft.queries.Joins,
+    _root_.graft.queries.Subqueries,
     _root_.graft.queries.Windows,
     _root_.graft.queries.SetOps,
     _root_.graft.queries.Scalars,

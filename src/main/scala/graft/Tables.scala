@@ -122,6 +122,23 @@ object Tables {
     path
   }
 
+  /** One-time CSV / JSON-lines materializations of a fixture table under
+    * /tmp — the text-format ingest paths (`source_csv_file`,
+    * `source_json_file`) read these back. Idempotent per (sf-dir, table)
+    * via the _SUCCESS marker, like [[eventsByDay]]. Double columns
+    * round-trip exactly: both writers emit Java's shortest-round-trip
+    * decimal form and the readers parse back to the identical bits. */
+  def sideload(spark: SparkSession, sfDir: String, name: String,
+      format: String): String = this.synchronized {
+    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/${name}_$format"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val w = load(spark, sfDir, name).write.mode("overwrite")
+      if (format == "csv") w.option("header", "true").csv(path)
+      else w.json(path)
+    }
+    path
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

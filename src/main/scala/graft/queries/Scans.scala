@@ -67,6 +67,34 @@ object Scans extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // CSV file source: supplier materialized once as headered CSV
+    // (Tables.sideload), read back with an EXPLICIT schema — at 100 TB,
+    // inferSchema is a full extra pass over the data; a production ingest
+    // always declares the schema and lets the text scan parse straight
+    // into typed columns (one task per split, no driver-side sampling).
+    // Hash-matching the parquet oracle certifies the full text round-trip
+    // (quoting, header, shortest-round-trip doubles).
+    "source_csv_file" -> ((s, dir) => {
+      val path = Tables.sideload(s, dir, "supplier", "csv")
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .option("header", "true")
+        .csv(path)
+        .orderBy("s_suppkey")
+    }),
+
+    // JSON-lines file source, same discipline (explicit schema — JSON
+    // inference additionally widens types by sampling; declared types
+    // keep the scan single-pass and the columns exactly parquet's).
+    "source_json_file" -> ((s, dir) => {
+      val path = Tables.sideload(s, dir, "part", "json")
+      s.read
+        .schema("p_partkey BIGINT, p_name STRING, p_brand STRING, p_size INT, p_retailprice DOUBLE")
+        .json(path)
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
     // AND/OR/NOT, IN, BETWEEN, LIKE over part.
     "filter_compound" -> ((s, dir) =>
       Tables.part(s, dir)
@@ -118,6 +146,12 @@ object Scans extends QueryGroup {
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14'
         |ORDER BY event_id""".stripMargin,
+    "source_csv_file" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "source_json_file" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "filter_compound" ->
       """SELECT * FROM part
         |WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 5 AND 40 AND NOT p_size = 7)

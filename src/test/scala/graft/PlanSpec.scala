@@ -125,6 +125,24 @@ class PlanSpec extends SparkSuite {
     assert(b.sparkSession eq s2, "second session's DataFrame bound to the wrong session")
   }
 
+  test("subqueries decorrelate to joins — no per-row re-execution, no BNLJ") {
+    // IN / EXISTS must become semi joins, NOT IN the null-aware anti
+    // join, and the correlated scalar COUNT an aggregate+join — the
+    // rewrites that make subqueries linear instead of O(N·M) at scale.
+    assert(planOf("subq_in").contains("LeftSemi"))
+    assert(planOf("subq_exists_corr").contains("LeftSemi"))
+    val notIn = planOf("subq_not_in")
+    assert(notIn.contains("LeftAnti"), s"NOT IN did not plan an anti join:\n$notIn")
+    val corr = planOf("subq_scalar_corr")
+    assert(corr.contains("LeftOuter") && corr.contains("count"),
+      s"correlated scalar COUNT not rewritten to aggregate+outer join:\n$corr")
+    Seq("subq_scalar", "subq_scalar_corr", "subq_in", "subq_not_in", "subq_exists_corr")
+      .foreach { k =>
+        val p = planOf(k)
+        assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
+      }
+  }
+
   test("agg_groupby runs inside whole-stage codegen with partial aggregation") {
     val df = SparkEntry.queries("agg_groupby")(spark, sf001)
     df.collect() // finalize the adaptive plan so codegen stages materialize

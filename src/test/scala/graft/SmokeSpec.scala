@@ -9,11 +9,11 @@ class SmokeSpec extends SparkSuite {
   }
 
   test("declared surface covers the SURVEY §2 + §2.M inventory") {
-    // pinned to the shipped counts (SURVEY §2.M): 104 keys, 94 oracled —
+    // pinned to the shipped counts (SURVEY §2.M): 111 keys, 101 oracled —
     // a dropped key or oracle fails here before the driver sees it
-    assert(SparkEntry.queries.size >= 104,
+    assert(SparkEntry.queries.size >= 111,
       s"only ${SparkEntry.queries.size} keys declared")
-    assert(SparkEntry.oracleSql.size >= 94,
+    assert(SparkEntry.oracleSql.size >= 101,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
   }
 
