@@ -176,7 +176,37 @@ object Aggregates extends QueryGroup {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Modal value per group (the most frequent event_type per user) —
+    // count-then-rank, exact integer counts so the argmax is engine-
+    // order-proof; count ties break to the smallest type (D6). Two
+    // hash aggregates + one window over (user, type) counts — the
+    // grouped cardinality, not the event cardinality, crosses the
+    // second shuffle.
+    "agg_mode" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    // t-digest-style approximate quantiles (approx_percentile sketch) —
+    // approximate, so no oracle (D3); SketchSpec brackets each value
+    // between exact quantiles at ±5 rank points. The sketch is the
+    // 100 TB path: exact percentiles need a full sort per group, the
+    // sketch is one mergeable accumulator per group.
+    "agg_approx_quantile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(2000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(2000)).as("p90"))
+        .orderBy("o_orderpriority"))
   )
 
   private val rollupBody =
@@ -187,6 +217,12 @@ object Aggregates extends QueryGroup {
       |FROM lineitem""".stripMargin
 
   def oracles: Seq[(String, String)] = Seq(
+    "agg_mode" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+        |ORDER BY user_id""".stripMargin,
     "agg_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
         |  ${Det.sumd2Sql("l_quantity")} AS sum_qty,

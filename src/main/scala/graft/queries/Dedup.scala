@@ -309,7 +309,10 @@ object Dedup extends QueryGroup {
     // asserted in SketchSpec.
     "simsearch_ivf" -> ((s, dir) =>
       ivfTopk(s, normed(s, dir), k = 5, centroids = 16, nprobe = 8)
-        .orderBy("i", "rnk"))
+        .orderBy("i", "rnk")),
+
+    // Int8 embedding quantization (see [[embQuantize]]).
+    "emb_quantize" -> ((s, dir) => embQuantize(s, dir))
   )
 
   /** IVF ANN top-k kernel shared by the query key and the clustered-data
@@ -341,6 +344,27 @@ object Dedup extends QueryGroup {
         (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
+  /** Int8 max-abs quantization of the embedding column — the compression
+    * step a training pipeline runs before shipping vectors to an ANN
+    * index or a feature store (4× smaller than float32, 8× than the
+    * double working form). Per-row arithmetic only: max|x| (exact),
+    * scale = 127/max|x| (one IEEE division), q = round(x·scale) (one
+    * multiply + half-away-from-zero round in both engines) — no
+    * aggregate, so bit-parity holds without rounding discipline. The
+    * int8 lanes leave as a comma-joined string (driver hash can't take
+    * arrays). */
+  private def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .select(
+        col("vec_id"), col("scale"),
+        concat_ws(",",
+          transform(col("v"),
+            x => round(x * col("scale")).cast("int").cast("string"))).as("q8"))
+      .orderBy("vec_id")
+
   private val shingleSql =
     """sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
@@ -358,6 +382,16 @@ object Dedup extends QueryGroup {
     s"list_aggregate(list_transform(list_zip($va, $vb), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum') / ($na * $nb)"
 
   def oracles: Seq[(String, String)] = Seq(
+    "emb_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM v)
+        |SELECT vec_id, CAST(127 AS DOUBLE) / max_abs AS scale,
+        |  array_to_string(list_transform(v,
+        |    x -> CAST(CAST(round(x * (CAST(127 AS DOUBLE) / max_abs)) AS INT) AS VARCHAR)), ',') AS q8
+        |FROM m ORDER BY vec_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

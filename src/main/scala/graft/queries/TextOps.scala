@@ -87,6 +87,22 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Token counting two ways: whitespace tokens (the cheap budget
+    // estimate) and a BPE-style pre-tokenizer regex (the GPT-2 pattern's
+    // shape — optionally-space-prefixed letter runs, digit runs, and
+    // punctuation runs — restricted to a backslash-free character-class
+    // form so the Java and RE2 engines read the identical pattern). The
+    // ratio between the two is the classic tokens-per-word fertility
+    // stat a data pipeline tracks per source.
+    "text_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(expr(
+            "regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)"))
+            .cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+
     // Quality scoring: token stats + stopword ratio + length flags.
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "in", "to")
@@ -279,6 +295,11 @@ object TextOps extends QueryGroup {
         |SELECT d.doc_id, p.pred_lang, p.pred_lang = d.lang AS correct
         |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, COUNT(*) AS n_tokens,

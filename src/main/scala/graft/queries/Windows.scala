@@ -160,10 +160,46 @@ object Windows extends QueryGroup {
           col("t.price").as("l_extendedprice"),
           (col("pos") + 1).cast("long").as("rn"))
         .orderBy("l_suppkey", "rn")
+    }),
+
+    // Batch sessionization — the lag+cumsum idiom: a session break is a
+    // >30 min gap (or the user's first event); the running sum of breaks
+    // numbers the sessions. One shuffle on user_id serves both window
+    // passes (same partitioning), and the event ordering ends in
+    // event_id so same-timestamp events are deterministic (D6). This is
+    // the batch twin of stream_session's session_window aggregate — a
+    // training pipeline runs exactly this shape to segment user/doc
+    // activity before feature extraction.
+    "win_sessionize" -> ((s, dir) => {
+      val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        // gap test in exact integer MICROSECONDS (unix_micros here,
+        // epoch_us in the oracle) — a seconds cast floors sub-second
+        // components differently than a fractional epoch would
+        .withColumn("brk",
+          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byTs) > 1800000000L
+            || lag(col("ts"), 1).over(byTs).isNull, 1L).otherwise(0L))
+        .withColumn("session_no",
+          sum(col("brk")).over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "session_no")
+        .orderBy("event_id")
     })
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    "win_sessionize" ->
+      """WITH brk AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |FROM brk ORDER BY event_id""".stripMargin,
     "win_ranking" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity,
         |  rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk,

@@ -120,6 +120,21 @@ class SketchSpec extends SparkSuite {
     assert(brute.nonEmpty, "fixture has no near-dup simhash pairs — test is vacuous")
   }
 
+  test("approx quantiles land between exact quantiles at ±5 rank points") {
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf001)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.45, 0.55, 0.85, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (g, Seq(p45, p55, p85, p95)) =>
+      val (p50, p90) = approx(g)
+      assert(p50 >= p45 && p50 <= p55, s"$g: approx p50=$p50 outside [$p45, $p55]")
+      assert(p90 >= p85 && p90 <= p95, s"$g: approx p90=$p90 outside [$p85, $p95]")
+    }
+    assert(exact.nonEmpty)
+  }
+
   test("approx_count_distinct is within rsd bounds of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -9,11 +9,11 @@ class SmokeSpec extends SparkSuite {
   }
 
   test("declared surface covers the SURVEY §2 + §2.M inventory") {
-    // pinned to the shipped counts (SURVEY §2.M): 111 keys, 101 oracled —
+    // pinned to the shipped counts (SURVEY §2.M): 116 keys, 105 oracled —
     // a dropped key or oracle fails here before the driver sees it
-    assert(SparkEntry.queries.size >= 111,
+    assert(SparkEntry.queries.size >= 116,
       s"only ${SparkEntry.queries.size} keys declared")
-    assert(SparkEntry.oracleSql.size >= 101,
+    assert(SparkEntry.oracleSql.size >= 105,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
   }
 
