@@ -83,7 +83,22 @@ object Subqueries extends QueryGroup {
         |WHERE EXISTS (
         |  SELECT 1 FROM lineitem
         |  WHERE l_suppkey = s_suppkey AND l_quantity > 45)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders
+    // per customer. The engine must decorrelate the per-row LIMIT into a
+    // window rank over one join (Spark's DecorrelateInnerQuery), not run
+    // the inner query once per customer; the result is the same shape
+    // topk_per_group benchmarks. Ties broken by o_orderkey (D6).
+    "subq_lateral" ->
+      """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) o
+        |ORDER BY c_custkey, o.o_orderkey""".stripMargin
   )
 
   def queries: Seq[(String, Q)] =

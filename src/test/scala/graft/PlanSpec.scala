@@ -136,7 +136,13 @@ class PlanSpec extends SparkSuite {
     val corr = planOf("subq_scalar_corr")
     assert(corr.contains("LeftOuter") && corr.contains("count"),
       s"correlated scalar COUNT not rewritten to aggregate+outer join:\n$corr")
-    Seq("subq_scalar", "subq_scalar_corr", "subq_in", "subq_not_in", "subq_exists_corr")
+    // the lateral LIMIT 2 must decorrelate to a window rank, not a
+    // per-customer re-execution or an unbounded join+sort
+    val lateral = planOf("subq_lateral")
+    assert(lateral.contains("row_number") || lateral.contains("Window"),
+      s"lateral LIMIT not rewritten to a window rank:\n$lateral")
+    Seq("subq_scalar", "subq_scalar_corr", "subq_in", "subq_not_in",
+        "subq_exists_corr", "subq_lateral")
       .foreach { k =>
         val p = planOf(k)
         assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")

@@ -9,11 +9,11 @@ class SmokeSpec extends SparkSuite {
   }
 
   test("declared surface covers the SURVEY §2 + §2.M inventory") {
-    // pinned to the shipped counts (SURVEY §2.M): 116 keys, 105 oracled —
+    // pinned to the shipped counts (SURVEY §2.M): 117 keys, 106 oracled —
     // a dropped key or oracle fails here before the driver sees it
-    assert(SparkEntry.queries.size >= 116,
+    assert(SparkEntry.queries.size >= 117,
       s"only ${SparkEntry.queries.size} keys declared")
-    assert(SparkEntry.oracleSql.size >= 105,
+    assert(SparkEntry.oracleSql.size >= 106,
       s"only ${SparkEntry.oracleSql.size} oracles declared")
   }
 
