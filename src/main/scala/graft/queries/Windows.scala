@@ -184,10 +184,51 @@ object Windows extends QueryGroup {
           sum(col("brk")).over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("event_id", "user_id", "session_no")
         .orderBy("event_id")
+    }),
+
+    // Time-series gap fill: per-user daily activity resampled onto a
+    // dense calendar (sequence over the user's [min_day, max_day] span),
+    // missing days as n=0 with the day value carried forward
+    // (last_value IGNORE NULLS). The standard resample→ffill step before
+    // any per-entity time-series feature; every stage is keyed on
+    // user_id (or user_id+day), so at scale the shuffles stay linear and
+    // the calendar explode is bounded by the observed span, never a
+    // global date range.
+    "ts_fill_forward" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sumd2(col("value")).as("day_value"))
+      val cal = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
+        .orderBy("user_id", "day")
     })
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    "ts_fill_forward" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         |    ${Det.sumd2Sql("value")} AS day_value
+         |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         |cal AS (
+         |  SELECT user_id, CAST(d AS DATE) AS day
+         |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         |        FROM daily GROUP BY user_id) s,
+         |       UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d))
+         |SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+         |  COALESCE(n, 0) AS n,
+         |  last_value(day_value IGNORE NULLS) OVER (
+         |    PARTITION BY c.user_id ORDER BY c.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+         |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+         |ORDER BY c.user_id, day""".stripMargin,
     "win_sessionize" ->
       """WITH brk AS (
         |  SELECT event_id, user_id, ts,
