@@ -160,8 +160,11 @@ object Tables {
     val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/${name}_$format"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val w = load(spark, sfDir, name).write.mode("overwrite")
-      if (format == "csv") w.option("header", "true").csv(path)
-      else w.json(path)
+      format match {
+        case "csv" => w.option("header", "true").csv(path)
+        case "orc" => w.orc(path)
+        case _ => w.json(path)
+      }
     }
     path
   }

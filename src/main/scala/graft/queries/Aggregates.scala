@@ -96,6 +96,17 @@ object Aggregates extends QueryGroup {
           col("sum_qty"), col("cnt"))
         .orderBy("gid", "rf", "ls")),
 
+    // Boolean aggregates + filtered count — the data-quality assertion
+    // shapes (every/any/conditional count), associative in any order.
+    "agg_bool" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          bool_and(col("o_totalprice") < 500000).as("all_under_500k"),
+          bool_or(col("o_orderstatus") === "F").as("any_final"),
+          count(when(col("o_totalprice") > 150000, 1)).as("n_big"))
+        .orderBy("o_orderpriority")),
+
     // Non-associative float stats — ROUND 4 absorbs summation-order drift.
     "agg_stats" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -257,6 +268,12 @@ object Aggregates extends QueryGroup {
         |$rollupBody
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, rf, ls""".stripMargin,
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice < 500000) AS all_under_500k,
+        |  bool_or(o_orderstatus = 'F') AS any_final,
+        |  count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -95,6 +95,17 @@ object Scans extends QueryGroup {
         .orderBy("p_partkey")
     }),
 
+    // ORC file source — the second columnar format a lakehouse ingests.
+    // Unlike csv/json the types round-trip exactly (no declared-schema
+    // re-cast needed), and ORC carries the same pushdown/pruning surface
+    // as parquet at scale.
+    "source_orc_file" -> ((s, dir) => {
+      val path = Tables.sideload(s, dir, "customer", "orc")
+      s.read.orc(path)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // AND/OR/NOT, IN, BETWEEN, LIKE over part.
     "filter_compound" -> ((s, dir) =>
       Tables.part(s, dir)
@@ -152,6 +163,9 @@ object Scans extends QueryGroup {
     "source_json_file" ->
       """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "source_orc_file" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "filter_compound" ->
       """SELECT * FROM part
         |WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 5 AND 40 AND NOT p_size = 7)
