@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public library facade — the typed entry points a pipeline author
+  * calls on their OWN DataFrames (the query keys in [[SparkEntry]] bind
+  * the same kernels to the harness fixture tables). Column names are
+  * parameters; inputs are normalized internally to the engine's working
+  * schema, so callers never rename their data.
+  *
+  * Every method returns a lazy DataFrame (no action is triggered) except
+  * [[cluster]]/[[exemplars]], whose iterative solve necessarily runs
+  * jobs. All paths are the scale-designed forms: banded/bucketed
+  * candidate generation, broadcast dimensions, bounded driver state —
+  * see the kernel Scaladoc in [[queries.Dedup]], [[ap.AffinityPropagation]],
+  * [[functions.Ann]], [[functions.Ivf]].
+  */
+object Graft {
+
+  private def docsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+
+  private def embOf(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+
+  // ---- clustering (Affinity Propagation, Frey & Dueck 2007) ----------
+
+  /** Full damped AP to convergence; returns (id, exemplar) — every point
+    * labeled with its cluster's exemplar id, exemplars self-assigned.
+    * Dispatches to the dense in-memory kernel below N=4000 and the
+    * distributed two-exchange dataflow above it. */
+  def cluster(spark: SparkSession, embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      damping: Double = 0.5, maxIter: Int = 200, convergenceIter: Int = 15,
+      preference: Option[Double] = None): DataFrame = {
+    val emb = embOf(embeddings, idCol, vecCol)
+    val res = ap.AffinityPropagation.solve(
+      spark, emb, damping, maxIter, convergenceIter, preference)
+    ap.AffinityPropagation.assign(
+        ap.AffinityPropagation.similarities(emb), res.exemplars, spark)
+      .select(col("i").as("id"), col("exemplar"))
+  }
+
+  /** Exemplar ids only (same solve as [[cluster]]). */
+  def exemplars(spark: SparkSession, embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      damping: Double = 0.5, preference: Option[Double] = None): Seq[Long] =
+    ap.AffinityPropagation.solve(spark, embOf(embeddings, idCol, vecCol),
+      damping, prefOverride = preference).exemplars
+
+  // ---- deduplication -------------------------------------------------
+
+  /** Exact duplicates by content digest: one representative (smallest
+    * id) per distinct text + copy count. Shuffles 128-bit digests, not
+    * document bodies. Returns (id, digest, n_copies). */
+  def exactDuplicates(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docsOf(docs, idCol, textCol)
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("digest"))
+      .agg(min(col("doc_id")).as("id"), count(lit(1)).as("n_copies"))
+      .select("id", "digest", "n_copies")
+
+  /** Exact 3-word-shingle Jaccard near-dup pairs (id_a < id_b) — the
+    * quadratic baseline; prefer [[nearDupPairs]] at scale. */
+  def nearDupPairsExact(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.2): DataFrame =
+    queries.Dedup.jaccardPairs(spark, docsOf(docs, idCol, textCol), threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
+
+  /** MinHash-LSH candidate near-dup pairs — the 100 TB path: 32 hashes,
+    * 8×4 banding, O(N·bands) shuffle, never N². Candidates only;
+    * rerank with [[nearDupPairsExact]] on the candidate set if exact
+    * Jaccard is required. */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    queries.Dedup.minhashPairs(spark, docsOf(docs, idCol, textCol))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+
+  /** SimHash near-dup pairs within hamming distance ≤ 3 — provably
+    * exact for that radius via 4×16-bit band pigeonhole, no N² join. */
+  def nearDupPairsSimhash(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    queries.Dedup.simhashPairs(spark, docsOf(docs, idCol, textCol))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+
+  /** Near-dup clusters: connected components of the exact-Jaccard pair
+    * graph; every doc labeled with its component's smallest id (keep one
+    * doc per component to dedup). Returns (id, component). */
+  def nearDupClusters(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.2): DataFrame = {
+    val d = docsOf(docs, idCol, textCol)
+    queries.Dedup.connectedComponents(
+      d.select(col("doc_id").as("id")),
+      queries.Dedup.jaccardPairs(spark, d, threshold)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+  }
+
+  /** Generic connected components over any (id_a, id_b) edge list. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    queries.Dedup.connectedComponents(nodes, edges)
+
+  // ---- similarity search over embeddings -----------------------------
+
+  /** Exact top-k cosine neighbors per vector via the broadcast-index
+    * kernel — single-node-engine throughput while the index side fits an
+    * executor; use [[similarTopKIvf]] beyond that. Returns
+    * (i, k, rnk, cos). */
+  def similarTopK(spark: SparkSession, embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    functions.Ann.topkCosine(spark, embOf(embeddings, idCol, vecCol), k)
+
+  /** IVF-bucketed approximate top-k — the scale path: deterministic
+    * farthest-point seeds over a bounded sample, nprobe bucket probe,
+    * in-bucket exact rerank; O(Σ bucket²) compares, never N². */
+  def similarTopKIvf(spark: SparkSession, embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Int = 16, nprobe: Int = 8): DataFrame = {
+    val emb = embOf(embeddings, idCol, vecCol)
+    val n = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    graft.functions.VectorExprs.register(spark)
+    queries.Dedup.ivfTopk(spark,
+      n.withColumn("nrm", sqrt(expr("vec_dot(v, v)"))), k, centroids, nprobe)
+  }
+
+  /** Embedding near-dup pairs at a cosine threshold via IVF candidates +
+    * exact rerank (subquadratic). Returns (id_a, id_b). */
+  def nearDupPairsEmbedding(spark: SparkSession, embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      minCosine: Double = 0.4, centroids: Int = 16, nprobe: Int = 8): DataFrame =
+    similarTopKIvf(spark, embeddings, k = 10, idCol, vecCol, centroids, nprobe)
+      .filter(col("cos") >= minCosine)
+      .select(least(col("i"), col("k")).as("id_a"),
+        greatest(col("i"), col("k")).as("id_b"))
+      .distinct()
+
+  /** Int8 max-abs quantization of an embedding column: per-row scale =
+    * 127/max|x|, lanes as a comma-joined int8 string. */
+  def quantizeInt8(embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    queries.Dedup.embQuantize(embOf(embeddings, idCol, vecCol))
+
+  // ---- data quality --------------------------------------------------
+
+  /** One-pass multi-column profile of 2-decimal numeric columns:
+    * (col_name, n, n_distinct, min_v, max_v, sum_v), one scan total. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    queries.Profile.profile(df, cols)
+}

@@ -24,8 +24,9 @@ object Dedup extends QueryGroup {
     * the explode-heavy stage across the cluster regardless of input file
     * layout — documents is a small-file scan here, and at 100 TB the
     * same move rebalances skewed file splits before the 50× row blowup. */
-  private def shingles(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame = {
-    val base = Tables.documents(s, dir)
+  private[graft] def shingles(s: SparkSession, docs: DataFrame,
+      dedup: Boolean = true): DataFrame = {
+    val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       // partition BY doc_id, not round-robin: the same exchange that
@@ -46,8 +47,9 @@ object Dedup extends QueryGroup {
 
   /** Exact 3-word-shingle Jaccard ≥ 0.2 pairs (doc_a < doc_b) — shared by
     * the pair query and the connected-components clustering. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  private[graft] def jaccardPairs(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(s, docs)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
@@ -58,14 +60,14 @@ object Dedup extends QueryGroup {
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Embeddings as double vectors with L2 norms (vec_dot is the native
     * codegen Expression — same fold order as the oracle's list fold). */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def normed(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(s)
-    Tables.embeddings(s, dir).select(
+    emb.select(
       col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
@@ -83,13 +85,41 @@ object Dedup extends QueryGroup {
     * string is hashed once; each per-seed hash then combines two
     * fixed-width longs in codegen — no string allocation on the hot
     * path. */
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+  /** MinHash-LSH candidate pairs — the scale path: band-bucket join
+    * instead of the all-pairs shingle join. 8 bands × 4 rows; a band's
+    * 4 minhashes collapse to one xxhash64 bucket key (collisions only
+    * ADD candidates, with probability ~2⁻⁶⁴). Pairs come from grouping
+    * each bucket's members, NOT a bands⋈bands self-join: the self-join
+    * re-executes the whole signature pipeline for its second input
+    * (measured 2× the query at sf0.1), while the group-by shuffles the
+    * bucket rows once. Near-dup buckets are small by construction (a
+    * giant bucket would mean thousands of mutual near-dups), so the
+    * within-bucket pair explode is bounded; sort_array makes member
+    * order — and thus pair orientation — partition-order-proof (D6). */
+  private[graft] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(s, docs)
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 to 7).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+              col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bsig"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
+    bands.groupBy("band", "bsig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(col("ms")).as("doc_a"), col("ms"))
+      .select(col("doc_a"), explode(col("ms")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+  }
+
+  private[graft] def minhashSignatures(s: SparkSession, docs: DataFrame): DataFrame =
     // Shingle identity here is the hashed WORD TRIPLE, not the joined
     // string dedup_jaccard builds: same per-doc shingle set (modulo
     // 64-bit collision), but no string concat/allocation on the exploded
     // hot path. The minhash keys are D3 (recall-tested vs the string
     // shingles' exact Jaccard), so the two bases need not hash alike.
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       // by doc_id (see shingles): this exchange doubles as the
@@ -107,8 +137,8 @@ object Dedup extends QueryGroup {
         (1 to 31).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
 
   /** 64-bit SimHash over token votes. */
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  private[graft] def simhashes(s: SparkSession, docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("term")))
@@ -121,6 +151,61 @@ object Dedup extends QueryGroup {
       .groupBy("doc_id")
       .agg(sum(when(col("v") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via banded bucketing: the 64-bit fingerprint
+    * splits into 4×16-bit bands; by pigeonhole, two fingerprints within
+    * hamming distance ≤ maxHamming (≤ 3 with 4 bands) agree EXACTLY on
+    * at least one band, so the band-equality join finds every such pair
+    * — exact result, but only bucket-mates are ever compared (no N²
+    * cross join; the bucket join shuffles O(N·4) rows and compares
+    * O(Σ bucket²) pairs). */
+  private[graft] def simhashPairs(s: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(s, docs)
+    val banded = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
+    val a = banded.select(
+      col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bkey"))
+    val b = banded.select(
+      col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+  }
+
+  /** Connected components by distributed min-label propagation: each
+    * iteration every node takes the min of its own and its neighbors'
+    * labels (join + groupBy = 2 shuffles over the edge list) until a
+    * fixpoint — O(component diameter) iterations, O(E) work per
+    * iteration, no driver state beyond the convergence counter. Near-dup
+    * components are shallow (near-cliques), so the loop ends in 2-3
+    * passes; at 100 TB the same loop runs with the large-star/small-star
+    * optimization, which this formulation is the textbook base of.
+    *
+    * @param nodes one column `id`; @param pairs columns `id_a`, `id_b`.
+    * @return (id, component) — component = smallest reachable id. */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val adj = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint() // computed once, reused every iteration
+    var labels = nodes.select(col("id").as("u"), col("id").as("lbl"))
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = adj.join(labels.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("lbl"))
+      val next = labels.unionByName(nbr)
+        .groupBy("u").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("u").as("id"), col("lbl").as("component"))
   }
 
   def queries: Seq[(String, Q)] = Seq(
@@ -145,7 +230,7 @@ object Dedup extends QueryGroup {
     // Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.2. The shingle
     // self-join is the exact quadratic baseline the LSH path approximates.
     "dedup_jaccard" -> ((s, dir) =>
-      jaccardPairs(s, dir)
+      jaccardPairs(s, Tables.documents(s, dir))
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")),
 
@@ -162,24 +247,11 @@ object Dedup extends QueryGroup {
     // 100 TB the same loop runs with the large-star/small-star
     // optimization, which this formulation is the textbook base of.
     "dedup_cluster" -> ((s, dir) => {
-      val pairs = jaccardPairs(s, dir).select("doc_a", "doc_b")
-      val adj = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .localCheckpoint() // computed once, reused every iteration
-      var labels = Tables.documents(s, dir)
-        .select(col("doc_id").as("u"), col("doc_id").as("lbl"))
-      var changed = 1L
-      while (changed > 0) {
-        val nbr = adj.join(labels.withColumnRenamed("u", "v"), "v")
-          .select(col("u"), col("lbl"))
-        val next = labels.unionByName(nbr)
-          .groupBy("u").agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
-          .filter(col("lbl") < col("old")).count()
-        labels = next
-      }
-      labels.select(col("u").as("doc_id"), col("lbl").as("cluster"))
+      val docs = Tables.documents(s, dir)
+      connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          jaccardPairs(s, docs).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
         .orderBy("doc_id")
     }),
 
@@ -188,31 +260,8 @@ object Dedup extends QueryGroup {
     // 4 minhashes collapse to one xxhash64 bucket key (collisions only
     // ADD candidates, with probability ~2⁻⁶⁴). Recall vs dedup_jaccard
     // is asserted in the test suite (D3 ⇒ no oracle).
-    "dedup_minhash" -> ((s, dir) => {
-      val sig = minhashSignatures(s, dir)
-      val bands = sig.select(col("doc_id"),
-          explode(array((0 to 7).map(b =>
-            struct(lit(b).as("band"),
-              xxhash64(col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
-                col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bsig"))): _*)).as("e"))
-        .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
-      // Pairs come from grouping each bucket's members, NOT a bands⋈bands
-      // self-join: the self-join re-executes the whole signature pipeline
-      // for its second input (measured 2× the query at sf0.1), while the
-      // group-by shuffles the bucket rows once. Near-dup buckets are
-      // small by construction (a giant bucket would mean thousands of
-      // mutual near-dups), so the within-bucket pair explode is bounded;
-      // sort_array makes member order — and thus pair orientation —
-      // partition-order-proof (D6).
-      bands.groupBy("band", "bsig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
-        .filter(size(col("ms")) >= 2)
-        .select(explode(col("ms")).as("doc_a"), col("ms"))
-        .select(col("doc_a"), explode(col("ms")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dedup_minhash" -> ((s, dir) =>
+      minhashPairs(s, Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
     // SimHash near-dup pairs via banded bucketing: the 64-bit fingerprint
     // splits into 4×16-bit bands; by pigeonhole, two fingerprints within
@@ -221,23 +270,8 @@ object Dedup extends QueryGroup {
     // bucket-mates are ever compared (no N² cross join; at 100 TB the
     // bucket join shuffles O(N·4) rows and compares O(Σ bucket²) pairs).
     // Validated against the brute-force all-pairs scan in SketchSpec.
-    "dedup_simhash" -> ((s, dir) => {
-      val sh = simhashes(s, dir)
-      val banded = sh
-        .select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bkey", expr("shiftright(simhash, CAST(band * 16 AS INT)) & 65535"))
-      val a = banded.select(
-        col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bkey"))
-      val b = banded.select(
-        col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming").distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dedup_simhash" -> ((s, dir) =>
+      simhashPairs(s, Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-dup pairs (exact, oracled). Exact all-pairs
     // at an arbitrary cosine threshold is intrinsically O(N²) compares —
@@ -257,7 +291,7 @@ object Dedup extends QueryGroup {
       val B = 16
       val pairsBlk = (for (bi <- 0 until B; bj <- bi until B) yield (bi, bj))
         .toDF("bi", "bj")
-      val n = normed(s, dir).withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val n = normed(s, Tables.embeddings(s, dir)).withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
       val a = n.select(col("vec_id").as("va_id"), col("v").as("va"),
         col("nrm").as("na"), col("blk").as("bi"))
       val b = n.select(col("vec_id").as("vb_id"), col("v").as("vb"),
@@ -278,7 +312,7 @@ object Dedup extends QueryGroup {
     // cosine reranks at the same 0.4 threshold. Recall vs the exact
     // dedup_embedding is asserted in SketchSpec (D3 ⇒ no oracle).
     "dedup_embedding_ann" -> ((s, dir) =>
-      ivfTopk(s, normed(s, dir), k = 10, centroids = 16, nprobe = 8)
+      ivfTopk(s, normed(s, Tables.embeddings(s, dir)), k = 10, centroids = 16, nprobe = 8)
         .filter(col("cos") >= 0.4)
         .select(least(col("i"), col("k")).as("id_a"),
           greatest(col("i"), col("k")).as("id_b"))
@@ -308,11 +342,11 @@ object Dedup extends QueryGroup {
     // (the real 100 TB workload) nprobe 2 already exceeds 0.9 — both
     // asserted in SketchSpec.
     "simsearch_ivf" -> ((s, dir) =>
-      ivfTopk(s, normed(s, dir), k = 5, centroids = 16, nprobe = 8)
+      ivfTopk(s, normed(s, Tables.embeddings(s, dir)), k = 5, centroids = 16, nprobe = 8)
         .orderBy("i", "rnk")),
 
     // Int8 embedding quantization (see [[embQuantize]]).
-    "emb_quantize" -> ((s, dir) => embQuantize(s, dir))
+    "emb_quantize" -> ((s, dir) => embQuantize(Tables.embeddings(s, dir)))
   )
 
   /** IVF ANN top-k kernel shared by the query key and the clustered-data
@@ -353,8 +387,8 @@ object Dedup extends QueryGroup {
     * aggregate, so bit-parity holds without rounding discipline. The
     * int8 lanes leave as a comma-joined string (driver hash can't take
     * arrays). */
-  private def embQuantize(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+  private[graft] def embQuantize(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
       .withColumn("scale", lit(127.0) / col("max_abs"))

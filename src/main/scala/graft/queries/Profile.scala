@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Det, QueryGroup, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +18,26 @@ object Profile extends QueryGroup {
 
   private val profiled = Seq("l_quantity", "l_extendedprice", "l_discount")
 
+  /** One-pass profile of 2-decimal numeric columns: per column — row
+    * count, exact distinct count, min/max, exact sum (integer cents).
+    * All columns profile in a SINGLE scan: one aggregate with every
+    * per-column statistic, pivoted to long form afterwards with stack()
+    * (|cols| rows out of 1). */
+  private[graft] def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        fixedToDbl(sum(cents(col(c))), 100).as(s"${c}__sum"))
+    }
+    val stackExpr = cols
+      .map(c => s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max, ${c}__sum")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"$stackExpr AS (col_name, n, n_distinct, min_v, max_v, sum_v)"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // One-pass column profile: per numeric column — row count, nulls,
     // exact distinct count, min/max, exact sum (cents). All columns
@@ -27,22 +48,8 @@ object Profile extends QueryGroup {
     // exactness; at 100 TB the same shape runs with
     // approx_count_distinct (agg_approx_distinct) and the Expand
     // disappears.
-    "profile_columns" -> ((s, dir) => {
-      val aggs = profiled.flatMap { c =>
-        Seq(count(col(c)).as(s"${c}__n"),
-          countDistinct(col(c)).as(s"${c}__nd"),
-          min(col(c)).as(s"${c}__min"),
-          max(col(c)).as(s"${c}__max"),
-          fixedToDbl(sum(cents(col(c))), 100).as(s"${c}__sum"))
-      }
-      val stackExpr = profiled
-        .map(c => s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max, ${c}__sum")
-        .mkString(s"stack(${profiled.size}, ", ", ", ")")
-      Tables.lineitem(s, dir)
-        .agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"$stackExpr AS (col_name, n, n_distinct, min_v, max_v, sum_v)"))
-        .orderBy("col_name")
-    }),
+    "profile_columns" -> ((s, dir) =>
+      profile(Tables.lineitem(s, dir), profiled).orderBy("col_name")),
 
     // Stratified sampling: per-stratum rates from a (broadcast) config
     // relation, membership decided by a deterministic hash-mod on the
