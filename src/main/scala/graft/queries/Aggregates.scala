@@ -189,6 +189,27 @@ object Aggregates extends QueryGroup {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // Count-min sketch — the mergeable frequency sketch (heavy-hitter
+    // counts at 100 TB: each partition folds its rows into a fixed
+    // 2/eps-wide table, partials merge associatively in the partial
+    // aggregate, and the probe is driver-side over the tiny final
+    // sketch). Approximate (one-sided: est ≥ exact, ≤ exact + eps·N at
+    // the set confidence) ⇒ no oracle (D3); SketchSpec asserts the
+    // bound against exact counts.
+    "agg_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val bin = Tables.events(s, dir)
+        .agg(count_min_sketch(col("event_type"),
+          lit(0.001), lit(0.99), lit(42)).as("cms"))
+        .head.getAs[Array[Byte]]("cms")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bin))
+      Seq("click", "error", "purchase", "signup", "view")
+        .map(t => (t, cms.estimateCount(t)))
+        .toDF("event_type", "est_n")
+        .orderBy("event_type")
+    }),
+
     // Modal value per group (the most frequent event_type per user) —
     // count-then-rank, exact integer counts so the argmax is engine-
     // order-proof; count ties break to the smallest type (D6). Two

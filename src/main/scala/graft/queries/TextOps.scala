@@ -103,6 +103,35 @@ object TextOps extends QueryGroup {
             .cast("long").as("n_bpe"))
         .orderBy("doc_id")),
 
+    // End-to-end curation pipeline — the LLM-data story in ONE query:
+    // exact dedup (group by content digest, smallest id wins — 128-bit
+    // keys shuffle, never bodies) → quality gate (token/char floors) →
+    // deterministic split assignment → per-(lang, split) token budget.
+    // Every stage is a linear shuffle on a bounded key; this is the
+    // shape of the nightly curation job over a 100 TB corpus, and the
+    // final aggregate is the "how much train data do I have per
+    // language" report that gates a training run.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val canonical = docs
+        .groupBy(md5(encode(col("text"), "UTF-8")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs.join(canonical, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 20 && col("n_chars") >= 100)
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 === 8, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("lang", "split")
+    }),
+
     // Quality scoring: token stats + stopword ratio + length flags.
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "in", "to")
@@ -300,6 +329,24 @@ object TextOps extends QueryGroup {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_curate" ->
+      """WITH canonical AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM canonical)),
+        |gated AS (
+        |  SELECT *,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM kept WHERE n_tok >= 20 AND n_chars >= 100)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM gated GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, COUNT(*) AS n_tokens,

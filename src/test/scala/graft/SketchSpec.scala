@@ -120,6 +120,23 @@ class SketchSpec extends SparkSuite {
     assert(brute.nonEmpty, "fixture has no near-dup simhash pairs — test is vacuous")
   }
 
+  test("count-min estimates respect the one-sided eps*N bound") {
+    val est = SparkEntry.queries("agg_count_min")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (t, x) =>
+      val e = est(t)
+      // CMS guarantee at eps=0.001: never under, over by at most eps*N
+      // (w.p. 0.99 — deterministic here via the pinned seed)
+      assert(e >= x, s"$t: est $e under exact $x")
+      assert(e <= x + math.ceil(0.001 * n).toLong + 1, s"$t: est $e too far over $x (N=$n)")
+    }
+    assert(exact.nonEmpty)
+  }
+
   test("approx quantiles land between exact quantiles at ±5 rank points") {
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
