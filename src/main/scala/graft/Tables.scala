@@ -169,6 +169,25 @@ object Tables {
     path
   }
 
+  /** One-time two-generation orders layout for schema-evolution reads:
+    * gen=0 (even keys) was written BEFORE the o_orderpriority column
+    * existed; gen=1 (odd keys) carries it. The lakehouse reality at
+    * 100 TB — years of files under one table path, columns added over
+    * time — which `mergeSchema` reconciles at scan time. */
+  def ordersEvolved(spark: SparkSession, sfDir: String): String = this.synchronized {
+    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_evolved"
+    if (!new java.io.File(s"$path/gen=1", "_SUCCESS").exists()) {
+      val o = orders(spark, sfDir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/gen=0")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+    }
+    path
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -101,6 +101,23 @@ object Scalars extends QueryGroup {
           col("o_orderpriority").substr(1, 1).cast("int").cast("long").as("prio"))
         .orderBy("o_orderkey")),
 
+    // Safe-cast / safe-arithmetic family: malformed input degrades to
+    // NULL instead of failing the job — the ingestion posture over dirty
+    // data at scale (one bad row must not kill a 100 TB scan). Spark's
+    // try_* functions; DuckDB mirrors with TRY_CAST and NULLIF-guarded
+    // division.
+    "fn_try_cast" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"),
+          expr("try_cast(o_orderstatus AS DOUBLE)").as("status_num"),
+          // single IEEE division (or NULL on zero divisor) — bit-equal
+          // in both engines, no rounding discipline needed
+          expr("try_divide(o_totalprice, o_custkey % 3)").as("div_or_null"))
+        .orderBy("o_orderkey")),
+
     // Higher-order functions over the embedding vectors. Elements are
     // cast float→double (exact) before arithmetic so both engines
     // compute in double. Array-valued results are serialized to flat
@@ -213,6 +230,13 @@ object Scalars extends QueryGroup {
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
         |  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_try_cast" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS DOUBLE) AS status_num,
+        |  o_totalprice / NULLIF(o_custkey % 3, 0) AS div_or_null
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_array" ->
       """SELECT vec_id,

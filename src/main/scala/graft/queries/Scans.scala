@@ -106,6 +106,17 @@ object Scans extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // Schema evolution: two file generations under one table path, the
+    // newer with an added column; mergeSchema reconciles the footers at
+    // scan time and the pre-evolution rows surface the new column as
+    // NULL. The everyday lakehouse read after years of column adds.
+    "source_merge_schema" -> ((s, dir) => {
+      val path = Tables.ordersEvolved(s, dir)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // AND/OR/NOT, IN, BETWEEN, LIKE over part.
     "filter_compound" -> ((s, dir) =>
       Tables.part(s, dir)
@@ -166,6 +177,10 @@ object Scans extends QueryGroup {
     "source_orc_file" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "source_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "filter_compound" ->
       """SELECT * FROM part
         |WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 5 AND 40 AND NOT p_size = 7)

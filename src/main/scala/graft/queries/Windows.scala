@@ -83,6 +83,24 @@ object Windows extends QueryGroup {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Time-interval RANGE frame: per-user trailing-1-hour event count and
+    // value sum at every event. The frame is value-bounded on the
+    // microsecond clock (RANGE, not ROWS), so simultaneous events are
+    // frame-peers in both engines — no tie-break needed; one shuffle on
+    // user_id serves the whole window. The trailing-window feature shape
+    // (rate limiting, rolling engagement) over event time.
+    "win_time_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_hour"),
+          fixedToDbl(sum(cents(col("value"))).over(w), 100).as("sum_hour"))
+        .orderBy("event_id")
+    }),
+
     "win_distribution" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(s, dir)
@@ -279,6 +297,15 @@ object Windows extends QueryGroup {
         |    PARTITION BY o_custkey ORDER BY o_totalprice
         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / CAST(100 AS DOUBLE)) AS cum_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_time_range" ->
+      s"""SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_hour,
+        |  (CAST(SUM(${Det.centsSql("value")}) OVER w AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_hour
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_distribution" ->
       """SELECT c_mktsegment, c_custkey,
         |  ntile(4) OVER w AS quartile,
