@@ -221,6 +221,57 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // A REAL decode of a REAL image format, no codec library required:
+    // each document is framed as a binary PPM (P6) image — ASCII header
+    // "P6\n<w> <h>\n255\n" + w·h·3 pixel bytes (pixels sampled from the
+    // text). The decoder is an honest byte-level parser: it reads the
+    // magic, walks the header integers, and counts the remaining pixel
+    // bytes — it sees ONLY the payload bytes. The oracle re-derives
+    // (w, h, n_pix) from the generative formula independently, so a
+    // wrong parse (off-by-one header walk, wrong pixel count) hash-
+    // mismatches. This is the upgrade path for mm_decode's acknowledged
+    // stub: formats needing external codecs stay stubbed, but the
+    // decode STAGE itself is proven on a format a parser can own.
+    "mm_decode_ppm" -> ((s, dir) => {
+      import s.implicits._
+      // ingest side: construct the P6 payload (w, h from the id — at
+      // most 16×9×3 = 432 pixel bytes, text repeated to cover)
+      val w = (col("doc_id") % 13 + 4).cast("int")
+      val h = (col("doc_id") % 7 + 3).cast("int")
+      val need = w * h * lit(3)
+      val px = substring(
+        concat_ws("", array_repeat(col("text"),
+          (lit(432) / length(col("text"))).cast("int") + 1)),
+        1, 16 * 9 * 3)
+      val payload = concat(
+        encode(concat(lit("P6\n"), w.cast("string"), lit(" "),
+          h.cast("string"), lit("\n255\n")), "UTF-8"),
+        encode(expr("substring(px, 1, need)"), "UTF-8"))
+      Tables.documents(s, dir)
+        .withColumn("px", px).withColumn("need", need)
+        .select(col("doc_id"), payload.as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.iterator.map { case (id, bytes) =>
+              // real parse: magic + two header ints + maxval, then count
+              require(bytes(0) == 'P' && bytes(1) == '6', s"doc $id: bad magic")
+              var i = 3
+              def readInt(): Int = {
+                var v = 0
+                while (bytes(i) >= '0' && bytes(i) <= '9') { v = v * 10 + (bytes(i) - '0'); i += 1 }
+                i += 1 // delimiter
+                v
+              }
+              val pw = readInt(); val ph = readInt(); val maxv = readInt()
+              (id, pw.toLong, ph.toLong, (bytes.length - i).toLong, s"ppm-p$maxv")
+            }
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_pix", "format")
+        .orderBy("doc_id")
+    }),
+
     // The same decode stage with a REAL columnar batch: each 64-row group
     // is materialized as an Arrow VectorSchemaRoot (BigIntVector ids +
     // VarBinaryVector payloads — the exact memory layout a C-data-
@@ -391,6 +442,15 @@ object TextOps extends QueryGroup {
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 1856 AS width,
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 1016 AS height,
         |  'rgb8' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Independent derivation from the GENERATIVE formula (the Spark side
+    // parses only bytes): any header-walk or pixel-count bug mismatches.
+    "mm_decode_ppm" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+        |  CAST(doc_id % 7 + 3 AS BIGINT) AS height,
+        |  CAST((doc_id % 13 + 4) * (doc_id % 7 + 3) * 3 AS BIGINT) AS n_pix,
+        |  'ppm-p255' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode_arrow" ->
       """SELECT doc_id,
