@@ -169,6 +169,27 @@ object Tables {
     path
   }
 
+  /** One-time calendar dimension for the partitioned events layout:
+    * (d, dow) — the tiny dim side of the star join whose filter drives
+    * dynamic partition pruning over [[eventsByDay]]. The weekday is
+    * stored as an INT and filtered with IN: DPP's selectivity heuristic
+    * recognizes comparison/IN predicates, not bare boolean flags. */
+  def calendarDim(spark: SparkSession, sfDir: String): String = this.synchronized {
+    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/calendar"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      // d as DATE — the partitioned fact layout infers its `d` partition
+      // column as DateType, and dynamic pruning needs a cast-free join
+      events(spark, sfDir)
+        .select(to_date(col("ts")).as("d"))
+        .distinct()
+        // Spark dayofweek: 1 = Sunday … 7 = Saturday
+        .withColumn("dow", dayofweek(col("d")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** One-time two-generation orders layout for schema-evolution reads:
     * gen=0 (even keys) was written BEFORE the o_orderpriority column
     * existed; gen=1 (odd keys) carries it. The lakehouse reality at

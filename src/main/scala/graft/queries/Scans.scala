@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * a total order over a provably-unique key set (rule D1) — for lineitem
   * that means the full 5-column Det.liKey. */
 object Scans extends QueryGroup {
-  import Det.{liKey, liKeySql}
+  import Det.{liKey, liKeySql, sumd2}
 
   def queries: Seq[(String, Q)] = Seq(
     // Full scan, stable order. Catalyst plans a plain FileScan.
@@ -65,6 +65,24 @@ object Scans extends QueryGroup {
         .select(col("event_id"), col("event_type"),
           date_format(col("d"), "yyyy-MM-dd").as("d"))
         .orderBy("event_id")
+    }),
+
+    // Dynamic partition pruning — the star-join scan optimization: the
+    // fact table is partitioned by day, the calendar dim carries the
+    // selective predicate (weekends), and the fact scan's partition list
+    // is pruned AT RUNTIME by a subquery over the broadcast dim — the
+    // days are not known at plan time, yet only their directories are
+    // read. At 100 TB this is the difference between scanning 30 and
+    // 3000 partitions of a date-partitioned fact. PlanSpec asserts the
+    // dynamicpruning expression lands in the scan's PartitionFilters.
+    "join_partition_dpp" -> ((s, dir) => {
+      val fact = s.read.parquet(Tables.eventsByDay(s, dir))
+      val cal = s.read.parquet(Tables.calendarDim(s, dir))
+        .filter(col("dow").isin(1, 7)) // weekends; IN is DPP-selective
+      fact.join(cal, Seq("d"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
+        .orderBy("event_type")
     }),
 
     // CSV file source: supplier materialized once as headered CSV
@@ -177,6 +195,13 @@ object Scans extends QueryGroup {
     "source_orc_file" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // DuckDB dayofweek: 0 = Sunday … 6 = Saturday (Spark: 1/7)
+    "join_partition_dpp" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sumd2Sql("value")} AS sum_value
+         |FROM events
+         |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "source_merge_schema" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority

@@ -158,6 +158,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
   }
 
+  test("join_partition_dpp prunes fact partitions at runtime (dynamicpruning)") {
+    val p = SparkEntry.queries("join_partition_dpp")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in the fact scan:\n$p")
+  }
+
   test("join_runtime_bloom injects a bloom runtime filter into the probe side") {
     // At production thresholds the 10 GB probe-side floor keeps the
     // filter off fixture-sized scans; lowering the thresholds proves the
