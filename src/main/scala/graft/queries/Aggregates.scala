@@ -189,6 +189,25 @@ object Aggregates extends QueryGroup {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // HLL sketch build + UNION — the 100 TB distinct-count pattern in
+    // full: a sketch per day (computed independently, e.g. by the daily
+    // ingest job), then the global distinct arrives by UNIONING the
+    // tiny sketches — no re-scan of history, no giant shuffle. The
+    // datasketches-backed hll_sketch_agg/hll_union_agg are mergeable
+    // partial aggregates. Approximate ⇒ D3; SketchSpec bounds each
+    // estimate against exact distinct counts.
+    "agg_hll_union" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val perDay = daily.select(col("day"),
+        hll_sketch_estimate(col("sk")).as("est_users"))
+      val total = daily
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .select(lit("ALL").as("day"), col("est_users"))
+      perDay.unionByName(total).orderBy("day")
+    }),
+
     // Count-min sketch — the mergeable frequency sketch (heavy-hitter
     // counts at 100 TB: each partition folds its rows into a fixed
     // 2/eps-wide table, partials merge associatively in the partial
@@ -201,7 +220,7 @@ object Aggregates extends QueryGroup {
       val bin = Tables.events(s, dir)
         .agg(count_min_sketch(col("event_type"),
           lit(0.001), lit(0.99), lit(42)).as("cms"))
-        .head.getAs[Array[Byte]]("cms")
+        .head().getAs[Array[Byte]]("cms")
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bin))
       Seq("click", "error", "purchase", "signup", "view")

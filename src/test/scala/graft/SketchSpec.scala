@@ -120,6 +120,25 @@ class SketchSpec extends SparkSuite {
     assert(brute.nonEmpty, "fixture has no near-dup simhash pairs — test is vacuous")
   }
 
+  test("unioned daily HLL sketches estimate global distinct within 5%") {
+    val est = SparkEntry.queries("agg_hll_union")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPerDay = Tables.events(spark, sf001)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTotal = Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    exactPerDay.foreach { case (d, x) =>
+      assert(math.abs(est(d) - x) <= math.max(1L, (0.05 * x).toLong),
+        s"day $d: hll $est(d) vs exact $x")
+    }
+    // the union of per-day sketches must recover the GLOBAL distinct —
+    // the mergeability property the key exists to demonstrate
+    assert(math.abs(est("ALL") - exactTotal) <= math.max(1L, (0.05 * exactTotal).toLong),
+      s"union: hll ${est("ALL")} vs exact $exactTotal")
+  }
+
   test("count-min estimates respect the one-sided eps*N bound") {
     val est = SparkEntry.queries("agg_count_min")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
