@@ -94,6 +94,60 @@ object Profile extends QueryGroup {
         .orderBy("p_partkey")
     }),
 
+    // Funnel analysis: per user, the ordered view → click → purchase
+    // progression — each stage's first timestamp must be at or after the
+    // previous stage's. Three per-user conditional-min aggregates
+    // chained by joins on user_id (every shuffle keyed on the funnel
+    // entity, linear at scale); the classic product-analytics query.
+    "funnel_stages" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def firstAfter(tpe: String, prev: Option[DataFrame], prevCol: String,
+          out: String): DataFrame = {
+        val base = ev.filter(col("event_type") === tpe)
+        val gated = prev match {
+          case Some(p) => base.join(p.select("user_id", prevCol), "user_id")
+            .filter(col("ts") >= col(prevCol))
+          case None => base
+        }
+        gated.groupBy("user_id").agg(min(col("ts")).as(out))
+      }
+      val v = firstAfter("view", None, "", "t_view")
+      val c = firstAfter("click", Some(v), "t_view", "t_click")
+      val p = firstAfter("purchase", Some(c), "t_click", "t_purchase")
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L).otherwise(0L).as("stage"),
+          date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"))
+        .orderBy("user_id")
+    }),
+
+    // Weekly cohort retention: users bucketed by first-activity week,
+    // counted per (cohort, weeks-since-cohort) — the engagement matrix.
+    // Week = integer days-since-epoch-anchor div 7 (identical arithmetic
+    // in both engines; no locale week-start semantics). Two grouped
+    // aggregates over (user, week) pairs, both keyed on bounded
+    // cardinalities.
+    "retention_cohort" -> ((s, dir) => {
+      // explicit floor: DuckDB's double→BIGINT cast ROUNDS while Spark's
+      // truncates — floor-then-cast is identical in both (all positive)
+      val wk = floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7)
+        .cast("long")
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), wk.as("w")).distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Selective-dimension join — the shape Spark's runtime bloom filter
     // optimizes: the filtered orders side builds a bloom filter that is
     // pushed into the lineitem scan, cutting the probe-side shuffle to
@@ -146,6 +200,41 @@ object Profile extends QueryGroup {
         |  ROUND(1.0 - CAST(levenshtein(p_brand, p_type) AS DOUBLE) /
         |    CAST(GREATEST(LENGTH(p_brand), LENGTH(p_type)) AS DOUBLE), 6) AS sim
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "funnel_stages" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |  strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |  strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
+        |FROM u LEFT JOIN v USING (user_id)
+        |  LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    "retention_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS w
+        |  FROM events),
+        |co AS (SELECT user_id, MIN(w) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT co.cohort_week, uw.w - co.cohort_week AS week_offset,
+        |  COUNT(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN co USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "join_runtime_bloom" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${Det.sumd2Sql("l_extendedprice")} AS sum_price
