@@ -127,11 +127,18 @@ object Graft {
   }
 
   /** Embedding near-dup pairs at a cosine threshold via IVF candidates +
-    * exact rerank (subquadratic). Returns (id_a, id_b). */
+    * exact rerank (subquadratic). Returns (id_a, id_b).
+    *
+    * Pairs are capped at each point's top-`k` IVF candidates before the
+    * threshold applies — a point with more than `k` neighbors above
+    * `minCosine` reports only its `k` nearest (raise `k` when dense
+    * near-dup cliques are expected); this cap is in addition to the IVF
+    * bucketing approximation. */
   def nearDupPairsEmbedding(spark: SparkSession, embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      minCosine: Double = 0.4, centroids: Int = 16, nprobe: Int = 8): DataFrame =
-    similarTopKIvf(spark, embeddings, k = 10, idCol, vecCol, centroids, nprobe)
+      minCosine: Double = 0.4, centroids: Int = 16, nprobe: Int = 8,
+      k: Int = 10): DataFrame =
+    similarTopKIvf(spark, embeddings, k, idCol, vecCol, centroids, nprobe)
       .filter(col("cos") >= minCosine)
       .select(least(col("i"), col("k")).as("id_a"),
         greatest(col("i"), col("k")).as("id_b"))

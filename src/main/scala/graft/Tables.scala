@@ -134,13 +134,26 @@ object Tables {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Fingerprint of a fixture table's source file(s) — max mtime + total
+    * size — baked into every /tmp materialization path below, so a
+    * regenerated fixture gets a fresh materialization instead of the
+    * _SUCCESS marker silently serving stale data (round-4 ADVICE). */
+  private def fingerprint(sfDir: String, name: String): String = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+    val mtime = files.map(_.lastModified).maxOption.getOrElse(0L)
+    val size = files.map(_.length).sum
+    java.lang.Long.toHexString(mtime ^ java.lang.Long.rotateLeft(size, 32))
+  }
+
   /** One-time date-partitioned materialization of events under /tmp —
     * the Hive-style partitioned layout `scan_partition_prune` reads.
-    * Idempotent per sf-dir (guarded by the parquet _SUCCESS marker); at
-    * 100 TB this is the ingest-side partitioning that lets every
-    * date-ranged query plan prune directories instead of scanning. */
+    * Idempotent per (sf-dir, fixture fingerprint) — guarded by the
+    * parquet _SUCCESS marker; at 100 TB this is the ingest-side
+    * partitioning that lets every date-ranged query plan prune
+    * directories instead of scanning. */
   def eventsByDay(spark: SparkSession, sfDir: String): String = this.synchronized {
-    val path = s"/tmp/graft_partitioned/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/events_by_day"
+    val path = s"/tmp/graft_partitioned/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_${fingerprint(sfDir, "events")}/events_by_day"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       events(spark, sfDir)
         .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
@@ -157,7 +170,7 @@ object Tables {
     * decimal form and the readers parse back to the identical bits. */
   def sideload(spark: SparkSession, sfDir: String, name: String,
       format: String): String = this.synchronized {
-    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/${name}_$format"
+    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_${fingerprint(sfDir, name)}/${name}_$format"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val w = load(spark, sfDir, name).write.mode("overwrite")
       format match {
@@ -175,7 +188,7 @@ object Tables {
     * stored as an INT and filtered with IN: DPP's selectivity heuristic
     * recognizes comparison/IN predicates, not bare boolean flags. */
   def calendarDim(spark: SparkSession, sfDir: String): String = this.synchronized {
-    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/calendar"
+    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_${fingerprint(sfDir, "events")}/calendar"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       // d as DATE — the partitioned fact layout infers its `d` partition
       // column as DateType, and dynamic pruning needs a cast-free join
@@ -196,7 +209,7 @@ object Tables {
     * 100 TB — years of files under one table path, columns added over
     * time — which `mergeSchema` reconciles at scan time. */
   def ordersEvolved(spark: SparkSession, sfDir: String): String = this.synchronized {
-    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders_evolved"
+    val path = s"/tmp/graft_sideload/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_${fingerprint(sfDir, "orders")}/orders_evolved"
     if (!new java.io.File(s"$path/gen=1", "_SUCCESS").exists()) {
       val o = orders(spark, sfDir)
       o.filter(col("o_orderkey") % 2 === 0)

@@ -19,13 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  def topkCosine(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
+  /** Hard cap on the collected index side (~512 MB of doubles at d=64).
+    * The broadcast-index kernel's driver memory grows linearly with the
+    * index; past this, the IVF path (Dedup.simsearch_ivf /
+    * Graft.similarTopKIvf) is the declared scale route. */
+  val MaxIndexRows: Int = 1 << 20
+
+  def topkCosine(spark: SparkSession, embeddings: DataFrame, k: Int,
+      maxIndexRows: Int = MaxIndexRows): DataFrame = {
     import spark.implicits._
     val vecs = embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
 
-    val index: Array[(Long, Array[Double], Double)] = vecs.collect()
+    // Fail fast on an oversized index: the limit bounds what the driver
+    // ever materializes, and the cap+1'th row proves the overflow.
+    val collected = vecs.limit(maxIndexRows + 1).collect()
+    require(collected.length <= maxIndexRows,
+      s"Ann.topkCosine: index side exceeds $maxIndexRows rows — the broadcast-index " +
+        "kernel is the small-index path; use the IVF route (simsearch_ivf / " +
+        "Graft.similarTopKIvf) for indexes this large")
+    val index: Array[(Long, Array[Double], Double)] = collected
       .sortBy(_._1)
       .map { case (id, v) =>
         val a = v.toArray

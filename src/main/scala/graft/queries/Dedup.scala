@@ -188,12 +188,19 @@ object Dedup extends QueryGroup {
     * optimization, which this formulation is the textbook base of.
     *
     * @param nodes one column `id`; @param pairs columns `id_a`, `id_b`.
+    *   Edge endpoints absent from `nodes` are unioned into the label
+    *   seed (round-4 ADVICE: otherwise such a node never self-labels and
+    *   silently drops from the output), so `nodes` need not cover the
+    *   edge list.
     * @return (id, component) — component = smallest reachable id. */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val adj = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint() // computed once, reused every iteration
-    var labels = nodes.select(col("id").as("u"), col("id").as("lbl"))
+    var labels = nodes.select(col("id").as("u"))
+      .unionByName(adj.select(col("u")))
+      .distinct()
+      .select(col("u"), col("u").as("lbl"))
     var changed = 1L
     while (changed > 0) {
       val nbr = adj.join(labels.withColumnRenamed("u", "v"), "v")

@@ -80,4 +80,55 @@ class GraftSpec extends SparkSuite {
     val key = rows(SparkEntry.queries("profile_columns")(spark, sf001))
     assert(facade == key)
   }
+
+  test("connectedComponents labels edge endpoints missing from nodes") {
+    // round-4 ADVICE: nodes {1,2}; edges reach 3 and 4, and 5-6 is a
+    // component with NO endpoint in nodes at all — every id must still
+    // come back labeled with its component min.
+    import spark.implicits._
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Graft.connectedComponents(nodes, edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("Ann.topkCosine rejects an index past the row cap") {
+    val emb = Tables.embeddings(spark, sf001)
+    val e = intercept[IllegalArgumentException] {
+      functions.Ann.topkCosine(spark, emb, 5, maxIndexRows = 10)
+    }
+    assert(e.getMessage.contains("simsearch_ivf"))
+    // and the guard passes when the index fits
+    assert(functions.Ann.topkCosine(spark, emb.limit(8), 2, maxIndexRows = 10)
+      .count() > 0)
+  }
+
+  test("mm decode stages are byte-exact on non-ASCII and empty text") {
+    // round-4 ADVICE: the fixture is pure ASCII, so char-based slicing
+    // never showed. Multi-byte text (2- and 3-byte UTF-8) and an empty
+    // doc must still satisfy the generative formulas in BYTES.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "héllo wörld ünïcode résumé naïve çédille"),
+      (2L, "日本語のテキストです 中文文本 한국어"),
+      (3L, ""),
+      (4L, "plain ascii text for contrast")).toDF("doc_id", "text")
+    val ppm = queries.TextOps.decodePpm(spark, docs).orderBy("doc_id").collect()
+    ppm.foreach { r =>
+      val (id, w, h, npix) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w == id % 13 + 4 && h == id % 7 + 3, s"doc $id dims")
+      assert(npix == w * h * 3, s"doc $id: n_pix $npix != ${w * h * 3}")
+      assert(r.getString(4) == "ppm-p255")
+    }
+    val gft = queries.TextOps.decodeGft1(spark, docs).orderBy("doc_id").collect()
+    val byteLens = docs.select(col("doc_id"), expr("octet_length(text)").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gft.foreach { r =>
+      val (id, nb, w, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb == byteLens(id), s"doc $id: parsed n_bytes $nb != octet_length")
+      assert(w == 64 + nb % 1856 && h == 64 + (nb * 7) % 1016, s"doc $id dims")
+      assert(r.getString(4) == "rgb8")
+    }
+  }
 }
