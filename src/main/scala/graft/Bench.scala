@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *      every scan to one task), then every headline query runs once
   *      untimed (JIT + codegen compilation).
   *   2. measure — each query built fresh per rep; 5 consecutive reps +
-  *      2 interleaved rescue rounds, min of all 7 reported (see the
+  *      3 interleaved rescue rounds, min of all 8 reported (see the
   *      phase-2 comment for why both sub-phases exist).
   * The AP row runs at the baseline's own config (N=500, full loop to
   * convergence). Prints ONE JSON line. */
@@ -29,10 +29,20 @@ object Bench {
     // deployment does when it sizes shuffle partitions to data, not to
     // cluster width.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Shuffle partitions are WORKLOAD-sized (≤8 for the few-MB sf0.1
+    // fixtures), independent of the thread count: round-5 A/B
+    // (BENCH_NOTES §12) showed a cpus=32 session with 32-way shuffles
+    // reproduced the driver's 2-4× inflated records exactly —
+    // stream_tumbling 0.35 vs 0.11 s, dedup_minhash 0.66 vs 0.45 —
+    // while the same 32 threads with 8-way plans match the local[8]
+    // numbers. Partition count follows the data; cluster width only
+    // caps it (Tables.workloadPartitions is the same rule for the
+    // warmed layouts).
+    val shuffleParts = math.min(8, cpus.toInt).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", shuffleParts))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
@@ -88,7 +98,7 @@ object Bench {
     //      CPU-cache state and measure ~15-25% faster than rotated ones
     //      (A/B'd round 4), so this phase supplies the steady-state min
     //      on a quiet box;
-    //   b. 2 INTERLEAVED round-robin passes — the driver box carries
+    //   b. 3 INTERLEAVED round-robin passes — the driver box carries
     //      sustained multi-second load spikes (BENCH_r02/r03 records
     //      inflated 3-7× over re-runs of identical code, BENCH_NOTES
     //      §1/§8); a spike inside phase (a) poisons all 5 reps of one or
@@ -108,7 +118,7 @@ object Bench {
     def record(name: String, t: Double): Unit =
       if (!results.contains(name) || t < results(name)) results(name) = t
     for ((name, run) <- timed; _ <- 1 to 5) record(name, time(run()))
-    for (_ <- 1 to 2; (name, run) <- timed) record(name, time(run()))
+    for (_ <- 1 to 3; (name, run) <- timed) record(name, time(run()))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

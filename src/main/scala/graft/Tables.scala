@@ -43,14 +43,31 @@ object Tables {
       else spark.read.parquet(s"$sfDir/$name.parquet")
     })
 
+  /** Workload-sized partition count: one task per ~64 MB of input,
+    * floored at min(8, cluster parallelism) so small tables still get
+    * latency-hiding parallelism, capped at cluster width. Round-5
+    * finding: sizing the warmed layouts to `defaultParallelism` made
+    * every plan downstream of them inherit the MACHINE's width — at the
+    * driver's cpus=32 a 3600-row aggregate paid a 32-way fan-out and
+    * measured 3× slower than the same code at 8 (BENCH_NOTES §12). Data
+    * should set the partition count, the cluster only caps it: at
+    * 100 TB this same formula yields full cluster width.  */
+  private[graft] def workloadPartitions(spark: SparkSession, df: DataFrame): Int = {
+    val dp = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byData = (bytes / (64L * 1024 * 1024)).toInt + 1
+    math.max(math.min(8, dp), math.min(dp, byData))
+  }
+
   /** Buffer-pool warm-up (opt-in — the bench session calls this; Verify
     * and the tests never do, so their plans keep PushedFilters/pruning).
     * The driver fixtures are single-row-group parquet, so every scan is
     * one task no matter the split config — the engine analog of a table
     * that arrived as one giant unsplittable file. A real engine ingests
     * such a table once into its buffer pool / bucketed layout and serves
-    * queries from there; this does the same: one repartition to cluster
-    * parallelism, persisted in-memory columnar, materialized eagerly.
+    * queries from there; this does the same: one repartition to the
+    * WORKLOAD-sized partition count, persisted in-memory columnar,
+    * materialized eagerly.
     * A bucket column aligns the ingest with the workload — the cache
     * scan then REPORTS that HashPartitioning, so windows/aggregates/joins
     * keyed on it skip their exchange outright (the in-memory analog of
@@ -62,9 +79,10 @@ object Tables {
       tables: Seq[(String, Option[String])]): Unit =
     tables.foreach { case (name, bucketCol) =>
       val base = load(spark, sfDir, name)
+      val parts = workloadPartitions(spark, base)
       val df = bucketCol match {
-        case Some(c) => base.repartition(spark.sparkContext.defaultParallelism, col(c))
-        case None => base.repartition(spark.sparkContext.defaultParallelism)
+        case Some(c) => base.repartition(parts, col(c))
+        case None => base.repartition(parts)
       }
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       cached.count() // materialize now, not inside the first timed query
@@ -77,8 +95,9 @@ object Tables {
     * projections live in the same session cache under `name#key`. */
   def warmProjection(spark: SparkSession, sfDir: String,
       name: String, key: String): Unit = {
-    val df = load(spark, sfDir, name)
-      .repartition(spark.sparkContext.defaultParallelism, col(key))
+    val base = load(spark, sfDir, name)
+    val df = base
+      .repartition(workloadPartitions(spark, base), col(key))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
     sessionCache(spark).put((sfDir, s"$name#$key"), df)
@@ -117,8 +136,9 @@ object Tables {
 
   /** Ingest-side materialization of [[eventsHourly]] (bench session). */
   def warmEventsHourly(spark: SparkSession, sfDir: String): Unit = {
-    val df = eventsHourlyPlan(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val plan = eventsHourlyPlan(spark, sfDir)
+    val df = plan
+      .repartition(workloadPartitions(spark, plan))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
     sessionCache(spark).put((sfDir, "events#hourly"), df)

@@ -32,10 +32,11 @@ object Dedup extends QueryGroup {
       // partition BY doc_id, not round-robin: the same exchange that
       // spreads the explode also satisfies every downstream per-doc
       // clustering (distinct on (doc_id, shingle), groupBy(doc_id)) —
-      // one shuffle instead of two. Hash spread over all doc_ids is
-      // balanced here; at 100 TB a pathologically hot document would
-      // call for salting this key.
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // one shuffle instead of two. Workload-sized, not machine-sized
+      // (BENCH_NOTES §12). Hash spread over all doc_ids is balanced
+      // here; at 100 TB a pathologically hot document would call for
+      // salting this key.
+      .repartition(Tables.workloadPartitions(s, docs), col("doc_id"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
       .select(col("doc_id"), concat_ws(" ",
@@ -123,8 +124,9 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       // by doc_id (see shingles): this exchange doubles as the
-      // signature groupBy(doc_id)'s required clustering — one shuffle
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // signature groupBy(doc_id)'s required clustering — one shuffle,
+      // workload-sized (BENCH_NOTES §12)
+      .repartition(Tables.workloadPartitions(s, docs), col("doc_id"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
       .select(col("doc_id"), xxhash64(
