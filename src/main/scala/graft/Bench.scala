@@ -78,6 +78,7 @@ object Bench {
     Tables.warm(spark, sfDir, Seq(
       "lineitem" -> Some("l_suppkey"),
       "customer" -> None,
+      "orders" -> Some("o_orderkey"),
       "embeddings" -> None))
     // Second lineitem projection for the orderkey-keyed aggregate+join
     // path (topk_global) — projection selection, not a bigger cache knob.

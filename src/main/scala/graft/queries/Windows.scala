@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
 object Windows extends QueryGroup {
   import Det._
 
+  /** Both physical shapes of topk_global (see the key's comment).
+    * `preAgg = true` is the scale plan; false is the small-input plan.
+    * Exposed so PlanSpec can pin each shape independently of the size
+    * statistic the query key branches on. */
+  private[graft] def topkGlobal(s: org.apache.spark.sql.SparkSession,
+      dir: String, preAgg: Boolean): org.apache.spark.sql.DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    // declare the orderkey access path: if the catalog has a bucketed
+    // projection, the fact-side aggregate/join needs no exchange
+    val l = Tables.projection(s, dir, "lineitem", "l_orderkey")
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    val fact =
+      if (preAgg) l.groupBy(col("l_orderkey")).agg(sum(rev).as("rev_units"))
+      else l.select(col("l_orderkey"), rev.as("rev_units"))
+    fact.join(o.select(col("o_orderkey"), col("o_custkey")),
+        fact("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(fixedToDbl(sum(col("rev_units")), 10000).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "win_ranking" -> ((s, dir) => {
       val wTies = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
@@ -121,31 +146,24 @@ object Windows extends QueryGroup {
           when(col("c_acctbal") < 500, lit(null)).otherwise(col("c_acctbal")).as("bal"))
         .orderBy(col("c_mktsegment").asc, col("bal").desc_nulls_last, col("c_custkey").asc)),
 
-    // 3-table join + group + global top-10 (TakeOrderedAndProject).
-    // Scale-safe plan: the fact table is pre-aggregated per l_orderkey
-    // (map-side combine shrinks 600k rows → 150k partials BEFORE any
-    // join), then shuffle-joined to orders on the same key — both sides
-    // scale with sf, so neither is ever broadcast or collected — and only
-    // the genuinely small customer dim is broadcast. (Round 1 broadcast
-    // the orders⋈customer product: a relation that grows linearly with sf
-    // — a driver OOM at 100×, and 16× the baseline even locally.)
+    // 3-table join + group + global top-10 (TakeOrderedAndProject) —
+    // TWO-REGIME, chosen by the fact side's size statistic (the same
+    // cost-based call AQE makes from runtime stats):
+    //   big   — pre-aggregate lineitem per l_orderkey before any join:
+    //           map-side combine caps the join input, both sf-scaling
+    //           relations shuffle-join, only the customer dim is
+    //           broadcast. The 100 TB shape.
+    //   small — below ~1 GB of fact input the 150 k-group pre-aggregate
+    //           costs more than the join rows it saves (BENCH_NOTES §6:
+    //           0.58 s of a 0.70 s query at a 4:1 reduction); join the
+    //           raw rows and aggregate ONCE per custkey.
+    // Same rows either way (sum is associative); PlanSpec pins both
+    // shapes. (Round 1 broadcast the orders⋈customer product: a relation
+    // that grows linearly with sf — a driver OOM at 100×.)
     "topk_global" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
-      // declare the orderkey access path: if the catalog has a bucketed
-      // projection, the pre-aggregate and join need no exchange
       val l = Tables.projection(s, dir, "lineitem", "l_orderkey")
-      val lagg = l.groupBy(col("l_orderkey"))
-        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
-          .as("rev_units"))
-      lagg.join(o.select(col("o_orderkey"), col("o_custkey")),
-          lagg("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c.select(col("c_custkey"), col("c_name"))),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(fixedToDbl(sum(col("rev_units")), 10000).as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(10)
+      topkGlobal(s, dir,
+        preAgg = l.queryExecution.optimizedPlan.stats.sizeInBytes > (1L << 30))
     }),
 
     // Top-3 lineitems per supplier via row_number ≤ 3 (D6 tie-break).

@@ -45,12 +45,35 @@ class PlanSpec extends SparkSuite {
     assert(planOf("topk_global").contains("TakeOrderedAndProject"))
   }
 
-  test("topk_global pre-aggregates lineitem per l_orderkey below the join") {
-    // the 100 TB-safe shape: map-side combine shrinks the fact table
+  test("topk_global scale shape pre-aggregates per l_orderkey below the join") {
+    // the 100 TB-safe regime: map-side combine shrinks the fact table
     // BEFORE any join; no sf-scaling relation is force-broadcast
-    val p = planOf("topk_global")
+    val p = queries.Windows.topkGlobal(spark, sf001, preAgg = true)
+      .queryExecution.executedPlan.toString
     assert("keys=\\[l_orderkey".r.findFirstIn(p).isDefined,
       s"no pre-join aggregate on l_orderkey:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("topk_global small shape skips the pre-aggregate, keeps one custkey agg") {
+    // below the size threshold the 150k-group pre-aggregate is pure
+    // overhead (BENCH_NOTES §6): the raw rows join, ONE aggregate per
+    // custkey, still TakeOrderedAndProject — and the fixture-scale key
+    // must pick this regime
+    val p = queries.Windows.topkGlobal(spark, sf001, preAgg = false)
+      .queryExecution.executedPlan.toString
+    assert("keys=\\[l_orderkey".r.findFirstIn(p).isEmpty,
+      s"unexpected pre-join aggregate in the small regime:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    val key = planOf("topk_global")
+    assert("keys=\\[l_orderkey".r.findFirstIn(key).isEmpty,
+      "fixture-scale topk_global should choose the small regime")
+  }
+
+  test("topk_global regimes agree row-for-row") {
+    val a = queries.Windows.topkGlobal(spark, sf001, preAgg = true).collect().toSeq
+    val b = queries.Windows.topkGlobal(spark, sf001, preAgg = false).collect().toSeq
+    assert(a == b)
   }
 
   test("bucketed tables co-locate the join (no shuffle exchange)") {
