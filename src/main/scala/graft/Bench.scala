@@ -61,7 +61,8 @@ object Bench {
       "stream_tumbling",  // BASELINE: 0.024 s (1-h tumbling windows)
       "simsearch_topk",   // BASELINE: 0.358 s (brute-force cosine knn)
       "join_asof",        // BASELINE: 0.102 s (DuckDB native ASOF JOIN)
-      "dedup_minhash")    // BASELINE: 0.440 s (DuckDB exact shingle-jaccard)
+      "dedup_minhash",    // BASELINE: 0.440 s (DuckDB exact shingle-jaccard)
+      "dedup_cluster")    // BASELINE: 0.892 s (DuckDB recursive-CTE components)
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -121,10 +122,22 @@ object Bench {
     for ((name, run) <- timed; _ <- 1 to 5) record(name, time(run()))
     for (_ <- 1 to 3; (name, run) <- timed) record(name, time(run()))
 
+    // Optional floor measurements (BASELINE.md round-5 amendment): jobs
+    // with NO query logic that bound what any Spark-local query can
+    // clock on this box. `SPARK_GRAFT_FLOORS=1` prints them next to the
+    // query rows so the amendment's numbers are one command to re-check.
+    val floors = if (sys.env.get("SPARK_GRAFT_FLOORS").contains("1")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def minOf(n: Int)(f: => Unit): Double = (1 to n).map(_ => time(f)).min
+      val cached = minOf(5)(Tables.lineitem(spark, sfDir).count())
+      val scan = minOf(5)(spark.read.parquet(s"$sfDir/events.parquet").count())
+      f""","floors":{"dispatch_cached_count":$cached%.4f,"scan_events_parquet":$scan%.4f}"""
+    } else ""
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$floors}"""
     println(json)
     // Belt-and-suspenders for the driver's parser: also drop the JSON as
     // a file next to the build (round 1's record had parsed:null because

@@ -195,25 +195,49 @@ object Dedup extends QueryGroup {
     *   silently drops from the output), so `nodes` need not cover the
     *   edge list.
     * @return (id, component) — component = smallest reachable id. */
+  /** Unpersist the RDD behind a localCheckpoint'd DataFrame. Checkpoints
+    * superseded inside an iterative loop otherwise pin storage memory
+    * until driver GC — across repeated runs in one session (the bench)
+    * that pressure evicts the warmed table caches. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
+
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val adj = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint() // computed once, reused every iteration
+    // Materialize the pair-generation pipeline ONCE: the edge list is
+    // consumed forward + reversed and then on every iteration — without
+    // the checkpoint the union would execute the (expensive) upstream
+    // pipeline twice in a single plan.
+    val p = pairs.select(col("id_a").as("u"), col("id_b").as("v")).localCheckpoint()
+    val adj = p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
     var labels = nodes.select(col("id").as("u"))
       .unionByName(adj.select(col("u")))
       .distinct()
       .select(col("u"), col("u").as("lbl"))
+    val lblType = labels.schema("lbl").dataType
+    var prev: Option[DataFrame] = None
     var changed = 1L
     while (changed > 0) {
+      // One pass computes BOTH the new labels and the convergence signal:
+      // self rows carry their current label in `own` (null on propagated
+      // rows), so after the min-label aggregate `lbl < own` on the
+      // materialized checkpoint IS the per-node change flag — no second
+      // join against the previous generation per iteration.
       val nbr = adj.join(labels.withColumnRenamed("u", "v"), "v")
-        .select(col("u"), col("lbl"))
-      val next = labels.unionByName(nbr)
-        .groupBy("u").agg(min(col("lbl")).as("lbl"))
+        .select(col("u"), col("lbl"), lit(null).cast(lblType).as("own"))
+      val next = labels.select(col("u"), col("lbl"), col("lbl").as("own"))
+        .unionByName(nbr)
+        .groupBy("u").agg(min(col("lbl")).as("lbl"), min(col("own")).as("own"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") < col("own")).count()
+      prev.foreach(releaseCheckpoint)
+      prev = Some(next)
+      labels = next.select("u", "lbl")
     }
+    // The result depends only on the final generation's checkpoint; the
+    // edge list can be released as soon as the loop exits.
+    releaseCheckpoint(p)
     labels.select(col("u").as("id"), col("lbl").as("component"))
   }
 
