@@ -8,39 +8,50 @@ import org.apache.spark.sql.functions._
   * envelope targets per-query steady state with JVM/codegen warmup
   * amortized, so the run has two phases:
   *   1. warm-up — Tables.warm ingests the single-row-group fixture files
-  *      into the in-memory buffer pool (one repartition to cluster
+  *      into the in-memory buffer pool (one repartition to WORKLOAD
   *      parallelism; the fixtures' 1-row-group layout otherwise pins
-  *      every scan to one task), then every headline query runs once
-  *      untimed (JIT + codegen compilation).
-  *   2. measure — each query built fresh per rep; 5 consecutive reps +
-  *      3 interleaved rescue rounds, min of all 8 reported (see the
-  *      phase-2 comment for why both sub-phases exist).
+  *      every scan to one task). No untimed per-query pass: each query's
+  *      first timed rep absorbs its codegen/JIT cost and the min
+  *      discards it — dropping the old full warm loop cut ~8 s off the
+  *      run, directly shrinking the window a driver-box load spike can
+  *      poison (the r2/r3/r5 phantom, BENCH_NOTES §1/§8). The one
+  *      exception is a single untimed AP solve: its C2 compilation is
+  *      ~0.2 s, larger than the AP row itself.
+  *   2. measure — each query built fresh per rep; TWO full passes of
+  *      [3 consecutive reps + 2 interleaved rounds], min over all 10.
+  *      Consecutive reps share GC/CPU-cache state (15-25% faster than
+  *      rotated, BENCH_NOTES §8) and supply the quiet-box min; the two
+  *      passes put every query's reps in two time windows ~20 s apart,
+  *      so a load spike must span the WHOLE run to poison a row —
+  *      BENCH_r05 showed a single spike covering one 8-rep window.
   * The AP row runs at the baseline's own config (N=500, full loop to
   * convergence). Prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Cluster size for the measured session: 8 by default — measured
-    // round 4 (BENCH_NOTES §8), sf0.1 queries are fastest at local[8]
-    // (total 1.9 s vs 2.5 at 4, 2.9-3.3 at 16/32: the fixtures are a few
-    // MB, so >8 threads buys only scheduler overhead, shuffle fan-out,
-    // and straggler exposure when the shared box is loaded). Parallelism
-    // sizing is per-workload, not per-machine — exactly what a 100 TB
-    // deployment does when it sizes shuffle partitions to data, not to
-    // cluster width.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    // Shuffle partitions are WORKLOAD-sized (≤8 for the few-MB sf0.1
-    // fixtures), independent of the thread count: round-5 A/B
-    // (BENCH_NOTES §12) showed a cpus=32 session with 32-way shuffles
-    // reproduced the driver's 2-4× inflated records exactly —
-    // stream_tumbling 0.35 vs 0.11 s, dedup_minhash 0.66 vs 0.45 —
-    // while the same 32 threads with 8-way plans match the local[8]
-    // numbers. Partition count follows the data; cluster width only
-    // caps it (Tables.workloadPartitions is the same rule for the
-    // warmed layouts).
-    val shuffleParts = math.min(8, cpus.toInt).toString
+    // Thread count is WORKLOAD-sized, like every partition count in the
+    // engine (Tables.workloadPartitions, BENCH_NOTES §12): the fixtures
+    // are a few MB, and the full thread matrix (BENCH_NOTES §8) measured
+    // local[8] fastest on this box — local[16]/[32] pay task-scheduler
+    // overhead, wider shuffle fan-out, and straggler exposure (a 32-thread
+    // stage waits for its slowest thread; an 8-thread stage barely
+    // notices 24 busy cores — exactly the regime of the loaded driver
+    // box, where r5's cpus=32 record inflated dispatch-bound rows 2.7×
+    // while 8-way runs of the same code passed). SPARK_GRAFT_CPUS is
+    // treated as the AVAILABLE width (it caps, never inflates);
+    // SPARK_GRAFT_THREADS forces an exact count for A/B runs. At 100 TB
+    // the same rule sizes executors to the data, not the machine count.
+    val avail = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val threads = sys.env.get("SPARK_GRAFT_THREADS").map(_.toInt)
+      .getOrElse(math.min(8, avail))
+    // Shuffle partitions are workload-sized too (≤8 for the few-MB sf0.1
+    // fixtures): round-5 A/B (BENCH_NOTES §12) showed 32-way shuffles
+    // reproduced the driver's inflated records exactly, while 8-way plans
+    // on the same threads match local[8]. Data sets the partition count;
+    // the cluster only caps it.
+    val shuffleParts = math.min(8, threads).toString
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", shuffleParts))
       .config("spark.sql.session.timeZone", "UTC")
@@ -52,7 +63,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "67108864"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     val headline = Seq(
       "agg_groupby",      // BASELINE: 0.084 s (TPC-H Q1 shape)
@@ -68,12 +79,12 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // Phase 1: buffer pool + JIT warm-up (untimed). Only the tables that
+    // Phase 1: buffer-pool warm-up (untimed). Only the tables that
     // measure FASTER from the in-memory columnar cache are warmed: the
-    // numeric-heavy lineitem/customer/embeddings (single-row-group parquet
-    // → serial scan otherwise). String-heavy tables (events.props,
-    // documents.text, orders) scan faster from parquet than from cache
-    // (measured, BENCH_NOTES round 3) and stay on the file path.
+    // numeric-heavy lineitem/customer/orders/embeddings (single-row-group
+    // parquet → serial scan otherwise). String-heavy tables (events.props,
+    // documents.text) scan faster from parquet than from cache (measured,
+    // BENCH_NOTES round 3) and stay on the file path.
     // lineitem ingests bucketed by l_suppkey — the window workload's
     // partition key — so topk_per_group/win_* skip their exchange.
     Tables.warm(spark, sfDir, Seq(
@@ -89,23 +100,11 @@ object Bench {
     // BENCH_NOTES round 3 — but this 3-column pre-bucketed form beats
     // both: 0.15 vs 0.28 s measured round 4).
     Tables.warmEventsHourly(spark, sfDir)
-    headline.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
-    // AP's kernel classes JIT-compile on the first solve; warm it too.
+    // AP's kernel classes JIT-compile on the first solve; warm that one.
     graft.ap.AffinityPropagation.solve(spark,
       Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500))
 
     // Phase 2: measurement — fresh DataFrame per rep (planning included).
-    // Two sub-phases, min over all 7 reps per query:
-    //   a. 5 CONSECUTIVE reps per query — back-to-back reps share GC /
-    //      CPU-cache state and measure ~15-25% faster than rotated ones
-    //      (A/B'd round 4), so this phase supplies the steady-state min
-    //      on a quiet box;
-    //   b. 3 INTERLEAVED round-robin passes — the driver box carries
-    //      sustained multi-second load spikes (BENCH_r02/r03 records
-    //      inflated 3-7× over re-runs of identical code, BENCH_NOTES
-    //      §1/§8); a spike inside phase (a) poisons all 5 reps of one or
-    //      two queries, but only one rotated rep of each, so the min
-    //      recovers every row unless the spike spans the entire run.
     val emb500 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500)
     val timed: Seq[(String, () => Unit)] =
       headline.map { name =>
@@ -119,19 +118,29 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def record(name: String, t: Double): Unit =
       if (!results.contains(name) || t < results(name)) results(name) = t
-    for ((name, run) <- timed; _ <- 1 to 5) record(name, time(run()))
-    for (_ <- 1 to 3; (name, run) <- timed) record(name, time(run()))
+    for (_ <- 1 to 2) {
+      for ((name, run) <- timed; _ <- 1 to 3) record(name, time(run()))
+      for (_ <- 1 to 2; (name, run) <- timed) record(name, time(run()))
+    }
 
-    // Optional floor measurements (BASELINE.md round-5 amendment): jobs
-    // with NO query logic that bound what any Spark-local query can
-    // clock on this box. `SPARK_GRAFT_FLOORS=1` prints them next to the
-    // query rows so the amendment's numbers are one command to re-check.
-    val floors = if (sys.env.get("SPARK_GRAFT_FLOORS").contains("1")) {
+    // Floor measurements (BASELINE.md round-5 amendment): jobs with NO
+    // query logic that bound what any Spark-local query can clock on this
+    // box, emitted in EVERY record so the floor-vs-miss distinction is
+    // auditable from the record alone (set SPARK_GRAFT_FLOORS=0 to omit).
+    //   dispatch_cached_count — count() of the warmed in-memory lineitem
+    //     (600 k rows, zero shuffles): the per-job dispatch floor.
+    //   hourly_proj_count — count() of the warmed hourly events projection,
+    //     the actual input of the benched stream_tumbling (its floor as
+    //     run; the raw parquet scan bounds only the uncached path).
+    //   scan_events_parquet — bare parquet scan-count of events (100 k
+    //     rows, one task): the uncached ingest floor.
+    val floors = if (!sys.env.get("SPARK_GRAFT_FLOORS").contains("0")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def minOf(n: Int)(f: => Unit): Double = (1 to n).map(_ => time(f)).min
       val cached = minOf(5)(Tables.lineitem(spark, sfDir).count())
+      val hourly = minOf(5)(Tables.eventsHourly(spark, sfDir).count())
       val scan = minOf(5)(spark.read.parquet(s"$sfDir/events.parquet").count())
-      f""","floors":{"dispatch_cached_count":$cached%.4f,"scan_events_parquet":$scan%.4f}"""
+      f""","floors":{"dispatch_cached_count":$cached%.4f,"hourly_proj_count":$hourly%.4f,"scan_events_parquet":$scan%.4f}"""
     } else ""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }

@@ -49,6 +49,30 @@ object Graft {
     ap.AffinityPropagation.solve(spark, embOf(embeddings, idCol, vecCol),
       damping, prefOverride = preference).exemplars
 
+  /** Full damped AP over a CALLER-SUPPLIED similarity relation — the
+    * algorithm's native input ([FD07] p.972: s(i,k) need not be metric
+    * or symmetric — string kernels, graph affinities, any domain score).
+    * Pairs absent from `sims` behave as s = −∞ (sparse-AP semantics).
+    * Returns (id, exemplar), exemplars self-assigned; points with no
+    * similarity to any exemplar are unassignable under sparse semantics
+    * and are omitted. Same two-regime dispatch, convergence conventions,
+    * and D6 tie-breaks as [[cluster]] — fed `s = −‖x−y‖²` triples this
+    * returns exactly [[cluster]]'s rows (GraftSpec pins it). */
+  def clusterFromSimilarities(spark: SparkSession, sims: DataFrame,
+      iCol: String = "i", kCol: String = "k", sCol: String = "s",
+      damping: Double = 0.5, maxIter: Int = 200, convergenceIter: Int = 15,
+      preference: Option[Double] = None): DataFrame = {
+    val sm = sims.select(
+      col(iCol).cast("long").as("i"),
+      col(kCol).cast("long").as("k"),
+      col(sCol).cast("double").as("s"))
+      .filter(col("i") =!= col("k"))
+    val res = ap.AffinityPropagation.solveFromSimilarities(
+      spark, sm, damping, maxIter, convergenceIter, preference)
+    ap.AffinityPropagation.assign(sm, res.exemplars, spark)
+      .select(col("i").as("id"), col("exemplar"))
+  }
+
   // ---- deduplication -------------------------------------------------
 
   /** Exact duplicates by content digest: one representative (smallest

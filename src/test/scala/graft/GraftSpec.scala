@@ -74,6 +74,59 @@ class GraftSpec extends SparkSuite {
     assert(ex == 66L, s"expected 66 exemplars, got $ex")
   }
 
+  test("clusterFromSimilarities on −‖x−y‖² triples reproduces cluster exactly") {
+    // Fed the similarity relation cluster() derives internally, the
+    // similarity-input facade must return the identical labeling: same
+    // kernel, same median preference (the triple set holds the same
+    // values), same D6 assign tie-break.
+    val sims = ap.AffinityPropagation.similarities(
+      Tables.embeddings(spark, sf001)
+        .select(col("vec_id"), col("embedding")))
+    val viaSims = rows(Graft.clusterFromSimilarities(spark, sims, "i", "k", "s")
+      .orderBy("id"))
+    val viaEmb = rows(Graft.cluster(spark, myEmb, "item_id", "vec").orderBy("id"))
+    assert(viaSims == viaEmb)
+  }
+
+  test("clusterFromSimilarities accepts a hand-built NON-METRIC s (FD07 native input)") {
+    import spark.implicits._
+    // Two blocks {1,2,3} and {4,5}, deliberately asymmetric (s(i,k) ≠
+    // s(k,i)) and non-metric — nothing here is a distance. AP's headline
+    // feature is accepting exactly this.
+    val triples = (for {
+      i <- 1L to 5L; k <- 1L to 5L if i != k
+    } yield {
+      val sameBlock = (i <= 3) == (k <= 3)
+      val base = if (sameBlock) -1.0 else -20.0
+      (i, k, base + 0.01 * i - 0.003 * k) // asymmetric tilt
+    }).toDF("i", "k", "s")
+    val got = Graft.clusterFromSimilarities(spark, triples)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every point labeled; exemplars self-assigned; blocks stay together
+    assert(got.map(_._1) == (1L to 5L))
+    val byBlock = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBlock.values.toSet == Set(Set(1L, 2L, 3L), Set(4L, 5L)))
+    got.filter { case (id, ex) => id == ex }.foreach { case (id, ex) => assert(id == ex) }
+
+    // and the local dense kernel agrees exemplar-for-exemplar with the
+    // same matrix handed to LocalAP.runS directly…
+    val s = Array.fill(5, 5)(Double.NegativeInfinity)
+    triples.collect().foreach(r =>
+      s(r.getLong(0).toInt - 1)(r.getLong(1).toInt - 1) = r.getDouble(2))
+    val st = ap.LocalAP.runS(Array(1L, 2L, 3L, 4L, 5L), s)
+    val facadeExemplars = got.map(_._2).distinct.sorted
+    assert(st.exemplars.toSeq.sorted == facadeExemplars)
+
+    // …and the DISTRIBUTED regime (forced via localNodeThreshold = 0)
+    // lands on the same exemplars as the kernel.
+    val dist = ap.AffinityPropagation.solveFromSimilarities(spark,
+      triples.select(col("i"), col("k"), col("s")),
+      maxIter = 60, localNodeThreshold = 0)
+    val loc = ap.AffinityPropagation.solveFromSimilarities(spark,
+      triples.select(col("i"), col("k"), col("s")), maxIter = 60)
+    assert(dist.exemplars == loc.exemplars)
+  }
+
   test("profile matches profile_columns") {
     val facade = rows(Graft.profile(Tables.lineitem(spark, sf001),
       Seq("l_quantity", "l_extendedprice", "l_discount")).orderBy("col_name"))

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Round-5 VERDICT #8 — property-based guard on the as-of join's tie
+  * semantics: the shipped union-tag window kernel must match the
+  * QUALIFY-form reference semantics (latest strictly-earlier date, date
+  * ties broken by MAX orderkey — D6) on random instances that force
+  * duplicate dates, the case the fixture exercises only sparsely. */
+object JoinAsofProperties extends Properties("join_asof") {
+
+  // each sample runs Spark jobs — a dozen adversarial instances beats a
+  // hundred redundant ones
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkSuite.session
+
+  // few customers × few distinct dates ⇒ duplicate (custkey, date) pairs
+  // with high probability; orderkeys unique by construction so the D6
+  // tie-break is well-defined
+  private val instances: Gen[List[(Long, Int, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    custs <- Gen.listOfN(n, Gen.choose(1L, 4L))
+    dates <- Gen.listOfN(n, Gen.choose(1, 6))
+  } yield custs.zip(dates).zipWithIndex.map { case ((c, d), i) => (c, d, i + 100L) }
+
+  property("window kernel = QUALIFY-form semantics incl. duplicate dates") =
+    forAll(instances) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("o_custkey", "o_orderdate", "o_orderkey")
+      val got = queries.Joins.asofPrev(df).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = rows.map { case (c, d, k) =>
+        val earlier = rows.filter(r => r._1 == c && r._2 < d)
+        k -> earlier.maxByOption(r => (r._2, r._3)).map(_._3)
+      }.toMap
+      got == expected
+    }
+}

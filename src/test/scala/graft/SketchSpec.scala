@@ -24,6 +24,27 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("minhash rerank = exact jaccard restricted to candidates (recall 1.0 here)") {
+    // dedup_minhash_rerank's oracle is the exact-Jaccard SQL, which is
+    // only sound if LSH recall at j ≥ 0.2 is 1.0 on the fixtures — the
+    // fixture's true pairs are near-exact duplicates, whose 8×4-band
+    // candidate probability is ≈1. Assert the containment (always true
+    // by construction) AND the exact equality the oracle depends on, at
+    // both suite scale factors.
+    for (dir <- Seq(sf001, sf01)) {
+      val exact = SparkEntry.queries("dedup_jaccard")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val rerank = SparkEntry.queries("dedup_minhash_rerank")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert((rerank -- exact).isEmpty,
+        s"$dir: rerank produced pairs/values outside exact jaccard: ${(rerank -- exact).take(3)}")
+      val recall = if (exact.isEmpty) 1.0 else rerank.size.toDouble / exact.size
+      info(s"$dir: rerank recall = $recall over ${exact.size} exact pairs")
+      assert(rerank == exact,
+        s"$dir: recall $recall < 1.0 — the exact-Jaccard oracle no longer binds dedup_minhash_rerank")
+    }
+  }
+
   test("IVF ANN achieves high recall vs brute force") {
     val exact = SparkEntry.queries("simsearch_topk")(spark, sf001)
       .select("i", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
