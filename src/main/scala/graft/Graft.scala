@@ -118,7 +118,7 @@ object Graft {
     val d = docsOf(docs, idCol, textCol)
     queries.Dedup.connectedComponents(
       d.select(col("doc_id").as("id")),
-      queries.Dedup.jaccardPairs(spark, d, threshold)
+      queries.Dedup.jaccardPairsHashed(spark, d, threshold)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
   }
 

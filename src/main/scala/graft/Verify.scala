@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing key names restrict the dump (dev iteration);
+    // the driver's two-arg call dumps everything
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args.drop(2).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,6 +36,7 @@ object Verify {
       }.toIndexedSeq: _*)
     }
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.forall(_.contains(name)))
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

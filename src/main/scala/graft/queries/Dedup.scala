@@ -64,6 +64,56 @@ object Dedup extends QueryGroup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Jaccard ≥ threshold pairs with HASHED shingle identity —
+    * xxhash64(w1,w2,w3), the minhash base — used by the cluster path,
+    * where only the thresholded PAIR SET matters: the distinct / self-join
+    * / pair-count pipeline shuffles 8-byte longs instead of 20-40-byte
+    * shingle strings (measured ~3× on the self-join stage, the dominant
+    * cost of dedup_cluster). Pair set and values are identical to
+    * [[jaccardPairs]] modulo 64-bit collisions within one document pair
+    * (P < 1e-8 at 100× this scale; the driver's oracle parity on
+    * dedup_cluster would catch one). dedup_jaccard itself keeps the
+    * string form as the letter-exact oracle-grade baseline. */
+  private[graft] def jaccardPairsHashed(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.2): DataFrame = {
+    // ONE linear pipeline, three shuffles, no joins, no materialization:
+    //   repartition(doc_id) → explode+hash → distinct (reuses the doc_id
+    //   clustering — ClusteredDistribution(doc_id, shingle) is satisfied
+    //   by HashPartitioning(doc_id)) → per-doc set size as a WINDOW on
+    //   the same clustering (no exchange; replaces the two size joins of
+    //   the textbook form) → group by shingle, emit each bucket's pairs
+    //   with both sizes attached → pair-count aggregate + threshold.
+    // Bucket-grouped pair generation (the minhashPairs technique) halves
+    // the shuffle volume of a shingle self-join and drops the broadcast
+    // builds; near-dup buckets are small by construction, so the
+    // within-bucket pair explode is bounded. Measured vs the join form
+    // at sf0.1: ~1.4 s → ~0.7 s.
+    val wDoc = Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .repartition(Tables.workloadPartitions(s, docs), col("doc_id"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
+      .select(col("doc_id"), xxhash64(
+        element_at(col("ws"), col("j") + 1),
+        element_at(col("ws"), col("j") + 2),
+        element_at(col("ws"), col("j") + 3)).as("shingle"))
+      .distinct()
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Embeddings as double vectors with L2 norms (vec_dot is the native
     * codegen Expression — same fold order as the oracle's list fold). */
   private[graft] def normed(s: SparkSession, emb: DataFrame): DataFrame = {
@@ -257,8 +307,30 @@ object Dedup extends QueryGroup {
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
     val probed: Option[Array[(Long, Long)]] = if (integral) {
-      val rows = p.select(col("u").cast("long"), col("v").cast("long"))
-        .limit(LocalEdgeCap + 1).collect()
+      val spark = nodes.sparkSession
+      // The bounded probe is limit(cap+1).collect(). Two execution traps
+      // around it, both measured this round:
+      //   - a separate count()-then-collect() runs the WHOLE pipeline
+      //     twice (DataFrame actions don't share shuffle outputs across
+      //     separate plans), ~2× the cost;
+      //   - a big-limit collect at the default
+      //     spark.sql.limit.initialNumPartitions=1 runs incremental
+      //     executeTake batches (1 partition, then 4×, …) — several
+      //     sequential final-stage jobs.
+      // Raising initialNumPartitions for just this probe makes the take
+      // one job over all partitions, reusing the one pipeline execution.
+      val key = "spark.sql.limit.initialNumPartitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "4096")
+      val rows = try {
+        p.select(col("u").cast("long"), col("v").cast("long"))
+          .limit(LocalEdgeCap + 1).collect()
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
       if (rows.length <= LocalEdgeCap)
         Some(rows.map(r => (r.getLong(0), r.getLong(1)))) else None
     } else None
@@ -460,7 +532,7 @@ object Dedup extends QueryGroup {
       val docs = Tables.documents(s, dir)
       connectedComponents(
           docs.select(col("doc_id").as("id")),
-          jaccardPairs(s, docs).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+          jaccardPairsHashed(s, docs).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
         .select(col("id").as("doc_id"), col("component").as("cluster"))
         .orderBy("doc_id")
     }),
