@@ -53,6 +53,9 @@ object Graft {
     * algorithm's native input ([FD07] p.972: s(i,k) need not be metric
     * or symmetric — string kernels, graph affinities, any domain score).
     * Pairs absent from `sims` behave as s = −∞ (sparse-AP semantics).
+    * DIAGONAL rows (i = k) are per-point PREFERENCES ([FD07]: "the
+    * preference of point k is s(k,k)"); points without one get
+    * `preference` (or the median of the supplied off-diagonal s).
     * Returns (id, exemplar), exemplars self-assigned; points with no
     * similarity to any exemplar are unassignable under sparse semantics
     * and are omitted. Same two-regime dispatch, convergence conventions,
@@ -66,10 +69,9 @@ object Graft {
       col(iCol).cast("long").as("i"),
       col(kCol).cast("long").as("k"),
       col(sCol).cast("double").as("s"))
-      .filter(col("i") =!= col("k"))
     val res = ap.AffinityPropagation.solveFromSimilarities(
       spark, sm, damping, maxIter, convergenceIter, preference)
-    ap.AffinityPropagation.assign(sm, res.exemplars, spark)
+    ap.AffinityPropagation.assign(sm.filter(col("i") =!= col("k")), res.exemplars, spark)
       .select(col("i").as("id"), col("exemplar"))
   }
 

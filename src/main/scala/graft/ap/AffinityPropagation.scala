@@ -277,14 +277,17 @@ object AffinityPropagation {
   /** Full AP over a caller-supplied similarity relation (i, k, s) — the
     * algorithm's native input format ([FD07] p.972: s(i,k) need not be
     * metric or symmetric; string kernels, graph affinities, arbitrary
-    * domain scores). Two-regime like [[solve]]: at or below
-    * `localNodeThreshold` distinct ids the triples are collected into the
-    * dense kernel (absent pairs = −∞, the sparse-AP convention — a
-    * bounded n² collect, so the default threshold is lower than the
-    * embedding path's); beyond it the distributed two-exchange loop runs
-    * directly on the triples — nothing N-sized ever reaches the driver.
-    * The preference defaults to the exact median of the SUPPLIED
-    * off-diagonal similarities on both regimes. */
+    * domain scores). DIAGONAL rows (i = k) are per-point PREFERENCES
+    * ([FD07]: "the preference of point k is s(k,k)" — larger values make
+    * k more likely to be chosen as an exemplar); points without a
+    * diagonal row get the shared preference (prefOverride, else the
+    * exact median of the supplied off-diagonal similarities).
+    * Two-regime like [[solve]]: at or below `localNodeThreshold`
+    * distinct ids the triples are collected into the dense kernel
+    * (absent pairs = −∞, the sparse-AP convention — a bounded n²
+    * collect, so the default threshold is lower than the embedding
+    * path's); beyond it the distributed two-exchange loop runs directly
+    * on the triples — nothing N-sized ever reaches the driver. */
   def solveFromSimilarities(
       spark: SparkSession,
       sims: DataFrame,
@@ -293,8 +296,11 @@ object AffinityPropagation {
       convergenceIter: Int = 15,
       prefOverride: Option[Double] = None,
       localNodeThreshold: Int = 2000): Result = {
-    val offd = sims.select(col("i"), col("k"), col("s")).filter(col("i") =!= col("k"))
+    val all = sims.select(col("i"), col("k"), col("s"))
+    val offd = all.filter(col("i") =!= col("k"))
+    val diag = all.filter(col("i") === col("k"))
     val nodes = offd.select(col("i")).unionByName(offd.select(col("k").as("i")))
+      .unionByName(diag.select(col("i")))
       .distinct()
     val probe = nodes.orderBy("i").limit(localNodeThreshold + 1).collect()
     if (probe.length <= localNodeThreshold) {
@@ -305,7 +311,13 @@ object AffinityPropagation {
       offd.collect().foreach { r =>
         s(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getDouble(2)
       }
-      val st = LocalAP.runS(ids, s, damping, maxIter, convergenceIter, prefOverride)
+      val diagProvided = new Array[Boolean](n)
+      diag.collect().foreach { r =>
+        val d = idx(r.getLong(0))
+        s(d)(d) = r.getDouble(2); diagProvided(d) = true
+      }
+      val st = LocalAP.runS(ids, s, damping, maxIter, convergenceIter,
+        prefOverride, diagProvided)
       val messagesFn = () => {
         import spark.implicits._
         spark.sparkContext
@@ -318,8 +330,15 @@ object AffinityPropagation {
       Result(messagesFn, st.exemplars.toSeq.sorted, st.iterations, st.converged)
     } else {
       val pref = prefOverride.getOrElse(preference(offd))
-      runLoop(initFrom(offd, nodes.select(col("i").as("vec_id")), pref),
-        damping, maxIter, convergenceIter)
+      // diagonal = caller-supplied preferences + the shared default for
+      // every node without one
+      val diagDefault = nodes
+        .join(diag.select(col("i")), Seq("i"), "left_anti")
+        .select(col("i"), col("i").as("k"), lit(pref).as("s"))
+      val msgs0 = offd.unionByName(diag).unionByName(diagDefault)
+        .withColumn("r", lit(0.0))
+        .withColumn("a", lit(0.0))
+      runLoop(msgs0, damping, maxIter, convergenceIter)
     }
   }
 

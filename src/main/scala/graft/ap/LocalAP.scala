@@ -49,16 +49,21 @@ object LocalAP {
     * algorithm's native input ([FD07] p.972: s need not be metric or
     * symmetric). Off-diagonal entries of `s` are taken as-is (use
     * `Double.NegativeInfinity` for absent pairs, the sparse-AP
-    * convention); the diagonal is overwritten with the preference
-    * (default: exact median of the off-diagonal values, matching the
-    * embeddings path). NOTE: `s` is mutated in place (diagonal). */
+    * convention). Diagonal entries are the PREFERENCES ([FD07]: "the
+    * preference of point k is s(k,k)"): where `diagProvided(k)` is true
+    * the caller's s(k)(k) is kept (per-point preferences); everywhere
+    * else — including the `diagProvided = null` default every embeddings
+    * caller uses — the diagonal is overwritten with the shared
+    * preference (default: exact median of the off-diagonal values,
+    * matching the embeddings path). NOTE: `s` is mutated in place. */
   def runS(
       ids: Array[Long],
       s: Array[Array[Double]],
       damping: Double = 0.5,
       maxIter: Int = 200,
       convIter: Int = 15,
-      prefOverride: Option[Double] = None): State = {
+      prefOverride: Option[Double] = None,
+      diagProvided: Array[Boolean] = null): State = {
     val n = s.length
     // exact median of the n²−n off-diagonal values
     val off = new Array[Double](n * n - n)
@@ -69,7 +74,10 @@ object LocalAP {
       if (off.length % 2 == 1) off(off.length / 2)
       else (off(off.length / 2 - 1) + off(off.length / 2)) / 2.0)
     var i = 0
-    while (i < n) { s(i)(i) = pref; i += 1 }
+    while (i < n) {
+      if (diagProvided == null || !diagProvided(i)) s(i)(i) = pref
+      i += 1
+    }
 
     val r = Array.ofDim[Double](n, n)
     val a = Array.ofDim[Double](n, n)

@@ -127,6 +127,30 @@ class GraftSpec extends SparkSuite {
     assert(dist.exemplars == loc.exemplars)
   }
 
+  test("diagonal sims rows are per-point preferences (FD07 s(k,k) convention)") {
+    import spark.implicits._
+    // two blocks {1,2,3} / {4,5}; preferences FORCE exemplars 2 and 4
+    // (generous s(k,k) there, hostile everywhere else)
+    val offd = for { i <- 1L to 5L; k <- 1L to 5L if i != k } yield {
+      val sameBlock = (i <= 3) == (k <= 3)
+      (i, k, if (sameBlock) -1.0 else -20.0)
+    }
+    val diag = Seq((2L, 2L, 0.0), (4L, 4L, 0.0),
+      (1L, 1L, -100.0), (3L, 3L, -100.0), (5L, 5L, -100.0))
+    val triples = (offd ++ diag).toDF("i", "k", "s")
+    val got = Graft.clusterFromSimilarities(spark, triples)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 4L)))
+    // the dense kernel with the same matrix + provided-diagonal flags
+    // lands on the same exemplars
+    val s = Array.fill(5, 5)(Double.NegativeInfinity)
+    offd.foreach { case (i, k, v) => s(i.toInt - 1)(k.toInt - 1) = v }
+    diag.foreach { case (i, _, v) => s(i.toInt - 1)(i.toInt - 1) = v }
+    val st = ap.LocalAP.runS(Array(1L, 2L, 3L, 4L, 5L), s,
+      diagProvided = Array.fill(5)(true))
+    assert(st.exemplars == Set(2L, 4L))
+  }
+
   test("profile matches profile_columns") {
     val facade = rows(Graft.profile(Tables.lineitem(spark, sf001),
       Seq("l_quantity", "l_extendedprice", "l_discount")).orderBy("col_name"))
