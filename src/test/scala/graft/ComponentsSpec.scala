@@ -52,6 +52,33 @@ class ComponentsSpec extends SparkSuite {
     assert(local.exists { case (id, comp) => id != comp })
   }
 
+  test("union-find agrees with a BFS reference on 40 random graphs") {
+    // random edge lists (dense, sparse, self-loops, duplicate edges)
+    // against an independent breadth-first reference. Deterministic seed.
+    val rnd = new scala.util.Random(20260813L)
+    import spark.implicits._
+    for (trial <- 1 to 40) {
+      val n = 2 + rnd.nextInt(30)
+      val m = rnd.nextInt(40)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // BFS reference: component of v = min id reachable from v
+      val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+      def reach(v: Long): Set[Long] = {
+        var seen = Set(v); var frontier = List(v)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(u => adj.getOrElse(u, Nil)).filterNot(seen)
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      val expected = (0L until n).map(v => (v, reach(v).min))
+      val got = queries.Dedup.connectedComponents(
+          (0L until n).toDF("id"), edges.toDF("id_a", "id_b"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
   test("union-find regime routes by the edge cap (stars ≡ local above it)") {
     import spark.implicits._
     // Same chain through the public entry with the ids NON-integral
