@@ -45,6 +45,20 @@ class PlanSpec extends SparkSuite {
     assert(planOf("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("dedup_cluster edge kernel is one join-free linear pipeline") {
+    // the bucket-pair jaccard kernel (round 6): per-doc set size comes
+    // from a window on the existing doc_id clustering and pairs from
+    // bucket grouping — no join operator anywhere, and exactly three
+    // exchanges (doc_id spread, shingle buckets, pair aggregate). A join
+    // or a fourth exchange creeping in means the self-join form is back.
+    val p = queries.Dedup.jaccardPairsHashed(
+        spark, Tables.documents(spark, sf001))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"join crept into the kernel:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"$exchanges exchanges (expected 3):\n$p")
+  }
+
   test("topk_global scale shape pre-aggregates per l_orderkey below the join") {
     // the 100 TB-safe regime: map-side combine shrinks the fact table
     // BEFORE any join; no sf-scaling relation is force-broadcast
