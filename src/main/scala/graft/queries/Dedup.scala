@@ -537,6 +537,26 @@ object Dedup extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Connected components as a GENERIC graph operator, forced onto the
+    // DISTRIBUTED large-star/small-star regime (dedup_cluster's tiny
+    // near-dup graph routes to the union-find dispatch, so this key is
+    // what puts the O(log²)-round scale algorithm under the driver's
+    // oracle): the graph is each customer's orders chained in orderkey
+    // succession — long paths (≈ orders-per-customer diameter), the
+    // shape stars exists for — and the component label is provably the
+    // customer's min orderkey, which the DuckDB recursive-CTE walk
+    // derives independently.
+    "graph_components" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val edges = o.withColumn("nk", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("nk").isNotNull)
+        .select(col("o_orderkey").as("u"), col("nk").as("v"))
+      componentsStars(o.select(col("o_orderkey").as("id")), edges)
+        .select(col("id").as("o_orderkey"), col("component"))
+        .orderBy("o_orderkey")
+    }),
+
     // MinHash-LSH candidate pairs — the scale path: band-bucket join
     // instead of the all-pairs shingle join. 8 bands × 4 rows; a band's
     // 4 minhashes collapse to one xxhash64 bucket key (collisions only
@@ -742,6 +762,23 @@ object Dedup extends QueryGroup {
          |  JOIN sz nb ON nb.doc_id = doc_b)
          |WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Per-customer order chains walked to their minimum — the same
+    // min-label fixpoint the large-star/small-star rounds compute.
+    "graph_components" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nk
+        |  FROM orders),
+        |edges AS (
+        |  SELECT o_orderkey AS u, nk AS v FROM nxt WHERE nk IS NOT NULL
+        |  UNION ALL
+        |  SELECT nk, o_orderkey FROM nxt WHERE nk IS NOT NULL),
+        |walk(u, r) AS (
+        |  SELECT o_orderkey, o_orderkey FROM orders
+        |  UNION
+        |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r)
+        |SELECT u AS o_orderkey, MIN(r) AS component FROM walk GROUP BY u
+        |ORDER BY o_orderkey""".stripMargin,
     // Rerank recall is 1.0 on these fixtures (asserted in SketchSpec:
     // every true j ≥ 0.2 pair is band-caught), so the exact-Jaccard SQL
     // is the binding oracle for the composed key as well.
