@@ -134,11 +134,16 @@ object Tables {
       expr("unix_micros(ts) div 3600000000").as("hb"),
       col("event_type"), col("value"))
 
-  /** Ingest-side materialization of [[eventsHourly]] (bench session). */
+  /** Ingest-side materialization of [[eventsHourly]] (bench session),
+    * BUCKETED by the hour column: the cache scan then reports
+    * HashPartitioning(hb), which satisfies the tumbling query's
+    * groupBy(hb, event_type) clustering — the aggregate plans with NO
+    * exchange (one stage over the cache, the same effect the l_suppkey
+    * bucketing buys the window workload). */
   def warmEventsHourly(spark: SparkSession, sfDir: String): Unit = {
     val plan = eventsHourlyPlan(spark, sfDir)
     val df = plan
-      .repartition(workloadPartitions(spark, plan))
+      .repartition(workloadPartitions(spark, plan), col("hb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
     sessionCache(spark).put((sfDir, "events#hourly"), df)

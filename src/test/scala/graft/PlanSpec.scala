@@ -45,6 +45,22 @@ class PlanSpec extends SparkSuite {
     assert(planOf("topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("hb-bucketed warm layout makes stream_tumbling's aggregate exchange-free") {
+    // the warmed hourly projection is repartitioned BY hb (round 6), so
+    // the cache scan reports HashPartitioning(hb), which satisfies the
+    // groupBy(hb, event_type) clustering — the only exchange left in the
+    // plan is the final ORDER BY's range partitioning.
+    Tables.warmEventsHourly(spark, sf001)
+    val p = SparkEntry.queries("stream_tumbling")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // only the segment ABOVE the cache scan counts: the InMemoryRelation
+    // subtree stores the warm-time repartition itself
+    val above = p.substring(0, p.indexOf("InMemoryTableScan").max(0))
+    assert(above.nonEmpty, s"no cache scan in plan:\n$p")
+    assert(!above.toLowerCase.contains("exchange hashpartitioning"),
+      s"aggregate still pays a hash exchange over the bucketed cache:\n$p")
+  }
+
   test("dedup_cluster edge kernel is one join-free linear pipeline") {
     // the bucket-pair jaccard kernel (round 6): per-doc set size comes
     // from a window on the existing doc_id clustering and pairs from
