@@ -188,28 +188,39 @@ object Joins extends QueryGroup {
     // one shuffle, linear, mixed timestamp-vs-date comparison handled by
     // Spark's timestamp promotion. Probe rows carry a null bid, so
     // last(bid, ignoreNulls) skips earlier probes in the same partition.
-    "join_asof_event" -> ((s, dir) => {
-      val probe = Tables.events(s, dir)
-        .select(col("user_id").as("key"), col("ts").as("t"), col("event_id"))
-        .withColumn("tag", lit(1))
-        .withColumn("bid", lit(null).cast("long"))
-      val build = Tables.orders(s, dir)
-        .select(col("o_custkey").as("key"), col("o_orderdate").as("t"),
-          lit(null).cast("long").as("event_id"),
-          lit(0).as("tag"), col("o_orderkey").as("bid"))
-      // (t, tag, bid) order is deterministic for builds; probes tie only
-      // with other probes (bid null), whose relative order cannot change
-      // the preceding-build set — output is deterministic (D6).
-      val w = Window.partitionBy("key")
-        .orderBy(col("t"), col("tag"), col("bid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      probe.unionByName(build.select(probe.columns.map(col).toIndexedSeq: _*))
-        .withColumn("okey", last(col("bid"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
+    "join_asof_event" -> ((s, dir) =>
+      asofInclusive(
+          Tables.events(s, dir)
+            .select(col("user_id").as("key"), col("ts").as("t"), col("event_id")),
+          Tables.orders(s, dir)
+            .select(col("o_custkey").as("key"), col("o_orderdate").as("t"),
+              col("o_orderkey").as("bid")))
         .select(col("event_id"), col("key").as("user_id"), col("okey").as("o_orderkey"))
-        .orderBy("event_id")
-    })
+        .orderBy("event_id"))
   )
+
+  /** INCLUSIVE as-of kernel shared by `join_asof_event` and the property
+    * suite: for each probe row, the latest build row with build.t ≤
+    * probe.t (ties on t broken by max bid — builds sort with tag 0
+    * BEFORE same-instant probes, so the strictly-preceding frame still
+    * sees them). (t, tag, bid) order is deterministic for builds; probes
+    * tie only with other probes (bid null), whose relative order cannot
+    * change the preceding-build set — output is deterministic (D6).
+    * `probe`: (key, t, event_id); `build`: (key, t, bid: long). */
+  private[graft] def asofInclusive(probe: org.apache.spark.sql.DataFrame,
+      build: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = probe.withColumn("tag", lit(1))
+      .withColumn("bid", lit(null).cast("long"))
+    val b = build.select(col("key"), col("t"),
+      lit(null).cast(probe.schema("event_id").dataType).as("event_id"),
+      lit(0).as("tag"), col("bid"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("tag"), col("bid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    p.unionByName(b.select(p.columns.map(col).toIndexedSeq: _*))
+      .withColumn("okey", last(col("bid"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+  }
 
   def oracles: Seq[(String, String)] = Seq(
     "join_inner_equi" ->

@@ -39,4 +39,30 @@ object JoinAsofProperties extends Properties("join_asof") {
       }.toMap
       got == expected
     }
+
+  // probes and builds share few keys × few instants so probe-instant ==
+  // build-instant collisions (the INCLUSIVE case) occur constantly
+  private val asymInstances: Gen[(List[(Long, Int, Long)], List[(Long, Int, Long)])] = for {
+    np <- Gen.choose(1, 25)
+    nb <- Gen.choose(0, 25)
+    pc <- Gen.listOfN(np, Gen.choose(1L, 3L)); pt <- Gen.listOfN(np, Gen.choose(1, 5))
+    bc <- Gen.listOfN(nb, Gen.choose(1L, 3L)); bt <- Gen.listOfN(nb, Gen.choose(1, 5))
+  } yield (
+    pc.zip(pt).zipWithIndex.map { case ((c, t), i) => (c, t, i + 500L) },
+    bc.zip(bt).zipWithIndex.map { case ((c, t), i) => (c, t, i + 900L) })
+
+  property("inclusive kernel = latest build with t <= probe t, max-bid ties") =
+    forAll(asymInstances) { case (probes, builds) =>
+      import spark.implicits._
+      val p = probes.toDF("key", "t", "event_id")
+      val b = builds.toDF("key", "t", "bid")
+      val got = queries.Joins.asofInclusive(p, b).collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .toMap
+      val expected = probes.map { case (c, t, eid) =>
+        val eligible = builds.filter(r => r._1 == c && r._2 <= t)
+        eid -> eligible.maxByOption(r => (r._2, r._3)).map(_._3)
+      }.toMap
+      got == expected
+    }
 }
