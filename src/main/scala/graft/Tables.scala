@@ -149,6 +149,23 @@ object Tables {
     sessionCache(spark).put((sfDir, "events#hourly"), df)
   }
 
+  /** Generic derived-projection hooks (the [[eventsHourly]] pattern for
+    * any query-domain relation): `derived` serves the warmed
+    * materialization when the bench session ingested one, else the lazy
+    * plan — identical rows either way; `warmDerived` persists the plan
+    * AS SHAPED (the plan owns its partitioning — a repartition inside it
+    * is what the cache scan will report, the in-memory `bucketBy`). */
+  private[graft] def derived(spark: SparkSession, sfDir: String, name: String)
+      (plan: => DataFrame): DataFrame =
+    sessionCache(spark).getOrElse((sfDir, name), plan)
+
+  private[graft] def warmDerived(spark: SparkSession, sfDir: String,
+      name: String, plan: DataFrame): Unit = {
+    val df = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    df.count()
+    sessionCache(spark).put((sfDir, name), df)
+  }
+
   private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
