@@ -76,6 +76,16 @@ class ComponentsSpec extends SparkSuite {
           (0L until n).toDF("id"), edges.toDF("id_a", "id_b"))
         .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got == expected, s"trial $trial: n=$n edges=$edges")
+      // every 4th trial also drives the distributed star regime over the
+      // same random graph (it never routes there on its own below the
+      // edge cap)
+      if (trial % 4 == 0) {
+        val stars = queries.Dedup.componentsStars(
+            (0L until n).toDF("id"),
+            edges.toDF("u", "v"))
+          .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(stars == expected, s"trial $trial (stars): n=$n edges=$edges")
+      }
     }
   }
 
