@@ -308,7 +308,8 @@ object AffinityPropagation {
       val idx = ids.zipWithIndex.toMap
       val n = ids.length
       val s = Array.fill(n, n)(Double.NegativeInfinity)
-      offd.collect().foreach { r =>
+      val offRows = offd.collect()
+      offRows.foreach { r =>
         s(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getDouble(2)
       }
       val diagProvided = new Array[Boolean](n)
@@ -316,8 +317,27 @@ object AffinityPropagation {
         val d = idx(r.getLong(0))
         s(d)(d) = r.getDouble(2); diagProvided(d) = true
       }
+      // Default preference = exact median of the SUPPLIED off-diagonal
+      // triples — the same relation the distributed regime's
+      // preference(offd) computes over. LocalAP's own fallback medians the
+      // full n²−n matrix, where absent pairs are the −∞ fill: on a sparse
+      // input (an m-NN graph) that median is −∞, no exemplar can ever
+      // form, and the result degenerates — while the identical input
+      // above the threshold works. Computed in-memory from the rows
+      // already collected (no extra Spark job), matching percentile(0.5)'s
+      // even-count midpoint interpolation.
+      val pref = prefOverride.orElse {
+        if (offRows.isEmpty) None // degenerate: no off-diagonal supplied
+        else {
+          val vals = offRows.map(_.getDouble(2))
+          java.util.Arrays.sort(vals)
+          Some(
+            if (vals.length % 2 == 1) vals(vals.length / 2)
+            else (vals(vals.length / 2 - 1) + vals(vals.length / 2)) / 2.0)
+        }
+      }
       val st = LocalAP.runS(ids, s, damping, maxIter, convergenceIter,
-        prefOverride, diagProvided)
+        pref, diagProvided)
       val messagesFn = () => {
         import spark.implicits._
         spark.sparkContext
@@ -365,8 +385,15 @@ object AffinityPropagation {
       // the work between checkpoints quadratic in the interval. (The
       // checkpointEvery knob is kept for lineage-truncation tuning when a
       // cheaper persist is layered in.)
-      msgs = availabilityPass(responsibilityPass(msgs, damping), damping)
-        .localCheckpoint()
+      val next = availabilityPass(responsibilityPass(msgs, damping), damping)
+        .localCheckpoint() // eager: generation t is materialized here
+      // Generation t−1 is superseded the moment t materializes — release
+      // it (same discipline as Dedup's fixpoints, graft.Checkpoints):
+      // without this the distributed loop pins up to maxIter × N² rows of
+      // dead checkpoint storage, a scale-killer on exactly the path that
+      // exists for scale.
+      graft.Checkpoints.release(msgs)
+      msgs = next
 
       // Convergence tracking: only the N diagonal rows leave the cluster.
       val ex = msgs.filter(col("i") === col("k"))
@@ -376,7 +403,9 @@ object AffinityPropagation {
       if (stable >= convergenceIter - 1 && ex.nonEmpty) converged = true
     }
 
-    val finalMsgs = msgs.localCheckpoint()
+    // msgs is already a materialized checkpoint — the final generation is
+    // the one pinned RDD the Result keeps alive.
+    val finalMsgs = msgs
     Result(() => finalMsgs, lastExemplars.toSeq.sorted, it, converged)
   }
 

@@ -78,18 +78,18 @@ object ApQueries extends QueryGroup {
       fullRun(s, dir).exemplars.toDF("exemplar").orderBy("exemplar")
     }),
 
-    // Assignment-after-one-iteration: exemplars from the single undamped
-    // r+a pass, each non-exemplar labeled argmax_{k∈E} s(i,k) (ties →
-    // smallest k), exemplars self-assigned. Fully SQL-expressible.
+    // Assignment-given-exemplars (SURVEY §2.J: the exemplar set is an
+    // INPUT, "passed as a literal list"): each non-exemplar labels
+    // argmax_{k∈E} s(i,k) (ties → smallest k), exemplars self-assign.
+    // The exemplar set is the converged full run's (session-cached by
+    // fullRun; deterministic dataflow), so the oracle pins the same
+    // 61-id literal at sf0.01 — regenerate via
+    // `runMain graft.Verify <sfDir> <out> ap_exemplars` if the fixture
+    // moves. The round-6 form derived E from ONE undamped r+a pass,
+    // which is EMPTY on this fixture → a vacuous 0-row pass.
     "ap_assign" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val offd = AffinityPropagation.similarities(emb)
-      val pref = AffinityPropagation.preference(offd)
-      val one = AffinityPropagation.availabilityPass(
-        AffinityPropagation.responsibilityPass(AffinityPropagation.init(emb, pref), 0.0), 0.0)
-      val ex = one.filter(col("i") === col("k") && col("r") + col("a") > 0)
-        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
-      AffinityPropagation.assign(offd, ex, s).orderBy("i")
+      val offd = AffinityPropagation.similarities(Tables.embeddings(s, dir))
+      AffinityPropagation.assign(offd, fullRun(s, dir).exemplars, s).orderBy("i")
     }),
 
     // Sparse m-NN AP (m=50): the O(N·m) scale path run through the
@@ -161,8 +161,13 @@ object ApQueries extends QueryGroup {
     "ap_availability" ->
       s"$chain\nSELECT i, k, round(aa, 6) + 0.0 AS a FROM avail ORDER BY i, k",
     "ap_assign" ->
-      s"""$chain,
-         |ex AS (SELECT k FROM avail WHERE i = k AND rr + aa > 0),
+      s"""WITH offd AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS k,
+         |    -list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS s
+         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+         |ex AS (SELECT unnest([$sf001ExemplarsLiteral]) AS k),
          |best AS (
          |  SELECT o.i, o.k AS exemplar FROM offd o
          |  WHERE o.k IN (SELECT k FROM ex) AND o.i NOT IN (SELECT k FROM ex)
@@ -173,4 +178,15 @@ object ApQueries extends QueryGroup {
          |  SELECT k AS i, k AS exemplar FROM ex)
          |ORDER BY i""".stripMargin
   )
+
+  /** The converged exemplar set on the sf0.01 fixture (N=500, 61 ids) —
+    * the literal list the ap_assign oracle receives, per §2.J's
+    * assignment-given-exemplars declaration. Must equal
+    * `fullRun(sf0.01).exemplars`; regenerated from the ap_exemplars
+    * verify dump. */
+  private val sf001ExemplarsLiteral: String =
+    ("3,9,16,27,48,50,70,74,83,95,100,101,108,125,127,150,155,162,165,169," +
+     "172,187,194,195,198,202,204,205,253,254,256,271,272,276,287,298,312," +
+     "325,340,350,353,354,363,369,373,375,383,384,387,399,406,419,430,431," +
+     "438,439,443,450,458,473,477")
 }

@@ -279,14 +279,9 @@ object Dedup extends QueryGroup {
       .select("doc_a", "doc_b", "hamming").distinct()
   }
 
-  /** Unpersist the RDD behind a localCheckpoint'd DataFrame. Checkpoints
-    * superseded inside an iterative loop otherwise pin storage memory
-    * until driver GC — across repeated runs in one session (the bench)
-    * that pressure evicts the warmed table caches. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(false))
+  /** Unpersist the RDD behind a localCheckpoint'd DataFrame (shared
+    * release discipline — see [[graft.Checkpoints]]). */
+  private def releaseCheckpoint(df: DataFrame): Unit = graft.Checkpoints.release(df)
 
   /** Final-generation checkpoints of the LAST distributed components run
     * per session, released at the next run's start: the returned
@@ -294,9 +289,28 @@ object Dedup extends QueryGroup {
     * unrecomputable once unpersisted), so it cannot be freed inside the
     * call that made it — but repeated invocations in one session (the
     * bench's reps) must not accumulate one pinned checkpoint each.
-    * Contract: consume a components result before the next call. */
+    * Contract: consume a components result before the next call.
+    * WEAK-keyed by the session (like Tables' cache and ApQueries'
+    * runCache) so a stopped session's final checkpoint entry doesn't
+    * outlive the session object. */
   private val lastComponentsCheckpoint =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+    new java.util.WeakHashMap[SparkSession, DataFrame]()
+
+  private def releasePrevComponents(spark: SparkSession): Unit =
+    lastComponentsCheckpoint.synchronized {
+      Option(lastComponentsCheckpoint.remove(spark))
+    }.foreach(releaseCheckpoint)
+
+  private def recordComponentsCheckpoint(spark: SparkSession, df: DataFrame): Unit =
+    lastComponentsCheckpoint.synchronized {
+      lastComponentsCheckpoint.put(spark, df); ()
+    }
+
+  /** Test hook: is a final-generation checkpoint recorded for `spark`? */
+  private[graft] def hasComponentsCheckpoint(spark: SparkSession): Boolean =
+    lastComponentsCheckpoint.synchronized {
+      lastComponentsCheckpoint.containsKey(spark)
+    }
 
   /** Edge-count bound for the in-memory union-find regime: 2²⁰ edges ≈
     * 16 MB of id pairs on the driver — same bounded-collect discipline as
@@ -324,10 +338,20 @@ object Dedup extends QueryGroup {
     * @param nodes one column `id`; @param pairs columns `id_a`, `id_b`.
     *   Edge endpoints absent from `nodes` are unioned into the output
     *   (round-4 ADVICE: otherwise such a node never self-labels and
-    *   silently drops), so `nodes` need not cover the edge list.
+    *   silently drops), so `nodes` need not cover the edge list. Edges
+    *   with a NULL endpoint are dropped (round-6 ADVICE: the probe's
+    *   getLong would otherwise unbox null to 0 and silently attach the
+    *   edge to node 0, merging unrelated components); isolated nodes
+    *   self-label regardless.
+    * @note NOT safe for concurrent calls on one SparkSession: the bounded
+    *   probe temporarily sets spark.sql.limit.initialNumPartitions
+    *   session-wide (restored in a finally). The single-threaded
+    *   bench/verify drivers are fine; a shared-session service should
+    *   scope calls via spark.newSession.
     * @return (id, component) — component = smallest reachable id. */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
     val idType = nodes.schema("id").dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
@@ -447,8 +471,9 @@ object Dedup extends QueryGroup {
     * once unpersisted). */
   private[graft] def componentsStars(nodes: DataFrame, p: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    lastComponentsCheckpoint.remove(spark).foreach(releaseCheckpoint)
-    var e = p.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    releasePrevComponents(spark)
+    var e = p.filter(col("u").isNotNull && col("v").isNotNull)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var stable = false
     while (!stable) {
       val next = smallStar(largeStar(e)).localCheckpoint()
@@ -458,7 +483,7 @@ object Dedup extends QueryGroup {
       releaseCheckpoint(e)
       e = next
     }
-    lastComponentsCheckpoint.put(spark, e)
+    recordComponentsCheckpoint(spark, e)
     nodes.select(col("id"))
       .unionByName(e.select(col("u").as("id")))
       .unionByName(e.select(col("v").as("id")))
@@ -477,12 +502,13 @@ object Dedup extends QueryGroup {
     * on this session (see [[componentsStars]]). */
   private[graft] def connectedComponentsPropagation(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    lastComponentsCheckpoint.remove(spark).foreach(releaseCheckpoint)
+    releasePrevComponents(spark)
     // Materialize the pair-generation pipeline ONCE: the edge list is
     // consumed forward + reversed and then on every iteration — without
     // the checkpoint the union would execute the (expensive) upstream
     // pipeline twice in a single plan.
-    val p = pairs.select(col("id_a").as("u"), col("id_b").as("v")).localCheckpoint()
+    val p = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull).localCheckpoint()
     val adj = p.unionByName(p.select(col("v").as("u"), col("u").as("v")))
     var labels = nodes.select(col("id").as("u"))
       .unionByName(adj.select(col("u")))
@@ -511,7 +537,7 @@ object Dedup extends QueryGroup {
     // The result depends only on the final generation's checkpoint; the
     // edge list can be released as soon as the loop exits.
     releaseCheckpoint(p)
-    prev.foreach(lastComponentsCheckpoint.put(spark, _))
+    prev.foreach(recordComponentsCheckpoint(spark, _))
     labels.select(col("u").as("id"), col("lbl").as("component"))
   }
 

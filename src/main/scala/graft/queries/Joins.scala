@@ -94,9 +94,14 @@ object Joins extends QueryGroup {
         .orderBy("c_custkey")
     }),
 
+    // D4 build-side synthesis (like filter_null_semantics): every customer
+    // in the fixtures has ≥1 order, so the plain anti-join is vacuously
+    // empty at every sf; filtering the build side to high-value orders
+    // makes the result non-empty (8/68/762 rows at sf0.001/0.01/0.1) while
+    // keeping the operator the same physical left-anti hash join.
     "join_left_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 350000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -252,7 +257,8 @@ object Joins extends QueryGroup {
         |ORDER BY c_custkey""".stripMargin,
     "join_left_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
         |ORDER BY c_custkey""".stripMargin,
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name

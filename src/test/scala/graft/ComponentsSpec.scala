@@ -52,6 +52,41 @@ class ComponentsSpec extends SparkSuite {
     assert(local.exists { case (id, comp) => id != comp })
   }
 
+  test("edges with a NULL endpoint are dropped, not aliased to node 0") {
+    import spark.implicits._
+    // round-6 ADVICE: the bounded probe read endpoints with getLong, which
+    // unboxes null to 0L — a null-endpoint edge silently attached to node
+    // 0 and could merge unrelated components. Nodes {0,1,2,3,4}; edges
+    // (1,null), (null,2), (3,4): the null edges must vanish, so 1 and 2
+    // stay their own components instead of joining 0's.
+    val nodes = (0L to 4L).toDF("id")
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, null), (null, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val expected = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L))
+    val (local, prop, stars) = allThree(nodes, pairs)
+    assert(local == expected)
+    assert(prop == expected)
+    assert(stars == expected)
+  }
+
+  test("components checkpoint registry is session-scoped (weak-keyed like Tables' cache)") {
+    // mirror of PlanSpec's table-cache scoping test: a distributed
+    // components run on a second session records ITS checkpoint without
+    // touching the base session's entry (the registry is a WeakHashMap,
+    // so a dropped session's final checkpoint is collectable with it).
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val baseBefore = queries.Dedup.hasComponentsCheckpoint(spark)
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    queries.Dedup.componentsStars(nodes, edges).collect()
+    assert(queries.Dedup.hasComponentsCheckpoint(s2),
+      "distributed run did not record its final checkpoint for its session")
+    assert(queries.Dedup.hasComponentsCheckpoint(spark) == baseBefore,
+      "second session's run disturbed the base session's registry entry")
+  }
+
   test("union-find agrees with a BFS reference on 40 random graphs") {
     // random edge lists (dense, sparse, self-loops, duplicate edges)
     // against an independent breadth-first reference. Deterministic seed.
