@@ -140,8 +140,82 @@ object Bench {
       minOf(5)(spark.read.parquet(s"$sfDir/events.parquet").count()))
   }
 
+  /** Distributed-AP regime record (round-6 VERDICT #5): the flagship
+    * 100 TB path — AffinityPropagation's two-exchange damped loop —
+    * never appears in the default bench because every driver-visible
+    * input (N ≤ 2000 at sf0.1) dispatches to the local dense kernel.
+    * SPARK_GRAFT_AP_DIST=1 measures the distributed loop itself at
+    * N ≥ 4000: fixture embeddings replicated with vec_id offsets (a
+    * THROUGHPUT measurement — per-iteration cost is data-size-driven,
+    * so replica geometry is irrelevant), dense and sparse-m50 shapes,
+    * convergence disabled (convergenceIter > maxIter) so the iteration
+    * count is pinned. Per-iteration cost = (long run − short run) /
+    * iteration delta, which subtracts the shared similarity-build +
+    * preference prefix. Prints one JSON line, writes ap_dist.json;
+    * results table lives in BENCH_NOTES §15, refreshed per round. */
+  private def apDist(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val threads = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      // Data-sized, not fixture-sized: the dense shape shuffles 16M
+      // message rows per exchange (~0.7 GB) — 32-way is ~20 MB/task.
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.embeddings(spark, sfDir)
+    // Repartition the replicated input: the fixture parquet is a single
+    // row-group, and the N² similarity build is a broadcast nested-loop
+    // join that streams the non-broadcast side — at 1 input partition
+    // the whole 16M-row build runs in ONE task (measured: the dense run
+    // pinned one core). No 100 TB input is 1 partition; width-many is
+    // the honest shape.
+    def emb(replicas: Int) = (0 until replicas)
+      .map(r => base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_.unionByName(_))
+      .repartition(threads)
+    val dense = emb(2)  // N = 4000 = localThreshold: the smallest distributed N
+    val sparse = emb(3) // N = 6000, m = 50 → O(N·m) messages, the scale shape
+    def runFixed(e: org.apache.spark.sql.DataFrame, iters: Int,
+        m: Option[Int]): Double = time {
+      val r = ap.AffinityPropagation.run(spark, e,
+        maxIter = iters, convergenceIter = iters + 2, neighbors = m)
+      require(r.iterations == iters, s"expected $iters iterations, got ${r.iterations}")
+    }
+    // Warm the DISTRIBUTED path itself (similarity build + two-exchange
+    // loop): warming only the local kernel leaves all JIT/codegen cost
+    // inside the first measured run — measured round 7: the 1-iter run
+    // came out SLOWER than the 4-iter run and the delta went negative.
+    runFixed(dense, 1, None)
+    runFixed(sparse, 1, Some(50))
+    // Two measurement passes, min-combined: this box's capacity swings
+    // 2–6× on a minutes timescale (BENCH_NOTES §5), and a single
+    // (long − short) delta straddling a swing is garbage. min over
+    // passes of each endpoint before differencing, same discipline as
+    // the main bench's min-over-windows.
+    def pass() = (runFixed(dense, 1, None), runFixed(dense, 4, None),
+      runFixed(sparse, 2, Some(50)), runFixed(sparse, 10, Some(50)))
+    val (a1, a4, a2, a10) = pass()
+    val (b1, b4, b2, b10) = pass()
+    val (d1, d4) = (math.min(a1, b1), math.min(a4, b4))
+    val (s2, s10) = (math.min(a2, b2), math.min(a10, b10))
+    val dPer = (d4 - d1) / 3.0
+    val sPer = (s10 - s2) / 8.0
+    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"sparse_n":6000,"sparse_m":50,"sparse_iters":10,"sparse_sec":$s10%.3f,"sparse_sec_per_iter":$sPer%.3f}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("ap_dist.json"), json + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.get("SPARK_GRAFT_AP_DIST").contains("1")) { apDist(sfDir); return }
     val avail = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     // Machine width first (best on this round's box), workload width
