@@ -128,6 +128,20 @@ object Bench {
       cycles += 1
     }
 
+    // Distributed-regime AP row (round-7 VERDICT #1): the ONE headline
+    // row that routes through runLoop's two-exchange checkpointed
+    // dataflow — full converged loop on the 200-vec prefix (37 iters at
+    // λ=0.5; per-iteration cost is scheduling-dominated at 40 k message
+    // rows, which is exactly the signal: the loop's fixed overhead).
+    // Measured OUTSIDE the round-robin — at ~7 s/run it would starve
+    // every other query's window sampling if cycled.
+    val emb200 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(200)
+    for (_ <- 1 to 2)
+      record("ap_dist_n200", time {
+        val r = graft.ap.AffinityPropagation.run(spark, emb200)
+        require(r.converged && r.exemplars.nonEmpty)
+      })
+
     // Floor rows (BASELINE.md round-5/6 note): jobs with NO query logic
     // bounding what any Spark-local job clocks under this width.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -205,7 +219,19 @@ object Bench {
     val (s2, s10) = (math.min(a2, b2), math.min(a10, b10))
     val dPer = (d4 - d1) / 3.0
     val sPer = (s10 - s2) / 8.0
-    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"sparse_n":6000,"sparse_m":50,"sparse_iters":10,"sparse_sec":$s10%.3f,"sparse_sec_per_iter":$sPer%.3f}"""
+    // One CONVERGED run on the production sparse shape (round-7 VERDICT:
+    // "4 iterations is a per-iter sample, not a run") — N=6000, m=50,
+    // default λ/stopping. The dense shape stays a per-iteration sample
+    // BY BUDGET: a converged dense N=4000 run is ~50 iterations at
+    // ~8 s/iter ≈ 400 s of box time for no new information — the loop is
+    // iteration-homogeneous (identical two-exchange plan every pass), so
+    // unit cost × iteration count IS the converged cost; the rationale is
+    // recorded in the JSON per the round-7 ask.
+    val tc0 = System.nanoTime()
+    val conv = ap.AffinityPropagation.run(spark, sparse, neighbors = Some(50))
+    val convSec = (System.nanoTime() - tc0) / 1e9
+    require(conv.converged, s"sparse N=6000 m=50 did not converge in ${conv.iterations} iters")
+    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop: unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters x ~8 s) adds ~400 s of box time for no new signal","sparse_n":6000,"sparse_m":50,"sparse_iters":10,"sparse_sec":$s10%.3f,"sparse_sec_per_iter":$sPer%.3f,"sparse_converged_sec":$convSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("ap_dist.json"), json + "\n")

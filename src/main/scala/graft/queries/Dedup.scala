@@ -296,18 +296,24 @@ object Dedup extends QueryGroup {
     * Contract: consume a components result before the next call.
     * WEAK-keyed by the session (like Tables' cache and ApQueries'
     * runCache) so a stopped session's final checkpoint entry doesn't
-    * outlive the session object. */
+    * outlive the session object — and the VALUE is a WeakReference,
+    * because the DataFrame strongly references its session (= the key):
+    * a strong value would make the weak entry unreclaimable per
+    * WeakHashMap's documented caveat (round-7 ADVICE). A cleared ref
+    * means the result became unreachable — the ContextCleaner unpersists
+    * its RDD on that path; the registry adds the deterministic release
+    * while it is still live. */
   private val lastComponentsCheckpoint =
-    new java.util.WeakHashMap[SparkSession, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
 
   private def releasePrevComponents(spark: SparkSession): Unit =
     lastComponentsCheckpoint.synchronized {
       Option(lastComponentsCheckpoint.remove(spark))
-    }.foreach(releaseCheckpoint)
+    }.flatMap(r => Option(r.get)).foreach(releaseCheckpoint)
 
   private def recordComponentsCheckpoint(spark: SparkSession, df: DataFrame): Unit =
     lastComponentsCheckpoint.synchronized {
-      lastComponentsCheckpoint.put(spark, df); ()
+      lastComponentsCheckpoint.put(spark, new java.lang.ref.WeakReference(df)); ()
     }
 
   /** Test hook: is a final-generation checkpoint recorded for `spark`? */
