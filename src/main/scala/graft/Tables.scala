@@ -159,6 +159,12 @@ object Tables {
       (plan: => DataFrame): DataFrame =
     sessionCache(spark).getOrElse((sfDir, name), plan)
 
+  /** Is a derived projection warmed in this session's catalog? Queries
+    * with a size-statistic regime switch also flip when the matching
+    * ingest exists (topk_global's pre-aggregate). */
+  private[graft] def hasDerived(spark: SparkSession, sfDir: String, name: String): Boolean =
+    sessionCache(spark).contains((sfDir, name))
+
   private[graft] def warmDerived(spark: SparkSession, sfDir: String,
       name: String, plan: DataFrame): Unit = {
     val df = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)

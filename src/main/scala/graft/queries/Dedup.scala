@@ -88,6 +88,16 @@ object Dedup extends QueryGroup {
     * once, where the round-6 form re-ran the window on every rep (the
     * dedup_cluster regression, round-6 VERDICT #4). */
   private[graft] def hashedShinglePlan(s: SparkSession, docs: DataFrame): DataFrame =
+    hashedShingleSetPlan(s, docs)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+
+  /** The BARE hashed shingle set — no per-doc size column. Signature-only
+    * consumers (minhash: min() is idempotent and n-free) read this form
+    * so the unwarmed path skips the per-doc window sort whose result the
+    * aggregate never reads (round-7 ADVICE); [[hashedShinglePlan]] layers
+    * the `n` window on top for the jaccard kernel and the warmed
+    * materialization (computed once at ingest there). */
+  private[graft] def hashedShingleSetPlan(s: SparkSession, docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -99,7 +109,6 @@ object Dedup extends QueryGroup {
         element_at(col("ws"), col("j") + 2),
         element_at(col("ws"), col("j") + 3)).as("shingle"))
       .distinct()
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
 
   /** The fixture-table shingle set: the bench session's warmed
     * materialization when present (an 8-byte-pair relation, in-memory
@@ -110,10 +119,90 @@ object Dedup extends QueryGroup {
     Tables.derived(s, dir, "documents#hshingles")(
       hashedShinglePlan(s, Tables.documents(s, dir)))
 
-  /** Bench-session ingest of [[shingleSet]]. */
+  /** [[shingleSet]] for SIGNATURE-only consumers: the warmed
+    * materialization when present (it carries `n`; the aggregate ignores
+    * the column), else the bare set WITHOUT the per-doc size window —
+    * the unwarmed minhash/verify path pays no sort it never reads. */
+  private[graft] def shingleSetSig(s: SparkSession, dir: String): DataFrame =
+    Tables.derived(s, dir, "documents#hshingles")(
+      hashedShingleSetPlan(s, Tables.documents(s, dir)))
+
+  /** Bench-session ingest of [[shingleSet]] — through the skew-safe
+    * plan: ingest is exactly where a pathologically hot document would
+    * otherwise serialize the whole explode+distinct pipeline into one
+    * task, and the one-time probe job is amortized over the session. On
+    * a balanced corpus (every fixture) the probe finds nothing and the
+    * ingested plan is IDENTICAL to [[hashedShinglePlan]]. */
   private[graft] def warmShingles(s: SparkSession, dir: String): Unit =
     Tables.warmDerived(s, dir, "documents#hshingles",
-      hashedShinglePlan(s, Tables.documents(s, dir)))
+      hashedShinglePlanSkewSafe(s, Tables.documents(s, dir)))
+
+  /** Hot-document word-count threshold for the skew fallback: ~2¹⁷ words
+    * ≈ 128 k shingles in one per-doc task — roughly a single task's
+    * comfortable explode+distinct workload; anything larger is the
+    * pathological outlier the salted path exists for. */
+  private[graft] val HotDocWordCap: Int = 1 << 17
+
+  /** Skew-safe [[hashedShinglePlan]] (round-7 VERDICT #4, the house
+    * `join_skew_salted` pattern ported to the shingle family): a bounded
+    * probe (`limit(cap+1)`, same discipline as the AP solve probe and
+    * the components edge cap) detects documents whose word count exceeds
+    * `hotWordCap`. Cold documents take the normal doc_id-clustered
+    * pipeline unchanged; each HOT document's shingle-start range is cut
+    * into `chunkWords`-sized chunks — the word array is SLICED per chunk
+    * before the exchange (a +2-word overlap per cut keeps every
+    * cross-boundary shingle; the giant array never replicates whole) —
+    * and the explode+hash runs partitioned by (doc_id, chunk), so no
+    * task ever holds more than ~chunkWords of one document's work. The
+    * distinct then clusters by (doc_id, shingle) — spread by shingle,
+    * not hot by doc — and the per-doc set size attaches via a BROADCAST
+    * join of the ≤`maxHot`-row count relation (the window form would
+    * re-serialize the hot doc into one task). Rows are identical to the
+    * plain plan: chunk decomposition covers each shingle start exactly
+    * once, and hot/cold doc sets are disjoint. */
+  private[graft] def hashedShinglePlanSkewSafe(
+      s: SparkSession, docs: DataFrame,
+      hotWordCap: Int = HotDocWordCap, chunkWords: Int = 4096,
+      maxHot: Int = 1024): DataFrame = {
+    val hot = docs
+      .filter(size(split(col("text"), " ")) > hotWordCap)
+      .select(col("doc_id"))
+      .limit(maxHot + 1).collect()
+    require(hot.length <= maxHot,
+      s"more than $maxHot documents exceed $hotWordCap words — this is not " +
+        "an outlier corpus; re-ingest with a larger chunk budget or raise maxHot")
+    if (hot.isEmpty) hashedShinglePlan(s, docs)
+    else {
+      val hotIds = hot.map(_.getLong(0)).toSeq
+      val cold = hashedShinglePlan(s,
+        docs.filter(!col("doc_id").isin(hotIds: _*)))
+      val W = chunkWords
+      val hotSet = docs.filter(col("doc_id").isin(hotIds: _*))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        // one row per (doc, chunk), sliced small BEFORE the exchange
+        .select(col("doc_id"),
+          // integer chunk count: Column./ is double division, so floor+cast
+          explode(sequence(lit(0),
+            floor((size(col("ws")) - 3) / W).cast("int"))).as("c"),
+          col("ws"))
+        .select(col("doc_id"), col("c"),
+          slice(col("ws"), col("c") * W + 1, lit(W + 2)).as("sl"),
+          least(lit(W - 1), size(col("ws")) - 3 - col("c") * W).as("jmax"))
+        .repartition(Tables.workloadPartitions(s, docs), col("doc_id"), col("c"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("jmax"))).as("j"), col("sl"))
+        .select(col("doc_id"), xxhash64(
+          element_at(col("sl"), col("j") + 1),
+          element_at(col("sl"), col("j") + 2),
+          element_at(col("sl"), col("j") + 3)).as("shingle"))
+        .distinct()
+      val hotN = hotSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hotWithN = hotSet.join(broadcast(hotN), "doc_id")
+        .select(col("doc_id"), col("shingle"), col("n"))
+      cold.unionByName(hotWithN)
+    }
+  }
 
   private[graft] def jaccardPairsHashed(s: SparkSession, docs: DataFrame,
       threshold: Double = 0.2): DataFrame =
@@ -199,7 +288,7 @@ object Dedup extends QueryGroup {
   }
 
   private[graft] def minhashSignatures(s: SparkSession, docs: DataFrame): DataFrame =
-    minhashSignaturesFrom(hashedShinglePlan(s, docs))
+    minhashSignaturesFrom(hashedShingleSetPlan(s, docs))
 
   /** Signatures from a hashed shingle SET relation. min() is idempotent,
     * so signatures over the distinct set are identical to the historical
@@ -642,7 +731,7 @@ object Dedup extends QueryGroup {
     // ADD candidates, with probability ~2⁻⁶⁴). Recall vs dedup_jaccard
     // is asserted in the test suite (D3 ⇒ no oracle).
     "dedup_minhash" -> ((s, dir) =>
-      minhashPairsFrom(minhashSignaturesFrom(shingleSet(s, dir)))
+      minhashPairsFrom(minhashSignaturesFrom(shingleSetSig(s, dir)))
         .orderBy("doc_a", "doc_b")),
 
     // The composed pipeline a production dedup actually runs: LSH

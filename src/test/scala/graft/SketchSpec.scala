@@ -141,6 +141,49 @@ class SketchSpec extends SparkSuite {
     assert(brute.nonEmpty, "fixture has no near-dup simhash pairs — test is vacuous")
   }
 
+  test("skew-safe shingle plan: identical rows, bounded task skew on a pathological document") {
+    // round-7 VERDICT #4: the shingle family's doc_id clustering
+    // serializes a pathologically hot document into one task; the
+    // salted (chunked) fallback must produce the SAME (doc_id, shingle,
+    // n) relation while spreading the hot document's work. Fixture: one
+    // ~20k-word document among 40 normal ones. AQE is disabled so the
+    // partition-size assertions see the declared partitioning, not a
+    // small-data coalesce.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, vocab: Int) =
+      (0 until n).map(_ => "w" + rnd.nextInt(vocab)).mkString(" ")
+    val docs = ((1 to 40).map(i => (i.toLong, words(50, 200))) :+
+      (999L, words(20000, 50000))).toDF("doc_id", "text")
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plain = queries.Dedup.hashedShinglePlan(spark, docs)
+      val salted = queries.Dedup.hashedShinglePlanSkewSafe(spark, docs,
+        hotWordCap = 1000, chunkWords = 512, maxHot = 8)
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val p = rows(plain)
+      assert(rows(salted) == p, "salted relation differs from the plain one")
+
+      def partSizes(df: org.apache.spark.sql.DataFrame) =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      val hotShingles = p.count(_._1 == 999L)
+      val total = p.size
+      // plain: the doc_id clustering pins the hot doc's whole set in one
+      // partition — the skew being demonstrated
+      assert(partSizes(plain).max >= hotShingles,
+        "expected the plain plan to concentrate the hot document")
+      // salted: no partition holds more than half the relation (the hot
+      // doc alone is ~90% of it)
+      val saltedMax = partSizes(salted).max
+      assert(saltedMax <= total / 2,
+        s"salted plan still skewed: max partition $saltedMax of $total rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("unioned daily HLL sketches estimate global distinct within 5%") {
     val est = SparkEntry.queries("agg_hll_union")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
