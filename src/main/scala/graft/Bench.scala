@@ -172,7 +172,7 @@ object Bench {
     * preference prefix. Prints one JSON line, writes ap_dist.json;
     * results table lives in BENCH_NOTES §15, refreshed per round. */
   private def apDist(sfDir: String): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, transform, when}
     val threads = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
@@ -191,9 +191,17 @@ object Bench {
     // the whole 16M-row build runs in ONE task (measured: the dense run
     // pinned one core). No 100 TB input is 1 partition; width-many is
     // the honest shape.
+    // Replicas are PERTURBED (replica r shifts dim 0 by r·1e-3): exact
+    // duplicate points make AP oscillate forever at λ=0.5 — the
+    // identical pair swaps exemplar roles every iteration — so the
+    // unperturbed input can never satisfy the converged-run requirement
+    // below (measured: 200 iters, no convergence; perturbed: 34). The
+    // shift is ~1e-3 of the coordinate scale, so per-iteration cost and
+    // graph geometry are unchanged for the throughput samples.
     def emb(replicas: Int) = (0 until replicas)
       .map(r => base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-        col("embedding")))
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(r * 1e-3f)).otherwise(x)).as("embedding")))
       .reduce(_.unionByName(_))
       .repartition(threads)
     val dense = emb(2)  // N = 4000 = localThreshold: the smallest distributed N
@@ -235,7 +243,7 @@ object Bench {
     val conv = ap.AffinityPropagation.run(spark, sparse, neighbors = Some(50))
     val convSec = (System.nanoTime() - tc0) / 1e9
     require(conv.converged, s"sparse N=6000 m=50 did not converge in ${conv.iterations} iters")
-    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop: unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters x ~8 s) adds ~400 s of box time for no new signal","sparse_n":6000,"sparse_m":50,"sparse_iters":10,"sparse_sec":$s10%.3f,"sparse_sec_per_iter":$sPer%.3f,"sparse_converged_sec":$convSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size}}"""
+    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop (identical two-exchange plan every pass): unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters at the recorded per-iter cost) adds minutes of box time for no new signal","sparse_n":6000,"sparse_m":50,"sparse_iters":10,"sparse_sec":$s10%.3f,"sparse_sec_per_iter":$sPer%.3f,"sparse_converged_sec":$convSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size}}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("ap_dist.json"), json + "\n")

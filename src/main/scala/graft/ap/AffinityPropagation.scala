@@ -412,10 +412,27 @@ object AffinityPropagation {
     // iteration-invariant here — the static plan already encodes it.
     // Restored in finally; the loop owns the session between actions.
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val aqeBefore = spark.conf.get(aqeKey, "true")
+    val partsBefore = spark.conf.get(partsKey)
     spark.conf.set(aqeKey, "false")
     try {
     var msgs = msgs0.localCheckpoint()
+
+    // Data-sized loop parallelism (the workloadPartitions discipline,
+    // tuned for CPU-bound window sorts: ~16 MB per task, floored at
+    // min(8, width), capped at cluster width). With AQE off, a fixed
+    // session-wide partition count is wrong at BOTH ends: 32 partitions
+    // on the sparse O(N·m) shape ran 96 near-empty tasks per iteration
+    // (measured 2× the per-iteration wall of the coalesced form), while
+    // at 100 TB the same fixed count would under-split. AQE's coalescing
+    // would re-derive the same answer per stage per iteration; the
+    // relation's size is iteration-invariant, so ONE count job over the
+    // materialized init sizes every exchange of the whole run.
+    val dp = spark.sparkContext.defaultParallelism
+    val loopParts = math.max(math.min(8, dp),
+      math.min(dp, (msgs.count() * 48L / (16L << 20)).toInt + 1))
+    spark.conf.set(partsKey, loopParts.toString)
 
     var lastExemplars: Set[Long] = null
     var stable = 0
@@ -457,7 +474,10 @@ object AffinityPropagation {
     val finalMsgs = msgs
     recordRunCheckpoint(spark, finalMsgs)
     Result(() => finalMsgs, lastExemplars.toSeq.sorted, it, converged)
-    } finally spark.conf.set(aqeKey, aqeBefore)
+    } finally {
+      spark.conf.set(aqeKey, aqeBefore)
+      spark.conf.set(partsKey, partsBefore)
+    }
   }
 
   /** Assignment given an exemplar set: label(i) = argmax_{k∈E} s(i,k),

@@ -106,6 +106,32 @@ class PlanSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("topk_global ingest-denormalized path: same rows, aggregate plans exchange-free") {
+    // The bench session warms lineitem#okrev_cust (order-grain revenue
+    // with the customer key attached, bucketed by o_custkey). The
+    // per-query plan must then be scan → broadcast customer → custkey
+    // aggregate with NO hash exchange (the broadcast join expands the
+    // cache's HashPartitioning(o_custkey) to c_custkey), and the rows
+    // must equal the unwarmed small regime's. Fresh session so the warm
+    // doesn't flip the shared session's regime for other tests.
+    val s2 = spark.newSession()
+    Tables.warm(s2, sf001, Seq("lineitem" -> None, "orders" -> Some("o_orderkey")))
+    queries.Windows.warmOrderkeyRev(s2, sf001)
+    assert(Tables.hasDerived(s2, sf001, "lineitem#okrev_cust"))
+    val warmed = queries.Windows.topkGlobal(s2, sf001, preAgg = true)
+    val rows = warmed.collect().toSeq
+    val plain = queries.Windows.topkGlobal(spark, sf001, preAgg = false).collect().toSeq
+    assert(rows == plain, "denormalized path diverged from the small regime")
+    warmed.collect() // AQE final plan materialized
+    // assert above the cache boundary only: the InMemoryRelation's
+    // STORED build plan legitimately contains the one-time ingest
+    // repartition — the per-query plan above it must not shuffle
+    val p = warmed.queryExecution.executedPlan.toString
+    val perQuery = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(!perQuery.contains("Exchange hashpartitioning"),
+      s"denormalized topk_global still shuffles per query:\n$p")
+  }
+
   test("bucketed tables co-locate the join (no shuffle exchange)") {
     // default warehouse (./spark-warehouse, gitignored) — the option is a
     // static conf and can't move after session start. Clear leftovers
