@@ -25,24 +25,22 @@ object Dedup extends QueryGroup {
     * layout — documents is a small-file scan here, and at 100 TB the
     * same move rebalances skewed file splits before the 50× row blowup. */
   private[graft] def shingles(s: SparkSession, docs: DataFrame,
-      dedup: Boolean = true): DataFrame = {
+      dedup: Boolean = true, n: Int = 3): DataFrame = {
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(size(col("ws")) >= n)
       // partition BY doc_id, not round-robin: the same exchange that
       // spreads the explode also satisfies every downstream per-doc
       // clustering (distinct on (doc_id, shingle), groupBy(doc_id)) —
       // one shuffle instead of two. Workload-sized, not machine-sized
       // (BENCH_NOTES §12). Hash spread over all doc_ids is balanced
-      // here; at 100 TB a pathologically hot document would call for
-      // salting this key.
+      // here; at 100 TB a pathologically hot document calls for the
+      // salted chunked plan ([[hashedShinglePlanSkewSafe]]).
       .repartition(Tables.workloadPartitions(s, docs), col("doc_id"))
       .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), size(col("ws")) - 3)).as("j"))
+        explode(sequence(lit(0), size(col("ws")) - n)).as("j"))
       .select(col("doc_id"), concat_ws(" ",
-        element_at(col("ws"), col("j") + 1),
-        element_at(col("ws"), col("j") + 2),
-        element_at(col("ws"), col("j") + 3)).as("shingle"))
+        (1 to n).map(o => element_at(col("ws"), col("j") + o)): _*).as("shingle"))
     if (dedup) base.distinct() else base
   }
 

@@ -212,6 +212,34 @@ object TextOps extends QueryGroup {
         .orderBy("lang", "split")
     }),
 
+    // Benchmark decontamination — the standard pre-training hygiene
+    // step (n-gram overlap against a held-out evaluation set, the
+    // GPT-3/Pile recipe): a training document is contaminated to the
+    // degree its distinct word 5-grams appear in ANY benchmark
+    // document. The benchmark here is the declared doc_id % 20 == 0
+    // slice (an eval set is a separate small table in production —
+    // same shape). Scale design: eval suites are small by nature, so
+    // the eval gram set BROADCASTS (one distinct + broadcast, no
+    // shuffle of the 50×-exploded train side by gram); the train gram
+    // explode reuses the shingle pipeline's doc_id clustering, and the
+    // per-doc overlap count is a partial-aggregated groupBy. Reported
+    // per train doc (0 = clean) so the gate is an explicit filter the
+    // caller applies — a curation job audits counts before dropping.
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isEval = col("doc_id") % 20 === 0
+      val evalGrams = Dedup.shingles(s, docs.filter(isEval), n = 5)
+        .select("shingle").distinct()
+      val hits = Dedup.shingles(s, docs.filter(!isEval), n = 5)
+        .join(broadcast(evalGrams), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+      docs.filter(!isEval).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: token stats + stopword ratio + length flags.
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "in", "to")
@@ -365,6 +393,21 @@ object TextOps extends QueryGroup {
   )
 
   def oracles: Seq[(String, String)] = Seq(
+    "pipeline_decontaminate" ->
+      """WITH g5 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+        |       UNNEST(range(1, len(ws) - 3)) AS t(i)
+        |  WHERE len(ws) >= 5),
+        |eg AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM g5
+        |  WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM eg)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_tokenize" ->
       """SELECT term, COUNT(*) AS n
         |FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
