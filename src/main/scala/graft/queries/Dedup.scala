@@ -206,6 +206,20 @@ object Dedup extends QueryGroup {
       threshold: Double = 0.2): DataFrame =
     jaccardPairsHashedFrom(hashedShinglePlan(s, docs), threshold)
 
+  /** Every document labeled with its near-dup cluster (smallest
+    * reachable doc_id over the jaccard ≥ 0.2 graph) — the shared base of
+    * dedup_cluster and the canonical-representative selection. doc_id is
+    * the documents PK and both pair endpoints are doc_ids, so nodes is a
+    * distinct cover and the endpoint-union + distinct exchange is
+    * skipped (nodesComplete). */
+  private[graft] def docClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        jaccardPairsHashedFrom(shingleSet(s, dir), 0.2)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+        nodesComplete = true)
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+
   /** Jaccard ≥ threshold pairs from a hashed shingle set (which carries
     * the per-doc set size `n` — see [[hashedShinglePlan]]) — ONE linear
     * pipeline, no joins, no materialization: group by shingle, emit each
@@ -692,16 +706,28 @@ object Dedup extends QueryGroup {
     // component diameter. All regimes equality-tested against plain
     // min-label propagation; same DuckDB recursive-CTE oracle.
     "dedup_cluster" -> ((s, dir) =>
-      connectedComponents(
-          Tables.documents(s, dir).select(col("doc_id").as("id")),
-          jaccardPairsHashedFrom(shingleSet(s, dir), 0.2)
-            .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
-          // doc_id is the documents PK and both pair endpoints are
-          // doc_ids — nodes is a distinct cover, so the endpoint-union
-          // + distinct exchange is skipped.
-          nodesComplete = true)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
-        .orderBy("doc_id")),
+      docClusters(s, dir).orderBy("doc_id")),
+
+    // Representative selection after near-dup clustering — the step
+    // that actually SHRINKS the corpus ("keep one per cluster"): per
+    // component keep the doc with the most content (max n_chars, tie →
+    // smallest doc_id, D6) and report the cluster size alongside, so
+    // the drop is auditable. Every stage is keyed on cluster/doc_id —
+    // linear shuffles; the ranking window partitions by cluster, whose
+    // cardinality is ~|docs| (no hot key by construction: a cluster is
+    // a set of mutual near-dups).
+    "pipeline_keep_canonical" -> ((s, dir) => {
+      val labeled = docClusters(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cluster"), col("n_members"))
+        .orderBy("doc_id")
+    }),
 
     // Connected components as a GENERIC graph operator, forced onto the
     // DISTRIBUTED large-star/small-star regime (dedup_cluster's tiny
@@ -888,6 +914,34 @@ object Dedup extends QueryGroup {
       |       UNNEST(range(1, len(ws) - 1)) AS t(i)
       |  WHERE len(ws) >= 3)""".stripMargin
 
+  /** Shared recursive-CTE chain: shingle jaccard ≥ 0.2 pairs → min-label
+    * walk → `comp(doc_id, cluster)` — the oracle twin of [[docClusters]],
+    * used by dedup_cluster and pipeline_keep_canonical. */
+  private val clusterCteSql =
+    s"""$shingleSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |p0 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+       |    FROM p0
+       |    JOIN sz na ON na.doc_id = doc_a
+       |    JOIN sz nb ON nb.doc_id = doc_b)
+       |  WHERE jaccard >= 0.2),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |walk(u, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r),
+       |comp AS (SELECT u AS doc_id, MIN(r) AS cluster FROM walk GROUP BY u)""".stripMargin
+
   private val normedSql =
     """n AS (
       |  SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
@@ -965,29 +1019,17 @@ object Dedup extends QueryGroup {
          |WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_cluster" ->
-      s"""WITH RECURSIVE $shingleSql,
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |p0 AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |      ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
-         |    FROM p0
-         |    JOIN sz na ON na.doc_id = doc_a
-         |    JOIN sz nb ON nb.doc_id = doc_b)
-         |  WHERE jaccard >= 0.2),
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs),
-         |walk(u, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r)
-         |SELECT u AS doc_id, MIN(r) AS cluster FROM walk GROUP BY u
+      s"""WITH RECURSIVE $clusterCteSql
+         |SELECT doc_id, cluster FROM comp
+         |ORDER BY doc_id""".stripMargin,
+    "pipeline_keep_canonical" ->
+      s"""WITH RECURSIVE $clusterCteSql,
+         |lab AS (
+         |  SELECT c.doc_id, c.cluster, d.n_chars,
+         |    COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT doc_id, cluster, n_members FROM lab
+         |QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1
          |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $normedSql
