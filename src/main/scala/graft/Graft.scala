@@ -128,6 +128,53 @@ object Graft {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
     queries.Dedup.connectedComponents(nodes, edges)
 
+  /** Benchmark decontamination (the GPT-3/Pile n-gram recipe): for each
+    * training document, the count of its DISTINCT word `n`-grams that
+    * appear anywhere in the evaluation corpus (0 = clean) — audit the
+    * counts, then gate with `filter(n_contaminated_grams === 0)`. The
+    * eval gram set broadcasts (eval suites are small by nature), so the
+    * exploded train side never shuffles by gram. Returns
+    * (id, n_contaminated_grams) for every train doc. */
+  def decontaminate(spark: SparkSession, train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5): DataFrame = {
+    val t = docsOf(train, idCol, textCol)
+    val eg = queries.Dedup.shingles(spark, docsOf(eval, idCol, textCol), n = n)
+      .select("shingle").distinct()
+    val hits = queries.Dedup.shingles(spark, t, n = n)
+      .join(broadcast(eg), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+    t.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+  }
+
+  /** Representative selection after near-dup clustering — the step that
+    * actually shrinks the corpus: per cluster of the Jaccard ≥
+    * `threshold` graph, keep the doc with the highest quality
+    * (`qualityCol`, else text length; ties → smallest id) and report the
+    * cluster size so the drop is auditable. Returns
+    * (id, component, n_members) for KEPT docs only (singletons keep
+    * themselves). */
+  def keepCanonical(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      qualityCol: Option[String] = None,
+      threshold: Double = 0.2): DataFrame = {
+    val d = docs.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      qualityCol.map(c => col(c).cast("long"))
+        .getOrElse(length(col(textCol)).cast("long")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("q").desc, col("id"))
+    nearDupClusters(spark, d, "doc_id", "text", threshold)
+      .join(d.select(col("doc_id").as("id"), col("q")), "id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .filter(col("rn") === 1)
+      .select("id", "component", "n_members")
+  }
+
   // ---- similarity search over embeddings -----------------------------
 
   /** Exact top-k cosine neighbors per vector via the broadcast-index

@@ -51,6 +51,30 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("decontaminate matches pipeline_decontaminate on the declared eval split") {
+    // the key declares eval = doc_id % 20 == 0 over ONE table; the
+    // facade takes train and eval as separate DataFrames — feeding it
+    // the two slices must reproduce the key exactly
+    val facade = rows(Graft.decontaminate(spark,
+        myDocs.filter(col("document_id") % 20 =!= 0),
+        myDocs.filter(col("document_id") % 20 === 0),
+        "document_id", "body")
+      .orderBy("id"))
+    val key = rows(SparkEntry.queries("pipeline_decontaminate")(spark, sf001))
+    assert(facade == key)
+  }
+
+  test("keepCanonical matches pipeline_keep_canonical with the n_chars quality column") {
+    val withQ = Tables.documents(spark, sf001)
+      .select(col("doc_id").as("document_id"), col("text").as("body"),
+        col("n_chars").as("quality"))
+    val facade = rows(Graft.keepCanonical(spark, withQ, "document_id", "body",
+        qualityCol = Some("quality"))
+      .orderBy("id"))
+    val key = rows(SparkEntry.queries("pipeline_keep_canonical")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("similarTopKIvf matches simsearch_ivf") {
     val facade = rows(Graft.similarTopKIvf(spark, myEmb, 5, "item_id", "vec")
       .orderBy("i", "rnk"))
