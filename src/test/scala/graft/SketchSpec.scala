@@ -184,6 +184,30 @@ class SketchSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("skew-safe chunk decomposition is exact at chunk-boundary word counts") {
+    // the chunked hot-doc pipeline's index arithmetic (slice offset,
+    // per-chunk jmax, +2-word overlap) must cover every shingle start
+    // exactly once for ANY chunk width and document length — probe the
+    // boundary cases: length ≡ 0/±1 mod W, single-chunk, sub-chunk.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (w <- Seq(3, 5, 64)) {
+      val lengths = Seq(3, 4, w + 1, w + 2, 2 * w, 2 * w + 1, 3 * w - 1, 3 * w + 3)
+      val docs = lengths.zipWithIndex.map { case (len, i) =>
+        ((i + 1).toLong, (0 until len).map(_ => "t" + rnd.nextInt(40)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val plain = queries.Dedup.hashedShinglePlan(spark, docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // hotWordCap = 0: EVERY doc routes through the chunked pipeline
+      val chunked = queries.Dedup.hashedShinglePlanSkewSafe(spark, docs,
+        hotWordCap = 0, chunkWords = w, maxHot = lengths.size)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(chunked == plain,
+        s"chunk width $w: chunked relation diverged " +
+          s"(missing=${plain diff chunked}, extra=${chunked diff plain})")
+    }
+  }
+
   test("unioned daily HLL sketches estimate global distinct within 5%") {
     val est = SparkEntry.queries("agg_hll_union")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
