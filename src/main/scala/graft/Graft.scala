@@ -137,17 +137,10 @@ object Graft {
     * (id, n_contaminated_grams) for every train doc. */
   def decontaminate(spark: SparkSession, train: DataFrame, eval: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 5): DataFrame = {
-    val t = docsOf(train, idCol, textCol)
-    val eg = queries.Dedup.shingles(spark, docsOf(eval, idCol, textCol), n = n)
-      .select("shingle").distinct()
-    val hits = queries.Dedup.shingles(spark, t, n = n)
-      .join(broadcast(eg), "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
-    t.select("doc_id").join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id").as("id"),
-        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
-  }
+      n: Int = 5): DataFrame =
+    queries.Dedup.decontaminate(spark,
+        docsOf(train, idCol, textCol), docsOf(eval, idCol, textCol), n)
+      .select(col("doc_id").as("id"), col("n_contaminated_grams"))
 
   /** Representative selection after near-dup clustering — the step that
     * actually shrinks the corpus: per cluster of the Jaccard ≥
@@ -160,19 +153,18 @@ object Graft {
       idCol: String = "doc_id", textCol: String = "text",
       qualityCol: Option[String] = None,
       threshold: Double = 0.2): DataFrame = {
+    // quality stays DOUBLE end to end: fractional scores (classifier
+    // outputs in [0,1]) must rank, not truncate
     val d = docs.select(
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
-      qualityCol.map(c => col(c).cast("long"))
-        .getOrElse(length(col(textCol)).cast("long")).as("q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("component").orderBy(col("q").desc, col("id"))
-    nearDupClusters(spark, d, "doc_id", "text", threshold)
-      .join(d.select(col("doc_id").as("id"), col("q")), "id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("component")))
-      .filter(col("rn") === 1)
-      .select("id", "component", "n_members")
+      qualityCol.map(c => col(c).cast("double"))
+        .getOrElse(length(col(textCol)).cast("double")).as("q"))
+    queries.Dedup.keepCanonicalFrom(
+        nearDupClusters(spark, d, "doc_id", "text", threshold)
+          .select(col("id").as("doc_id"), col("component").as("cluster")),
+        d.select("doc_id", "q"))
+      .select(col("doc_id").as("id"), col("cluster").as("component"),
+        col("n_members"))
   }
 
   // ---- similarity search over embeddings -----------------------------

@@ -215,7 +215,8 @@ object AffinityPropagation {
       damping: Double = 0.5,
       maxIter: Int = 200,
       convergenceIter: Int = 15,
-      prefOverride: Option[Double] = None): Result = {
+      prefOverride: Option[Double] = None,
+      autoRelease: Boolean = true): Result = {
     val probe = embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .orderBy("vec_id").limit(localThreshold + 1).collect()
@@ -223,7 +224,7 @@ object AffinityPropagation {
       runLocalRows(spark, probe, damping, maxIter, convergenceIter, prefOverride)
     else
       run(spark, embeddings, damping, maxIter, convergenceIter,
-        checkpointEvery = 10, prefOverride)
+        checkpointEvery = 10, prefOverride, autoRelease = autoRelease)
   }
 
   /** Small-N path: collect the (id, vector) rows (N×d — small), run the
@@ -285,7 +286,8 @@ object AffinityPropagation {
       checkpointEvery: Int = 10,
       prefOverride: Option[Double] = None,
       neighbors: Option[Int] = None,
-      knnExact: Boolean = false): Result = {
+      knnExact: Boolean = false,
+      autoRelease: Boolean = true): Result = {
 
     val offd = neighbors match {
       case Some(m) if knnExact => sparseSimilaritiesExact(embeddings, m)
@@ -306,7 +308,8 @@ object AffinityPropagation {
       else preference(similarities(
         embeddings.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1000)))
     }
-    runLoop(initFrom(offd, embeddings, pref), damping, maxIter, convergenceIter)
+    runLoop(initFrom(offd, embeddings, pref), damping, maxIter, convergenceIter,
+      autoRelease)
   }
 
   /** Full AP over a caller-supplied similarity relation (i, k, s) — the
@@ -330,7 +333,8 @@ object AffinityPropagation {
       maxIter: Int = 200,
       convergenceIter: Int = 15,
       prefOverride: Option[Double] = None,
-      localNodeThreshold: Int = 2000): Result = {
+      localNodeThreshold: Int = 2000,
+      autoRelease: Boolean = true): Result = {
     val all = sims.select(col("i"), col("k"), col("s"))
     val offd = all.filter(col("i") =!= col("k"))
     val diag = all.filter(col("i") === col("k"))
@@ -384,23 +388,47 @@ object AffinityPropagation {
       val msgs0 = offd.unionByName(diag).unionByName(diagDefault)
         .withColumn("r", lit(0.0))
         .withColumn("a", lit(0.0))
-      runLoop(msgs0, damping, maxIter, convergenceIter)
+      runLoop(msgs0, damping, maxIter, convergenceIter, autoRelease)
     }
   }
+
+  /** Per-session monitor serializing [[runLoop]]'s session-conf
+    * save/restore: two concurrent loops on one session would otherwise
+    * read each other's temporary values as "before" and leave the
+    * session with AQE off after both finish. Residual (documented):
+    * UNRELATED queries issued on the same session during a loop plan
+    * under the loop's conf — inherent to session-conf scoping; run
+    * solvers on their own session (`spark.newSession()`) to isolate. */
+  private val loopMonitors = new java.util.WeakHashMap[SparkSession, Object]()
+
+  private def loopMonitor(spark: SparkSession): Object =
+    loopMonitors.synchronized {
+      var m = loopMonitors.get(spark)
+      if (m == null) { m = new Object; loopMonitors.put(spark, m) }
+      m
+    }
 
   /** The damped two-exchange iteration shared by [[run]] and
     * [[solveFromSimilarities]]'s distributed regime. Stops when the
     * exemplar indicator set is unchanged for `convergenceIter`
-    * consecutive iterations (and non-empty), or at `maxIter`. */
+    * consecutive iterations (and non-empty), or at `maxIter`.
+    * `autoRelease = false` keeps the final-generation checkpoint OUT of
+    * the next-run release registry — for callers that CACHE the Result
+    * across subsequent runs in the same session (ApQueries.fullRun):
+    * the checkpoint then stays pinned for the session's life, bounded
+    * and caller-owned, instead of being unpersisted out from under the
+    * cached, unrecomputable messages plan. */
   private def runLoop(
       msgs0: DataFrame,
       damping: Double,
       maxIter: Int,
-      convergenceIter: Int): Result = {
+      convergenceIter: Int,
+      autoRelease: Boolean = true): Result = loopMonitor(msgs0.sparkSession).synchronized {
     val spark = msgs0.sparkSession
     // Deterministically free the PREVIOUS run's final-generation
-    // checkpoint (contract: consume a Result before the next run in the
-    // same session — the same contract Dedup's components carry).
+    // checkpoint (contract: consume an auto-released Result before the
+    // next run in the same session — the contract Dedup's components
+    // carry; cached Results opt out via autoRelease = false).
     releasePrevRun(spark)
 
     // AQE OFF for the duration of the loop: the iteration plan is STATIC
@@ -470,9 +498,9 @@ object AffinityPropagation {
 
     // msgs is already a materialized checkpoint — the final generation is
     // the one pinned RDD the Result keeps alive, registered for release
-    // at the next run's start.
+    // at the next run's start (unless the caller owns its lifetime).
     val finalMsgs = msgs
-    recordRunCheckpoint(spark, finalMsgs)
+    if (autoRelease) recordRunCheckpoint(spark, finalMsgs)
     Result(() => finalMsgs, lastExemplars.toSeq.sorted, it, converged)
     } finally {
       spark.conf.set(aqeKey, aqeBefore)

@@ -32,7 +32,13 @@ object ApQueries extends QueryGroup {
       if (t == null) { t = TrieMap.empty; runCache.put(s, t) }
       t
     }
-    m.getOrElseUpdate(dir, AffinityPropagation.solve(s, Tables.embeddings(s, dir)))
+    // autoRelease = false: this Result is CACHED and re-read across
+    // later AP runs in the same session — on a distributed-regime
+    // fixture its final checkpoint must not be unpersisted out from
+    // under the cached (unrecomputable) messages plan by the next run's
+    // release pass. Pinned once per (session, dir); session-bounded.
+    m.getOrElseUpdate(dir, AffinityPropagation.solve(s, Tables.embeddings(s, dir),
+      autoRelease = false))
   }
 
   def queries: Seq[(String, Q)] = Seq(

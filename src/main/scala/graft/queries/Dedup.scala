@@ -220,6 +220,38 @@ object Dedup extends QueryGroup {
         nodesComplete = true)
       .select(col("id").as("doc_id"), col("component").as("cluster"))
 
+  /** Representative selection given cluster labels `(doc_id, cluster)`
+    * and a per-doc quality `(doc_id, q: double)`: per cluster keep the
+    * max-q doc (ties → smallest doc_id, D6) with the cluster size
+    * attached. The ONE kernel behind pipeline_keep_canonical and
+    * Graft.keepCanonical — quality is double so fractional scores
+    * (classifier outputs) rank correctly. */
+  private[graft] def keepCanonicalFrom(clusters: DataFrame,
+      quality: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster").orderBy(col("q").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster"), col("n_members"))
+  }
+
+  /** Per-train-doc count of distinct word `n`-grams appearing anywhere
+    * in the eval corpus (0 = clean) — the ONE kernel behind
+    * pipeline_decontaminate and Graft.decontaminate. Eval suites are
+    * small by nature, so the eval gram set BROADCASTS and the exploded
+    * train side never shuffles by gram. */
+  private[graft] def decontaminate(s: SparkSession, train: DataFrame,
+      eval: DataFrame, n: Int = 5): DataFrame = {
+    val eg = shingles(s, eval, n = n).select("shingle").distinct()
+    val hits = shingles(s, train, n = n)
+      .join(broadcast(eg), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+    train.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+  }
+
   /** Jaccard ≥ threshold pairs from a hashed shingle set (which carries
     * the per-doc set size `n` — see [[hashedShinglePlan]]) — ONE linear
     * pipeline, no joins, no materialization: group by shingle, emit each
@@ -716,18 +748,11 @@ object Dedup extends QueryGroup {
     // linear shuffles; the ranking window partitions by cluster, whose
     // cardinality is ~|docs| (no hot key by construction: a cluster is
     // a set of mutual near-dups).
-    "pipeline_keep_canonical" -> ((s, dir) => {
-      val labeled = docClusters(s, dir)
-        .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
-      val w = Window.partitionBy("cluster")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      labeled
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cluster"), col("n_members"))
-        .orderBy("doc_id")
-    }),
+    "pipeline_keep_canonical" -> ((s, dir) =>
+      keepCanonicalFrom(docClusters(s, dir),
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("n_chars").cast("double").as("q")))
+        .orderBy("doc_id")),
 
     // Connected components as a GENERIC graph operator, forced onto the
     // DISTRIBUTED large-star/small-star regime (dedup_cluster's tiny

@@ -228,15 +228,7 @@ object TextOps extends QueryGroup {
     "pipeline_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val isEval = col("doc_id") % 20 === 0
-      val evalGrams = Dedup.shingles(s, docs.filter(isEval), n = 5)
-        .select("shingle").distinct()
-      val hits = Dedup.shingles(s, docs.filter(!isEval), n = 5)
-        .join(broadcast(evalGrams), "shingle")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
-      docs.filter(!isEval).select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+      Dedup.decontaminate(s, docs.filter(!isEval), docs.filter(isEval))
         .orderBy("doc_id")
     }),
 

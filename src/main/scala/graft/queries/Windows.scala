@@ -86,8 +86,12 @@ object Windows extends QueryGroup {
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("rev_units"))
+    // sized by ORDERS, not lineitem: the output is order-grain (one row
+    // per orderkey, two narrow columns) — the fact's byte count would
+    // over-partition the cached projection ~25× and schedule that many
+    // near-empty tasks per consumer
     base.repartition(
-      graft.Tables.workloadPartitions(s, Tables.lineitem(s, dir)), col("o_custkey"))
+      graft.Tables.workloadPartitions(s, Tables.orders(s, dir)), col("o_custkey"))
   }
 
   /** Bench-session ingest of [[orderCustRevPlan]]. */

@@ -75,6 +75,21 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("keepCanonical ranks FRACTIONAL quality scores (no long truncation)") {
+    // classifier-style scores in [0,1]: both truncate to 0 as longs, so
+    // a long cast would silently fall back to the smallest-id tie-break
+    // and keep the WRONG doc (the higher-quality doc has the larger id)
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, 0.07), (2L, text, 0.93), (3L, "only three words", 0.5))
+      .toDF("doc_id", "text", "score")
+    val kept = Graft.keepCanonical(spark, docs, qualityCol = Some("score"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(kept.toSeq == Seq((2L, 2L), (3L, 1L)),
+      s"expected doc 2 (score 0.93) to represent the near-dup pair, got ${kept.toSeq}")
+  }
+
   test("similarTopKIvf matches simsearch_ivf") {
     val facade = rows(Graft.similarTopKIvf(spark, myEmb, 5, "item_id", "vec")
       .orderBy("i", "rnk"))

@@ -127,7 +127,9 @@ class PlanSpec extends SparkSuite {
     // STORED build plan legitimately contains the one-time ingest
     // repartition — the per-query plan above it must not shuffle
     val p = warmed.queryExecution.executedPlan.toString
-    val perQuery = p.substring(0, p.indexOf("InMemoryRelation"))
+    val cut = p.indexOf("InMemoryRelation")
+    assert(cut >= 0, s"expected the plan to read the warmed cache:\n$p")
+    val perQuery = p.substring(0, cut)
     assert(!perQuery.contains("Exchange hashpartitioning"),
       s"denormalized topk_global still shuffles per query:\n$p")
   }
