@@ -164,37 +164,98 @@ object AffinityPropagation {
       .drop("rp", "srp", "rkk")
   }
 
+  /** [[responsibilityPass]] re-expressed as a HASH aggregate + hash join
+    * — the loop kernel (SURVEY §4.4(a), round-8 VERDICT #1). The window
+    * form sorts the full message relation by (i, asum DESC, k) per
+    * iteration just to read off each group's max/second-max; the fused
+    * form computes exactly those three values per group with the ap_top2
+    * TypedImperativeAggregate (constant 36-byte state, partial map-side
+    * combine → the big relation crosses the wire ONCE, for the join) and
+    * joins them back SHUFFLE_HASH (the hint matters: with AQE off the
+    * planner would pick sort-merge and re-buy the sort this pass exists
+    * to remove). Values are bit-identical to the window form: the top-2
+    * order (asum DESC, k ASC) is the window's sort order, max/second-max
+    * are order-insensitive, and the damping arithmetic is the same
+    * expression tree. m2 = NULL on single-row groups, like the window's
+    * empty frame. Kept separate from [[responsibilityPass]]: the window
+    * algebra is the oracle-matched public single-pass operator; this is
+    * the loop's throughput kernel. */
+  def responsibilityPassFused(msgs: DataFrame, damping: Double): DataFrame = {
+    graft.functions.ApAggs.register(msgs.sparkSession)
+    val withAsum = msgs.withColumn("asum", col("a") + col("s"))
+    val top2 = withAsum.groupBy("i").agg(expr("ap_top2(asum, k)").as("t2"))
+    withAsum.join(top2.hint("shuffle_hash"), "i")
+      .withColumn("r",
+        lit(damping) * col("r") + lit(1.0 - damping) *
+          (col("s") - when(col("k") === col("t2.k1"), col("t2.m2"))
+            .otherwise(col("t2.m1"))))
+      .select("i", "k", "s", "r", "a")
+  }
+
+  /** [[availabilityPass]] as a hash aggregate + SHUFFLE_HASH join — the
+    * column sums are plain aggregates, so the window form's sort by k was
+    * pure overhead (WindowExec requires a sort even with no ORDER BY).
+    * Sum order differs from the sorted window (floating-point ulp-level),
+    * the same nondeterminism the window form already had across
+    * shuffle-fetch orders; the suite bounds the divergence. */
+  def availabilityPassFused(msgs: DataFrame, damping: Double): DataFrame = {
+    val withRp = msgs
+      .withColumn("rp",
+        when(col("i") === col("k"), lit(0.0)).otherwise(greatest(col("r"), lit(0.0))))
+    val sums = withRp.groupBy("k").agg(
+      sum(col("rp")).as("srp"),
+      sum(when(col("i") === col("k"), col("r"))).as("rkk"))
+    withRp.join(sums.hint("shuffle_hash"), "k")
+      .withColumn("a",
+        lit(damping) * col("a") + lit(1.0 - damping) *
+          when(col("i") === col("k"), col("srp"))
+            .otherwise(least(lit(0.0), col("rkk") + col("srp") - col("rp"))))
+      .select("i", "k", "s", "r", "a")
+  }
+
   final case class Result(
     messagesFn: () => DataFrame, exemplars: Seq[Long], iterations: Int, converged: Boolean) {
+    /** Rebuilds on the CALLING thread's active session (falling back to
+      * the default session): a Result must not strongly capture the
+      * session that ran the solve — cached Results live in weak-keyed
+      * session registries, and a captured session would make those
+      * entries unreclaimable (WeakHashMap's value→key caveat). Throws
+      * IllegalStateException if no session is active or default. */
     def messages: DataFrame = messagesFn()
   }
 
-  /** Final-generation checkpoint of the LAST distributed run per session,
-    * released at the next run's start — the same registry discipline as
-    * Dedup's components fixpoints (round-7 ADVICE: without it, repeated
-    * runs in one session — the bench's back-to-back apDist passes — each
-    * pin a dead N²-row checkpoint). The value is a WeakReference: the
-    * DataFrame strongly references its SparkSession (= the map key), so a
-    * strong value would make the weak-keyed entry immortal (WeakHashMap's
-    * documented caveat). If the ref is already cleared, the ContextCleaner
-    * has the unreachable RDD on its own unpersist path — the registry only
-    * adds the DETERMINISTIC release when the result is still live. */
+  /** Final-generation checkpoint RDDs of the LAST distributed run per
+    * session, released at the next run's start — the same registry
+    * discipline as Dedup's components fixpoints (round-7 ADVICE: without
+    * it, repeated runs in one session — the bench's back-to-back apDist
+    * passes — each pin a dead N²-row checkpoint). The values are the
+    * checkpoint RDDs held STRONGLY: an RDD references the SparkContext,
+    * not the SparkSession (= the weak map key), so the entry stays
+    * reclaimable — and unlike the round-8 WeakReference'd DataFrame, the
+    * deterministic release survives the Result being GC'd before the next
+    * run starts (round-8 ADVICE). */
   private val lastRunCheckpoint = new java.util.WeakHashMap[
-    SparkSession, java.lang.ref.WeakReference[DataFrame]]()
+    SparkSession, Seq[org.apache.spark.rdd.RDD[_]]]()
 
   private def releasePrevRun(spark: SparkSession): Unit =
     lastRunCheckpoint.synchronized { Option(lastRunCheckpoint.remove(spark)) }
-      .flatMap(r => Option(r.get))
-      .foreach(graft.Checkpoints.release)
+      .foreach(graft.Checkpoints.releaseRdds)
 
-  private def recordRunCheckpoint(spark: SparkSession, df: DataFrame): Unit =
-    lastRunCheckpoint.synchronized {
-      lastRunCheckpoint.put(spark, new java.lang.ref.WeakReference(df)); ()
-    }
+  private def recordRunCheckpoint(spark: SparkSession, df: DataFrame): Unit = {
+    val rdds = graft.Checkpoints.checkpointRdds(df)
+    lastRunCheckpoint.synchronized { lastRunCheckpoint.put(spark, rdds); () }
+  }
 
   /** Test hook: is a final-generation checkpoint recorded for `spark`? */
   private[graft] def hasRunCheckpoint(spark: SparkSession): Boolean =
     lastRunCheckpoint.synchronized { lastRunCheckpoint.containsKey(spark) }
+
+  /** Test hook: the recorded final-generation checkpoint RDDs. */
+  private[graft] def runCheckpointRdds(
+      spark: SparkSession): Seq[org.apache.spark.rdd.RDD[_]] =
+    lastRunCheckpoint.synchronized {
+      Option(lastRunCheckpoint.get(spark)).getOrElse(Seq.empty)
+    }
 
   /** Below this point count the dense N² message matrices fit easily in
     * one task (N=4000 → 3×16M doubles ≈ 384 MB) and the per-iteration
@@ -256,14 +317,25 @@ object AffinityPropagation {
     Result(localMessagesFn(ids, st), st.exemplars.toSeq.sorted, st.iterations, st.converged)
   }
 
+  /** The session a deferred Result accessor builds on: the calling
+    * thread's active session, else the JVM default — never a captured
+    * one (see [[Result.messages]]; round-8 ADVICE asked for the fallback
+    * and a clear failure mode). */
+  private def sessionForResult(): SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "Result.messages needs an active or default SparkSession on the " +
+          "calling thread — the Result deliberately does not capture the " +
+          "session that ran the solve (weak-registry discipline)"))
+
   /** Message matrices of a local-kernel run as an on-demand DataFrame.
-    * The closure resolves the session at CALL time (`SparkSession.active`)
-    * instead of capturing one: a cached Result (ApQueries.runCache is
-    * weak-KEYED by the session) must not strongly reach the session
-    * object, or the weak entry can never be reclaimed — WeakHashMap's
-    * documented value→key caveat (round-7 ADVICE). */
+    * The closure resolves the session at CALL time instead of capturing
+    * one: a cached Result (ApQueries.runCache is weak-KEYED by the
+    * session) must not strongly reach the session object, or the weak
+    * entry can never be reclaimed — WeakHashMap's documented value→key
+    * caveat (round-7 ADVICE). */
   private def localMessagesFn(ids: Array[Long], st: LocalAP.State): () => DataFrame = () => {
-    val spark = SparkSession.active
+    val spark = sessionForResult()
     import spark.implicits._
     val n = ids.length
     spark.sparkContext
@@ -287,7 +359,8 @@ object AffinityPropagation {
       prefOverride: Option[Double] = None,
       neighbors: Option[Int] = None,
       knnExact: Boolean = false,
-      autoRelease: Boolean = true): Result = {
+      autoRelease: Boolean = true,
+      checkEvery: Int = 5): Result = {
 
     val offd = neighbors match {
       case Some(m) if knnExact => sparseSimilaritiesExact(embeddings, m)
@@ -309,7 +382,7 @@ object AffinityPropagation {
         embeddings.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1000)))
     }
     runLoop(initFrom(offd, embeddings, pref), damping, maxIter, convergenceIter,
-      autoRelease)
+      autoRelease, checkEvery)
   }
 
   /** Full AP over a caller-supplied similarity relation (i, k, s) — the
@@ -334,8 +407,19 @@ object AffinityPropagation {
       convergenceIter: Int = 15,
       prefOverride: Option[Double] = None,
       localNodeThreshold: Int = 2000,
-      autoRelease: Boolean = true): Result = {
-    val all = sims.select(col("i"), col("k"), col("s"))
+      autoRelease: Boolean = true,
+      checkEvery: Int = 5): Result = {
+    // CACHE the caller's triple relation for the duration of the solve:
+    // the regime probe, the local collect / distributed preference, and
+    // the init all read it, and for a caller-supplied EXPENSIVE plan (the
+    // facade's public entry) re-executing it per action multiplies the
+    // dominant cost (round-8 VERDICT #4: the local regime executed the
+    // sims plan 3×). Storage is bounded in the local regime (≤ threshold²
+    // triples); in the distributed regime it is the same relation the
+    // loop's init checkpoint materializes anyway, and it is unpersisted
+    // in the finally once the regime has consumed it.
+    val all = sims.select(col("i"), col("k"), col("s")).cache()
+    try {
     val offd = all.filter(col("i") =!= col("k"))
     val diag = all.filter(col("i") === col("k"))
     val nodes = offd.select(col("i")).unionByName(offd.select(col("k").as("i")))
@@ -347,12 +431,15 @@ object AffinityPropagation {
       val idx = ids.zipWithIndex.toMap
       val n = ids.length
       val s = Array.fill(n, n)(Double.NegativeInfinity)
-      val offRows = offd.collect()
+      // ONE collect of the (bounded) cached triples, split driver-side —
+      // the probe job + this collect are the local regime's only actions.
+      val allRows = all.collect()
+      val offRows = allRows.filter(r => r.getLong(0) != r.getLong(1))
       offRows.foreach { r =>
         s(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getDouble(2)
       }
       val diagProvided = new Array[Boolean](n)
-      diag.collect().foreach { r =>
+      allRows.filter(r => r.getLong(0) == r.getLong(1)).foreach { r =>
         val d = idx(r.getLong(0))
         s(d)(d) = r.getDouble(2); diagProvided(d) = true
       }
@@ -388,8 +475,9 @@ object AffinityPropagation {
       val msgs0 = offd.unionByName(diag).unionByName(diagDefault)
         .withColumn("r", lit(0.0))
         .withColumn("a", lit(0.0))
-      runLoop(msgs0, damping, maxIter, convergenceIter, autoRelease)
+      runLoop(msgs0, damping, maxIter, convergenceIter, autoRelease, checkEvery)
     }
+    } finally all.unpersist(false)
   }
 
   /** Per-session monitor serializing [[runLoop]]'s session-conf
@@ -409,9 +497,26 @@ object AffinityPropagation {
     }
 
   /** The damped two-exchange iteration shared by [[run]] and
-    * [[solveFromSimilarities]]'s distributed regime. Stops when the
-    * exemplar indicator set is unchanged for `convergenceIter`
-    * consecutive iterations (and non-empty), or at `maxIter`.
+    * [[solveFromSimilarities]]'s distributed regime, built from the FUSED
+    * hash-aggregate passes (no window sorts). Stops when the exemplar
+    * indicator set is unchanged across ⌈(convergenceIter−1)/checkEvery⌉
+    * consecutive CHECKS (and non-empty) — checks are taken every
+    * `checkEvery` iterations, so the stability requirement spans at least
+    * `convergenceIter` iterations, same as the classic per-iteration stop
+    * (and identical to it at checkEvery = 1) — or at `maxIter`.
+    *
+    * `checkEvery` exists because the convergence check is the loop's
+    * MATERIALIZING action: one check per iteration forces one job per
+    * iteration, and at small N the job dispatch dominates the arithmetic
+    * (round-8 VERDICT #2: 37 jobs for the 37-iteration bench row). With
+    * cadence c, c lazy iterations chain into ONE job — same exchange
+    * count (the per-iteration shuffles still happen, inside the one job),
+    * 1/c of the dispatch + checkpoint-materialization overhead. The
+    * un-checkpointed intermediate generations are safe: each generation's
+    * big exchanges are ReusedExchange-deduped within the job's plan, so
+    * the double consumption of a generation (aggregate + join) re-reads
+    * shuffle files, not the upstream pipeline.
+    *
     * `autoRelease = false` keeps the final-generation checkpoint OUT of
     * the next-run release registry — for callers that CACHE the Result
     * across subsequent runs in the same session (ApQueries.fullRun):
@@ -423,7 +528,8 @@ object AffinityPropagation {
       damping: Double,
       maxIter: Int,
       convergenceIter: Int,
-      autoRelease: Boolean = true): Result = loopMonitor(msgs0.sparkSession).synchronized {
+      autoRelease: Boolean = true,
+      checkEvery: Int = 5): Result = loopMonitor(msgs0.sparkSession).synchronized {
     val spark = msgs0.sparkSession
     // Deterministically free the PREVIOUS run's final-generation
     // checkpoint (contract: consume an auto-released Result before the
@@ -441,9 +547,18 @@ object AffinityPropagation {
     // Restored in finally; the loop owns the session between actions.
     val aqeKey = "spark.sql.adaptive.enabled"
     val partsKey = "spark.sql.shuffle.partitions"
+    // ap_top2 runs in ObjectHashAggregateExec, which silently falls back
+    // to SORT-based aggregation past this many distinct groups per task
+    // (default 10000 — i.e. any partition holding >10k of the N row
+    // groups would re-buy the very sort the fused pass removes). Top2
+    // state is ~48 bytes/group, so 2²² groups/task is ~200 MB — far from
+    // memory pressure at the loop's data-sized partitioning.
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val aqeBefore = spark.conf.get(aqeKey, "true")
     val partsBefore = spark.conf.get(partsKey)
+    val fallbackBefore = spark.conf.getOption(fallbackKey)
     spark.conf.set(aqeKey, "false")
+    spark.conf.set(fallbackKey, (1 << 22).toString)
     try {
     var msgs = msgs0.localCheckpoint()
 
@@ -462,49 +577,81 @@ object AffinityPropagation {
       math.min(dp, (msgs.count() * 48L / (16L << 20)).toInt + 1))
     spark.conf.set(partsKey, loopParts.toString)
 
+    // Stability spans ≥ convergenceIter iterations: k consecutive equal
+    // checks at cadence c cover k·c ≥ convergenceIter−1 iteration steps.
+    val neededStable = math.max(1,
+      math.ceil((convergenceIter - 1).toDouble / checkEvery).toInt)
     var lastExemplars: Set[Long] = null
     var stable = 0
     var it = 0
     var converged = false
 
     while (it < maxIter && !converged) {
-      it += 1
-      // LAZY localCheckpoint: the convergence collect below is the
-      // materializing action — its job computes every partition of the
-      // new generation (the diagonal filter is narrow, so the full plan
-      // runs), persisting them as they stream by, and extracts the N
-      // diagonal rows in the same pass. One job per iteration where the
-      // round-7 form paid two: an eager-checkpoint scan AND a separate
-      // full read of the checkpointed relation for the diagonal (~30-50 %
-      // more I/O per iteration at scale — round-7 VERDICT "what's wrong"
-      // #1). Only the N diagonal rows ever leave the cluster.
-      val next = availabilityPass(responsibilityPass(msgs, damping), damping)
-        .localCheckpoint(false)
+      // Chain up to checkEvery iterations, each behind its own LAZY
+      // localCheckpoint, then ONE convergence collect materializes the
+      // whole chain: the job computes every generation's partitions in
+      // sequence (persisting them as they stream by — each generation is
+      // a single shared RDD, so its two consumers in the next pass read
+      // one computation, and the per-iteration plan stays CONSTANT
+      // size), and extracts the N diagonal rows at the end. One job per
+      // CHECK where the round-8 form paid one per iteration. The
+      // un-checkpointed fully-lazy form is a trap, measured this round:
+      // each generation's plan embeds the previous one TWICE (aggregate
+      // input + join input), so c chained iterations explode into
+      // 4^c subplan copies that exchange reuse does not collapse —
+      // thousands of stages per job at c = 5. Only the N diagonal rows
+      // ever leave the cluster.
+      val step = math.min(checkEvery, maxIter - it)
+      var cur = msgs
+      val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to step) {
+        cur = availabilityPassFused(responsibilityPassFused(cur, damping), damping)
+          .localCheckpoint(false)
+        intermediates += cur
+      }
+      it += step
+      val next = cur
       val ex = next.filter(col("i") === col("k"))
         .filter(col("r") + col("a") > 0)
         .select(col("k")).collect().map(_.getLong(0)).toSet
-      // Generation t−1 is superseded now that t is materialized — release
-      // it (same discipline as Dedup's fixpoints, graft.Checkpoints):
-      // without this the distributed loop pins up to maxIter × N² rows of
-      // dead checkpoint storage, a scale-killer on exactly the path that
-      // exists for scale. Must happen AFTER the collect above: that job
-      // reads generation t−1 to compute t.
+      // Everything before the newly materialized generation is
+      // superseded — the chunk's step−1 intermediates AND the previous
+      // chunk's final (same discipline as Dedup's fixpoints,
+      // graft.Checkpoints): without this the distributed loop pins up to
+      // maxIter × N² rows of dead checkpoint storage, a scale-killer on
+      // exactly the path that exists for scale. Peak live state is
+      // checkEvery+1 generations during the chunk job — the cadence's
+      // documented storage trade. Must happen AFTER the collect above:
+      // that job reads the old generations to compute the new one.
       graft.Checkpoints.release(msgs)
+      intermediates.dropRight(1).foreach(graft.Checkpoints.release)
       msgs = next
 
       if (ex == lastExemplars) stable += 1 else { stable = 0; lastExemplars = ex }
-      if (stable >= convergenceIter - 1 && ex.nonEmpty) converged = true
+      if (stable >= neededStable && ex.nonEmpty) converged = true
     }
 
     // msgs is already a materialized checkpoint — the final generation is
     // the one pinned RDD the Result keeps alive, registered for release
-    // at the next run's start (unless the caller owns its lifetime).
+    // at the next run's start (unless the caller owns its lifetime). The
+    // Result holds the ROW RDD + schema, not the DataFrame: a DataFrame
+    // strongly references its SparkSession, and a cached Result under a
+    // weak-keyed session registry must not (round-8 ADVICE — the exact
+    // value→key WeakHashMap caveat the local path already handles).
+    // messages rebuilds on the caller's active/default session.
     val finalMsgs = msgs
     if (autoRelease) recordRunCheckpoint(spark, finalMsgs)
-    Result(() => finalMsgs, lastExemplars.toSeq.sorted, it, converged)
+    val finalRows = finalMsgs.rdd
+    val finalSchema = finalMsgs.schema
+    Result(() => sessionForResult().createDataFrame(finalRows, finalSchema),
+      lastExemplars.toSeq.sorted, it, converged)
     } finally {
       spark.conf.set(aqeKey, aqeBefore)
       spark.conf.set(partsKey, partsBefore)
+      fallbackBefore match {
+        case Some(v) => spark.conf.set(fallbackKey, v)
+        case None => spark.conf.unset(fallbackKey)
+      }
     }
   }
 

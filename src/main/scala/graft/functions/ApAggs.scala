@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+
+/** Fixed-state top-2 buffer: the best two (value, key) pairs under the
+  * total order (value DESC, key ASC) — the exact order the window form
+  * `row_number() OVER (PARTITION BY i ORDER BY asum DESC, k)` sorts by,
+  * so the fused aggregate and the window pass agree bit-for-bit on which
+  * row is the argmax and what the runner-up value is (keys are unique
+  * within a group, so the order is strict and merge order is irrelevant).
+  */
+final class Top2Buf(
+    var m1: Double, var k1: Long,
+    var m2: Double, var k2: Long,
+    var count: Int) {
+
+  @inline private def better(v: Double, k: Long, v2: Double, k2: Long): Boolean =
+    v > v2 || (v == v2 && k < k2)
+
+  def add(v: Double, k: Long): Unit = {
+    if (count == 0) { m1 = v; k1 = k; count = 1 }
+    else if (better(v, k, m1, k1)) {
+      m2 = m1; k2 = k1; m1 = v; k1 = k
+      if (count < 2) count = 2
+    } else if (count < 2 || better(v, k, m2, k2)) {
+      m2 = v; k2 = k
+      if (count < 2) count = 2
+    }
+  }
+
+  def mergeFrom(o: Top2Buf): Unit = {
+    if (o.count >= 1) add(o.m1, o.k1)
+    if (o.count >= 2) add(o.m2, o.k2)
+  }
+}
+
+/** ap_top2(value: double, key: bigint) →
+  * struct<m1: double, k1: bigint, m2: double (nullable)>
+  *
+  * Per-group max and second-max of `value` with the argmax key, under
+  * (value DESC, key ASC) — the responsibility update's top-2 trick
+  * (Frey & Dueck 2007 eq. 1: the argmax row subtracts the second max,
+  * every other row the max) as ONE hash aggregate instead of a full
+  * partition sort + two window passes (SURVEY §4.4(a); round-8 VERDICT
+  * "what's wrong" #3: the two window sorts were 3.2 s/iter at N=4000
+  * where the arithmetic is trivial). `m2` is NULL for single-row groups —
+  * identical to `max(...) OVER` of an empty frame, so downstream
+  * null-propagation matches the window form exactly.
+  *
+  * State is 2×(double, long) + a count — constant per group, so the
+  * ObjectHashAggregate never spills state proportional to group size and
+  * the shuffled partial is a 36-byte blob per (task, group). */
+case class ApTop2(left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Top2Buf] with BinaryLike[Expression] {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("m1", DoubleType, nullable = false),
+    StructField("k1", LongType, nullable = false),
+    StructField("m2", DoubleType, nullable = true)))
+
+  override def createAggregationBuffer(): Top2Buf =
+    new Top2Buf(0.0, 0L, 0.0, 0L, 0)
+
+  override def update(buf: Top2Buf, input: InternalRow): Top2Buf = {
+    val v = left.eval(input)
+    val k = right.eval(input)
+    if (v != null && k != null)
+      buf.add(v.asInstanceOf[Double], k.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Top2Buf, other: Top2Buf): Top2Buf = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: Top2Buf): Any = {
+    val row = new GenericInternalRow(3)
+    row.setDouble(0, buf.m1)
+    row.setLong(1, buf.k1)
+    if (buf.count >= 2) row.setDouble(2, buf.m2) else row.setNullAt(2)
+    row
+  }
+
+  override def serialize(buf: Top2Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(36)
+    bb.putDouble(buf.m1).putLong(buf.k1)
+      .putDouble(buf.m2).putLong(buf.k2)
+      .putInt(buf.count)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Top2Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    new Top2Buf(bb.getDouble(), bb.getLong(), bb.getDouble(), bb.getLong(), bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApTop2 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApTop2 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ApTop2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ApAggs {
+  /** Register ap_top2 for expr() use in a session (idempotent; the
+    * exists-check keeps the per-iteration call in the AP loop from
+    * logging a replace warning every pass). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("ap_top2")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction("ap_top2",
+        es => ApTop2(es(0), es(1)), "built-in")
+  }
+}
