@@ -132,9 +132,12 @@ object Graft {
     * training document, the count of its DISTINCT word `n`-grams that
     * appear anywhere in the evaluation corpus (0 = clean) — audit the
     * counts, then gate with `filter(n_contaminated_grams === 0)`. The
-    * eval gram set broadcasts (eval suites are small by nature), so the
-    * exploded train side never shuffles by gram. Returns
-    * (id, n_contaminated_grams) for every train doc. */
+    * eval gram set broadcasts when its distinct-gram count is within the
+    * probe's ceiling (eval suites are small by nature), so the exploded
+    * train side never shuffles by gram; an oversized eval corpus falls
+    * back to a shuffled gram join with identical rows instead of a
+    * driver OOM. Returns (id, n_contaminated_grams) for every train
+    * doc. */
   def decontaminate(spark: SparkSession, train: DataFrame, eval: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 5): DataFrame =

@@ -64,6 +64,22 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("decontaminate shuffled fallback (oversized eval) matches the broadcast path") {
+    // round-8 VERDICT #7 / ADVICE: the unguarded broadcast of the eval
+    // gram set turned a large eval corpus into a driver OOM. With the
+    // probe's ceiling forced to 0 the kernel must take the shuffled-join
+    // fallback and produce identical rows.
+    val train = Tables.documents(spark, sf001).filter(col("doc_id") % 20 =!= 0)
+    val eval = Tables.documents(spark, sf001).filter(col("doc_id") % 20 === 0)
+    val viaBroadcast = rows(
+      graft.queries.Dedup.decontaminate(spark, train, eval).orderBy("doc_id"))
+    val viaShuffle = rows(
+      graft.queries.Dedup.decontaminate(spark, train, eval, broadcastCap = 0L)
+        .orderBy("doc_id"))
+    assert(viaShuffle == viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("keepCanonical matches pipeline_keep_canonical with the n_chars quality column") {
     val withQ = Tables.documents(spark, sf001)
       .select(col("doc_id").as("document_id"), col("text").as("body"),
