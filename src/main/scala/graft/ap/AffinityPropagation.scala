@@ -264,6 +264,14 @@ object AffinityPropagation {
     * use the distributed two-exchange dataflow. */
   val localThreshold = 4000
 
+  /** Message-row ceiling for the batched convergence-check cadence
+    * (checkEvery auto mode): ≤ 4 M rows is ≤ ~200 MB per generation, so
+    * holding 6 generations during a chunk job is cheap and the saved job
+    * dispatch dominates; above it the extra live generations spill and
+    * cost more than the dispatch they save (measured, ApAbBench: dense
+    * 16 M-row generations ran ~2× SLOWER at cadence 5 than 1). */
+  val CadenceRowCap: Long = 4L << 20
+
   /** Dispatch: local dense kernel for small N, distributed dataflow
     * beyond [[localThreshold]]. Same math and conventions either way
     * (the test suite asserts exemplar-set equality between the paths).
@@ -360,7 +368,7 @@ object AffinityPropagation {
       neighbors: Option[Int] = None,
       knnExact: Boolean = false,
       autoRelease: Boolean = true,
-      checkEvery: Int = 5): Result = {
+      checkEvery: Int = 0): Result = {
 
     val offd = neighbors match {
       case Some(m) if knnExact => sparseSimilaritiesExact(embeddings, m)
@@ -408,7 +416,7 @@ object AffinityPropagation {
       prefOverride: Option[Double] = None,
       localNodeThreshold: Int = 2000,
       autoRelease: Boolean = true,
-      checkEvery: Int = 5): Result = {
+      checkEvery: Int = 0): Result = {
     // CACHE the caller's triple relation for the duration of the solve:
     // the regime probe, the local collect / distributed preference, and
     // the init all read it, and for a caller-supplied EXPENSIVE plan (the
@@ -509,13 +517,18 @@ object AffinityPropagation {
     * MATERIALIZING action: one check per iteration forces one job per
     * iteration, and at small N the job dispatch dominates the arithmetic
     * (round-8 VERDICT #2: 37 jobs for the 37-iteration bench row). With
-    * cadence c, c lazy iterations chain into ONE job — same exchange
-    * count (the per-iteration shuffles still happen, inside the one job),
-    * 1/c of the dispatch + checkpoint-materialization overhead. The
-    * un-checkpointed intermediate generations are safe: each generation's
-    * big exchanges are ReusedExchange-deduped within the job's plan, so
-    * the double consumption of a generation (aggregate + join) re-reads
-    * shuffle files, not the upstream pipeline.
+    * cadence c, c lazily-checkpointed iterations chain into ONE job —
+    * same exchange count (the per-iteration shuffles still happen,
+    * inside the one job), 1/c of the dispatch overhead — at the price of
+    * holding c+1 generations of checkpoint storage live during the
+    * chunk. That trade INVERTS with generation size, measured this
+    * round on the same session back-to-back (ApAbBench): the dense
+    * N=4000 shape (16 M rows, ~640 MB/generation) ran 3.2 s/iter at
+    * c=1 but 6.0+ s/iter at c=5 (six live generations spill), while the
+    * sparse O(N·m) shape (0.6 M rows) and the 40 k-row bench loop —
+    * where dispatch IS the cost — ran ~1.5-4× faster with c=5. So
+    * checkEvery = 0 (the default) picks the cadence from the one row
+    * count the loop already takes: ≤ [[CadenceRowCap]] rows → 5, else 1.
     *
     * `autoRelease = false` keeps the final-generation checkpoint OUT of
     * the next-run release registry — for callers that CACHE the Result
@@ -529,7 +542,7 @@ object AffinityPropagation {
       maxIter: Int,
       convergenceIter: Int,
       autoRelease: Boolean = true,
-      checkEvery: Int = 5): Result = loopMonitor(msgs0.sparkSession).synchronized {
+      checkEvery: Int = 0): Result = loopMonitor(msgs0.sparkSession).synchronized {
     val spark = msgs0.sparkSession
     // Deterministically free the PREVIOUS run's final-generation
     // checkpoint (contract: consume an auto-released Result before the
@@ -573,14 +586,22 @@ object AffinityPropagation {
     // relation's size is iteration-invariant, so ONE count job over the
     // materialized init sizes every exchange of the whole run.
     val dp = spark.sparkContext.defaultParallelism
+    val msgRows = msgs.count()
     val loopParts = math.max(math.min(8, dp),
-      math.min(dp, (msgs.count() * 48L / (16L << 20)).toInt + 1))
+      math.min(dp, (msgRows * 48L / (16L << 20)).toInt + 1))
     spark.conf.set(partsKey, loopParts.toString)
+
+    // Adaptive cadence (see the scaladoc trade): batch convergence
+    // checks only while c+1 generations of checkpoint storage are cheap.
+    val cadence =
+      if (checkEvery > 0) checkEvery
+      else if (msgRows <= CadenceRowCap) 5
+      else 1
 
     // Stability spans ≥ convergenceIter iterations: k consecutive equal
     // checks at cadence c cover k·c ≥ convergenceIter−1 iteration steps.
     val neededStable = math.max(1,
-      math.ceil((convergenceIter - 1).toDouble / checkEvery).toInt)
+      math.ceil((convergenceIter - 1).toDouble / cadence).toInt)
     var lastExemplars: Set[Long] = null
     var stable = 0
     var it = 0
@@ -601,7 +622,7 @@ object AffinityPropagation {
       // 4^c subplan copies that exchange reuse does not collapse —
       // thousands of stages per job at c = 5. Only the N diagonal rows
       // ever leave the cluster.
-      val step = math.min(checkEvery, maxIter - it)
+      val step = math.min(cadence, maxIter - it)
       var cur = msgs
       val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (_ <- 1 to step) {

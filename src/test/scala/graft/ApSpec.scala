@@ -259,6 +259,28 @@ class ApSpec extends SparkSuite {
       s"regimes disagree: local=${loc.exemplars} dist=${dist.exemplars}")
   }
 
+  test("ap_dist_exemplars fixture has a comfortable diagonal margin (no near-tie flake)") {
+    // round-8 ADVICE: the ap_dist_exemplars query REQUIRES exact
+    // exemplar-set equality between the distributed loop and the local
+    // kernel, but availability sums are float-order-nondeterministic
+    // across shuffle fetches — a diagonal r+a within ulp noise of 0
+    // could flip the indicator between runs and fail the require
+    // intermittently. This pins the safety premise instead: on the
+    // 200-vec fixture the smallest |r+a| over the diagonal is far above
+    // any sum-order jitter (~1e-13 relative), so the exact equality the
+    // query asserts is robust. If the fixture ever moves and this
+    // margin collapses, THIS test names the cause before the query
+    // flakes.
+    val emb200 = Tables.embeddings(spark, sf001).orderBy("vec_id").limit(200)
+    val dist = AffinityPropagation.run(spark, emb200)
+    assert(dist.converged)
+    val margin = dist.messages.filter(col("i") === col("k"))
+      .agg(min(abs(col("r") + col("a")))).head().getDouble(0)
+    assert(margin > 1e-6,
+      f"diagonal margin $margin%.3e is within float-jitter range — the " +
+        "ap_dist_exemplars exact-equality require is no longer safe on this fixture")
+  }
+
   test("availability is non-positive off-diagonal; exemplars self-assign") {
     val emb = Tables.embeddings(spark, sf001)
     val pref = AffinityPropagation.preference(AffinityPropagation.similarities(emb))
