@@ -859,6 +859,23 @@ object Dedup extends QueryGroup {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")),
 
+    // The skew-safe exact-Jaccard kernel under the DRIVER's oracle, with
+    // a cap (df > 4; the fixture's max df is 7) low enough that the
+    // hot-shingle decomposition — cold buckets + hot-intersection
+    // correction + hot-dominated sweep — actually executes: the oracle
+    // is the same exact-Jaccard SQL as dedup_jaccard, so the driver
+    // verifies the decomposition's completeness AND values byte-exactly
+    // every round, not just in the suite (which covers the synthetic
+    // stopword corpus). Production entry points use HotShingleDfCap,
+    // where pair-generation buckets stay bounded at any corpus scale.
+    "dedup_jaccard_capped" -> ((s, dir) => {
+      val sh = hashedShinglePlan(s, Tables.documents(s, dir))
+      jaccardPairsHashedCapped(sh, 0.2,
+          hotShingleProbe(sh, dfCap = 4), maxHd = 1 << 14)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Near-dup CLUSTERS: connected components of the jaccard ≥ 0.2 pair
     // graph, every document labeled with the smallest doc_id reachable
     // from it (singletons label themselves) — the canonicalization step a
@@ -1128,6 +1145,24 @@ object Dedup extends QueryGroup {
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS digest, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
+      s"""WITH $shingleSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+         |  FROM pairs
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b)
+         |WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The decomposed kernel must reproduce the exact-Jaccard relation —
+    // same SQL as dedup_jaccard (hashed shingle identity is set-equal to
+    // the string form modulo 64-bit collisions within one doc pair).
+    "dedup_jaccard_capped" ->
       s"""WITH $shingleSql,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
