@@ -272,6 +272,17 @@ object AffinityPropagation {
     * 16 M-row generations ran ~2× SLOWER at cadence 5 than 1). */
   val CadenceRowCap: Long = 4L << 20
 
+  /** Message-row floor for the FUSED (hash-aggregate) passes: the fused
+    * form removes the window sorts but pays 4 shuffle stages per
+    * iteration where the window form pays 2, and below ~256 k rows the
+    * per-stage scheduling (~25-50 ms on this box) outweighs a sort of
+    * that size — measured on the 40 k-row bench loop: fused+cadence ran
+    * 9.9 s where window+per-iteration ran 5.5 s. Above the floor the
+    * sort is the cost and fused wins (3.2× on the dense 16 M-row shape).
+    * Both forms compute identical responsibilities (bit-exact) and
+    * sum-order-equivalent availabilities (suite-bounded 1e-9). */
+  val FusedPassRowFloor: Long = 1L << 18
+
   /** Dispatch: local dense kernel for small N, distributed dataflow
     * beyond [[localThreshold]]. Same math and conventions either way
     * (the test suite asserts exemplar-set equality between the paths).
@@ -597,11 +608,26 @@ object AffinityPropagation {
       if (checkEvery > 0) checkEvery
       else if (msgRows <= CadenceRowCap) 5
       else 1
+    // Adaptive pass form (see FusedPassRowFloor): stage-count-bound
+    // below the floor → window algebra; sort-CPU-bound above → fused
+    // hash aggregates.
+    val fused = msgRows > FusedPassRowFloor
+    def iterate(m: DataFrame): DataFrame =
+      if (fused) availabilityPassFused(responsibilityPassFused(m, damping), damping)
+      else availabilityPass(responsibilityPass(m, damping), damping)
 
-    // Stability spans ≥ convergenceIter iterations: k consecutive equal
-    // checks at cadence c cover k·c ≥ convergenceIter−1 iteration steps.
+    // ⌈convergenceIter/c⌉ consecutive EQUAL checks (= that many minus one
+    // increments of the stable counter). The span must fit INSIDE a
+    // convergenceIter-wide exemplar plateau, not merely cover it:
+    // requiring one more check (the round-9 first cut) demanded a
+    // (convergenceIter+1)-point window, and a metastable fixture whose
+    // plateau lasts EXACTLY convergenceIter iterations — the sf0.1
+    // 200-vec bench prefix — then never converges at any cadence > 1
+    // (measured: 200 iterations, no stop; per-iteration checks stop at
+    // 46). At c = 1 this is the classic rule unchanged: 15 consecutive
+    // equal sets.
     val neededStable = math.max(1,
-      math.ceil((convergenceIter - 1).toDouble / cadence).toInt)
+      math.ceil(convergenceIter.toDouble / cadence).toInt - 1)
     var lastExemplars: Set[Long] = null
     var stable = 0
     var it = 0
@@ -626,8 +652,7 @@ object AffinityPropagation {
       var cur = msgs
       val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (_ <- 1 to step) {
-        cur = availabilityPassFused(responsibilityPassFused(cur, damping), damping)
-          .localCheckpoint(false)
+        cur = iterate(cur).localCheckpoint(false)
         intermediates += cur
       }
       it += step
