@@ -175,11 +175,28 @@ object Tables {
   private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // ts arrives as nanos-since-epoch long; integer-divide to micros
-    // (floor for the positive 2024 range) then reinterpret. Must be
-    // integral `div` — Column./ is double division and loses 1 µs at
-    // 1e18-nano magnitudes.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Normalize ts to TimestampType regardless of the fixture
+    // generation's physical type — the generator has shipped BOTH parquet
+    // TIMESTAMP(NANOS) (read as a nanos-since-epoch long under the
+    // legacy conf set above) and TIMESTAMP(MICROS) isAdjustedToUTC=false
+    // (read as TIMESTAMP_NTZ). Every downstream query, warmed projection,
+    // and oracle comparison assumes one stable type, so ingest owns the
+    // conversion:
+    //  - nanos long: integer-divide to micros (floor for the positive
+    //    2024 range) then reinterpret. Must be integral `div` —
+    //    Column./ is double division and loses 1 µs at 1e18-nano
+    //    magnitudes.
+    //  - TIMESTAMP_NTZ: cast under the UTC session timezone (every graft
+    //    session pins UTC), which reinterprets the same wall-clock as the
+    //    same micros instant — byte-identical to the long path's output
+    //    on the same instants.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
 
   /** Fingerprint of a fixture table's source file(s) — max mtime + total

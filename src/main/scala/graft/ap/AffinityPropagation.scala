@@ -436,7 +436,8 @@ object AffinityPropagation {
     // sims plan 3×). Storage is bounded in the local regime (≤ threshold²
     // triples); in the distributed regime it is the same relation the
     // loop's init checkpoint materializes anyway, and it is unpersisted
-    // in the finally once the regime has consumed it.
+    // the moment that checkpoint lands (onInitMaterialized) rather than
+    // after the whole loop — the finally is the idempotent backstop.
     val all = sims.select(col("i"), col("k"), col("s")).cache()
     try {
     val offd = all.filter(col("i") =!= col("k"))
@@ -494,7 +495,14 @@ object AffinityPropagation {
       val msgs0 = offd.unionByName(diag).unionByName(diagDefault)
         .withColumn("r", lit(0.0))
         .withColumn("a", lit(0.0))
-      runLoop(msgs0, damping, maxIter, convergenceIter, autoRelease, checkEvery)
+      // Drop the sims cache the moment the loop's eager init checkpoint
+      // has consumed it: in this regime the cached triples are the same
+      // N(·m)-sized relation the checkpoint materializes, and holding
+      // BOTH until the loop finishes was a transient 2× storage peak of
+      // the largest relation on exactly the scale path (round-9 ADVICE).
+      // The finally's unpersist is then an idempotent no-op.
+      runLoop(msgs0, damping, maxIter, convergenceIter, autoRelease, checkEvery,
+        onInitMaterialized = () => all.unpersist(false))
     }
     } finally all.unpersist(false)
   }
@@ -517,12 +525,20 @@ object AffinityPropagation {
 
   /** The damped two-exchange iteration shared by [[run]] and
     * [[solveFromSimilarities]]'s distributed regime, built from the FUSED
-    * hash-aggregate passes (no window sorts). Stops when the exemplar
-    * indicator set is unchanged across ⌈(convergenceIter−1)/checkEvery⌉
-    * consecutive CHECKS (and non-empty) — checks are taken every
-    * `checkEvery` iterations, so the stability requirement spans at least
-    * `convergenceIter` iterations, same as the classic per-iteration stop
-    * (and identical to it at checkEvery = 1) — or at `maxIter`.
+    * hash-aggregate passes (no window sorts). Stops by the CLASSIC
+    * per-iteration rule at every cadence: converged when the exemplar
+    * indicator set is non-empty and unchanged across `convergenceIter`
+    * consecutive ITERATIONS (≥ convergenceIter−1 equal-to-previous
+    * increments), or at `maxIter`. The chunk's one materializing job
+    * collects the indicator diagonal of EVERY generation in the chain
+    * (not just the last), so the counter sees each iteration — a
+    * cadence-SAMPLED counter (the round-9 form) aliased: a set
+    * oscillating with period dividing the cadence looked constant at
+    * the sample points and was falsely declared converged (round-9
+    * ADVICE, medium), and its verified plateau spanned fewer than
+    * convergenceIter iterations. When the rule fires mid-chunk the loop
+    * rolls back to the firing generation — the returned state and
+    * iteration count are the ones the per-iteration loop would produce.
     *
     * `checkEvery` exists because the convergence check is the loop's
     * MATERIALIZING action: one check per iteration forces one job per
@@ -553,7 +569,9 @@ object AffinityPropagation {
       maxIter: Int,
       convergenceIter: Int,
       autoRelease: Boolean = true,
-      checkEvery: Int = 0): Result = loopMonitor(msgs0.sparkSession).synchronized {
+      checkEvery: Int = 0,
+      onInitMaterialized: () => Unit = () => ()): Result =
+    loopMonitor(msgs0.sparkSession).synchronized {
     val spark = msgs0.sparkSession
     // Deterministically free the PREVIOUS run's final-generation
     // checkpoint (contract: consume an auto-released Result before the
@@ -585,6 +603,12 @@ object AffinityPropagation {
     spark.conf.set(fallbackKey, (1 << 22).toString)
     try {
     var msgs = msgs0.localCheckpoint()
+    // The eager checkpoint above has materialized the init relation —
+    // upstream storage (e.g. solveFromSimilarities' sims cache) can be
+    // dropped NOW instead of after the whole loop, halving the peak
+    // storage of the largest relation on the scale path (round-9
+    // ADVICE).
+    onInitMaterialized()
 
     // Data-sized loop parallelism (the workloadPartitions discipline,
     // tuned for CPU-bound window sorts: ~16 MB per task, floored at
@@ -616,38 +640,28 @@ object AffinityPropagation {
       if (fused) availabilityPassFused(responsibilityPassFused(m, damping), damping)
       else availabilityPass(responsibilityPass(m, damping), damping)
 
-    // ⌈convergenceIter/c⌉ consecutive EQUAL checks (= that many minus one
-    // increments of the stable counter). The span must fit INSIDE a
-    // convergenceIter-wide exemplar plateau, not merely cover it:
-    // requiring one more check (the round-9 first cut) demanded a
-    // (convergenceIter+1)-point window, and a metastable fixture whose
-    // plateau lasts EXACTLY convergenceIter iterations — the sf0.1
-    // 200-vec bench prefix — then never converges at any cadence > 1
-    // (measured: 200 iterations, no stop; per-iteration checks stop at
-    // 46). At c = 1 this is the classic rule unchanged: 15 consecutive
-    // equal sets.
-    val neededStable = math.max(1,
-      math.ceil(convergenceIter.toDouble / cadence).toInt - 1)
+    // Classic stop: convergenceIter consecutive equal exemplar sets =
+    // convergenceIter−1 equal-to-previous increments of the counter
+    // (floored at 1 so convergenceIter ≤ 1 still demands one repeat).
+    val neededStable = math.max(1, convergenceIter - 1)
     var lastExemplars: Set[Long] = null
     var stable = 0
     var it = 0
     var converged = false
 
     while (it < maxIter && !converged) {
-      // Chain up to checkEvery iterations, each behind its own LAZY
-      // localCheckpoint, then ONE convergence collect materializes the
-      // whole chain: the job computes every generation's partitions in
-      // sequence (persisting them as they stream by — each generation is
-      // a single shared RDD, so its two consumers in the next pass read
+      // Chain up to `cadence` iterations, each behind its own LAZY
+      // localCheckpoint, then ONE collect materializes the whole chain:
+      // the job computes every generation's partitions in sequence
+      // (persisting them as they stream by — each generation is a
+      // single shared RDD, so its two consumers in the next pass read
       // one computation, and the per-iteration plan stays CONSTANT
-      // size), and extracts the N diagonal rows at the end. One job per
-      // CHECK where the round-8 form paid one per iteration. The
-      // un-checkpointed fully-lazy form is a trap, measured this round:
-      // each generation's plan embeds the previous one TWICE (aggregate
-      // input + join input), so c chained iterations explode into
-      // 4^c subplan copies that exchange reuse does not collapse —
-      // thousands of stages per job at c = 5. Only the N diagonal rows
-      // ever leave the cluster.
+      // size). One job per CHUNK where the round-8 form paid one per
+      // iteration. The un-checkpointed fully-lazy form is a trap,
+      // measured round 9: each generation's plan embeds the previous
+      // one TWICE (aggregate input + join input), so c chained
+      // iterations explode into 4^c subplan copies that exchange reuse
+      // does not collapse — thousands of stages per job at c = 5.
       val step = math.min(cadence, maxIter - it)
       var cur = msgs
       val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -655,26 +669,48 @@ object AffinityPropagation {
         cur = iterate(cur).localCheckpoint(false)
         intermediates += cur
       }
-      it += step
-      val next = cur
-      val ex = next.filter(col("i") === col("k"))
-        .filter(col("r") + col("a") > 0)
-        .select(col("k")).collect().map(_.getLong(0)).toSet
-      // Everything before the newly materialized generation is
-      // superseded — the chunk's step−1 intermediates AND the previous
-      // chunk's final (same discipline as Dedup's fixpoints,
-      // graft.Checkpoints): without this the distributed loop pins up to
-      // maxIter × N² rows of dead checkpoint storage, a scale-killer on
-      // exactly the path that exists for scale. Peak live state is
-      // checkEvery+1 generations during the chunk job — the cadence's
-      // documented storage trade. Must happen AFTER the collect above:
-      // that job reads the old generations to compute the new one.
+      // The materializing action: the union of EVERY generation's
+      // exemplar-indicator diagonal, tagged by position in the chunk.
+      // The later generations' plans force the earlier ones' RDDs
+      // inside this same job, and the extra union branches then read
+      // the just-persisted partitions — so the per-iteration sets cost
+      // no extra job, only ≤ step·N tiny rows on the collect (in
+      // practice ≤ step × |exemplars|). Only those rows ever leave the
+      // cluster.
+      val tagged = intermediates.zipWithIndex.map { case (g, j) =>
+        g.filter(col("i") === col("k"))
+          .filter(col("r") + col("a") > 0)
+          .select(lit(j).as("g"), col("k"))
+      }.reduce(_ unionByName _)
+      val byGen: Map[Int, Set[Long]] = tagged.collect()
+        .groupBy(_.getInt(0))
+        .map { case (j, rows) => j -> rows.map(_.getLong(1)).toSet }
+      // Run the CLASSIC counter over the chunk's per-iteration sets;
+      // stop at the exact generation where the rule fires.
+      var stopAt = -1
+      var j = 0
+      while (j < step && stopAt < 0) {
+        val ex = byGen.getOrElse(j, Set.empty[Long])
+        if (ex == lastExemplars) stable += 1
+        else { stable = 0; lastExemplars = ex }
+        if (stable >= neededStable && ex.nonEmpty) stopAt = j
+        j += 1
+      }
+      converged = stopAt >= 0
+      it += (if (converged) stopAt + 1 else step)
+      val keep = if (converged) intermediates(stopAt) else intermediates.last
+      // Every other generation is superseded — the previous chunk's
+      // final AND the chunk's non-kept intermediates (same discipline
+      // as Dedup's fixpoints, graft.Checkpoints): without this the
+      // distributed loop pins up to maxIter × N² rows of dead
+      // checkpoint storage, a scale-killer on exactly the path that
+      // exists for scale. Peak live state is cadence+1 generations
+      // during the chunk job — the cadence's documented storage trade.
+      // Must happen AFTER the collect above: that job reads the old
+      // generations to compute the new ones.
       graft.Checkpoints.release(msgs)
-      intermediates.dropRight(1).foreach(graft.Checkpoints.release)
-      msgs = next
-
-      if (ex == lastExemplars) stable += 1 else { stable = 0; lastExemplars = ex }
-      if (stable >= neededStable && ex.nonEmpty) converged = true
+      intermediates.foreach(g => if (!(g eq keep)) graft.Checkpoints.release(g))
+      msgs = keep
     }
 
     // msgs is already a materialized checkpoint — the final generation is

@@ -13,14 +13,25 @@ import org.apache.spark.sql.types._
   * so the fused aggregate and the window pass agree bit-for-bit on which
   * row is the argmax and what the runner-up value is (keys are unique
   * within a group, so the order is strict and merge order is irrelevant).
+  * Value comparison is Spark SQL's double ordering (SQLOrderingUtil):
+  * `==` first (so -0.0 ties 0.0) then java.lang.Double.compare, which
+  * ranks NaN above every value and equal to itself — a plain `>` would
+  * never select a NaN max while the window's ORDER BY asum DESC places
+  * NaN first, breaking the bit-exact-equivalence claim on NaN inputs
+  * (round-9 ADVICE).
   */
 final class Top2Buf(
     var m1: Double, var k1: Long,
     var m2: Double, var k2: Long,
     var count: Int) {
 
-  @inline private def better(v: Double, k: Long, v2: Double, k2: Long): Boolean =
-    v > v2 || (v == v2 && k < k2)
+  @inline private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  @inline private def better(v: Double, k: Long, v2: Double, k2: Long): Boolean = {
+    val c = cmp(v, v2)
+    c > 0 || (c == 0 && k < k2)
+  }
 
   def add(v: Double, k: Long): Unit = {
     if (count == 0) { m1 = v; k1 = k; count = 1 }

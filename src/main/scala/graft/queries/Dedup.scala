@@ -274,15 +274,44 @@ object Dedup extends QueryGroup {
   private[graft] def decontaminate(s: SparkSession, train: DataFrame,
       eval: DataFrame, n: Int = 5,
       broadcastCap: Long = EvalGramBroadcastCap): DataFrame = {
+    releasePrevDecontam(s)
+    // Materialize the eval gram set ONCE (eager checkpoint): the probe
+    // count and the join both read it, and uncached the caller's eval
+    // shingle plan executed twice per call — the same caller-plan
+    // re-execution pattern solveFromSimilarities fixed in round 8
+    // (round-9 ADVICE). The result plan reads the checkpoint lazily
+    // after this call returns, so it is registry-released on the NEXT
+    // call (the components consume-before-next-call contract); size is
+    // the distinct eval gram set — small by the kernel's own premise.
     val eg = shingles(s, eval, n = n).select("shingle").distinct()
+      .localCheckpoint()
     val egSide = if (eg.count() <= broadcastCap) broadcast(eg) else eg
     val hits = shingles(s, train, n = n)
       .join(egSide, "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
-    train.select("doc_id").join(hits, Seq("doc_id"), "left")
+    val out = train.select("doc_id").join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+    recordDecontamCheckpoint(s, out)
+    out
   }
+
+  /** Release registry for [[decontaminate]]'s eval-gram checkpoint —
+    * same shape and caveats as `lastComponentsCheckpoint` below (weak
+    * session key, weak DataFrame value, deterministic release on the
+    * next call while the result is still live). */
+  private val lastDecontamCheckpoint =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
+
+  private def releasePrevDecontam(spark: SparkSession): Unit =
+    lastDecontamCheckpoint.synchronized {
+      Option(lastDecontamCheckpoint.remove(spark))
+    }.flatMap(r => Option(r.get)).foreach(releaseCheckpoint)
+
+  private def recordDecontamCheckpoint(spark: SparkSession, df: DataFrame): Unit =
+    lastDecontamCheckpoint.synchronized {
+      lastDecontamCheckpoint.put(spark, new java.lang.ref.WeakReference(df)); ()
+    }
 
   /** Jaccard ≥ threshold pairs from a hashed shingle set (which carries
     * the per-doc set size `n` — see [[hashedShinglePlan]]) — ONE linear
@@ -342,8 +371,10 @@ object Dedup extends QueryGroup {
     *      -per-doc, never df².
     *   3. HOT-DOMINATED sweep: a qualifying pair the cold stage cannot
     *      see shares ONLY hot shingles, so inter ≤ min(h_a, h_b) and
-    *      inter ≥ τ(n_a+n_b)/(1+τ) force h·(1+τ) ≥ τ·n for BOTH docs —
-    *      both are "hot-dominated" (≥ τ/(1+τ) of their shingles
+    *      inter ≥ τ′(n_a+n_b)/(1+τ′) force h·(1+τ′) ≥ τ′·n for BOTH
+    *      docs, where τ′ = τ − 0.00005 is the effective threshold the
+    *      rounded kernel actually applies (round-half boundary) —
+    *      both are "hot-dominated" (≥ τ′/(1+τ′) of their shingles
     *      ultra-common; stopword-soup documents). The plain kernel runs
     *      on that sub-corpus alone — buckets there are ≤ |hd| ≤ `maxHd`
     *      docs — with full shingle sets, so its values are exact too.
@@ -392,15 +423,25 @@ object Dedup extends QueryGroup {
         .join(hotInter, Seq("doc_a", "doc_b"), "left")
         .withColumn("inter", col("inter") + coalesce(col("hinter"), lit(0L)))
         .drop("hinter")
-      // 3. hot-dominated sub-corpus sweep (h·(1+τ) ≥ τ·n, the provable
-      //    superset of both endpoints of any pair the cold stage misses)
+      // 3. hot-dominated sub-corpus sweep (h·(1+τ′) ≥ τ′·n, the provable
+      //    superset of both endpoints of any pair the cold stage misses).
+      //    τ′ is the EFFECTIVE threshold at the rounding boundary: the
+      //    kernel thresholds on round(jaccard, 4) (HALF_UP), so a pair
+      //    qualifies iff its true Jaccard ≥ τ − 0.00005 — deriving the
+      //    filter from the unrounded τ let a hot-only pair sitting in
+      //    [τ−5e−5, τ) pass the plain kernel while both endpoints failed
+      //    the sweep filter, breaking byte-exact equivalence at the
+      //    boundary (round-9 ADVICE). Floored at 0 (a non-positive τ′
+      //    flips the inequality; at 0 the filter keeps every hot doc —
+      //    conservative, still a superset).
+      val tEff = math.max(threshold - 0.00005, 0.0)
       val hd = shHot.groupBy("doc_id")
         .agg(count(lit(1)).as("h"), max(col("n")).as("hn"))
-        .filter(col("h") * (1.0 + threshold) >= lit(threshold) * col("hn"))
+        .filter(col("h") * (1.0 + tEff) >= lit(tEff) * col("hn"))
         .select("doc_id")
       val hdProbe = hd.limit(maxHd + 1).collect()
       require(hdProbe.length <= maxHd,
-        s"more than $maxHd documents are hot-dominated (≥ ${threshold / (1 + threshold)} " +
+        s"more than $maxHd documents are hot-dominated (≥ ${tEff / (1 + tEff)} " +
           "of their shingles are above the df cap) — this is not an outlier " +
           "corpus; raise the cap or maxHd")
       val hdSweep = jaccardPairsHashedFrom(
