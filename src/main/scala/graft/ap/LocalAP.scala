@@ -10,6 +10,66 @@ package graft.ap
   * off-diagonal similarities, s = −‖x−y‖². */
 object LocalAP {
 
+  /** Deterministic pair-seeded uniform in [−0.5, 0.5) — splitmix64 over
+    * (i, k). Drives the OPT-IN similarity jitter (the [FD07] remedy for
+    * oscillation on degenerate inputs: "add a tiny amount of noise to
+    * the similarities"): exact-duplicate points make the loop swap
+    * exemplar roles between the copies every iteration at λ = 0.5, so
+    * the exemplar set never plateaus and the run hits maxIter
+    * unconverged (measured — Bench.apDist replicas must be perturbed
+    * for exactly this reason). Hash-seeded, not Random: the same (i, k)
+    * pair always draws the same offset, so jittered runs are
+    * deterministic and regime-independent (local kernel and the
+    * distributed loop draw identical values). */
+  private[ap] def jitterU(i: Long, k: Long): Double = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    ((mix(mix(i) ^ k) >>> 11) * (1.0 / (1L << 53))) - 0.5
+  }
+
+  /** In-place jitter of the finite off-diagonal entries of `s`:
+    * s(i,k) += jitter · scale · u(ids(i), ids(k)), scale = the finite
+    * off-diagonal RANGE (max − min), falling back to 1.0 when the range
+    * is 0 (all-equal similarities — the fully symmetric case that needs
+    * the jitter most) or empty. Relative-to-range, not relative-to-s:
+    * duplicate pairs sit at s = −0 where any multiplicative noise is
+    * still 0. */
+  private[ap] def applyJitter(
+      ids: Array[Long], s: Array[Array[Double]], jitter: Double): Unit = {
+    val n = s.length
+    var lo = Double.PositiveInfinity
+    var hi = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < n) {
+        val v = s(i)(k)
+        if (i != k && java.lang.Double.isFinite(v)) {
+          if (v < lo) lo = v
+          if (v > hi) hi = v
+        }
+        k += 1
+      }
+      i += 1
+    }
+    val range = hi - lo
+    val scale = if (java.lang.Double.isFinite(range) && range > 0) range else 1.0
+    i = 0
+    while (i < n) {
+      var k = 0
+      while (k < n) {
+        if (i != k && java.lang.Double.isFinite(s(i)(k)))
+          s(i)(k) += jitter * scale * jitterU(ids(i), ids(k))
+        k += 1
+      }
+      i += 1
+    }
+  }
+
   final case class State(
     ids: Array[Long],
     s: Array[Array[Double]],
@@ -25,7 +85,8 @@ object LocalAP {
       damping: Double = 0.5,
       maxIter: Int = 200,
       convIter: Int = 15,
-      prefOverride: Option[Double] = None): State = {
+      prefOverride: Option[Double] = None,
+      jitter: Double = 0.0): State = {
     val n = x.length
     val s = Array.ofDim[Double](n, n)
     var i = 0
@@ -42,7 +103,7 @@ object LocalAP {
       }
       i += 1
     }
-    runS(ids, s, damping, maxIter, convIter, prefOverride)
+    runS(ids, s, damping, maxIter, convIter, prefOverride, jitter = jitter)
   }
 
   /** The same damped loop over a caller-supplied similarity MATRIX — the
@@ -63,8 +124,12 @@ object LocalAP {
       maxIter: Int = 200,
       convIter: Int = 15,
       prefOverride: Option[Double] = None,
-      diagProvided: Array[Boolean] = null): State = {
+      diagProvided: Array[Boolean] = null,
+      jitter: Double = 0.0): State = {
     val n = s.length
+    // Opt-in oscillation guard, BEFORE the preference median so the
+    // whole loop (preference included) sees one consistent matrix.
+    if (jitter > 0) applyJitter(ids, s, jitter)
     // exact median of the n²−n off-diagonal values
     val off = new Array[Double](n * n - n)
     var p = 0

@@ -78,6 +78,60 @@ class ApSpec extends SparkSuite {
       s"got ${sparse.exemplars.size}, expected within 66±7")
   }
 
+  test("opt-in jitter converges exact-duplicate inputs on both regimes") {
+    // round-9 VERDICT #4: exact-duplicate points provably oscillate the
+    // λ = 0.5 loop (the two copies swap exemplar roles every iteration
+    // — [FD07]'s noted degeneracy, remedied there by adding a tiny
+    // amount of noise to the similarities). The guard is the opt-in
+    // deterministic hash-seeded jitter (solve/run/runLocal/
+    // solveFromSimilarities `jitter` param, D3-exempt: default 0 leaves
+    // every oracled path bit-identical).
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(100)
+    val dup = base.unionByName(
+      base.select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
+    // Local kernel, no jitter: the duplicated fixture must exhibit the
+    // failure the guard exists for — unconverged at a generous maxIter.
+    val bare = AffinityPropagation.runLocal(spark, dup, maxIter = 120)
+    assert(!bare.converged,
+      s"expected the duplicated fixture to oscillate without jitter, " +
+        s"but it converged in ${bare.iterations} iterations")
+    // Local kernel with jitter: converges.
+    val local = AffinityPropagation.runLocal(spark, dup, jitter = 1e-6)
+    assert(local.converged && local.exemplars.nonEmpty,
+      s"local regime did not converge with jitter (${local.iterations} iters)")
+    // Distributed loop with jitter: same guard, same per-pair draws.
+    val dist = AffinityPropagation.run(spark, dup, jitter = 1e-6)
+    assert(dist.converged && dist.exemplars.nonEmpty,
+      s"distributed regime did not converge with jitter (${dist.iterations} iters)")
+  }
+
+  test("sparse m=50 exemplar rate matches dense on the same N=2000 input (within 1.25×)") {
+    // round-9 VERDICT #3: the N=6000 sparse bench record converged to
+    // 2000 exemplars (33%) — far denser than the dense fixture's 13% —
+    // suspecting the sampled dense-median preference runs too high on
+    // m=50 graphs. Measured on the SAME input (sf0.1 embeddings,
+    // N=2000, no replicas) the suspicion is falsified: dense local
+    // kernel → 206 exemplars, exact m=50 → 207, bucketed m=50 → 210
+    // (within 2%). The 33% rate is the bench input's GEOMETRY: apDist's
+    // sparse shape replicates each fixture point 3× with a 1e-3
+    // perturbation, so N=6000 is 2000 near-duplicate triplets whose
+    // intra-triplet similarity (~−1e-6) dwarfs every inter-point
+    // similarity — 2000 exemplars ≈ one per natural micro-cluster is
+    // the correct clustering, not preference drift. This test pins the
+    // same-input equivalence so a real preference regression can't hide
+    // behind that geometry again.
+    val emb2000 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val dense = AffinityPropagation.runLocal(spark, emb2000)
+    val sparse = AffinityPropagation.run(spark, emb2000, neighbors = Some(50))
+    assert(dense.converged && sparse.converged)
+    val ratio = sparse.exemplars.size.toDouble / dense.exemplars.size
+    assert(ratio >= 0.8 && ratio <= 1.25,
+      s"sparse m=50 exemplar count ${sparse.exemplars.size} vs dense " +
+        s"${dense.exemplars.size} (ratio $ratio) — outside the 1.25× band")
+  }
+
   test("distributed runLoop releases superseded checkpoints (≤2 pinned after 30 iterations)") {
     import spark.implicits._
     // round-6 VERDICT #1: each iteration localCheckpoints a new generation
