@@ -79,22 +79,42 @@ object AffinityPropagation {
     * exact −‖x−y‖² reranks and keeps each point's top-m, symmetrized.
     * Deterministic: seeds are greedy farthest-point picks over a bounded
     * hash-spread sample (graft.functions.Ivf). Approximate only in which
-    * CANDIDATES are seen — kept edges carry exact similarities. */
+    * CANDIDATES are seen — kept edges carry exact similarities.
+    *
+    * `centroids = 0` (default) auto-sizes the bucket count to ⌈N/125⌉
+    * (floored at 16 — identical to the old fixed 16 for every fixture
+    * N ≤ 2000): a FIXED count makes home buckets grow linearly with N,
+    * so per-bucket pair generation grows as N² and the "scale path"
+    * quietly re-buys the quadratic cost at exactly the N it exists for
+    * (round-10 scale validation). Constant ~125-point buckets keep
+    * candidates per point at ~nprobe·125 = 20·m regardless of N, so the
+    * candidate volume — and with it the whole build — stays linear.
+    *
+    * Assignment deliberately drops the vectors before the per-point
+    * top-nprobe window (only (vec_id, c_id, cdist) is sorted — 24-byte
+    * rows, not 500-byte embedding payloads) and re-joins them once for
+    * the bucket pair join. */
   def sparseSimilarities(
       embeddings: DataFrame, m: Int,
-      centroids: Int = 16, nprobe: Int = 8): DataFrame = {
+      centroids: Int = 0, nprobe: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.VectorExprs.register(spark)
     val e = embeddings.select(
       col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val cents = graft.functions.Ivf.seeds(e, centroids).toDF("c_id", "cv")
+    val c =
+      if (centroids > 0) centroids
+      else math.min(1 << 20,
+        math.max(16, math.ceil(e.count() / 125.0).toInt))
+    val cents = graft.functions.Ivf
+      .seeds(e, c, sampleN = math.max(256, 2 * c)).toDF("c_id", "cv")
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist"), col("c_id"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cdist", expr("vec_sqdist(v, cv)"))
+      .select(col("vec_id"), col("c_id"), expr("vec_sqdist(v, cv)").as("cdist"))
       .withColumn("crnk", row_number().over(wAssign))
       .filter(col("crnk") <= nprobe)
-      .select(col("vec_id"), col("v"), col("c_id"), col("crnk"))
+      .select(col("vec_id"), col("c_id"), col("crnk"))
+      .join(e, "vec_id")
     val home = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("k"), col("v").as("vb"), col("c_id"))
     val wTop = Window.partitionBy("i").orderBy(col("s").desc, col("k"))

@@ -75,6 +75,37 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 3, s"$exchanges exchanges (expected 3):\n$p")
   }
 
+  test("production jaccard kernel auto-engages the df-cap decomposition on a hot corpus") {
+    // round-9 VERDICT #5: the df-capped hot-shingle decomposition must
+    // be the PRODUCTION default, not a forced-low-cap oracle key. A
+    // synthetic corpus where one stopword trigram's df (1115) exceeds
+    // HotShingleDfCap (1024): the production entry's plan must take the
+    // decomposition branch (the hot-dominated sweep union is always in
+    // the capped plan), and its rows must equal the plain kernel's.
+    import spark.implicits._
+    val base = (0 until 1100).map { i =>
+      (i.toLong, s"h0 h1 h2 u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+    }
+    val dups = (0 until 15).map(i => (10000L + i, base(i)._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val sh = queries.Dedup.hashedShinglePlan(spark, docs)
+    // trigger condition at the PRODUCTION cap
+    val hot = queries.Dedup.hotShingleProbe(sh)
+    assert(hot.nonEmpty, "synthetic corpus failed to trip the production df cap")
+    val prod = queries.Dedup.jaccardPairsHashed(spark, docs)
+    val plain = queries.Dedup.jaccardPairsHashedFrom(sh, 0.2)
+    assert(prod.queryExecution.optimizedPlan.toString.contains("Union"),
+      "production plan did not take the capped decomposition branch")
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("Union"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p = rows(prod)
+    assert(p == rows(plain), "capped and plain kernels disagree")
+    assert(p.size == 15 && p.forall(_._3 == 1.0),
+      s"expected the 15 duplicated docs as jaccard-1.0 pairs, got ${p.size}")
+  }
+
   test("topk_global scale shape pre-aggregates per l_orderkey below the join") {
     // the 100 TB-safe regime: map-side combine shrinks the fact table
     // BEFORE any join; no sf-scaling relation is force-broadcast
