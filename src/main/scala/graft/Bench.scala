@@ -233,10 +233,12 @@ object Bench {
     val dPer = (d4 - d1) / 3.0
     // Sparse O(N·m) per-iteration samples at three N (round-9 VERDICT
     // #2: the 100 TB claim rests on per-iter cost growing ~linearly in
-    // N·m — N=6000 alone shows nothing about the growth). Message rows
-    // are ≈ 2·N·m + N; N=50000 (5.1 M rows) deliberately crosses
-    // CadenceRowCap (4 M) so the record also exercises the cadence-1
-    // regime the cap exists for. The graph is built ONCE per shape and
+    // N·m — N=6000 alone shows nothing about the growth). Measured
+    // edge counts: 0.47 M / 1.56 M / 3.34 M (the IVF graph keeps ≤ m
+    // per point pre-symmetrization, so edges run below the 2·N·m upper
+    // bound and all three shapes stay under CadenceRowCap — cadence 5
+    // throughout; the cadence-1 regime is exercised by the dense
+    // shape's 16 M rows). The graph is built ONCE per shape and
     // eagerly checkpointed, and the loop is timed directly over the
     // materialized triples (solveFromSimilarities, distributed regime
     // forced): the first cut differenced two run()s whose shared

@@ -12,10 +12,11 @@ import java.nio.file.Files
 class StreamingSpec extends SparkSuite {
 
   /** Write events as `parts` ts-ordered parquet chunks; returns dir. */
-  private def replayDir(parts: Int, lateTail: Boolean = false): String = {
+  private def replayDir(parts: Int, lateTail: Boolean = false,
+      sfDir: String = sf001): String = {
     val dir = Files.createTempDirectory("graft-replay").toString
-    val ev = Tables.events(spark, sf001).orderBy("ts").collect()
-    val schema = Tables.events(spark, sf001).schema
+    val ev = Tables.events(spark, sfDir).orderBy("ts").collect()
+    val schema = Tables.events(spark, sfDir).schema
     val chunks = ev.grouped(math.ceil(ev.length.toDouble / parts).toInt).toSeq
     val ordered = if (lateTail) {
       // move the earliest chunk to the end — its rows arrive hours late
@@ -123,6 +124,50 @@ class StreamingSpec extends SparkSuite {
     assert((got -- batch).isEmpty, s"stream emitted non-batch pairs: ${(got -- batch).take(3)}")
     assert(got.size >= (batch.size * 8) / 10,
       s"stream emitted ${got.size} of ${batch.size} batch pairs")
+  }
+
+  test("sf0.1 replay: watermark state stays bounded through the full stream") {
+    // round-9 VERDICT #7: the replay tests above run at fixture scale
+    // (sf0.001, 1 k events); this one replays the full sf0.1 corpus
+    // (100 k events, 30 days) in 60 half-day micro-batches and asserts
+    // the STATE STORE stays bounded by the watermark horizon — the
+    // property that makes the stream runnable on an unbounded 100 TB/day
+    // feed. State is read from the engine's own progress metrics
+    // (stateOperators.numRowsTotal), max over all micro-batches.
+    val dir = replayDir(parts = 60, sfDir = "/root/testdata/sf0.1")
+    def runWithState(df: DataFrame, name: String): (Long, Long) = {
+      val q = df.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      val states = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      q.stop()
+      (if (states.isEmpty) 0L else states.max, spark.table(name).count())
+    }
+    // Stream-stream interval join: watermark 2 h + 1 h join range ⇒ live
+    // state is ~(one micro-batch + 3 h horizon) of click/purchase rows,
+    // never the whole stream.
+    val (joinState, joinRows) =
+      runWithState(Streams.clickToPurchase(Streams.eventsStream(spark, dir)),
+        "t_state_join_sf01")
+    val cpTotal = Tables.events(spark, "/root/testdata/sf0.1")
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(joinRows > 0, "sf0.1 stream-stream join emitted nothing")
+    assert(joinState > 0, "no state metrics recorded")
+    assert(joinState <= cpTotal / 4,
+      s"join state $joinState is not bounded: ${cpTotal} click/purchase rows " +
+        "streamed — state should hold only the watermark horizon")
+    assert(joinState <= 6000,
+      s"join state $joinState exceeds the pinned ceiling (6000 rows ≈ " +
+        "one half-day micro-batch + 3 h horizon of click/purchase rows)")
+    // Tumbling aggregate: state is open windows × event types — hundreds
+    // of windows over 30 days, but bounded eviction keeps live rows tiny.
+    val (tumState, tumRows) =
+      runWithState(Streams.tumbling(Streams.eventsStream(spark, dir)),
+        "t_state_tum_sf01")
+    assert(tumRows > 0 && tumState > 0)
+    assert(tumState <= 1000,
+      s"tumbling state $tumState exceeds the pinned ceiling (open windows " +
+        "per type only; 30 days × 24 h × 5 types would be ~3600 if nothing evicted)")
   }
 
   test("stateful running count matches batch per-user totals") {
