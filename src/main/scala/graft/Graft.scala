@@ -29,14 +29,24 @@ object Graft {
   /** Full damped AP to convergence; returns (id, exemplar) — every point
     * labeled with its cluster's exemplar id, exemplars self-assigned.
     * Dispatches to the dense in-memory kernel below N=4000 and the
-    * distributed two-exchange dataflow above it. */
+    * distributed two-exchange dataflow above it.
+    *
+    * `jitter` (opt-in, e.g. 1e-6) adds a deterministic hash-seeded
+    * offset of that fraction of the similarity range to each pair —
+    * [FD07]'s noise remedy for degenerate inputs: EXACT-duplicate
+    * points otherwise oscillate the damped loop forever (the copies
+    * swap exemplar roles every iteration) and the run hits maxIter
+    * unconverged. Deterministic per (i, k), so jittered runs are
+    * reproducible; leave 0.0 unless your data has exact duplicates or
+    * large similarity ties. */
   def cluster(spark: SparkSession, embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       damping: Double = 0.5, maxIter: Int = 200, convergenceIter: Int = 15,
-      preference: Option[Double] = None): DataFrame = {
+      preference: Option[Double] = None, jitter: Double = 0.0): DataFrame = {
     val emb = embOf(embeddings, idCol, vecCol)
     val res = ap.AffinityPropagation.solve(
-      spark, emb, damping, maxIter, convergenceIter, preference)
+      spark, emb, damping, maxIter, convergenceIter, preference,
+      jitter = jitter)
     ap.AffinityPropagation.assign(
         ap.AffinityPropagation.similarities(emb), res.exemplars, spark)
       .select(col("i").as("id"), col("exemplar"))
@@ -45,9 +55,10 @@ object Graft {
   /** Exemplar ids only (same solve as [[cluster]]). */
   def exemplars(spark: SparkSession, embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      damping: Double = 0.5, preference: Option[Double] = None): Seq[Long] =
+      damping: Double = 0.5, preference: Option[Double] = None,
+      jitter: Double = 0.0): Seq[Long] =
     ap.AffinityPropagation.solve(spark, embOf(embeddings, idCol, vecCol),
-      damping, prefOverride = preference).exemplars
+      damping, prefOverride = preference, jitter = jitter).exemplars
 
   /** Full damped AP over a CALLER-SUPPLIED similarity relation — the
     * algorithm's native input ([FD07] p.972: s(i,k) need not be metric
@@ -64,13 +75,14 @@ object Graft {
   def clusterFromSimilarities(spark: SparkSession, sims: DataFrame,
       iCol: String = "i", kCol: String = "k", sCol: String = "s",
       damping: Double = 0.5, maxIter: Int = 200, convergenceIter: Int = 15,
-      preference: Option[Double] = None): DataFrame = {
+      preference: Option[Double] = None, jitter: Double = 0.0): DataFrame = {
     val sm = sims.select(
       col(iCol).cast("long").as("i"),
       col(kCol).cast("long").as("k"),
       col(sCol).cast("double").as("s"))
     val res = ap.AffinityPropagation.solveFromSimilarities(
-      spark, sm, damping, maxIter, convergenceIter, preference)
+      spark, sm, damping, maxIter, convergenceIter, preference,
+      jitter = jitter)
     ap.AffinityPropagation.assign(sm.filter(col("i") =!= col("k")), res.exemplars, spark)
       .select(col("i").as("id"), col("exemplar"))
   }
@@ -87,12 +99,29 @@ object Graft {
       .agg(min(col("doc_id")).as("id"), count(lit(1)).as("n_copies"))
       .select("id", "digest", "n_copies")
 
-  /** Exact 3-word-shingle Jaccard near-dup pairs (id_a < id_b) — the
-    * quadratic baseline; prefer [[nearDupPairs]] at scale. */
+  /** Exact 3-word-shingle Jaccard near-dup pairs (id_a < id_b), via the
+    * PRODUCTION kernel: hashed shingle identity, bucket-grouped pair
+    * generation, and the df-capped hot-shingle decomposition engaged
+    * automatically when a shingle's document frequency exceeds the cap
+    * (stopword trigrams at corpus scale) — values identical to the
+    * string-shingle baseline. Still inherently all-pairs in its OUTPUT
+    * (every qualifying pair is emitted); prefer [[nearDupPairsReranked]]
+    * when LSH recall is acceptable — subquadratic end to end with the
+    * same exact values on every surviving pair. */
   def nearDupPairsExact(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.2): DataFrame =
-    queries.Dedup.jaccardPairs(spark, docsOf(docs, idCol, textCol), threshold)
+    queries.Dedup.jaccardPairsHashed(spark, docsOf(docs, idCol, textCol), threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
+
+  /** MinHash-LSH candidates reranked with exact Jaccard — the composed
+    * pipeline a production dedup runs: candidate generation is
+    * O(N·bands), exact values are computed on the candidate set only;
+    * result ⊆ [[nearDupPairsExact]] with identical values. */
+  def nearDupPairsReranked(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.2): DataFrame =
+    queries.Dedup.minhashRerank(spark, docsOf(docs, idCol, textCol), threshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
 
   /** MinHash-LSH candidate near-dup pairs — the 100 TB path: 32 hashes,

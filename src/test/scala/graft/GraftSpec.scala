@@ -37,6 +37,13 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("nearDupPairsReranked matches dedup_minhash_rerank") {
+    val facade = rows(Graft.nearDupPairsReranked(spark, myDocs, "document_id", "body")
+      .orderBy("id_a", "id_b"))
+    val key = rows(SparkEntry.queries("dedup_minhash_rerank")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("nearDupPairs (minhash LSH) matches dedup_minhash") {
     val facade = rows(Graft.nearDupPairs(spark, myDocs, "document_id", "body")
       .orderBy("id_a", "id_b"))
