@@ -251,6 +251,55 @@ object TextOps extends QueryGroup {
             .cast("long").as("n_bpe"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    // documents dominated by repeated words/n-grams are low-quality):
+    // per doc the duplicate-word fraction (1 − distinct/total) and the
+    // top-bigram fraction (most frequent bigram's share of all bigram
+    // slots). Linear shuffles only — one per-doc aggregate over the
+    // bigram explode; no corpus-wide state.
+    "text_quality_rep" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+      val big = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .withColumn("nxt", lead(col("term"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("doc_id"), concat(col("term"), lit(" "), col("nxt")).as("bigram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("mx"))
+      base.join(big, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_words").cast("double"), 4)
+            .as("dup_word_frac"),
+          round(col("mx") / (col("n_words") - 1).cast("double"), 4)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // C4-style corpus-level boilerplate detection (Raffel et al. 2020
+    // §2.2 removes spans repeated across documents): per doc, how many
+    // of its distinct 3-grams appear in ≥ 4 documents corpus-wide, and
+    // the boilerplate fraction. The df aggregate is the hot-shingle
+    // probe generalized into an analysis operator — groupBy(shingle)
+    // then a shingle-keyed join back: a hot gram makes a BIG GROUP
+    // (linear rows), never a pair explode, so the plan scales where the
+    // naive per-pair formulation would not.
+    "text_boilerplate" -> ((s, dir) => {
+      val g = Dedup.shingles(s, Tables.documents(s, dir))
+      val df = g.groupBy("shingle").agg(count(lit(1)).as("df"))
+      g.join(df, "shingle")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 4, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          round(col("n_boiler") / col("n_grams").cast("double"), 4)
+            .as("boiler_frac"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation pipeline — the LLM-data story in ONE query:
     // exact dedup (group by content digest, smallest id wins — 128-bit
     // keys shuffle, never bodies) → quality gate (token/char floors) →
@@ -596,6 +645,32 @@ object TextOps extends QueryGroup {
         |  CAST((doc_id % 13 + 4) * (doc_id % 7 + 3) * 3 AS BIGINT) AS n_pix,
         |  'ppm-p255' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_rep" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        |      FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |  ROUND(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 4) AS dup_word_frac,
+        |  ROUND(mx / CAST(len(ws) - 1 AS DOUBLE), 4) AS top_bigram_frac
+        |FROM w JOIN bm ON w.doc_id = bm.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+        |       UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+        |SELECT g.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  ROUND(SUM(CASE WHEN df.df >= 4 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS boiler_frac
+        |FROM g JOIN df ON g.g = df.g
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Independent derivation from the WAV generative formula (the Spark
     // side parses only bytes): any LE-walk or chunk-offset bug
     // mismatches.

@@ -15,11 +15,11 @@ object ApDbg {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb200 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(200)
-    for (c <- Seq(1, 5)) {
+    for (rep <- 1 to 2; c <- Seq(1, 5, 10, 15, 23)) {
       val t0 = System.nanoTime()
       val r = ap.AffinityPropagation.run(spark, emb200, checkEvery = c)
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"checkEvery=$c: converged=${r.converged} iters=${r.iterations} " +
+      println(f"rep=$rep checkEvery=$c: converged=${r.converged} iters=${r.iterations} " +
         f"exemplars=${r.exemplars.size} in $t%.2f s")
     }
     // per-iteration exemplar-set trace around the r8 convergence point

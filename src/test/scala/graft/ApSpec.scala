@@ -105,6 +105,19 @@ class ApSpec extends SparkSuite {
     val dist = AffinityPropagation.run(spark, dup, jitter = 1e-6)
     assert(dist.converged && dist.exemplars.nonEmpty,
       s"distributed regime did not converge with jitter (${dist.iterations} iters)")
+    // solveFromSimilarities' distributed branch (jitterOffd on supplied
+    // triples — forced via localNodeThreshold = 0): an all-equal
+    // similarity matrix is the fully degenerate tie case (range 0 →
+    // fallback scale 1.0); without jitter every point is
+    // interchangeable, with it the loop settles.
+    import spark.implicits._
+    val ties = (for { i <- 1L to 8L; k <- 1L to 8L if i != k }
+      yield (i, k, -1.0)).toDF("i", "k", "s")
+    val sim = AffinityPropagation.solveFromSimilarities(spark, ties,
+      localNodeThreshold = 0, jitter = 1e-6)
+    assert(sim.converged && sim.exemplars.nonEmpty,
+      s"solveFromSimilarities distributed regime did not converge with " +
+        s"jitter (${sim.iterations} iters)")
   }
 
   test("sparse m=50 exemplar rate matches dense on the same N=2000 input (within 1.25×)") {
