@@ -304,22 +304,29 @@ object Dedup extends QueryGroup {
     out
   }
 
-  /** Release registry for [[decontaminate]]'s eval-gram checkpoint —
-    * same shape and caveats as `lastComponentsCheckpoint` below (weak
-    * session key, weak DataFrame value, deterministic release on the
-    * next call while the result is still live). */
+  /** Release registry for [[decontaminate]]'s eval-gram checkpoint.
+    * The values are the checkpoint RDDs held STRONGLY (an RDD references
+    * the SparkContext, not the session — the weak map key stays
+    * reclaimable), so the deterministic release survives the result
+    * DataFrame being GC'd before the next call — the round-8 ADVICE
+    * lesson the AP run registry already applies; a WeakReference'd
+    * DataFrame silently lapses to the async ContextCleaner exactly when
+    * the result dies early. Released at the NEXT call's start (the
+    * consume-before-next-call contract the components registry carries). */
   private val lastDecontamCheckpoint =
-    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, Seq[org.apache.spark.rdd.RDD[_]]]()
 
   private def releasePrevDecontam(spark: SparkSession): Unit =
     lastDecontamCheckpoint.synchronized {
       Option(lastDecontamCheckpoint.remove(spark))
-    }.flatMap(r => Option(r.get)).foreach(releaseCheckpoint)
+    }.foreach(graft.Checkpoints.releaseRdds)
 
-  private def recordDecontamCheckpoint(spark: SparkSession, df: DataFrame): Unit =
+  private def recordDecontamCheckpoint(spark: SparkSession, df: DataFrame): Unit = {
+    val rdds = graft.Checkpoints.checkpointRdds(df)
     lastDecontamCheckpoint.synchronized {
-      lastDecontamCheckpoint.put(spark, new java.lang.ref.WeakReference(df)); ()
+      lastDecontamCheckpoint.put(spark, rdds); ()
     }
+  }
 
   /** Jaccard ≥ threshold pairs from a hashed shingle set (which carries
     * the per-doc set size `n` — see [[hashedShinglePlan]]) — ONE linear

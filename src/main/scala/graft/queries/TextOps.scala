@@ -289,13 +289,22 @@ object TextOps extends QueryGroup {
     // naive per-pair formulation would not.
     "text_boilerplate" -> ((s, dir) => {
       val g = Dedup.shingles(s, Tables.documents(s, dir))
-      val df = g.groupBy("shingle").agg(count(lit(1)).as("df"))
-      g.join(df, "shingle")
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("df") >= 4, 1L).otherwise(0L)).as("n_boiler"))
-        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
-          round(col("n_boiler") / col("n_grams").cast("double"), 4)
+      // Per-gram df, filtered to the boilerplate set BEFORE any join:
+      // the join side then carries only the ≥4-df grams (the boilerplate
+      // vocabulary — small at any corpus scale, so the semi join's
+      // build side stays broadcastable where joining the FULL per-gram
+      // df relation would shuffle one row per distinct gram). Both
+      // per-doc aggregates run on the doc_id clustering the shingle
+      // relation already has.
+      val boilerGrams = g.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 4).select("shingle")
+      val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val boiler = g.join(boilerGrams, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      totals.join(boiler, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          round(coalesce(col("n_boiler"), lit(0L)) / col("n_grams").cast("double"), 4)
             .as("boiler_frac"))
         .orderBy("doc_id")
     }),

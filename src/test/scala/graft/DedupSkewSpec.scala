@@ -73,4 +73,26 @@ class DedupSkewSpec extends SparkSuite {
     // entry must degrade to zero overhead beyond the probe
     assert(Dedup.hotShingleProbe(sh, Dedup.HotShingleDfCap).isEmpty)
   }
+
+  test("decontaminate releases the previous call's eval-gram checkpoint") {
+    // round-9 ADVICE: decontaminate re-executed the caller's eval
+    // shingle plan per action; the fix checkpoints the gram set once.
+    // The registry must then release call t−1's checkpoint at call t's
+    // start (the consume-before-next-call contract), not pin one RDD
+    // per call for the session's life.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf001)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Dedup.decontaminate(spark, train, eval).count() > 0)
+    val first = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(first.nonEmpty, "no eval-gram checkpoint was pinned")
+    assert(Dedup.decontaminate(spark, train, eval).count() > 0)
+    val second = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(first.intersect(second).isEmpty,
+      s"first call's checkpoint still pinned after the second call: $first")
+    assert(second.size <= first.size,
+      s"checkpoint count grew across calls: ${first.size} -> ${second.size}")
+  }
 }
