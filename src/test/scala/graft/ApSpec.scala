@@ -240,6 +240,35 @@ class ApSpec extends SparkSuite {
       s"expected ≈1 job per 5 extra iterations, got ${j20 - j10} jobs for 10 extra")
   }
 
+  test("cadence rollback stops at the same iteration as per-iteration checks") {
+    // round-9 ADVICE (medium): the cadence-SAMPLED counter declared
+    // convergence after a 10-iteration plateau and aliased on
+    // oscillating sets. The fix collects every generation's indicator
+    // per chunk and rolls back to the generation where the CLASSIC rule
+    // fires — so any cadence must report the exact iteration count and
+    // exemplar set of checkEvery = 1 (ApDbg measured the same on the
+    // sf0.1 200-vec prefix: 46 iterations at every cadence).
+    // The two-clique fixture is fully symmetric (all-equal in-cluster
+    // similarities — every node interchangeable), so WITHOUT jitter it
+    // oscillates past maxIter under the exact counter: run it jittered
+    // (deterministic draws ⇒ every cadence sees the same matrix).
+    import spark.implicits._
+    val triples = (for { i <- 1L to 12L; k <- 1L to 12L if i != k }
+      yield (i, k, if ((i <= 6) == (k <= 6)) -1.0 else -20.0)).toDF("i", "k", "s")
+    def solveAt(c: Int) = AffinityPropagation.solveFromSimilarities(spark, triples,
+      localNodeThreshold = 0, checkEvery = c, jitter = 1e-6)
+    val base = solveAt(1)
+    assert(base.converged, s"fixture did not converge (${base.iterations} iters)")
+    for (c <- Seq(5, 7)) {
+      val r = solveAt(c)
+      assert(r.converged && r.iterations == base.iterations &&
+        r.exemplars == base.exemplars,
+        s"cadence $c diverged from per-iteration checks: " +
+          s"iters ${r.iterations} vs ${base.iterations}, " +
+          s"exemplars ${r.exemplars.size} vs ${base.exemplars.size}")
+    }
+  }
+
   test("fused loop passes match the window-algebra passes (r exact, a to 1e-9)") {
     // The loop kernel (hash-aggregate top-2 + SHUFFLE_HASH join) must
     // compute the same messages as the oracle-matched window algebra:
