@@ -81,14 +81,22 @@ object AffinityPropagation {
     * hash-spread sample (graft.functions.Ivf). Approximate only in which
     * CANDIDATES are seen — kept edges carry exact similarities.
     *
-    * `centroids = 0` (default) auto-sizes the bucket count to ⌈N/125⌉
-    * (floored at 16 — identical to the old fixed 16 for every fixture
-    * N ≤ 2000): a FIXED count makes home buckets grow linearly with N,
-    * so per-bucket pair generation grows as N² and the "scale path"
-    * quietly re-buys the quadratic cost at exactly the N it exists for
-    * (round-10 scale validation). Constant ~125-point buckets keep
-    * candidates per point at ~nprobe·125 = 20·m regardless of N, so the
-    * candidate volume — and with it the whole build — stays linear.
+    * `centroids = 0` (default) auto-sizes the bucket count to
+    * min(⌈N/125⌉, ⌈√(8N)⌉), floored at 16 — identical to the old fixed
+    * 16 for every fixture N ≤ 2000: a FIXED count makes home buckets
+    * grow linearly with N, so per-bucket pair generation grows as N²
+    * and the "scale path" quietly re-buys the quadratic cost at exactly
+    * the N it exists for (round-10 scale validation). ⌈N/125⌉ keeps
+    * buckets constant (~125 points, candidates ≈ nprobe·125 = 20·m per
+    * point) while the assignment crossJoin cost N·c stays cheap; past
+    * N = 125 000 that same growth would make the ASSIGNMENT stage the
+    * new quadratic (N·c = N²/125 distance evaluations — round-10
+    * review), so the count switches to the √(8N) balance point where
+    * assignment (N·c·d) and candidate generation (N·nprobe·(N/c)·d)
+    * are both Θ(N^1.5·d). True linear build at arbitrary N needs
+    * two-level coarse assignment — the declared next step if a workload
+    * ever runs this at N ≫ 10⁷ — but N^1.5 with bounded buckets is the
+    * honest single-level optimum.
     *
     * Assignment deliberately drops the vectors before the per-point
     * top-nprobe window (only (vec_id, c_id, cdist) is sorted — 24-byte
@@ -104,8 +112,11 @@ object AffinityPropagation {
       col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val c =
       if (centroids > 0) centroids
-      else math.min(1 << 20,
-        math.max(16, math.ceil(e.count() / 125.0).toInt))
+      else {
+        val n = e.count()
+        math.min(1 << 20, math.max(16,
+          math.min(math.ceil(n / 125.0), math.ceil(math.sqrt(8.0 * n))).toInt))
+      }
     val cents = graft.functions.Ivf
       .seeds(e, c, sampleN = math.max(256, 2 * c)).toDF("c_id", "cv")
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist"), col("c_id"))
@@ -522,6 +533,14 @@ object AffinityPropagation {
         val d = idx(r.getLong(0))
         s(d)(d) = r.getDouble(2); diagProvided(d) = true
       }
+      // Opt-in oscillation guard, applied to the matrix BEFORE the
+      // preference median: the distributed branch's default preference
+      // medians the JITTERED off-diagonals (preference over jitterOffd's
+      // output), so the local branch must too or the same input gets an
+      // O(jitter·range)-different preference across the regime boundary
+      // (round-10 review). runS is then called with jitter = 0 — the
+      // matrix is already jittered here.
+      if (jitter > 0) LocalAP.applyJitter(ids, s, jitter)
       // Default preference = exact median of the SUPPLIED off-diagonal
       // triples — the same relation the distributed regime's
       // preference(offd) computes over. LocalAP's own fallback medians the
@@ -534,7 +553,7 @@ object AffinityPropagation {
       val pref = prefOverride.orElse {
         if (offRows.isEmpty) None // degenerate: no off-diagonal supplied
         else {
-          val vals = offRows.map(_.getDouble(2))
+          val vals = offRows.map(r => s(idx(r.getLong(0)))(idx(r.getLong(1))))
           java.util.Arrays.sort(vals)
           Some(
             if (vals.length % 2 == 1) vals(vals.length / 2)
@@ -542,7 +561,7 @@ object AffinityPropagation {
         }
       }
       val st = LocalAP.runS(ids, s, damping, maxIter, convergenceIter,
-        pref, diagProvided, jitter)
+        pref, diagProvided)
       Result(localMessagesFn(ids, st), st.exemplars.toSeq.sorted, st.iterations, st.converged)
     } else {
       // Opt-in oscillation guard — only here: the local branch jitters
@@ -704,9 +723,12 @@ object AffinityPropagation {
       else availabilityPass(responsibilityPass(m, damping), damping)
 
     // Classic stop: convergenceIter consecutive equal exemplar sets =
-    // convergenceIter−1 equal-to-previous increments of the counter
-    // (floored at 1 so convergenceIter ≤ 1 still demands one repeat).
-    val neededStable = math.max(1, convergenceIter - 1)
+    // convergenceIter−1 equal-to-previous increments of the counter.
+    // Floored at 0, NOT 1: LocalAP fires at stable ≥ convIter−1, so
+    // convergenceIter ≤ 1 converges on the first non-empty set in BOTH
+    // regimes (round-10 review: the max(1, …) floor made the same
+    // input converge one iteration later above the local threshold).
+    val neededStable = math.max(0, convergenceIter - 1)
     var lastExemplars: Set[Long] = null
     var stable = 0
     var it = 0

@@ -70,8 +70,10 @@ object Dedup extends QueryGroup {
     * cost of dedup_cluster). Pair set and values are identical to
     * [[jaccardPairs]] modulo 64-bit collisions within one document pair
     * (P < 1e-8 at 100× this scale; the driver's oracle parity on
-    * dedup_cluster would catch one). dedup_jaccard itself keeps the
-    * string form as the letter-exact oracle-grade baseline. */
+    * dedup_cluster and — since round 10 — dedup_jaccard itself would
+    * catch one). The string-shingle self-join form survives only as the
+    * letter-exact REFERENCE ([[jaccardPairs]]; ComponentsSpec baseline);
+    * every production route, dedup_jaccard included, runs hashed. */
   /** The hashed shingle SET — distinct (doc_id, xxhash64(word triple))
     * rows WITH the per-doc set size `n` attached, hash-partitioned by
     * doc_id: the shared base relation of the whole hashed-dedup family
@@ -283,16 +285,18 @@ object Dedup extends QueryGroup {
       eval: DataFrame, n: Int = 5,
       broadcastCap: Long = EvalGramBroadcastCap): DataFrame = {
     releasePrevDecontam(s)
-    // Materialize the eval gram set ONCE (eager checkpoint): the probe
-    // count and the join both read it, and uncached the caller's eval
-    // shingle plan executed twice per call — the same caller-plan
-    // re-execution pattern solveFromSimilarities fixed in round 8
-    // (round-9 ADVICE). The result plan reads the checkpoint lazily
-    // after this call returns, so it is registry-released on the NEXT
-    // call (the components consume-before-next-call contract); size is
+    // Materialize the eval gram set ONCE per consumption (cache, NOT
+    // localCheckpoint): the probe count and the join both read it, and
+    // uncached the caller's eval shingle plan executed twice per call
+    // (round-9 ADVICE). cache() keeps the returned plan RECOMPUTABLE —
+    // a checkpoint would be unpersisted out from under the PREVIOUS
+    // call's still-lazy public result (Graft.decontaminate returns a
+    // plain DataFrame, no consume-before-next-call contract a caller
+    // could see), turning it unreadable; with cache() the storage is
+    // registry-unpersisted at the next call's start and an old result
+    // merely recomputes the gram set if executed after that. Size is
     // the distinct eval gram set — small by the kernel's own premise.
-    val eg = shingles(s, eval, n = n).select("shingle").distinct()
-      .localCheckpoint()
+    val eg = shingles(s, eval, n = n).select("shingle").distinct().cache()
     val egSide = if (eg.count() <= broadcastCap) broadcast(eg) else eg
     val hits = shingles(s, train, n = n)
       .join(egSide, "shingle")
@@ -300,33 +304,32 @@ object Dedup extends QueryGroup {
     val out = train.select("doc_id").join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
-    recordDecontamCheckpoint(s, out)
+    recordDecontamCache(s, eg)
     out
   }
 
-  /** Release registry for [[decontaminate]]'s eval-gram checkpoint.
-    * The values are the checkpoint RDDs held STRONGLY (an RDD references
-    * the SparkContext, not the session — the weak map key stays
-    * reclaimable), so the deterministic release survives the result
-    * DataFrame being GC'd before the next call — the round-8 ADVICE
-    * lesson the AP run registry already applies; a WeakReference'd
-    * DataFrame silently lapses to the async ContextCleaner exactly when
-    * the result dies early. Released at the NEXT call's start (the
-    * consume-before-next-call contract the components registry carries). */
-  private val lastDecontamCheckpoint =
-    new java.util.WeakHashMap[SparkSession, Seq[org.apache.spark.rdd.RDD[_]]]()
+  /** Unpersist registry for [[decontaminate]]'s cached eval-gram set,
+    * released at the NEXT call's start. The value is a WeakReference to
+    * the cached DataFrame (a strong DataFrame would reach its
+    * SparkSession and pin the weak map key — the value→key caveat); if
+    * the reference dies first the unpersist is skipped and the cache
+    * entry stays until session teardown — bounded (one small gram set
+    * per session) and, unlike the checkpoint form this replaces, never
+    * a CORRECTNESS hazard: a cached plan is always recomputable, so a
+    * previous call's lazy result stays valid even after its storage is
+    * dropped. */
+  private val lastDecontamCache =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
 
   private def releasePrevDecontam(spark: SparkSession): Unit =
-    lastDecontamCheckpoint.synchronized {
-      Option(lastDecontamCheckpoint.remove(spark))
-    }.foreach(graft.Checkpoints.releaseRdds)
+    lastDecontamCache.synchronized {
+      Option(lastDecontamCache.remove(spark))
+    }.flatMap(r => Option(r.get)).foreach(_.unpersist(false))
 
-  private def recordDecontamCheckpoint(spark: SparkSession, df: DataFrame): Unit = {
-    val rdds = graft.Checkpoints.checkpointRdds(df)
-    lastDecontamCheckpoint.synchronized {
-      lastDecontamCheckpoint.put(spark, rdds); ()
+  private def recordDecontamCache(spark: SparkSession, df: DataFrame): Unit =
+    lastDecontamCache.synchronized {
+      lastDecontamCache.put(spark, new java.lang.ref.WeakReference(df)); ()
     }
-  }
 
   /** Jaccard ≥ threshold pairs from a hashed shingle set (which carries
     * the per-doc set size `n` — see [[hashedShinglePlan]]) — ONE linear
@@ -556,14 +559,18 @@ object Dedup extends QueryGroup {
   private[graft] def minhashRerankFrom(sh: DataFrame,
       threshold: Double = 0.2): DataFrame = {
     val cand = minhashPairsFrom(minhashSignaturesFrom(sh))
-    val sz = sh.groupBy("doc_id").agg(max(col("n")).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // Every joined shingle row already carries its doc's set size `n`
+    // (hashedShinglePlan), so the sizes ride through the intersection
+    // aggregate as max(na)/max(nb) — exactly bucketPairCounts'
+    // discipline. The first cut re-aggregated the whole relation for
+    // sizes and joined them back twice (round-10 review).
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("n").as("nb")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

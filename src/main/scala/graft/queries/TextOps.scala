@@ -258,24 +258,33 @@ object TextOps extends QueryGroup {
     // slots). Linear shuffles only — one per-doc aggregate over the
     // bigram explode; no corpus-wide state.
     "text_quality_rep" -> ((s, dir) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // Bigrams via the shingle family's explode(sequence)+element_at
+      // pattern — no per-doc window sort (the posexplode+lead form paid
+      // an exchange + full positional sort the aggregate never needed;
+      // round-10 review). LEFT join so a <2-word doc still appears in
+      // the quality report (top_bigram_frac = 0 — absence would hide
+      // exactly the most degenerate docs from downstream gates).
       val docs = Tables.documents(s, dir)
       val base = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
       val big = docs
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-        .withColumn("nxt", lead(col("term"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("doc_id"), concat(col("term"), lit(" "), col("nxt")).as("bigram"))
-        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 2)).as("j"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("ws"), col("j") + 1),
+          element_at(col("ws"), col("j") + 2)).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as("mx"))
-      base.join(big, "doc_id")
+      base.join(big, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
           round(lit(1.0) - col("n_distinct") / col("n_words").cast("double"), 4)
             .as("dup_word_frac"),
-          round(col("mx") / (col("n_words") - 1).cast("double"), 4)
-            .as("top_bigram_frac"))
+          when(col("n_words") >= 2,
+            round(col("mx") / (col("n_words") - 1).cast("double"), 4))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 
@@ -664,8 +673,9 @@ object TextOps extends QueryGroup {
         |  CAST(len(ws) AS BIGINT) AS n_words,
         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
         |  ROUND(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 4) AS dup_word_frac,
-        |  ROUND(mx / CAST(len(ws) - 1 AS DOUBLE), 4) AS top_bigram_frac
-        |FROM w JOIN bm ON w.doc_id = bm.doc_id
+        |  CASE WHEN len(ws) >= 2 THEN ROUND(mx / CAST(len(ws) - 1 AS DOUBLE), 4)
+        |       ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac
+        |FROM w LEFT JOIN bm ON w.doc_id = bm.doc_id
         |ORDER BY w.doc_id""".stripMargin,
     "text_boilerplate" ->
       """WITH g AS (

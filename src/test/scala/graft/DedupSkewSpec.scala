@@ -74,25 +74,31 @@ class DedupSkewSpec extends SparkSuite {
     assert(Dedup.hotShingleProbe(sh, Dedup.HotShingleDfCap).isEmpty)
   }
 
-  test("decontaminate releases the previous call's eval-gram checkpoint") {
+  test("decontaminate releases the previous call's eval-gram cache; old results stay valid") {
     // round-9 ADVICE: decontaminate re-executed the caller's eval
-    // shingle plan per action; the fix checkpoints the gram set once.
-    // The registry must then release call t−1's checkpoint at call t's
-    // start (the consume-before-next-call contract), not pin one RDD
-    // per call for the session's life.
+    // shingle plan per action; the fix caches the gram set. The
+    // registry must release call t−1's cache storage at call t's start
+    // (not pin one relation per call for the session's life) — and
+    // because it is a CACHE, not a checkpoint, a previous call's lazy
+    // result must stay readable after its storage is dropped (it
+    // recomputes — the round-10 review found the checkpoint form made
+    // old public results unreadable).
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf001)
     val train = docs.filter(col("doc_id") % 20 =!= 0)
     val eval = docs.filter(col("doc_id") % 20 === 0)
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    assert(Dedup.decontaminate(spark, train, eval).count() > 0)
+    val r1 = Dedup.decontaminate(spark, train, eval)
+    assert(r1.count() > 0)
     val first = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-    assert(first.nonEmpty, "no eval-gram checkpoint was pinned")
-    assert(Dedup.decontaminate(spark, train, eval).count() > 0)
+    assert(first.nonEmpty, "no eval-gram cache was pinned")
+    val r2 = Dedup.decontaminate(spark, train,
+      docs.filter(col("doc_id") % 20 === 1))
+    assert(r2.count() > 0)
     val second = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
     assert(first.intersect(second).isEmpty,
-      s"first call's checkpoint still pinned after the second call: $first")
-    assert(second.size <= first.size,
-      s"checkpoint count grew across calls: ${first.size} -> ${second.size}")
+      s"first call's cache still pinned after the second call: $first")
+    // the first result is a plain recomputable plan — still readable
+    assert(r1.count() > 0, "previous call's result became unreadable")
   }
 }
