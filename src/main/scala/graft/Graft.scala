@@ -214,7 +214,7 @@ object Graft {
     * in-bucket exact rerank; O(Σ bucket²) compares, never N². */
   def similarTopKIvf(spark: SparkSession, embeddings: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroids: Int = 16, nprobe: Int = 8): DataFrame = {
+      centroids: Int = 0, nprobe: Int = 8): DataFrame = {
     val emb = embOf(embeddings, idCol, vecCol)
     val n = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
@@ -233,7 +233,7 @@ object Graft {
     * bucketing approximation. */
   def nearDupPairsEmbedding(spark: SparkSession, embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      minCosine: Double = 0.4, centroids: Int = 16, nprobe: Int = 8,
+      minCosine: Double = 0.4, centroids: Int = 0, nprobe: Int = 8,
       k: Int = 10): DataFrame =
     similarTopKIvf(spark, embeddings, k, idCol, vecCol, centroids, nprobe)
       .filter(col("cos") >= minCosine)

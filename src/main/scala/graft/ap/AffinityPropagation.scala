@@ -112,11 +112,7 @@ object AffinityPropagation {
       col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val c =
       if (centroids > 0) centroids
-      else {
-        val n = e.count()
-        math.min(1 << 20, math.max(16,
-          math.min(math.ceil(n / 125.0), math.ceil(math.sqrt(8.0 * n))).toInt))
-      }
+      else graft.functions.Ivf.autoCentroids(e.count())
     val cents = graft.functions.Ivf
       .seeds(e, c, sampleN = math.max(256, 2 * c)).toDF("c_id", "cv")
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist"), col("c_id"))

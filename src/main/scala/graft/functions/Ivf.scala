@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Data-adaptive centroid count shared by the ANN index and the sparse
+    * AP graph builder: min(⌈N/125⌉, ⌈√(8N)⌉), floored at 16 (identical
+    * to the historical fixed 16 for every fixture N ≤ 2000) and capped
+    * at 2²⁰. ⌈N/125⌉ keeps home buckets ~constant (bounded per-bucket
+    * work) while the assignment crossJoin stays cheap; past N = 125 000
+    * that growth would make the assignment stage quadratic (N·c), so
+    * the count switches to the √(8N) balance point where assignment
+    * (N·c·d) and in-bucket candidate work (N·nprobe·(N/c)·d) are both
+    * Θ(N^1.5·d) — the single-level-IVF optimum. */
+  def autoCentroids(n: Long): Int =
+    math.min(1 << 20, math.max(16,
+      math.min(math.ceil(n / 125.0), math.ceil(math.sqrt(8.0 * n))).toInt))
+
   /** (vec_id, vector) seed rows; `vecs` must have columns
     * (vec_id: long, v: array<double>). */
   def seeds(vecs: DataFrame, k: Int, sampleN: Int = 256): Seq[(Long, Seq[Double])] = {

@@ -1116,12 +1116,21 @@ object Dedup extends QueryGroup {
 
   /** IVF ANN top-k kernel shared by the query key and the clustered-data
     * mechanism test: farthest-point seeds → nprobe bucket assignment →
-    * in-bucket exact cosine rerank. `n` must carry (vec_id, v, nrm). */
+    * in-bucket exact cosine rerank. `n` must carry (vec_id, v, nrm).
+    * `centroids ≤ 0` auto-sizes the bucket count to the data
+    * ([[graft.functions.Ivf.autoCentroids]] — constant buckets up to
+    * N = 125 k, the √(8N) assignment/candidate balance beyond); the
+    * fixture query keys pin an explicit 16 so their D3 recall tests
+    * stay bit-stable. */
   def ivfTopk(s: SparkSession, n: DataFrame, k: Int,
       centroids: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
-    val cents = graft.functions.Ivf.seeds(n, centroids).toDF("c_id", "cv")
+    val c =
+      if (centroids > 0) centroids
+      else graft.functions.Ivf.autoCentroids(n.count())
+    val cents = graft.functions.Ivf
+      .seeds(n, c, sampleN = math.max(256, 2 * c)).toDF("c_id", "cv")
       .withColumn("cn", sqrt(expr("vec_dot(cv, cv)")))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
     val assigned = n.crossJoin(broadcast(cents))
