@@ -98,10 +98,12 @@ object AffinityPropagation {
     * ever runs this at N ≫ 10⁷ — but N^1.5 with bounded buckets is the
     * honest single-level optimum.
     *
-    * Assignment deliberately drops the vectors before the per-point
-    * top-nprobe window (only (vec_id, c_id, cdist) is sorted — 24-byte
-    * rows, not 500-byte embedding payloads) and re-joins them once for
-    * the bucket pair join. */
+    * Assignment runs through the shared [[graft.functions.Ivf.assignments]]
+    * kernel: vectors never ride the ranking windows (24-byte rows sort,
+    * not 500-byte embedding payloads; re-joined once for the bucket
+    * pair join), and past 256 centroids the flat N·c crossJoin switches
+    * to the two-level Θ(N·√c) form — the whole build is then
+    * Θ(N^1.25·d) at the auto size. */
   def sparseSimilarities(
       embeddings: DataFrame, m: Int,
       centroids: Int = 0, nprobe: Int = 8): DataFrame = {
@@ -113,14 +115,10 @@ object AffinityPropagation {
     val c =
       if (centroids > 0) centroids
       else graft.functions.Ivf.autoCentroids(e.count())
-    val cents = graft.functions.Ivf
-      .seeds(e, c, sampleN = math.max(256, 2 * c)).toDF("c_id", "cv")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist"), col("c_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"), expr("vec_sqdist(v, cv)").as("cdist"))
-      .withColumn("crnk", row_number().over(wAssign))
-      .filter(col("crnk") <= nprobe)
-      .select(col("vec_id"), col("c_id"), col("crnk"))
+    val cents = graft.functions.Ivf.seeds(e, c, sampleN = math.max(256, 2 * c))
+    val assigned = graft.functions.Ivf
+      .assignments(e, cents, nprobe,
+        (v, cv) => call_function("vec_sqdist", v, cv))
       .join(e, "vec_id")
     val home = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("k"), col("v").as("vb"), col("c_id"))

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic IVF seed selection shared by the ANN index
@@ -73,5 +74,102 @@ object Ivf {
       else chosen += sample(bi)
     }
     chosen.map { case (id, v) => (id, v.toSeq) }.toSeq
+  }
+
+  /** Past this many centroids the flat assignment crossJoin (N·c
+    * distance evaluations) switches to the TWO-LEVEL form. 512 keeps
+    * every fixture path (c = 16) AND every measured ap_dist shape
+    * (c ≤ 400 at N = 50 k) on the exact flat plan — the two-level
+    * approximation only engages where flat N·c genuinely hurts
+    * (N ≳ 200 k at the auto size), which in production is clustered
+    * embedding data, the regime where super-bucket geometry carries
+    * signal (measured: 97%+ home agreement on clustered data, 54% on
+    * isotropic — and isotropic corpora at that N should pin an explicit
+    * centroid count to force flat). */
+  val TwoLevelThreshold: Int = 512
+
+  /** Bucket assignment shared by the sparse-AP graph builder and the
+    * ANN index: returns `(vec_id, c_id, crnk)` — each point's `nprobe`
+    * nearest centroids by `dist` (smaller = closer; ties → smaller
+    * c_id), crnk 1..nprobe. Vectors are deliberately NOT carried
+    * through the ranking windows (24-byte rows sort, not embedding
+    * payloads) — callers re-join their vector columns by vec_id.
+    *
+    * Flat form (c ≤ [[TwoLevelThreshold]]): one broadcast crossJoin,
+    * N·c evaluations — the historical plan, bit-identical ranking.
+    *
+    * Two-level form (c above the threshold — round-10: a single-level
+    * assignment is Θ(N·c) and with c = √(8N) that is the build's
+    * Θ(N^1.5) floor): the centroids are themselves clustered
+    * driver-side into ⌈√c⌉ super-centroids (farthest-point over the
+    * centroid set — tiny), each point ranks the supers (N·√c
+    * evaluations), keeps its `sprobe` nearest, and evaluates only the
+    * centroids belonging to those supers (expected N·sprobe·√c) —
+    * Θ(N·√c) total, so the whole build drops to Θ(N^1.25·d) at the
+    * auto size. Approximate only in which CENTROIDS a point may rank
+    * (its true nearest centroid could live under an unprobed super —
+    * the standard inverted-multi-index trade; the suite pins home-
+    * centroid agreement vs flat ≥ 90% on clustered data, the regime
+    * the two-level form is for). */
+  def assignments(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
+      nprobe: Int, dist: (Column, Column) => Column,
+      sprobe: Int = 8, twoLevelThreshold: Int = TwoLevelThreshold): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val c = cents.length
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist"), col("c_id"))
+    if (c <= twoLevelThreshold) {
+      vecs.crossJoin(broadcast(cents.toDF("c_id", "cv")))
+        .select(col("vec_id"), col("c_id"), dist(col("v"), col("cv")).as("cdist"))
+        .withColumn("crnk", row_number().over(wAssign))
+        .filter(col("crnk") <= nprobe)
+        .select("vec_id", "c_id", "crnk")
+    } else {
+      // driver-side second level over the (small) centroid set
+      def d2(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+        s
+      }
+      val superK = math.max(2, math.ceil(math.sqrt(c.toDouble)).toInt)
+      // farthest-point over the centroid vectors themselves (ids 0..)
+      val centVecs = cents.map { case (id, v) => (id, v) }
+      val supers = {
+        val chosen = scala.collection.mutable.ArrayBuffer(centVecs.minBy(_._1))
+        val minD = Array.fill(centVecs.length)(Double.PositiveInfinity)
+        var exhausted = false
+        while (chosen.length < math.min(superK, centVecs.length) && !exhausted) {
+          var bi = -1; var bd = -1.0
+          var i = 0
+          while (i < centVecs.length) {
+            val dd = math.min(minD(i), d2(centVecs(i)._2, chosen.last._2))
+            minD(i) = dd
+            if (dd > bd) { bd = dd; bi = i }
+            i += 1
+          }
+          if (bd <= 0.0) exhausted = true else chosen += centVecs(bi)
+        }
+        chosen.zipWithIndex.map { case ((_, v), si) => (si.toLong, v) }.toSeq
+      }
+      // membership: each centroid under its euclidean-nearest super
+      // (ties → smallest super id — deterministic)
+      val members = centVecs.map { case (cid, cv) =>
+        val best = supers.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
+        (cid, best, cv)
+      }
+      val wSuper = Window.partitionBy("vec_id").orderBy(col("sdist"), col("s_id"))
+      val probed = vecs.crossJoin(broadcast(supers.toDF("s_id", "sv")))
+        .select(col("vec_id"), col("s_id"), dist(col("v"), col("sv")).as("sdist"))
+        .withColumn("srnk", row_number().over(wSuper))
+        .filter(col("srnk") <= sprobe)
+        .select("vec_id", "s_id")
+      probed
+        .join(vecs, "vec_id")
+        .join(broadcast(members.toDF("c_id", "s_id", "cv")), "s_id")
+        .select(col("vec_id"), col("c_id"), dist(col("v"), col("cv")).as("cdist"))
+        .withColumn("crnk", row_number().over(wAssign))
+        .filter(col("crnk") <= nprobe)
+        .select("vec_id", "c_id", "crnk")
+    }
   }
 }

@@ -284,52 +284,35 @@ object Dedup extends QueryGroup {
   private[graft] def decontaminate(s: SparkSession, train: DataFrame,
       eval: DataFrame, n: Int = 5,
       broadcastCap: Long = EvalGramBroadcastCap): DataFrame = {
-    releasePrevDecontam(s)
-    // Materialize the eval gram set ONCE per consumption (cache, NOT
-    // localCheckpoint): the probe count and the join both read it, and
-    // uncached the caller's eval shingle plan executed twice per call
-    // (round-9 ADVICE). cache() keeps the returned plan RECOMPUTABLE —
-    // a checkpoint would be unpersisted out from under the PREVIOUS
-    // call's still-lazy public result (Graft.decontaminate returns a
-    // plain DataFrame, no consume-before-next-call contract a caller
-    // could see), turning it unreadable; with cache() the storage is
-    // registry-unpersisted at the next call's start and an old result
-    // merely recomputes the gram set if executed after that. Size is
-    // the distinct eval gram set — small by the kernel's own premise.
-    val eg = shingles(s, eval, n = n).select("shingle").distinct().cache()
-    val egSide = if (eg.count() <= broadcastCap) broadcast(eg) else eg
+    import s.implicits._
+    // ONE bounded probe (limit(cap+1).collect(), the house discipline)
+    // executes the eval gram plan exactly once. Within the cap the
+    // grams are then already ON the driver — exactly where a
+    // broadcast-hash build puts them anyway — so the join side becomes
+    // an immutable local relation: the eval plan never re-executes at
+    // consumption, there is no cache/checkpoint storage to manage or
+    // release, and nothing a later call can invalidate. (Round-9
+    // ADVICE flagged the probe+join double execution; the round-10
+    // review found the checkpoint fix made EARLIER calls' lazy results
+    // unreadable, and a cache registry is GC-nondeterministic through
+    // CacheManager's plan dedup — the local relation has none of the
+    // three failure modes.) Past the cap the shuffled equi-join reads
+    // the raw recomputable plan: one more execution at consumption,
+    // the declared degraded mode for oversized eval corpora.
+    val eg = shingles(s, eval, n = n).select("shingle").distinct()
+    val probe = eg.limit(math.min(broadcastCap + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    val egSide =
+      if (probe.length <= broadcastCap)
+        broadcast(probe.map(_.getString(0)).toSeq.toDF("shingle"))
+      else eg
     val hits = shingles(s, train, n = n)
       .join(egSide, "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
-    val out = train.select("doc_id").join(hits, Seq("doc_id"), "left")
+    train.select("doc_id").join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
-    recordDecontamCache(s, eg)
-    out
   }
-
-  /** Unpersist registry for [[decontaminate]]'s cached eval-gram set,
-    * released at the NEXT call's start. The value is a WeakReference to
-    * the cached DataFrame (a strong DataFrame would reach its
-    * SparkSession and pin the weak map key — the value→key caveat); if
-    * the reference dies first the unpersist is skipped and the cache
-    * entry stays until session teardown — bounded (one small gram set
-    * per session) and, unlike the checkpoint form this replaces, never
-    * a CORRECTNESS hazard: a cached plan is always recomputable, so a
-    * previous call's lazy result stays valid even after its storage is
-    * dropped. */
-  private val lastDecontamCache =
-    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
-
-  private def releasePrevDecontam(spark: SparkSession): Unit =
-    lastDecontamCache.synchronized {
-      Option(lastDecontamCache.remove(spark))
-    }.flatMap(r => Option(r.get)).foreach(_.unpersist(false))
-
-  private def recordDecontamCache(spark: SparkSession, df: DataFrame): Unit =
-    lastDecontamCache.synchronized {
-      lastDecontamCache.put(spark, new java.lang.ref.WeakReference(df)); ()
-    }
 
   /** Jaccard ≥ threshold pairs from a hashed shingle set (which carries
     * the per-doc set size `n` — see [[hashedShinglePlan]]) — ONE linear
@@ -1129,15 +1112,21 @@ object Dedup extends QueryGroup {
     val c =
       if (centroids > 0) centroids
       else graft.functions.Ivf.autoCentroids(n.count())
+    val vecs = n.select(col("vec_id"), col("v"))
+    // Unit-normalized centroid vectors (driver-side): ranking by
+    // −dot(v, unit(cv)) ascending IS cosine-descending ranking — 1/|v|
+    // is a positive per-point constant — so the shared assignment
+    // kernel needs one dot per candidate instead of dot + two norms.
     val cents = graft.functions.Ivf
-      .seeds(n, c, sampleN = math.max(256, 2 * c)).toDF("c_id", "cv")
-      .withColumn("cn", sqrt(expr("vec_dot(cv, cv)")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine("v", "cv", "nrm", "cn"))
-      .withColumn("crnk", row_number().over(wAssign))
-      .filter(col("crnk") <= nprobe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"), col("crnk"))
+      .seeds(vecs, c, sampleN = math.max(256, 2 * c))
+      .map { case (id, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (id, if (nrm > 0) v.map(_ / nrm) else v)
+      }
+    val assigned = graft.functions.Ivf
+      .assignments(vecs, cents, nprobe,
+        (v, cv) => -call_function("vec_dot", v, cv))
+      .join(n, "vec_id")
     val home = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("k"), col("v").as("vb"), col("nrm").as("nb"), col("c_id"))
     val w = Window.partitionBy("i").orderBy(col("cos").desc, col("k"))
