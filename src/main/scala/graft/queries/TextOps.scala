@@ -271,6 +271,10 @@ object TextOps extends QueryGroup {
       val big = docs
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
+        // one doc_id spread serves BOTH aggregates below (the shingle
+        // family's discipline: HashPartitioning(doc_id) satisfies the
+        // (doc_id, bigram) clustering too — subset rule)
+        .repartition(Tables.workloadPartitions(s, docs), col("doc_id"))
         .select(col("doc_id"), col("ws"),
           explode(sequence(lit(0), size(col("ws")) - 2)).as("j"))
         .select(col("doc_id"), concat_ws(" ",
