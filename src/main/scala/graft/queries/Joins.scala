@@ -137,6 +137,35 @@ object Joins extends QueryGroup {
         .orderBy(graft.Det.liKey.head, graft.Det.liKey.tail: _*)
     }),
 
+    // Banded range join — the scale decomposition for a big-big range
+    // join with no selective equi key beyond the range itself: pairs of
+    // the same user's events within 1 hour. The naive plan is per-user
+    // pair enumeration with a residual predicate (a hot user serializes
+    // into one task; with no user key at all it degenerates to BNLJ);
+    // the banded form adds an HOUR-BUCKET equi key — the earlier side
+    // explodes into its own and the next bucket, the later side keys by
+    // its bucket — so every qualifying pair meets in exactly one
+    // (user, bucket) hash-join group and per-task work is bounded by
+    // band population, never a whole user's history. Same rows as the
+    // plain range predicate (the oracle runs it), no distinct needed: a
+    // pair matches in exactly one of the two exploded buckets.
+    "join_range_banded" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        floor(unix_micros(col("ts")) / lit(3600000000L)).as("hb"))
+      val aSide = base.select(
+        col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"),
+        explode(array(col("hb"), col("hb") + 1)).as("jb"))
+      val bSide = base.select(
+        col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"),
+        col("hb").as("jb"))
+      aSide.join(bSide, Seq("user_id", "jb"))
+        .filter(col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Skew-mitigated equi-join: the build side is replicated across 8
     // salt buckets and the probe side picks a deterministic bucket, so a
     // hot key's rows spread over 8 reducers instead of one. Result is
@@ -274,6 +303,13 @@ object Joins extends QueryGroup {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    // the PLAIN range-predicate join — any banding bug (missed band,
+    // double-counted pair, off-by-one bucket edge) diverges
+    "join_range_banded" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY id_a, id_b""".stripMargin,
     "join_skew_salted" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, s_name, s_nationkey
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
