@@ -157,6 +157,19 @@ object Graft {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
     queries.Dedup.connectedComponents(nodes, edges)
 
+  /** Pairs of same-`key` rows within a time window — (id_a, id_b) with
+    * ts(id_b) ∈ (ts(id_a), ts(id_a) + window] — via the BANDED range
+    * join (hour-bucket-style equi bands): per-task work is bounded by
+    * band population, never a hot key's whole history, never a BNLJ.
+    * `windowMicros` defaults to 1 hour. */
+  def withinWindowPairs(spark: SparkSession, events: DataFrame,
+      idCol: String = "event_id", keyCol: String = "user_id",
+      tsCol: String = "ts", windowMicros: Long = 3600000000L): DataFrame =
+    queries.Joins.rangeBandedPairs(
+      events.select(col(keyCol).as("key"), col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts")),
+      windowMicros)
+
   /** Benchmark decontamination (the GPT-3/Pile n-gram recipe): for each
     * training document, the count of its DISTINCT word `n`-grams that
     * appear anywhere in the evaluation corpus (0 = clean) — audit the

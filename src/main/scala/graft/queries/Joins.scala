@@ -149,22 +149,14 @@ object Joins extends QueryGroup {
     // band population, never a whole user's history. Same rows as the
     // plain range predicate (the oracle runs it), no distinct needed: a
     // pair matches in exactly one of the two exploded buckets.
-    "join_range_banded" -> ((s, dir) => {
-      val base = Tables.events(s, dir).select(
-        col("user_id"), col("event_id"), col("ts"),
-        floor(unix_micros(col("ts")) / lit(3600000000L)).as("hb"))
-      val aSide = base.select(
-        col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"),
-        explode(array(col("hb"), col("hb") + 1)).as("jb"))
-      val bSide = base.select(
-        col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"),
-        col("hb").as("jb"))
-      aSide.join(bSide, Seq("user_id", "jb"))
-        .filter(col("ts_b") > col("ts_a") &&
-          col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
-    }),
+    "join_range_banded" -> ((s, dir) =>
+      rangeBandedPairs(
+          Tables.events(s, dir).select(col("user_id").as("key"),
+            col("event_id").as("id"), col("ts")),
+          windowMicros = 3600000000L)
+        .orderBy("id_a", "id_b")),
+
+    // (kernel for join_range_banded lives below: rangeBandedPairs)
 
     // Skew-mitigated equi-join: the build side is replicated across 8
     // salt buckets and the probe side picks a deterministic bucket, so a
@@ -241,6 +233,30 @@ object Joins extends QueryGroup {
     * tie only with other probes (bid null), whose relative order cannot
     * change the preceding-build set — output is deterministic (D6).
     * `probe`: (key, t, event_id); `build`: (key, t, bid: long). */
+  /** Banded range self-join kernel — pairs (id_a, id_b) of rows sharing
+    * `key` with ts_b ∈ (ts_a, ts_a + windowMicros]. Input columns:
+    * (key, id, ts: timestamp). Both sides get a ⌊µs/window⌋ band id;
+    * the earlier side explodes into its own and the next band, the
+    * later side keys by its band, so every qualifying pair meets in
+    * exactly ONE (key, band) hash-join group (no distinct needed) and
+    * per-task work is bounded by band population — never a hot key's
+    * whole history, never a BNLJ. Window arithmetic is on epoch
+    * microseconds (instant-based, engine-independent). */
+  private[graft] def rangeBandedPairs(rows: org.apache.spark.sql.DataFrame,
+      windowMicros: Long): org.apache.spark.sql.DataFrame = {
+    val base = rows.select(col("key"), col("id"), col("ts"),
+      floor(unix_micros(col("ts")) / lit(windowMicros)).as("hb"))
+    val aSide = base.select(col("key"), col("id").as("id_a"),
+      unix_micros(col("ts")).as("us_a"),
+      explode(array(col("hb"), col("hb") + 1)).as("jb"))
+    val bSide = base.select(col("key"), col("id").as("id_b"),
+      unix_micros(col("ts")).as("us_b"), col("hb").as("jb"))
+    aSide.join(bSide, Seq("key", "jb"))
+      .filter(col("us_b") > col("us_a") &&
+        col("us_b") <= col("us_a") + windowMicros)
+      .select("id_a", "id_b")
+  }
+
   private[graft] def asofInclusive(probe: org.apache.spark.sql.DataFrame,
       build: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = probe.withColumn("tag", lit(1))

@@ -44,6 +44,16 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("withinWindowPairs matches join_range_banded on renamed columns") {
+    val ev = Tables.events(spark, sf001).select(
+      col("event_id").as("eid"), col("user_id").as("uid"), col("ts").as("when"))
+    val facade = rows(Graft.withinWindowPairs(spark, ev,
+        idCol = "eid", keyCol = "uid", tsCol = "when")
+      .orderBy("id_a", "id_b"))
+    val key = rows(SparkEntry.queries("join_range_banded")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("nearDupPairs (minhash LSH) matches dedup_minhash") {
     val facade = rows(Graft.nearDupPairs(spark, myDocs, "document_id", "body")
       .orderBy("id_a", "id_b"))
