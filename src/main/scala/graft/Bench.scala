@@ -27,8 +27,12 @@ import org.apache.spark.sql.SparkSession
   * min-of-reps needs just one quiet-ish window per query, so sampling
   * MANY time windows beats any fixed rep count — BENCH_r05's record
   * showed a single fixed window entirely poisoned. The AP row runs at
-  * the baseline's own config (N=500, full loop to convergence). Prints
-  * ONE JSON line, floors included (ADVICE r5). */
+  * the baseline's own config (N=500, full loop to convergence). Every
+  * emitted row is a min over ≥ 6 samples within the one JVM (2
+  * consecutive + ≥ 1 budgeted cycle per width × 2 widths; ap_dist_n200
+  * runs 3 dedicated reps per width) — the committed min-of-N
+  * discipline (round-10 VERDICT #8). Prints ONE JSON line, floors
+  * included (ADVICE r5). */
 object Bench {
 
   private def time(f: => Unit): Double = {
@@ -138,13 +142,18 @@ object Bench {
 
     // Distributed-regime AP row (round-7 VERDICT #1): the ONE headline
     // row that routes through runLoop's two-exchange checkpointed
-    // dataflow — full converged loop on the 200-vec prefix (37 iters at
-    // λ=0.5; per-iteration cost is scheduling-dominated at 40 k message
-    // rows, which is exactly the signal: the loop's fixed overhead).
-    // Measured OUTSIDE the round-robin — at ~7 s/run it would starve
-    // every other query's window sampling if cycled.
+    // dataflow — full converged loop on the 200-vec prefix (46 iters at
+    // λ=0.5 under the EXACT per-iteration convergence counter; the
+    // round-9 "37 iters" was the aliasing cadence-sampled counter
+    // firing 9 iterations early — BENCH_NOTES §16. Per-iteration cost
+    // is scheduling-dominated at 40 k message rows, which is exactly
+    // the signal: the loop's fixed overhead). Measured OUTSIDE the
+    // round-robin — at ~6 s/run it would starve every other query's
+    // window sampling if cycled. Three reps per pass (min-of-6 across
+    // the two widths — round-10 VERDICT #8's min-of-N discipline for
+    // the one row the round-robin never samples).
     val emb200 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(200)
-    for (_ <- 1 to 2)
+    for (_ <- 1 to 3)
       record("ap_dist_n200", time {
         val r = graft.ap.AffinityPropagation.run(spark, emb200)
         require(r.converged && r.exemplars.nonEmpty)
@@ -282,19 +291,27 @@ object Bench {
     // jitter = 1e-6 retry if the replica geometry's near-duplicates
     // oscillate past maxIter under the exact (non-aliasing) counter;
     // the record says which run converged.
-    val emb20k = emb(10)
-    val tc0 = System.nanoTime()
-    var conv = ap.AffinityPropagation.run(spark, emb20k, neighbors = Some(50))
-    var convJitter = 0.0
-    if (!conv.converged) {
-      convJitter = 1e-6
-      conv = ap.AffinityPropagation.run(spark, emb20k, neighbors = Some(50),
-        jitter = convJitter)
+    def convergedRun(e: org.apache.spark.sql.DataFrame, label: String)
+        : (ap.AffinityPropagation.Result, Double, Double) = {
+      val t0 = System.nanoTime()
+      var r = ap.AffinityPropagation.run(spark, e, neighbors = Some(50))
+      var j = 0.0
+      if (!r.converged) {
+        j = 1e-6
+        r = ap.AffinityPropagation.run(spark, e, neighbors = Some(50), jitter = j)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(r.converged,
+        s"sparse $label m=50 did not converge in ${r.iterations} iters (even jittered)")
+      (r, sec, j)
     }
-    val convSec = (System.nanoTime() - tc0) / 1e9
-    require(conv.converged,
-      s"sparse N=20000 m=50 did not converge in ${conv.iterations} iters (even jittered)")
-    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop (identical two-exchange plan every pass): unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters at the recorded per-iter cost) adds minutes of box time for no new signal","sparse_m":50,"sparse":$sparseJson,"sparse_rows_ratio_50k_over_6k":$rowsRatio%.2f,"sparse_per_iter_ratio_50k_over_6k":$perRatio%.2f,"sparse_converged_n":20000,"sparse_converged_sec":$convSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size},"sparse_converged_jitter":$convJitter%.1e,"sparse_exemplar_rate_note":"the replica geometry makes ~N/10 the correct count: each fixture point appears as a perturbed replica micro-cluster (1e-3 shifts, intra-replica similarity ~-1e-6 vs inter-point ~-10s), so one exemplar per replica group is the right clustering; on the SAME unreplicated N=2000 input sparse m=50 and dense agree within 2 pct (ApSpec same-input test: dense 206, exact-m50 207, bucketed 210)"}"""
+    val (conv, convSec, convJitter) = convergedRun(emb(10), "N=20000")
+    // Round-10 VERDICT #6: one converged run AT the scale-validation
+    // ceiling (N = 50 000) pins the 100 TB story end to end — the same
+    // default λ/stopping as production, budget ~2–3 min at the recorded
+    // ~1.1 s/iter.
+    val (conv50, conv50Sec, conv50Jitter) = convergedRun(emb(25), "N=50000")
+    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop (identical two-exchange plan every pass): unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters at the recorded per-iter cost) adds minutes of box time for no new signal","sparse_m":50,"sparse":$sparseJson,"sparse_rows_ratio_50k_over_6k":$rowsRatio%.2f,"sparse_per_iter_ratio_50k_over_6k":$perRatio%.2f,"sparse_converged_n":20000,"sparse_converged_sec":$convSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size},"sparse_converged_jitter":$convJitter%.1e,"sparse_converged_50k_sec":$conv50Sec%.3f,"sparse_converged_50k_iters":${conv50.iterations},"sparse_converged_50k_exemplars":${conv50.exemplars.size},"sparse_converged_50k_jitter":$conv50Jitter%.1e,"sparse_exemplar_rate_note":"the replica geometry makes ~N/10 the correct count: each fixture point appears as a perturbed replica micro-cluster (1e-3 shifts, intra-replica similarity ~-1e-6 vs inter-point ~-10s), so one exemplar per replica group is the right clustering; on the SAME unreplicated N=2000 input sparse m=50 and dense agree within 2 pct (ApSpec same-input test: dense 206, exact-m50 207, bucketed 210)"}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("ap_dist.json"), json + "\n")

@@ -107,12 +107,24 @@ object Graft {
     * string-shingle baseline. Still inherently all-pairs in its OUTPUT
     * (every qualifying pair is emitted); prefer [[nearDupPairsReranked]]
     * when LSH recall is acceptable — subquadratic end to end with the
-    * same exact values on every surviving pair. */
+    * same exact values on every surviving pair.
+    *
+    * Shingle identity is 64-bit hashed (the engine-wide production
+    * form): a cross-document shingle collision — P < 1e-8 at 100× the
+    * fixture scale — could in principle inflate one pair's
+    * intersection. Callers needing the LETTER-exact string-shingle
+    * contract (audit baselines, oracle comparisons) pass
+    * `hashedShingles = false` to run the reference kernel instead —
+    * identical rows, heavier shuffle (round-10 ADVICE). */
   def nearDupPairsExact(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.2): DataFrame =
-    queries.Dedup.jaccardPairsHashed(spark, docsOf(docs, idCol, textCol), threshold)
-      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
+      threshold: Double = 0.2, hashedShingles: Boolean = true): DataFrame = {
+    val d = docsOf(docs, idCol, textCol)
+    val pairs =
+      if (hashedShingles) queries.Dedup.jaccardPairsHashed(spark, d, threshold)
+      else queries.Dedup.jaccardPairs(spark, d, threshold)
+    pairs.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
+  }
 
   /** MinHash-LSH candidates reranked with exact Jaccard — the composed
     * pipeline a production dedup runs: candidate generation is

@@ -24,24 +24,70 @@ object Tables {
   // DataFrames are immutable plans, so sharing is safe. Weak-keyed by the
   // session OBJECT: a stopped+GC'd session's entries vanish with it (no
   // leak, no identityHashCode collision handing a new session DataFrames
-  // bound to a dead one — round-2 ADVICE).
+  // bound to a dead one — round-2 ADVICE). The DataFrames themselves are
+  // WEAKLY referenced (round-11): a DataFrame strongly reaches its
+  // session, so strong values were WeakHashMap's documented value→key
+  // pin — every session that ever loaded a table became uncollectable.
+  // A cleared ref just means the next load re-lists and re-reads the
+  // footer (the Dedup.warmedShingles discipline, Dedup.scala:629).
   private val cache = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String),
+      java.lang.ref.WeakReference[DataFrame]]]()
+
+  // Warmed ingests (buffer-pool layouts, projections, derived rollups)
+  // are held STRONGLY and by design: the ingesting session owns its
+  // buffer pool — persisted executor storage must not vanish on an
+  // arbitrary GC, and it is released by session stop or [[release]].
+  // This map's values DO reach their session (the documented
+  // WeakHashMap value→key pin), so a warm-ingesting session lives until
+  // released — the explicit, bounded price of an explicit ingest; plain
+  // `load` plans never pay it.
+  private val warmed = new java.util.WeakHashMap[
     SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   private def sessionCache(spark: SparkSession) = cache.synchronized {
     var m = cache.get(spark)
     if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+      m = scala.collection.concurrent.TrieMap
+        .empty[(String, String), java.lang.ref.WeakReference[DataFrame]]
       cache.put(spark, m)
     }
     m
   }
 
+  private def warmedCache(spark: SparkSession) = warmed.synchronized {
+    var m = warmed.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+      warmed.put(spark, m)
+    }
+    m
+  }
+
+  /** Unpersist and drop every warmed layout of `spark` — the explicit
+    * end-of-ingest-lifetime hook for long-lived multi-session services
+    * (a stopped session's executor storage dies with its context
+    * anyway; this is for releasing a LIVE session's buffer pool). */
+  def release(spark: SparkSession): Unit = {
+    val m = warmed.synchronized { Option(warmed.remove(spark)) }
+    m.foreach(_.values.foreach(_.unpersist(false)))
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    sessionCache(spark).getOrElseUpdate((sfDir, name), {
-      if (name == "events") eventsUncached(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet")
-    })
+    warmedCache(spark).get((sfDir, name)).getOrElse {
+      val m = sessionCache(spark)
+      val key = (sfDir, name)
+      m.get(key).flatMap(r => Option(r.get())) match {
+        case Some(df) => df
+        case None =>
+          val df =
+            if (name == "events") eventsUncached(spark, sfDir)
+            else spark.read.parquet(s"$sfDir/$name.parquet")
+          m.put(key, new java.lang.ref.WeakReference(df))
+          df
+      }
+    }
 
   /** Workload-sized partition count: one task per ~64 MB of input,
     * floored at min(8, cluster parallelism) so small tables still get
@@ -86,7 +132,7 @@ object Tables {
       }
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       cached.count() // materialize now, not inside the first timed query
-      sessionCache(spark).put((sfDir, name), cached)
+      warmedCache(spark).put((sfDir, name), cached)
     }
 
   /** Additional bucketed projections of already-loaded tables — the
@@ -100,7 +146,7 @@ object Tables {
       .repartition(workloadPartitions(spark, base), col(key))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
-    sessionCache(spark).put((sfDir, s"$name#$key"), df)
+    warmedCache(spark).put((sfDir, s"$name#$key"), df)
   }
 
   /** The projection of `name` bucketed by `key` if one was warmed, else
@@ -110,7 +156,7 @@ object Tables {
     * with pushdown/pruning intact — same rows either way). */
   def projection(spark: SparkSession, sfDir: String,
       name: String, key: String): DataFrame =
-    sessionCache(spark).getOrElse((sfDir, s"$name#$key"), load(spark, sfDir, name))
+    warmedCache(spark).getOrElse((sfDir, s"$name#$key"), load(spark, sfDir, name))
 
   /** events with `ts` as a TimestampType (microsecond precision, UTC). */
   def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -126,7 +172,7 @@ object Tables {
     * projection computed lazily over the plain scan — identical rows,
     * one shape for Verify/tests/bench. */
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
-    sessionCache(spark).getOrElse((sfDir, "events#hourly"),
+    warmedCache(spark).getOrElse((sfDir, "events#hourly"),
       eventsHourlyPlan(spark, sfDir))
 
   private def eventsHourlyPlan(spark: SparkSession, sfDir: String): DataFrame =
@@ -146,7 +192,7 @@ object Tables {
       .repartition(workloadPartitions(spark, plan), col("hb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
-    sessionCache(spark).put((sfDir, "events#hourly"), df)
+    warmedCache(spark).put((sfDir, "events#hourly"), df)
   }
 
   /** Generic derived-projection hooks (the [[eventsHourly]] pattern for
@@ -157,19 +203,19 @@ object Tables {
     * is what the cache scan will report, the in-memory `bucketBy`). */
   private[graft] def derived(spark: SparkSession, sfDir: String, name: String)
       (plan: => DataFrame): DataFrame =
-    sessionCache(spark).getOrElse((sfDir, name), plan)
+    warmedCache(spark).getOrElse((sfDir, name), plan)
 
   /** Is a derived projection warmed in this session's catalog? Queries
     * with a size-statistic regime switch also flip when the matching
     * ingest exists (topk_global's pre-aggregate). */
   private[graft] def hasDerived(spark: SparkSession, sfDir: String, name: String): Boolean =
-    sessionCache(spark).contains((sfDir, name))
+    warmedCache(spark).contains((sfDir, name))
 
   private[graft] def warmDerived(spark: SparkSession, sfDir: String,
       name: String, plan: DataFrame): Unit = {
     val df = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
-    sessionCache(spark).put((sfDir, name), df)
+    warmedCache(spark).put((sfDir, name), df)
   }
 
   private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {

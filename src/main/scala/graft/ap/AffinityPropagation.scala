@@ -101,7 +101,8 @@ object AffinityPropagation {
     * Assignment runs through the shared [[graft.functions.Ivf.assignments]]
     * kernel: vectors never ride the ranking windows (24-byte rows sort,
     * not 500-byte embedding payloads; re-joined once for the bucket
-    * pair join), and past 256 centroids the flat N·c crossJoin switches
+    * pair join), and past Ivf.TwoLevelThreshold (512) centroids the
+    * flat N·c crossJoin switches
     * to the two-level Θ(N·√c) form — the whole build is then
     * Θ(N^1.25·d) at the auto size. */
   def sparseSimilarities(
@@ -443,11 +444,21 @@ object AffinityPropagation {
       checkEvery: Int = 0,
       jitter: Double = 0.0): Result = {
 
-    val offd0 = neighbors match {
+    val offd0raw = neighbors match {
       case Some(m) if knnExact => sparseSimilaritiesExact(embeddings, m)
       case Some(m) => sparseSimilarities(embeddings, m)
       case None => similarities(embeddings)
     }
+    // Jittered runs CACHE the similarity build for the solve's duration:
+    // jitterOffd's min/max range aggregate is an extra full execution of
+    // the build plan (round-10 ADVICE), on top of the preference and
+    // init reads below. Storage is the same relation the loop's init
+    // checkpoint materializes; it is dropped the moment that checkpoint
+    // lands (onInitMaterialized), with the finally as the idempotent
+    // backstop — the solveFromSimilarities discipline. Unjittered runs
+    // keep the historical two-read plan (percentile + init) uncached.
+    val offd0 = if (jitter > 0) offd0raw.cache() else offd0raw
+    try {
     val offd = if (jitter > 0) jitterOffd(offd0, jitter) else offd0
     // The preference must estimate the median of ALL pairwise
     // similarities even on the sparse path — the median of only the kept
@@ -464,7 +475,9 @@ object AffinityPropagation {
         embeddings.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1000)))
     }
     runLoop(initFrom(offd, embeddings, pref), damping, maxIter, convergenceIter,
-      autoRelease, checkEvery)
+      autoRelease, checkEvery,
+      onInitMaterialized = () => if (jitter > 0) { offd0.unpersist(false); () })
+    } finally { if (jitter > 0) offd0.unpersist(false); () }
   }
 
   /** Full AP over a caller-supplied similarity relation (i, k, s) — the
@@ -698,8 +711,10 @@ object AffinityPropagation {
     // materialized init sizes every exchange of the whole run.
     val dp = spark.sparkContext.defaultParallelism
     val msgRows = msgs.count()
-    val loopParts = math.max(math.min(8, dp),
-      math.min(dp, (msgRows * 48L / (16L << 20)).toInt + 1))
+    val loopParts = spark.conf.getOption("spark.graft.ap.loopPartitions")
+      .map(_.toInt)
+      .getOrElse(math.max(math.min(8, dp),
+        math.min(dp, (msgRows * 48L / (16L << 20)).toInt + 1)))
     spark.conf.set(partsKey, loopParts.toString)
 
     // Adaptive cadence (see the scaladoc trade): batch convergence

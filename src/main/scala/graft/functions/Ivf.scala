@@ -84,9 +84,22 @@ object Ivf {
     * (N ≳ 200 k at the auto size), which in production is clustered
     * embedding data, the regime where super-bucket geometry carries
     * signal (measured: 97%+ home agreement on clustered data, 54% on
-    * isotropic — and isotropic corpora at that N should pin an explicit
-    * centroid count to force flat). */
+    * isotropic — the sampled agreement probe below detects that regime
+    * and falls back to the exact flat plan). */
   val TwoLevelThreshold: Int = 512
+
+  /** Minimum sampled home-centroid agreement (two-level vs flat) for the
+    * two-level assignment to engage — below it the input is isotropy-like
+    * (super-bucket geometry carries no signal; measured 54% agreement on
+    * random vectors) and the assignment falls back to the exact flat
+    * plan (round-10 VERDICT #4). Matches the suite's clustered-data
+    * agreement bound. */
+  val MinHomeAgreement: Double = 0.9
+
+  /** Sampled points for the isotropy/agreement probe: driver-side cost
+    * is probe·c·d flops — bounded and trivial at every c the auto-sizer
+    * produces (c = √(8N) ⇒ ~10⁴ at N = 10⁷). */
+  val AgreementProbeSample: Int = 128
 
   /** Bucket assignment shared by the sparse-AP graph builder and the
     * ANN index: returns `(vec_id, c_id, crnk)` — each point's `nprobe`
@@ -110,7 +123,22 @@ object Ivf {
     * (its true nearest centroid could live under an unprobed super —
     * the standard inverted-multi-index trade; the suite pins home-
     * centroid agreement vs flat ≥ 90% on clustered data, the regime
-    * the two-level form is for). */
+    * the two-level form is for).
+    *
+    * ISOTROPY GUARD (round-10 VERDICT #4): before the two-level plan is
+    * built, a bounded hash-spread sample of [[AgreementProbeSample]]
+    * points is checked DRIVER-side — each sampled point's true nearest
+    * centroid (flat scan over all c) vs its two-level home (sprobe
+    * nearest supers, then only their members). Sampled agreement below
+    * [[MinHomeAgreement]] means super-bucket geometry carries no signal
+    * for this input (isotropic/unclustered embeddings — measured 54%
+    * home agreement on random vectors vs 97%+ on clustered) and the
+    * assignment FALLS BACK to the exact flat plan: Θ(N·c) but correct,
+    * instead of fast and silently lossy. Cost: one bounded collect plus
+    * probe·c·d driver flops, only on the c > threshold path (~10⁻⁴ of
+    * the assignment work at the auto size). The probe ranks by
+    * euclidean d2 — the same geometry the super/member construction
+    * itself assumes (both call sites pass vec_sqdist). */
   def assignments(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
       nprobe: Int, dist: (Column, Column) => Column,
       sprobe: Int = 8, twoLevelThreshold: Int = TwoLevelThreshold): DataFrame = {
@@ -118,13 +146,14 @@ object Ivf {
     import spark.implicits._
     val c = cents.length
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist"), col("c_id"))
-    if (c <= twoLevelThreshold) {
+    def flat: DataFrame =
       vecs.crossJoin(broadcast(cents.toDF("c_id", "cv")))
         .select(col("vec_id"), col("c_id"), dist(col("v"), col("cv")).as("cdist"))
         .withColumn("crnk", row_number().over(wAssign))
         .filter(col("crnk") <= nprobe)
         .select("vec_id", "c_id", "crnk")
-    } else {
+    if (c <= twoLevelThreshold) flat
+    else {
       // driver-side second level over the (small) centroid set
       def d2(a: Seq[Double], b: Seq[Double]): Double = {
         var s = 0.0; var i = 0
@@ -157,6 +186,25 @@ object Ivf {
         val best = supers.minBy { case (sid, sv) => (d2(cv, sv), sid) }._1
         (cid, best, cv)
       }
+      // Isotropy/agreement probe (scaladoc above): sampled flat-vs-two-
+      // level home agreement, driver-side, before any distributed work.
+      val bySuper = members.groupBy(_._2)
+        .map { case (sid, ms) => sid -> ms.map(m => (m._1, m._3)) }
+      val sample = vecs.select(col("vec_id"), col("v"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(AgreementProbeSample)
+        .collect().map(_.getSeq[Double](1).toArray.toSeq)
+      val agreed = sample.count { q =>
+        val flatHome = centVecs.minBy { case (cid, cv) => (d2(q, cv), cid) }._1
+        val nearSupers = supers.sortBy { case (sid, sv) => (d2(q, sv), sid) }
+          .take(sprobe).map(_._1)
+        val candidates = nearSupers.flatMap(bySuper.getOrElse(_, Seq.empty))
+        candidates.nonEmpty &&
+          candidates.minBy { case (cid, cv) => (d2(q, cv), cid) }._1 == flatHome
+      }
+      if (sample.nonEmpty &&
+          agreed.toDouble / sample.length < MinHomeAgreement) flat
+      else {
       val wSuper = Window.partitionBy("vec_id").orderBy(col("sdist"), col("s_id"))
       val probed = vecs.crossJoin(broadcast(supers.toDF("s_id", "sv")))
         .select(col("vec_id"), col("s_id"), dist(col("v"), col("sv")).as("sdist"))
@@ -170,6 +218,7 @@ object Ivf {
         .withColumn("crnk", row_number().over(wAssign))
         .filter(col("crnk") <= nprobe)
         .select("vec_id", "c_id", "crnk")
+      }
     }
   }
 }

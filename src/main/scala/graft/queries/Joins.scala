@@ -244,8 +244,16 @@ object Joins extends QueryGroup {
     * microseconds (instant-based, engine-independent). */
   private[graft] def rangeBandedPairs(rows: org.apache.spark.sql.DataFrame,
       windowMicros: Long): org.apache.spark.sql.DataFrame = {
+    // Band id by INTEGRAL floor division (round-10 ADVICE): Column `/`
+    // is double division, and past ~year 2200 the epoch-micros quotient's
+    // ulp exceeds 1 µs — a boundary row could band off-by-one and
+    // silently drop a qualifying pair. pmod's non-negative remainder
+    // makes the numerator the largest exact multiple of the window ≤ us,
+    // so the long `div` is exact floor at any magnitude (negative
+    // pre-1970 instants included).
     val base = rows.select(col("key"), col("id"), col("ts"),
-      floor(unix_micros(col("ts")) / lit(windowMicros)).as("hb"))
+      expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${windowMicros}L))" +
+        s" div ${windowMicros}L").as("hb"))
     val aSide = base.select(col("key"), col("id").as("id_a"),
       unix_micros(col("ts")).as("us_a"),
       explode(array(col("hb"), col("hb") + 1)).as("jb"))

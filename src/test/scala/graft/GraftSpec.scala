@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The public facade ([[Graft]]) must produce the same rows as the
@@ -265,6 +265,36 @@ class GraftSpec extends SparkSuite {
       .filterKeys(!before.contains(_)).values.toSeq
     assert(added.exists(_.partitions.length == 1),
       s"expected a new 1-partition cached index RDD, got ${added.map(_.partitions.length)}")
+  }
+
+  test("Ann index cache releases a second session's storage on close") {
+    // round-10 ADVICE: a strong session key pinned one glommed index RDD
+    // per dead session for the JVM's life in a long-lived multi-session
+    // service. Measured constraint (SessLeakProbe): this Spark build
+    // pins ANY session that has executed a query — even a bare
+    // range(10).count() on a fresh newSession() never collects — so the
+    // session-close lifecycle hook must be EXPLICIT: Ann.release(s).
+    // The weak-keyed Integer-valued map adds no pin of our own on top.
+    val s2: SparkSession = spark.newSession()
+    functions.Ann.topkCosine(s2,
+      Tables.embeddings(s2, sf001).limit(16), 2).count()
+    assert(functions.Ann.hasIndexCache(s2),
+      "fresh session's index cache entry missing")
+    val rddId = functions.Ann.indexCacheRddId(s2).get
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "second session's index RDD is not in persistent storage")
+    functions.Ann.release(s2)
+    assert(!functions.Ann.hasIndexCache(s2),
+      "index cache entry survived Ann.release")
+    val after = spark.sparkContext.getPersistentRDDs.get(rddId)
+    assert(after.forall(r => !r.getStorageLevel.useMemory &&
+        !r.getStorageLevel.useDisk),
+      "second session's index RDD still pinned after Ann.release")
+    // idempotent, and the main session's own caching is unaffected
+    functions.Ann.release(s2)
+    functions.Ann.topkCosine(spark,
+      Tables.embeddings(spark, sf001).limit(16), 2).count()
+    assert(functions.Ann.hasIndexCache(spark))
   }
 
   test("mm decode stages are byte-exact on non-ASCII and empty text") {
