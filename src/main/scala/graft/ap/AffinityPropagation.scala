@@ -93,10 +93,12 @@ object AffinityPropagation {
     * new quadratic (N·c = N²/125 distance evaluations — round-10
     * review), so the count switches to the √(8N) balance point where
     * assignment (N·c·d) and candidate generation (N·nprobe·(N/c)·d)
-    * are both Θ(N^1.5·d). True linear build at arbitrary N needs
-    * two-level coarse assignment — the declared next step if a workload
-    * ever runs this at N ≫ 10⁷ — but N^1.5 with bounded buckets is the
-    * honest single-level optimum.
+    * are both Θ(N^1.5·d) — the honest single-level optimum. The
+    * two-level assignment below cuts that to Θ(N^1.25·d); a TRULY
+    * linear build at arbitrary N would recurse the coarse level
+    * (multi-level inverted index, Θ(N·polylog) — the declared next
+    * step if a workload ever runs this at N ≫ 10⁷, where even N^0.25
+    * extra distance evaluations per point start to bite).
     *
     * Assignment runs through the shared [[graft.functions.Ivf.assignments]]
     * kernel: vectors never ride the ranking windows (24-byte rows sort,

@@ -78,6 +78,42 @@ class ApSpec extends SparkSuite {
       s"got ${sparse.exemplars.size}, expected within 66±7")
   }
 
+  test("25-way replica elections oscillate at λ=0.5 and settle at λ=0.7 (raise-damping remedy)") {
+    // The ap_dist N=50k fixture geometry scaled to kernel size (round
+    // 11, BENCH_NOTES §18): R perturbed replicas per base point give
+    // each base point an R-way exemplar election among near-identical
+    // candidates (r·1e-3 dim-0 shifts vs inter-point distance 10). At
+    // R=25 the election never holds the classic 15-iteration plateau
+    // under λ=0.5 — jitter doesn't fix a sustained oscillation — while
+    // [FD07]'s raise-damping remedy (λ=0.7) settles it fast and finds
+    // exactly one exemplar per replica group. R=10 guards the ladder's
+    // rung-1 default: lighter multiplicity converges without help.
+    def fixture(reps: Int): (Array[Long], Array[Array[Double]]) = {
+      val ids = Array.newBuilder[Long]
+      val xs = Array.newBuilder[Array[Double]]
+      for (b <- 0 until 8; r <- 0 until reps) {
+        ids += b * 1000000L + r
+        xs += Array((b % 4) * 10.0 + r * 1e-3, (b / 4) * 10.0)
+      }
+      (ids.result(), xs.result())
+    }
+    val (ids25, xs25) = fixture(25)
+    val osc = graft.ap.LocalAP.run(ids25, xs25) // λ=0.5 default
+    assert(!osc.converged,
+      s"expected the 25-way election to oscillate at λ=0.5, converged at ${osc.iterations}")
+    val damped = graft.ap.LocalAP.run(ids25, xs25, damping = 0.7)
+    assert(damped.converged, s"λ=0.7 did not converge in ${damped.iterations} iters")
+    assert(damped.exemplars.size == 8,
+      s"expected one exemplar per replica group, got ${damped.exemplars.size}")
+    assert(damped.exemplars.map(_ / 1000000L) == (0L until 8L).toSet,
+      "exemplars must cover every replica group exactly once")
+    val (ids10, xs10) = fixture(10)
+    val light = graft.ap.LocalAP.run(ids10, xs10)
+    assert(light.converged && light.exemplars.size == 8,
+      s"R=10 should converge at the default λ: converged=${light.converged} " +
+        s"exemplars=${light.exemplars.size}")
+  }
+
   test("opt-in jitter converges exact-duplicate inputs on both regimes") {
     // round-9 VERDICT #4: exact-duplicate points provably oscillate the
     // λ = 0.5 loop (the two copies swap exemplar roles every iteration
