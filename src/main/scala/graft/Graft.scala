@@ -38,7 +38,21 @@ object Graft {
     * swap exemplar roles every iteration) and the run hits maxIter
     * unconverged. Deterministic per (i, k), so jittered runs are
     * reproducible; leave 0.0 unless your data has exact duplicates or
-    * large similarity ties. */
+    * large similarity ties.
+    *
+    * `damping` (λ, default 0.5) is the remedy for SUSTAINED
+    * oscillation that jitter does not fix: heavy NEAR-duplicate
+    * multiplicity — many nearly-identical copies of the same content,
+    * the normal shape of an undeduplicated LLM corpus — gives each
+    * duplicate group a many-way exemplar election that never holds the
+    * convergence plateau at λ=0.5. Raise to 0.7 ([FD07]'s
+    * raise-damping remedy; measured: a 25-replica-per-point fixture at
+    * N=50 000 fails λ=0.5 jittered or not, converges in 29 iterations
+    * at λ=0.7 with exactly one exemplar per duplicate group —
+    * BENCH_NOTES §18, ApSpec pins the kernel-scale witness). Heavier
+    * damping costs iterations on easy inputs (measured 52→159 from
+    * λ=0.5→0.9 on a light fixture), so it is a remedy, not a better
+    * default. */
   def cluster(spark: SparkSession, embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       damping: Double = 0.5, maxIter: Int = 200, convergenceIter: Int = 15,
