@@ -529,7 +529,53 @@ object TextOps extends QueryGroup {
         .select(col("doc_id"), col("frame_no"),
           md5(col("text").substr(col("frame_no").cast("int") * 32 + 1, lit(32)))
             .as("frame_digest"))
-        .orderBy("doc_id", "frame_no"))
+        .orderBy("doc_id", "frame_no")),
+
+    // Sequence packing — the step between curation and the trainer:
+    // documents are concatenated shard-by-shard into fixed-size token
+    // windows (L = 512), a doc starting in window p spills into p+1
+    // (packing WITH document splitting — no padding waste, the
+    // standard pretraining layout). Packing is sequential by nature,
+    // so the scale form shards first (doc_id mod 8 here; hash-sharding
+    // at 100 TB) and packs each shard independently — one keyed window
+    // per shard, no global running sum, shards = parallelism. Window
+    // ids come from an exact integral `div` over the running token
+    // count (same discipline as the banded range join: a double
+    // quotient's ulp would misplace boundary docs at large cum).
+    "pipeline_pack" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum",
+          sum(col("n_tok")).over(Window.partitionBy("shard").orderBy("doc_id")))
+        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("shard", "pack_id")),
+
+    // Unigram-LM quality scoring: corpus-MLE surprisal −ln(c/total) per
+    // token, averaged per document — the cheap perplexity proxy a
+    // pipeline ranks documents by before a real LM scores the
+    // survivors (high avg surprisal = rare-token soup: gibberish, OCR
+    // noise; low = boilerplate). The LM is a keyed (term, count)
+    // relation joined by term — a plain shuffled hash join, because at
+    // corpus scale the vocab's hapax tail is NOT broadcastable; the
+    // per-doc aggregate is keyed on doc_id. D2: each token's surprisal
+    // rounds to 6 places, sums exactly as DECIMAL(18,6), and the mean
+    // leaves as one cast + one IEEE division, rounded to 4.
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = tokens(s, dir).select("doc_id", "term")
+      val total = toks.count()
+      val lm = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      toks.join(lm, "term")
+        .select(col("doc_id"),
+          round(-log(col("c").cast("double") / lit(total.toDouble)), 6).as("surp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(dec(col("surp"))).cast("double") / count(lit(1)), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracles: Seq[(String, String)] = Seq(
@@ -717,7 +763,30 @@ object TextOps extends QueryGroup {
         |FROM documents,
         |     UNNEST(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS t(i)
         |WHERE i % 2 = 0
-        |ORDER BY doc_id, frame_no""".stripMargin
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "pipeline_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT shard, (cum - n_tok) // 512 AS pack_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)),
+        |tot AS (SELECT COUNT(*) AS n FROM toks),
+        |lm AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+        |FROM toks JOIN lm USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
 
