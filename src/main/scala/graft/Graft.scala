@@ -238,6 +238,27 @@ object Graft {
         col("n_members"))
   }
 
+  /** Sequence packing — lays documents into fixed `seqLen`-token
+    * training windows with document splitting, sharded so each shard
+    * packs independently under one keyed window (no global running sum;
+    * `shards` is the parallelism knob). Returns one row per
+    * (shard, pack_id): n_docs starting in the pack, their token total,
+    * first/last doc id. Kernel scaladoc:
+    * [[queries.TextOps.packSequences]]. */
+  def packSequences(docs: DataFrame, seqLen: Int = 512, shards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    queries.TextOps.packSequences(docsOf(docs, idCol, textCol), seqLen, shards)
+
+  /** Unigram-LM quality score: per-document average corpus-MLE token
+    * surprisal −ln(c/total) — the cheap perplexity proxy for ranking
+    * documents before a real LM scores the survivors. Returns
+    * (id, n_tok, avg_nll). Kernel scaladoc:
+    * [[queries.TextOps.unigramSurprisal]]. */
+  def unigramSurprisal(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    queries.TextOps.unigramSurprisal(docsOf(docs, idCol, textCol))
+      .select(col("doc_id").as("id"), col("n_tok"), col("avg_nll"))
+
   // ---- similarity search over embeddings -----------------------------
 
   /** Exact top-k cosine neighbors per vector via the broadcast-index

@@ -531,52 +531,67 @@ object TextOps extends QueryGroup {
             .as("frame_digest"))
         .orderBy("doc_id", "frame_no")),
 
-    // Sequence packing — the step between curation and the trainer:
-    // documents are concatenated shard-by-shard into fixed-size token
-    // windows (L = 512), a doc starting in window p spills into p+1
-    // (packing WITH document splitting — no padding waste, the
-    // standard pretraining layout). Packing is sequential by nature,
-    // so the scale form shards first (doc_id mod 8 here; hash-sharding
-    // at 100 TB) and packs each shard independently — one keyed window
-    // per shard, no global running sum, shards = parallelism. Window
-    // ids come from an exact integral `div` over the running token
-    // count (same discipline as the banded range join: a double
-    // quotient's ulp would misplace boundary docs at large cum).
+    // Sequence packing (kernel scaladoc on [[packSequences]]).
     "pipeline_pack" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("cum",
-          sum(col("n_tok")).over(Window.partitionBy("shard").orderBy("doc_id")))
-        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
-        .groupBy("shard", "pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy("shard", "pack_id")),
+      packSequences(Tables.documents(s, dir)).orderBy("shard", "pack_id")),
 
-    // Unigram-LM quality scoring: corpus-MLE surprisal −ln(c/total) per
-    // token, averaged per document — the cheap perplexity proxy a
-    // pipeline ranks documents by before a real LM scores the
-    // survivors (high avg surprisal = rare-token soup: gibberish, OCR
-    // noise; low = boilerplate). The LM is a keyed (term, count)
-    // relation joined by term — a plain shuffled hash join, because at
-    // corpus scale the vocab's hapax tail is NOT broadcastable; the
-    // per-doc aggregate is keyed on doc_id. D2: each token's surprisal
-    // rounds to 6 places, sums exactly as DECIMAL(18,6), and the mean
-    // leaves as one cast + one IEEE division, rounded to 4.
-    "text_unigram_logprob" -> ((s, dir) => {
-      val toks = tokens(s, dir).select("doc_id", "term")
-      val total = toks.count()
-      val lm = toks.groupBy("term").agg(count(lit(1)).as("c"))
-      toks.join(lm, "term")
-        .select(col("doc_id"),
-          round(-log(col("c").cast("double") / lit(total.toDouble)), 6).as("surp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum(dec(col("surp"))).cast("double") / count(lit(1)), 4).as("avg_nll"))
-        .orderBy("doc_id")
-    })
+    // Unigram-LM quality scoring (kernel scaladoc on
+    // [[unigramSurprisal]]).
+    "text_unigram_logprob" -> ((s, dir) =>
+      unigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id"))
   )
+
+  /** Sequence packing — the step between curation and the trainer:
+    * documents are concatenated shard-by-shard into fixed `seqLen`-token
+    * windows, a doc starting in window p spills into p+1 (packing WITH
+    * document splitting — no padding waste, the standard pretraining
+    * layout). Packing is sequential by nature, so the scale form shards
+    * first (doc_id mod `shards` here; hash-sharding at 100 TB) and
+    * packs each shard independently — one keyed window per shard, no
+    * global running sum, shards = parallelism. Window ids come from an
+    * exact integral `div` over the running token count (same discipline
+    * as the banded range join: a double quotient's ulp would misplace
+    * boundary docs at large cum). Returns one row per (shard, pack_id):
+    * docs starting in the pack, their token total, first/last doc. */
+  private[graft] def packSequences(docs: DataFrame, seqLen: Int = 512,
+      shards: Int = 8): DataFrame = {
+    require(seqLen > 0 && shards > 0, "packSequences: seqLen and shards must be positive")
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum",
+        sum(col("n_tok")).over(Window.partitionBy("shard").orderBy("doc_id")))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $seqLen"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Unigram-LM quality scoring: corpus-MLE surprisal −ln(c/total) per
+    * token, averaged per document — the cheap perplexity proxy a
+    * pipeline ranks documents by before a real LM scores the survivors
+    * (high avg surprisal = rare-token soup: gibberish, OCR noise; low =
+    * boilerplate). The LM is a keyed (term, count) relation joined by
+    * term — a plain shuffled hash join, because at corpus scale the
+    * vocab's hapax tail is NOT broadcastable; the corpus total rides a
+    * broadcast 1-row aggregate (lazy — no driver count action); the
+    * per-doc aggregate is keyed on doc_id. D2: each token's surprisal
+    * rounds to 6 places, sums exactly as DECIMAL(18,6), and the mean
+    * leaves as one cast + one IEEE division, rounded to 4. Returns
+    * (doc_id, n_tok, avg_nll). */
+  private[graft] def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val lm = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("total"))
+    toks.join(lm, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(-log(col("c").cast("double") / col("total")), 6).as("surp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(dec(col("surp"))).cast("double") / count(lit(1)), 4).as("avg_nll"))
+  }
 
   def oracles: Seq[(String, String)] = Seq(
     "pipeline_decontaminate" ->

@@ -54,6 +54,20 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("packSequences matches pipeline_pack on renamed columns") {
+    val facade = rows(Graft.packSequences(myDocs, idCol = "document_id",
+      textCol = "body").orderBy("shard", "pack_id"))
+    val key = rows(SparkEntry.queries("pipeline_pack")(spark, sf001))
+    assert(facade == key)
+  }
+
+  test("unigramSurprisal matches text_unigram_logprob on renamed columns") {
+    val facade = rows(Graft.unigramSurprisal(myDocs, idCol = "document_id",
+      textCol = "body").orderBy("id"))
+    val key = rows(SparkEntry.queries("text_unigram_logprob")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("nearDupPairs (minhash LSH) matches dedup_minhash") {
     val facade = rows(Graft.nearDupPairs(spark, myDocs, "document_id", "body")
       .orderBy("id_a", "id_b"))
