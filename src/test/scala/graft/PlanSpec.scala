@@ -305,4 +305,25 @@ class PlanSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("pipeline_pack reuses the shard partitioning: one exchange for window + aggregate") {
+    // The pack aggregate groups by (shard, pack_id), and rows with equal
+    // (shard, pack_id) are already co-located by the window's
+    // HashPartitioning(shard) — shard is a subset of the grouping keys,
+    // so EnsureRequirements must NOT insert a second shuffle. At 100 TB
+    // that second shuffle would re-move every row of the corpus; the
+    // single-exchange shape is the reason packing shards first.
+    val df = SparkEntry.queries("pipeline_pack")(spark, sf001)
+    df.collect() // finalize the adaptive plan
+    // AdaptiveSparkPlan prints the final plan then "+- == Initial Plan =="
+    // — count exchanges in the final copy only
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // one hash exchange for the shard window; the final orderBy adds a
+    // range exchange, which is the D1 presentation sort, not data motion
+    // proportional to corpus width
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange (shard window reused by the aggregate), got $exchanges:\n$p")
+    assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
+  }
 }
