@@ -135,16 +135,24 @@ object AffinityPropagation {
       .join(e, "vec_id")
     val home = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("k"), col("v").as("vb"), col("c_id"))
-    val wTop = Window.partitionBy("i").orderBy(col("s").desc, col("k"))
+    // Top-m per point via the bounded ap_topm aggregate (round 11): the
+    // raw candidate stream is N·nprobe·occ pair rows — at N = 200 000
+    // that is ~250 M rows, and the old DISTINCT + row_number window
+    // moved ALL of them through two full shuffles. ap_topm collapses
+    // the stream in the map-side partial (state ≤ m entries per point;
+    // a pair met in several probed buckets computes the identical
+    // (s, k) and dedups inside the buffer), so the exchange carries
+    // ≤ m entries per (task, point) instead of the stream. Order
+    // (s DESC, k ASC) is bit-identical to the window form.
+    graft.functions.ApAggs.register(spark)
     val knn = assigned
       .select(col("vec_id").as("i"), col("v").as("va"), col("c_id"))
       .join(home, "c_id")
       .filter(col("i") =!= col("k"))
       .select(col("i"), col("k"), (-expr("vec_sqdist(va, vb)")).as("s"))
-      .distinct() // a pair may co-occur in several probed buckets
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= m)
-      .select("i", "k", "s")
+      .groupBy("i").agg(expr(s"ap_topm(s, k, $m)").as("top"))
+      .select(col("i"), explode(col("top")).as("e"))
+      .select(col("i"), col("e.k").as("k"), col("e.s").as("s"))
     knn.unionByName(
         knn.select(col("k").as("i"), col("i").as("k"), col("s")))
       .distinct()

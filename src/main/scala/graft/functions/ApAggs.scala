@@ -122,9 +122,116 @@ case class ApTop2(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Bounded top-m buffer under (value DESC, key ASC) with DEDUP BY EXACT
+  * (value, key) entry — the aggregate form of
+  * `DISTINCT` + `row_number() OVER (PARTITION BY g ORDER BY v DESC, k)
+  * <= m` when duplicate rows carry identical (v, k) (true for IVF
+  * candidate pairs: the same pair met in two probed buckets computes
+  * the same distance). State is a TreeSet of ≤ m entries — constant per
+  * group — so the candidate stream collapses in the partial (map-side)
+  * aggregate instead of riding a full DISTINCT shuffle plus a window
+  * sort. Value order mirrors Top2Buf: `==` first (so -0.0 ties 0.0),
+  * then java.lang.Double.compare (NaN ranks above every value),
+  * keeping the bit-exact equivalence with the window form on any
+  * input. */
+final class TopMBuf(val m: Int) {
+  val set = new java.util.TreeSet[(Double, Long)](
+    new java.util.Comparator[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = if (a._1 == b._1) 0 else -java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    })
+
+  def add(v: Double, k: Long): Unit = {
+    val e = (v, k)
+    if (set.size < m) { set.add(e); () }
+    else if (set.comparator.compare(e, set.last) < 0 && set.add(e)) {
+      set.remove(set.last); ()
+    }
+  }
+
+  def mergeFrom(o: TopMBuf): Unit = {
+    val it = o.set.iterator()
+    while (it.hasNext) { val e = it.next(); add(e._1, e._2) }
+  }
+}
+
+/** ap_topm(value: double, key: bigint, m: int) →
+  * array<struct<k: bigint, s: double>> — the m best (key, value)
+  * entries under (value DESC, key ASC), duplicates of the exact same
+  * (value, key) collapsed. See [[TopMBuf]]. */
+case class ApTopM(first: Expression, second: Expression, third: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopMBuf]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  private lazy val m: Int = third.eval().asInstanceOf[Number].intValue()
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopMBuf = new TopMBuf(m)
+
+  override def update(buf: TopMBuf, input: InternalRow): TopMBuf = {
+    val v = first.eval(input)
+    val k = second.eval(input)
+    if (v != null && k != null)
+      buf.add(v.asInstanceOf[Double], k.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopMBuf, other: TopMBuf): TopMBuf = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopMBuf): Any = {
+    val out = new Array[Any](buf.set.size)
+    val it = buf.set.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val row = new GenericInternalRow(2)
+      row.setLong(0, e._2)
+      row.setDouble(1, e._1)
+      out(i) = row
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopMBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.set.size)
+    bb.putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) { val e = it.next(); bb.putDouble(e._1).putLong(e._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopMBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopMBuf(m)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble(), bb.getLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApTopM =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApTopM =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ApTopM =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object ApAggs {
-  /** Register ap_top2 for expr() use in a session (idempotent; the
-    * exists-check keeps the per-iteration call in the AP loop from
+  /** Register ap_top2 / ap_topm for expr() use in a session (idempotent;
+    * the exists-check keeps the per-iteration call in the AP loop from
     * logging a replace warning every pass). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -132,5 +239,9 @@ object ApAggs {
     if (!reg.functionExists(id))
       reg.createOrReplaceTempFunction("ap_top2",
         es => ApTop2(es(0), es(1)), "built-in")
+    val idm = org.apache.spark.sql.catalyst.FunctionIdentifier("ap_topm")
+    if (!reg.functionExists(idm))
+      reg.createOrReplaceTempFunction("ap_topm",
+        es => ApTopM(es(0), es(1), es(2)), "built-in")
   }
 }

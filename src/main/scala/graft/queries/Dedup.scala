@@ -1139,16 +1139,24 @@ object Dedup extends QueryGroup {
       .join(n, "vec_id")
     val home = assigned.filter(col("crnk") === 1)
       .select(col("vec_id").as("k"), col("v").as("vb"), col("nrm").as("nb"), col("c_id"))
-    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("k"))
+    // Top-k per query via the bounded ap_topm aggregate (round 11, same
+    // move as sparseSimilarities): the in-bucket candidate stream
+    // collapses in the map-side partial instead of riding a full
+    // row_number window sort. (k, cos) pairs are unique per i — each
+    // point has ONE home bucket — so the buffer's exact-(value, key)
+    // dedup is a no-op here; order (cos DESC, k ASC) and therefore rnk
+    // are bit-identical to the window form (ApSpec pins the aggregate's
+    // window equivalence, SketchSpec the recall suites).
+    graft.functions.ApAggs.register(s)
     assigned
       .select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"), col("c_id"))
       .join(home, "c_id")
       .filter(col("i") =!= col("k"))
-      .withColumn("cos", cosine("va", "vb", "na", "nb"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("i"), col("k"), col("rnk").cast("long").as("rnk"),
-        (round(col("cos"), 4) + lit(0.0)).as("cos"))
+      .select(col("i"), col("k"), cosine("va", "vb", "na", "nb").as("cos"))
+      .groupBy("i").agg(expr(s"ap_topm(cos, k, $k)").as("top"))
+      .select(col("i"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("i"), col("e.k").as("k"), (col("idx") + 1).cast("long").as("rnk"),
+        (round(col("e.s"), 4) + lit(0.0)).as("cos"))
   }
 
   /** Int8 max-abs quantization of the embedding column — the compression

@@ -428,4 +428,41 @@ class ApSpec extends SparkSuite {
     assert(selfAssigned == 0)
     assert(asg.count() == 500)
   }
+
+  test("ap_topm aggregate ≡ DISTINCT + row_number window (dups, ties, NaN)") {
+    // round-11: sparseSimilarities' top-m now runs as the bounded
+    // ap_topm aggregate instead of a DISTINCT shuffle + window sort over
+    // the full candidate stream. This pins bit-equivalence on the nasty
+    // inputs: exact duplicate (i, k, s) rows (the multi-bucket
+    // co-occurrence case), s-value ties across different k (D6: k ASC
+    // breaks them), and a NaN s (Double.compare ranks it above all).
+    import spark.implicits._
+    graft.functions.ApAggs.register(spark)
+    val rnd = new scala.util.Random(77)
+    val base = (1 to 400).map { _ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(60).toLong,
+        math.floor(rnd.nextDouble() * 5) / 2.0) // coarse grid → many ties
+    }
+    val rows = (base ++ base.take(120) :+ ((3L, 999L, Double.NaN))).toDF("i", "k", "s")
+      .filter(col("i") =!= col("k"))
+      .distinct() // distinct (i,k,s) triples; duplicates re-added below
+    val dups = rows.union(rows.limit(100)) // exact duplicate rows back in
+    for (m <- Seq(1, 3, 7)) {
+      val agg = dups
+        .groupBy("i").agg(expr(s"ap_topm(s, k, $m)").as("top"))
+        .select(col("i"), explode(col("top")).as("e"))
+        .select(col("i"), col("e.k").as("k"), col("e.s").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val win = dups.distinct()
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("i")
+            .orderBy(col("s").desc, col("k"))))
+        .filter(col("rn") <= m).select("i", "k", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // NaN != NaN in Set equality via ==; compare on bit patterns
+      def bits(t: (Long, Long, Double)) =
+        (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))
+      assert(agg.map(bits) == win.map(bits), s"mismatch at m=$m")
+    }
+  }
 }
