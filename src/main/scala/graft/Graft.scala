@@ -261,6 +261,21 @@ object Graft {
 
   // ---- similarity search over embeddings -----------------------------
 
+  /** Sparse m-nearest-neighbor similarity graph over an embedding
+    * column — the candidate relation sparse AP clusters on, exposed for
+    * callers who want the graph itself (kNN features, graph analytics,
+    * a custom clustering objective over [[clusterFromSimilarities]]).
+    * Returns symmetrized (id_a, id_b, s = −‖x−y‖²) triples, ≤ m
+    * neighbors per point pre-symmetrization, exact similarity values on
+    * every kept edge. IVF-bucketed candidate generation — never
+    * all-pairs; past 512 auto centroids the build Lloyd-refines its
+    * seeds and assigns two-level ([[functions.Ivf]]), and the per-point
+    * top-m runs as the bounded ap_topm aggregate (BENCH_NOTES §20). */
+  def neighborGraph(spark: SparkSession, embeddings: DataFrame, m: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ap.AffinityPropagation.sparseSimilarities(embOf(embeddings, idCol, vecCol), m)
+      .select(col("i").as("id_a"), col("k").as("id_b"), col("s"))
+
   /** Exact top-k cosine neighbors per vector via the broadcast-index
     * kernel — single-node-engine throughput while the index side fits an
     * executor; use [[similarTopKIvf]] beyond that. Returns

@@ -179,15 +179,19 @@ object TextOps extends QueryGroup {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy("term")),
 
-    // tf·idf per (doc, term); idf = ln((N+1)/(df+1)) + 1.
+    // tf·idf per (doc, term); idf = ln((N+1)/(df+1)) + 1. The corpus
+    // doc count rides a broadcast 1-row aggregate (round 11, the
+    // unigramSurprisal discipline) instead of a driver count() action —
+    // the build is lazy and one job cheaper.
     "text_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val nDocs = docs.count()
+      val nd = docs.agg((count(lit(1)) + 1).cast("double").as("nd1"))
       val tf = tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(df, "term")
+        .crossJoin(broadcast(nd))
         .withColumn("tfidf", round(
-          col("tf") * (log((lit(nDocs) + 1).cast("double") / (col("df") + 1)) + 1), 4))
+          col("tf") * (log(col("nd1") / (col("df") + 1)) + 1), 4))
         .select("doc_id", "term", "tf", "tfidf")
         .orderBy("doc_id", "term")
     }),

@@ -137,6 +137,16 @@ class GraftSpec extends SparkSuite {
       s"expected doc 2 (score 0.93) to represent the near-dup pair, got ${kept.toSeq}")
   }
 
+  test("neighborGraph matches the sparse AP builder on renamed columns") {
+    val facade = rows(Graft.neighborGraph(spark, myEmb, m = 20,
+      idCol = "item_id", vecCol = "vec").orderBy("id_a", "id_b"))
+    val kernel = rows(graft.ap.AffinityPropagation.sparseSimilarities(
+        Tables.embeddings(spark, sf001).select("vec_id", "embedding"), 20)
+      .orderBy("i", "k"))
+    assert(facade == kernel)
+    assert(facade.nonEmpty)
+  }
+
   test("similarTopKIvf matches simsearch_ivf") {
     val facade = rows(Graft.similarTopKIvf(spark, myEmb, 5, "item_id", "vec")
       .orderBy("i", "rnk"))
