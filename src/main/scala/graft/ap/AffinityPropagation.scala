@@ -94,19 +94,22 @@ object AffinityPropagation {
     * review), so the count switches to the √(8N) balance point where
     * assignment (N·c·d) and candidate generation (N·nprobe·(N/c)·d)
     * are both Θ(N^1.5·d) — the honest single-level optimum. The
-    * two-level assignment below cuts that to Θ(N^1.25·d); a TRULY
-    * linear build at arbitrary N would recurse the coarse level
-    * (multi-level inverted index, Θ(N·polylog) — the declared next
-    * step if a workload ever runs this at N ≫ 10⁷, where even N^0.25
-    * extra distance evaluations per point start to bite).
+    * two-level assignment below cuts that to Θ(N^1.25·d), and past
+    * Ivf.MultiLevelThreshold (4096) centroids the recursion the
+    * round-10 doc declared as the next step is REAL: the b-ary centroid
+    * tree (Ivf.treeAssignments, round 11) descends ⌈log_b c⌉ levels at
+    * ≤ b·sprobe evaluations each — assignment Θ(N·b·log c·d), the
+    * near-linear multi-level inverted index, leaving in-bucket
+    * candidate generation (N·nprobe·125·d at the ⌈N/125⌉ sizing) as
+    * the dominant term.
     *
     * Assignment runs through the shared [[graft.functions.Ivf.assignments]]
     * kernel: vectors never ride the ranking windows (24-byte rows sort,
     * not 500-byte embedding payloads; re-joined once for the bucket
     * pair join), and past Ivf.TwoLevelThreshold (512) centroids the
     * flat N·c crossJoin switches
-    * to the two-level Θ(N·√c) form — the whole build is then
-    * Θ(N^1.25·d) at the auto size. */
+    * to the two-level Θ(N·√c) form, then to the multi-level tree past
+    * 4096 centroids. */
   def sparseSimilarities(
       embeddings: DataFrame, m: Int,
       centroids: Int = 0, nprobe: Int = 8): DataFrame = {

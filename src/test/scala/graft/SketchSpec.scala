@@ -342,6 +342,110 @@ class SketchSpec extends SparkSuite {
         "on isotropic input — the isotropy probe did not fall back to flat")
   }
 
+  test("multi-level IVF tree descent agrees with flat on home centroids (clustered data)") {
+    // round-11: past Ivf.MultiLevelThreshold (4096 = TreeBranch²) the
+    // two-level form switches to the b-ary centroid TREE — points keep
+    // the sprobe nearest nodes per level via the bounded ap_topm
+    // aggregate (one exchange for the whole descent, no window sorts),
+    // Θ(N·b·sprobe·log c) assignment work. Forced here on a 300-centroid
+    // clustered fixture with branch = 8 so the tree is genuinely 3 deep
+    // (300 → 38 → 5) and the per-level pruning is real: home agreement
+    // vs the exact flat scan must hold ≥ 0.9, the same bound the
+    // two-level form pins, and the descent must be deterministic.
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(42)
+    val d = 16
+    val centers = Array.fill(300)(Array.fill(d)(rnd.nextGaussian() * 10.0))
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, centers(i % 300).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val e = rows.toDF("vec_id", "v")
+    val cents = graft.functions.Ivf.seeds(e, 300, sampleN = 600)
+    def homes(forceTree: Boolean): Map[Long, Long] =
+      graft.functions.Ivf.assignments(e, cents, nprobe = 1,
+          (v, cv) => call_function("vec_sqdist", v, cv),
+          twoLevelThreshold = if (forceTree) 0 else Int.MaxValue,
+          multiLevelThreshold = if (forceTree) 0 else Int.MaxValue,
+          branch = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = homes(forceTree = false)
+    val tree = homes(forceTree = true)
+    assert(tree.size == flat.size, s"point count drifted: ${tree.size} vs ${flat.size}")
+    val agree = flat.count { case (id, c) => tree.get(id).contains(c) }
+    assert(agree.toDouble / flat.size >= 0.9,
+      s"tree home agreement ${agree.toDouble / flat.size} < 0.9 on clustered data")
+    assert(homes(forceTree = true) == tree, "tree descent is not deterministic")
+  }
+
+  test("multi-level isotropy guard falls back to flat assignment on isotropic input") {
+    // Same guard contract as the two-level form: on isotropic vectors
+    // hierarchical pruning carries no signal, the sampled driver-side
+    // probe (which mirrors the distributed descent bit-for-bit) must
+    // reject the tree plan, and assignment quality must stay
+    // flat-equivalent even with the tree forced on.
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val d = 16
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, Seq.fill(d)(rnd.nextGaussian() * 10.0))
+    }
+    val e = rows.toDF("vec_id", "v")
+    val cents = graft.functions.Ivf.seeds(e, 300, sampleN = 600)
+    def homes(forceTree: Boolean): Map[Long, Long] =
+      graft.functions.Ivf.assignments(e, cents, nprobe = 1,
+          (v, cv) => call_function("vec_sqdist", v, cv),
+          twoLevelThreshold = if (forceTree) 0 else Int.MaxValue,
+          multiLevelThreshold = if (forceTree) 0 else Int.MaxValue,
+          branch = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = homes(forceTree = false)
+    val guarded = homes(forceTree = true)
+    assert(guarded.size == flat.size,
+      s"point count drifted: ${guarded.size} vs ${flat.size}")
+    val agree = flat.count { case (id, c) => guarded.get(id).contains(c) }
+    assert(agree.toDouble / flat.size >= 0.9,
+      s"guarded assignment agreement ${agree.toDouble / flat.size} < 0.9 " +
+        "on isotropic input — the isotropy probe did not fall back to flat")
+  }
+
+  test("multi-level descent nprobe ranks match the flat ranking on probed centroids") {
+    // nprobe > 1 through the tree: each returned (c_id, crnk) list must
+    // be ordered by true distance (crnk 1..nprobe, no duplicates) and —
+    // on clustered data with deep-enough probing — reproduce flat's
+    // top-1 choice within the candidate set semantics.
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(13)
+    val d = 8
+    val centers = Array.fill(120)(Array.fill(d)(rnd.nextGaussian() * 10.0))
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, centers(i % 120).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val e = rows.toDF("vec_id", "v")
+    val cents = graft.functions.Ivf.seeds(e, 120, sampleN = 240)
+    val out = graft.functions.Ivf.assignments(e, cents, nprobe = 3,
+        (v, cv) => call_function("vec_sqdist", v, cv),
+        twoLevelThreshold = 0, multiLevelThreshold = 0, branch = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byVec = out.groupBy(_._1)
+    assert(byVec.size == 1200, s"vecs with assignments: ${byVec.size}")
+    val centMap = cents.toMap
+    val vecMap = rows.toMap
+    byVec.foreach { case (vid, rs) =>
+      val ranks = rs.map(_._3).sorted
+      assert(ranks.sameElements(1 to rs.length) && rs.length <= 3,
+        s"vec $vid ranks ${ranks.mkString(",")}")
+      assert(rs.map(_._2).distinct.length == rs.length, s"vec $vid duplicate centroids")
+      def sq(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val sortedByRank = rs.sortBy(_._3).map(t => sq(vecMap(vid), centMap(t._2)))
+      assert(sortedByRank.sameElements(sortedByRank.sorted),
+        s"vec $vid crnk order does not follow distance")
+    }
+  }
+
   test("Lloyd refinement balances home buckets and is deterministic (clustered data)") {
     // round-11: farthest-point seeds are the k-CENTER optimum — i.e. the
     // sample's outliers — so at large c dense regions are under-seeded
