@@ -328,19 +328,35 @@ object Ivf {
       if (sample.nonEmpty &&
           agreed.toDouble / sample.length < MinHomeAgreement) flat
       else {
-      val wSuper = Window.partitionBy("vec_id").orderBy(col("sdist"), col("s_id"))
-      val probed = vecs.crossJoin(broadcast(supers.toDF("s_id", "sv")))
-        .select(col("vec_id"), col("s_id"), dist(col("v"), col("sv")).as("sdist"))
-        .withColumn("srnk", row_number().over(wSuper))
-        .filter(col("srnk") <= sprobe)
-        .select("vec_id", "s_id")
+      // Ranking runs as the bounded ap_topm aggregate, not window sorts
+      // (round 11, after the multi-level probe showed the window form's
+      // two full sorts of the candidate stream dominate this path —
+      // BENCH_NOTES §21): candidate SET is unchanged (same supers, same
+      // members), (−dist DESC, id ASC) is the window's (dist ASC, id
+      // ASC) bit-for-bit on real distances, and the second aggregate
+      // reuses the first one's vec_id hash clustering — one exchange
+      // for the whole two-level descent, map-side partial collapse,
+      // the distance projections in WholeStageCodegen.
+      graft.functions.ApAggs.register(spark)
+      val vecSlim = vecs.select(col("vec_id"), col("v"))
+      val probed = vecSlim.crossJoin(broadcast(supers.toDF("s_id", "sv")))
+        .select(col("vec_id"), col("s_id"),
+          (-dist(col("v"), col("sv"))).as("negd"))
+        .groupBy("vec_id")
+        .agg(call_function("ap_topm",
+          col("negd"), col("s_id"), lit(sprobe)).as("keep"))
+        .select(col("vec_id"), explode(col("keep.k")).as("s_id"))
       probed
-        .join(vecs, "vec_id")
+        .join(vecSlim, "vec_id")
         .join(broadcast(members.toDF("c_id", "s_id", "cv")), "s_id")
-        .select(col("vec_id"), col("c_id"), dist(col("v"), col("cv")).as("cdist"))
-        .withColumn("crnk", row_number().over(wAssign))
-        .filter(col("crnk") <= nprobe)
-        .select("vec_id", "c_id", "crnk")
+        .select(col("vec_id"), col("c_id"),
+          (-dist(col("v"), col("cv"))).as("negd"))
+        .groupBy("vec_id")
+        .agg(call_function("ap_topm",
+          col("negd"), col("c_id"), lit(nprobe)).as("keep"))
+        .select(col("vec_id"), posexplode(col("keep")).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("e.k").as("c_id"),
+          (col("pos") + lit(1)).as("crnk"))
       }
     }
   }
