@@ -475,15 +475,17 @@ object Ivf {
     * (6× fewer evaluations than two-level at c = 2²⁰, growing as
     * √c/(b·log c)).
     *
-    * Plan shape (the 100 TB property): the first per-vec aggregate
-    * hash-partitions by vec_id — the descent's ONLY exchange. Every
-    * later level is explode(kept parents) → broadcast-join(that level's
-    * children) → ap_topm re-aggregate, all of which preserve the
-    * vec_id clustering, so EnsureRequirements inserts no further
-    * shuffles and no window sort ever sees a vector payload: ranking is
-    * the bounded [[ApTopM]] buffer (≤ sprobe entries/group) with
-    * map-side partial collapse, under the exact window order
-    * (dist ASC, id ASC) via (−dist DESC, id ASC).
+    * Plan shape (the 100 TB property, pinned in PlanSpec): the first
+    * per-vec aggregate hash-partitions by vec_id — the frontier's only
+    * exchange. Every later level is explode(kept parents) → join(vecs
+    * by vec_id) → broadcast-join(that level's children) → ap_topm
+    * re-aggregate, all of which preserve the vec_id clustering, so the
+    * frontier never re-shuffles; the vecs join side contributes ONE
+    * exchange subtree that every level reuses (ReusedExchange). No
+    * window sort ever sees a vector payload: ranking is the bounded
+    * [[ApTopM]] buffer (≤ sprobe entries/group) with map-side partial
+    * collapse, under the exact window order (dist ASC, id ASC) via
+    * (−dist DESC, id ASC).
     *
     * Same isotropy guard as the two-level form: a bounded hash-spread
     * sample compares flat home vs tree-descent home DRIVER-side (the

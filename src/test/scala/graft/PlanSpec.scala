@@ -326,4 +326,44 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 hash exchange (shard window reused by the aggregate), got $exchanges:\n$p")
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
   }
+
+  test("multi-level IVF descent: frontier never re-exchanges, vecs exchange is reused") {
+    // The round-11 tree descent's 100 TB property (BENCH_NOTES §21):
+    // the first per-vec aggregate hash-partitions by vec_id, and every
+    // later level (explode kept parents → join vecs → broadcast-join
+    // children → re-aggregate) PRESERVES that clustering — so across a
+    // 3-deep descent the frontier side contributes exactly ONE hash
+    // exchange, and the per-level vecs join side is one exchange subtree
+    // REUSED by every level. Auto-broadcast is disabled so the vecs
+    // joins take the shuffle form they would at corpus scale (the
+    // children tables stay broadcast via the explicit hint).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.VectorExprs.register(spark)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian() * 10.0))
+    }
+    val e = rows.toDF("vec_id", "v")
+    val cents = graft.functions.Ivf.seeds(e, 200, sampleN = 400)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.functions.Ivf.assignments(e, cents, nprobe = 1,
+        (v, cv) => call_function("vec_sqdist", v, cv),
+        twoLevelThreshold = 0, multiLevelThreshold = 0, branch = 8)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      // a ReusedExchange line prints the reused node's "Exchange
+      // hashpartitioning(...)" as its reference — count real nodes only
+      val exchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .count(!_.contains("ReusedExchange"))
+      // one for the first per-vec aggregate + one for the vecs join side
+      assert(exchanges <= 2,
+        s"expected ≤ 2 hash exchanges across the whole descent, got $exchanges:\n$p")
+      assert(p.contains("ReusedExchange") || exchanges <= 1,
+        s"per-level vecs exchanges are not reused:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
 }
