@@ -322,6 +322,16 @@ object Graft {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     queries.Dedup.embQuantize(embOf(embeddings, idCol, vecCol))
 
+  /** PCA dimension reduction of an embedding column: fits the
+    * population-covariance eigenbasis (one distributed moment pass,
+    * deterministic fixed-point sums; see [[graft.functions.Pca]]) and
+    * appends pc1..pck projection columns — row-parallel, no shuffle. */
+  def pcaProject(embeddings: DataFrame, k: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    val model = functions.Pca.fit(embeddings, vecCol)
+    functions.Pca.project(embeddings, vecCol, model, k)
+  }
+
   // ---- data quality --------------------------------------------------
 
   /** One-pass multi-column profile of 2-decimal numeric columns:

@@ -1094,7 +1094,25 @@ object Dedup extends QueryGroup {
         .orderBy("i", "rnk")),
 
     // Int8 embedding quantization (see [[embQuantize]]).
-    "emb_quantize" -> ((s, dir) => embQuantize(Tables.embeddings(s, dir)))
+    "emb_quantize" -> ((s, dir) => embQuantize(Tables.embeddings(s, dir))),
+
+    // PCA projection of the embedding table onto its top 4 principal
+    // components ([[graft.functions.Pca]]): one bounded scale pass, ONE
+    // distributed moment pass (fixed-point long sums — deterministic in
+    // any partition order), driver-side d×d Jacobi, then a codegen'd
+    // row-parallel projection (no join, no shuffle). D3-exempt (the
+    // eigenbasis has no SQL oracle); PcaSpec pins the eigenpair
+    // residuals, orthonormality, variance identity, reconstruction,
+    // and bit-determinism.
+    "emb_pca" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.functions.Pca.fit(emb, "embedding")
+      graft.functions.Pca.project(emb, "embedding", model, k = 4)
+        .select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
+          round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"),
+          round(col("pc4"), 6).as("pc4"))
+        .orderBy("vec_id")
+    })
   )
 
   /** IVF ANN top-k kernel shared by the query key and the clustered-data

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** graft.functions.Pca — the PCA/whitening stage (SURVEY §2.M emb_pca,
+  * D3-exempt: no SQL oracle can produce an eigenbasis, so correctness
+  * is pinned by the defining algebraic identities instead):
+  *   - eigenpair residuals: ‖Σv − λv‖ small for every fitted component
+  *     (THE definition of an eigenpair — checked against an
+  *     independently computed covariance);
+  *   - loadings orthonormal, eigenvalues descending;
+  *   - projected variance per component equals its eigenvalue, and
+  *     cross-component covariance vanishes (population convention);
+  *   - k = d projection is lossless (reconstruction to 1e-9);
+  *   - bit-determinism of fit (fixed-point long sums — any partition
+  *     order) and of the query key end-to-end. */
+class PcaSpec extends SparkSuite {
+
+  private def fixture(n: Int, d: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    // anisotropic: stretch a few axes so the spectrum is well-separated
+    val stretch = Array.tabulate(d)(i => 1.0 + 7.0 / (1 + i))
+    (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(d)(j => rnd.nextGaussian() * stretch(j) + 0.5 * j))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("fit produces true eigenpairs of the population covariance") {
+    val n = 400; val d = 12
+    val df = fixture(n, d, seed = 31)
+    val model = graft.functions.Pca.fit(df, "embedding")
+    // independent covariance: plain driver arithmetic on the collected
+    // fixture (no fixed-point, no Spark) — the reference the fitted
+    // basis must diagonalize
+    val rows = df.collect().map(_.getSeq[Double](1).toArray)
+    val mean = Array.tabulate(d)(j => rows.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+    }
+    val covNorm = math.sqrt(cov.map(_.map(x => x * x).sum).sum)
+    (0 until d).foreach { c =>
+      val v = model.loadings(c)
+      val sv = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val resid = math.sqrt(
+        Array.tabulate(d)(i => sv(i) - model.eigenvalues(c) * v(i)).map(x => x * x).sum)
+      assert(resid <= 1e-6 * math.max(covNorm, 1.0),
+        s"component $c eigenpair residual $resid (λ=${model.eigenvalues(c)})")
+    }
+    // the fitted mean matches the reference to fixed-point precision
+    (0 until d).foreach { j =>
+      assert(math.abs(model.mean(j) - mean(j)) <= 1e-6,
+        s"mean[$j] ${model.mean(j)} vs ${mean(j)}")
+    }
+  }
+
+  test("loadings are orthonormal and eigenvalues descend") {
+    val model = graft.functions.Pca.fit(fixture(300, 10, seed = 7), "embedding")
+    val d = model.d
+    (0 until d).foreach { a =>
+      (0 until d).foreach { b =>
+        val dot = (0 until d).map(i => model.loadings(a)(i) * model.loadings(b)(i)).sum
+        val want = if (a == b) 1.0 else 0.0
+        assert(math.abs(dot - want) <= 1e-9, s"v${a}.v${b} = $dot, want $want")
+      }
+    }
+    model.eigenvalues.sliding(2).foreach { case Array(x, y) =>
+      assert(x >= y - 1e-12, s"eigenvalues not descending: $x then $y")
+    }
+    assert(model.eigenvalues.last >= -1e-9,
+      s"negative eigenvalue ${model.eigenvalues.last} on a covariance")
+  }
+
+  test("projected variance equals the eigenvalue; components decorrelate") {
+    val n = 500; val d = 8
+    val df = fixture(n, d, seed = 13)
+    val model = graft.functions.Pca.fit(df, "embedding")
+    val proj = graft.functions.Pca.project(df, "embedding", model, k = d)
+      .select((1 to d).map(c => col(s"pc$c")): _*).collect()
+      .map(r => Array.tabulate(d)(c => r.getDouble(c)))
+    (0 until d).foreach { c =>
+      val xs = proj.map(_(c))
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(v - model.eigenvalues(c)) <= 1e-6 * math.max(1.0, model.eigenvalues(c)),
+        s"pc${c + 1} variance $v vs eigenvalue ${model.eigenvalues(c)}")
+      // projected means vanish (projection subtracts the mean bias)
+      assert(math.abs(m) <= 1e-6, s"pc${c + 1} mean $m not ~0")
+    }
+    (0 until d).foreach { a =>
+      ((a + 1) until d).foreach { b =>
+        val ma = proj.map(_(a)).sum / n; val mb = proj.map(_(b)).sum / n
+        val cab = proj.map(r => (r(a) - ma) * (r(b) - mb)).sum / n
+        assert(math.abs(cab) <= 1e-6 * math.max(1.0, model.eigenvalues(a)),
+          s"pc${a + 1}/pc${b + 1} covariance $cab not ~0")
+      }
+    }
+  }
+
+  test("k = d projection reconstructs the input") {
+    val d = 6
+    val df = fixture(200, d, seed = 3)
+    val model = graft.functions.Pca.fit(df, "embedding")
+    val rows = graft.functions.Pca.project(df, "embedding", model, k = d)
+      .select(col("embedding") +: (1 to d).map(c => col(s"pc$c")): _*)
+      .collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Double](0)
+      val p = Array.tabulate(d)(c => r.getDouble(c + 1))
+      (0 until d).foreach { i =>
+        val xi = model.mean(i) + (0 until d).map(c => p(c) * model.loadings(c)(i)).sum
+        assert(math.abs(xi - x(i)) <= 1e-9 * math.max(1.0, math.abs(x(i))),
+          s"reconstruction drift at dim $i: $xi vs ${x(i)}")
+      }
+    }
+  }
+
+  test("fit is bit-deterministic across partitionings; emb_pca key runs end-to-end") {
+    val df = fixture(500, 8, seed = 42)
+    val m1 = graft.functions.Pca.fit(df.repartition(32), "embedding")
+    val m2 = graft.functions.Pca.fit(df.repartition(3), "embedding")
+    assert(m1.mean.sameElements(m2.mean), "mean differs across partitionings")
+    assert(m1.eigenvalues.sameElements(m2.eigenvalues),
+      "eigenvalues differ across partitionings")
+    assert((0 until m1.d).forall(c => m1.loadings(c).sameElements(m2.loadings(c))),
+      "loadings differ across partitionings")
+    val out = SparkEntry.queries("emb_pca")(spark, sf001).collect()
+    assert(out.length == 500 && out.head.length == 5,
+      s"emb_pca shape: ${out.length} rows × ${out.headOption.map(_.length)}")
+    val again = SparkEntry.queries("emb_pca")(spark, sf001).collect()
+    assert(out.sameElements(again), "emb_pca key is not deterministic")
+  }
+}
