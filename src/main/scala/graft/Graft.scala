@@ -327,9 +327,9 @@ object Graft {
     * deterministic fixed-point sums; see [[graft.functions.Pca]]) and
     * appends pc1..pck projection columns — row-parallel, no shuffle. */
   def pcaProject(embeddings: DataFrame, k: Int,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", whiten: Boolean = false): DataFrame = {
     val model = functions.Pca.fit(embeddings, vecCol)
-    functions.Pca.project(embeddings, vecCol, model, k)
+    functions.Pca.project(embeddings, vecCol, model, k, whiten)
   }
 
   // ---- data quality --------------------------------------------------

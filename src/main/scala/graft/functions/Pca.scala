@@ -105,19 +105,29 @@ object Pca {
     Model(mean, evals, evecs)
   }
 
+  /** Floor for the whitening divisor √λ: components with (numerically)
+    * zero variance are left unscaled rather than exploded. */
+  val WhitenEps: Double = 1e-12
+
   /** Project `vecs` onto the model's top `k` components: adds columns
     * pc1..pck. Pure row-parallel codegen'd expressions — the loading
-    * and mean ride as literals, no join, no shuffle. */
-  def project(vecs: DataFrame, vecCol: String, model: Model, k: Int): DataFrame = {
+    * and mean ride as literals, no join, no shuffle. `whiten` divides
+    * each component by √λ (unit projected variance — the PQ/ANN
+    * preprocessing convention); components with λ ≤ [[WhitenEps]] stay
+    * unscaled. */
+  def project(vecs: DataFrame, vecCol: String, model: Model, k: Int,
+      whiten: Boolean = false): DataFrame = {
     require(k >= 1 && k <= model.d, s"Pca.project: k=$k out of 1..${model.d}")
     val vd = transform(col(vecCol), x => x.cast("double"))
     (1 to k).foldLeft(vecs) { (df, c) =>
       val w = model.loadings(c - 1)
       val bias = model.mean.zip(w).map { case (m, wi) => m * wi }.sum
+      val raw = aggregate(
+        zip_with(vd, typedLit(w.toSeq), (x, l) => x * l),
+        lit(0.0), (acc, e) => acc + e) - lit(bias)
+      val ev = model.eigenvalues(c - 1)
       df.withColumn(s"pc$c",
-        aggregate(
-          zip_with(vd, typedLit(w.toSeq), (x, l) => x * l),
-          lit(0.0), (acc, e) => acc + e) - lit(bias))
+        if (whiten && ev > WhitenEps) raw / lit(math.sqrt(ev)) else raw)
     }
   }
 

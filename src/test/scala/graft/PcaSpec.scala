@@ -97,6 +97,22 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("whitened projection has unit variance per component") {
+    val n = 500; val d = 8
+    val df = fixture(n, d, seed = 21)
+    val model = graft.functions.Pca.fit(df, "embedding")
+    val proj = graft.functions.Pca.project(df, "embedding", model, k = d, whiten = true)
+      .select((1 to d).map(c => col(s"pc$c")): _*).collect()
+      .map(r => Array.tabulate(d)(c => r.getDouble(c)))
+    (0 until d).foreach { c =>
+      val xs = proj.map(_(c))
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(v - 1.0) <= 1e-6,
+        s"whitened pc${c + 1} variance $v not ~1 (λ=${model.eigenvalues(c)})")
+    }
+  }
+
   test("k = d projection reconstructs the input") {
     val d = 6
     val df = fixture(200, d, seed = 3)
