@@ -118,6 +118,23 @@ object Aggregates extends QueryGroup {
           round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
         .orderBy("l_returnflag")),
 
+    // Linear-regression aggregate family (regr_*): slope/intercept/R²
+    // of extendedprice on quantity per returnflag — one hash aggregate,
+    // the same partial-moment machinery as corr/covar. ROUND 4 absorbs
+    // the engines' summation-order drift (house rule D2).
+    "agg_regr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope_pq"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept_pq"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("r2_pq"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pq"))
+        .orderBy("l_returnflag")),
+
     // max_by/min_by with a struct ordering key (D6 tie-break on orderkey).
     "agg_minmax_by" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -320,6 +337,13 @@ object Aggregates extends QueryGroup {
         |  ROUND(var_samp(l_quantity), 4) AS var_qty,
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_pq,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2_pq,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_minmax_by" ->
       """WITH r AS (
