@@ -322,6 +322,18 @@ object Graft {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     queries.Dedup.embQuantize(embOf(embeddings, idCol, vecCol))
 
+  /** Product-quantize an embedding column: trains m per-block
+    * codebooks on a bounded sample and encodes every row to m codes
+    * (comma-joined, block order) in one exchange — see
+    * [[graft.functions.Pq]]; pair with [[graft.functions.Pq.adcTopk]]
+    * for asymmetric-distance search over the codes. */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embOf(embeddings, idCol, vecCol)
+    val model = functions.Pq.fit(e, "embedding", m, k)
+    functions.Pq.encode(e, "embedding", model)
+  }
+
   /** PCA dimension reduction of an embedding column: fits the
     * population-covariance eigenbasis (one distributed moment pass,
     * deterministic fixed-point sums; see [[graft.functions.Pca]]) and

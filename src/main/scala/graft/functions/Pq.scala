@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", PAMI 2011 — public method) over an
+  * embedding column: d dims split into `m` sub-blocks, each block
+  * vector-quantized against its own `k`-entry codebook (default 256 —
+  * 8 bits/block, the standard PQ code width), so a vector
+  * compresses to m small codes (m bytes at k ≤ 256) and asymmetric
+  * distances (ADC) evaluate from per-query lookup tables without
+  * decompressing.
+  *
+  * Spark-first decomposition:
+  *   - TRAIN driver-side on a bounded hash-spread sample (the Ivf.seeds
+  *     discipline): per block, farthest-point picks + a few Lloyd
+  *     rounds over the sample — deterministic, Θ(sample·k·m·sub) flops,
+  *     the DATA never lands on the driver beyond the sample;
+  *   - ENCODE distributed: explode each row into its m blocks
+  *     (slice — no payload duplication beyond the block), broadcast-join
+  *     the m·k codebook rows, rank with the bounded ap_topm aggregate
+  *     (dist ASC, code ASC — deterministic), re-assemble the code array
+  *     with one keyed aggregate. Both aggregates hash by vec_id, so the
+  *     encode pays one exchange;
+  *   - ADC distributed: the per-query lookup table (q × m·k block
+  *     distances) is itself a DataFrame; exhaustive ADC is then
+  *     baseBlocks ⋈ lut on (block, code) — an equi-join producing
+  *     exactly |q|·|base|·m rows — summed per pair and ranked with
+  *     ap_topm. This kernel is the oracle-grade EXHAUSTIVE form; the
+  *     production path feeds it IVF candidates instead of all pairs
+  *     (compose with Ivf.assignments), exactly the faiss IVFADC
+  *     layering. */
+object Pq {
+
+  /** codebooks(b)(c) = centroid c of block b, length `sub`. */
+  final case class Model(m: Int, k: Int, sub: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  @inline private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** Train per-block codebooks on a bounded sample. `d` must divide
+    * into `m` equal blocks. Deterministic: hash-spread sample,
+    * farthest-point init (smallest-id start), fixed Lloyd rounds with
+    * empty-cell keep, ties → smaller code. */
+  def fit(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
+      sampleN: Int = 8192, lloydIters: Int = 4): Model = {
+    val v = vecs.select(col("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val sample = v.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "Pq.fit: empty input")
+    val d = sample(0)._2.length
+    require(d % m == 0, s"Pq.fit: d=$d not divisible into m=$m blocks")
+    val sub = d / m
+    val codebooks = Array.tabulate(m) { b =>
+      val blockSample: IndexedSeq[(Long, Array[Double])] =
+        sample.map { case (id, x) =>
+          (id, java.util.Arrays.copyOfRange(x, b * sub, (b + 1) * sub))
+        }.toIndexedSeq
+      // farthest-point init (the Ivf discipline), then bounded Lloyd
+      var cents: IndexedSeq[Array[Double]] = {
+        val chosen = scala.collection.mutable.ArrayBuffer(
+          blockSample.minBy(_._1)._2)
+        val minD = Array.fill(blockSample.length)(Double.PositiveInfinity)
+        var exhausted = false
+        while (chosen.length < math.min(k, blockSample.length) && !exhausted) {
+          var bi = -1; var bd = -1.0
+          var i = 0
+          while (i < blockSample.length) {
+            val dd = math.min(minD(i), d2(blockSample(i)._2, chosen.last))
+            minD(i) = dd
+            if (dd > bd) { bd = dd; bi = i }
+            i += 1
+          }
+          if (bd <= 0.0) exhausted = true else chosen += blockSample(bi)._2
+        }
+        chosen.toIndexedSeq
+      }
+      var it = 0
+      while (it < lloydIters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        blockSample.foreach { case (_, x) =>
+          var best = 0; var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            val dd = d2(x, cents(c))
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(i => sums(c)(i) / counts(c))
+        }
+        it += 1
+      }
+      cents.toArray
+    }
+    Model(m, k, sub, codebooks)
+  }
+
+  private def codebookDF(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    (for {
+      b <- 0 until model.m
+      c <- model.codebooks(b).indices
+    } yield (b, c.toLong, model.codebooks(b)(c).toSeq)).toDF("b", "code", "cv")
+  }
+
+  /** Per-block code assignment: (vec_id, b, code) — the intermediate
+    * frame both [[encode]] and [[adcTopk]]'s base side build on. */
+  def encodeBlocks(vecs: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    // One exchange for the whole encode: hash by vec_id up front —
+    // HashPartitioning(vec_id) satisfies the (vec_id, b) block
+    // aggregate (partitioning on a SUBSET of the grouping keys
+    // co-locates every group) AND the per-vec reassembly in [[encode]],
+    // so neither aggregate adds a shuffle (the pipeline_pack property).
+    vecs.select(col("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(model.m - 1))).as("b"),
+        col("v"))
+      .select(col("vec_id"), col("b"),
+        slice(col("v"), col("b") * lit(model.sub) + lit(1), lit(model.sub)).as("sv"))
+      .join(broadcast(codebookDF(spark, model)), "b")
+      .select(col("vec_id"), col("b"), col("code"),
+        (-call_function("vec_sqdist", col("sv"), col("cv"))).as("negd"))
+      .groupBy("vec_id", "b")
+      .agg(call_function("ap_topm", col("negd"), col("code"), lit(1)).as("keep"))
+      .select(col("vec_id"), col("b"), col("keep").getItem(0).getField("k").as("code"))
+  }
+
+  /** Encode to one row per vector: codes as a comma-joined string in
+    * block order (the house list-output convention). */
+  def encode(vecs: DataFrame, vecCol: String, model: Model): DataFrame =
+    encodeBlocks(vecs, vecCol, model)
+      .groupBy("vec_id")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("b"), col("code")))),
+          e => e.getField("code").cast("string"))).as("codes"))
+
+  /** Exhaustive ADC top-k: for every query row (same schema as base),
+    * approximate sqdist to every base vector from its codes and keep
+    * the k nearest (ties → smaller base id; self-match excluded).
+    * Returns (i, k_id, adc, rnk). */
+  def adcTopk(queries: DataFrame, base: DataFrame, vecCol: String,
+      model: Model, topk: Int): DataFrame = {
+    val spark = queries.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val lut = queries.select(col("vec_id").as("i"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .select(col("i"), explode(sequence(lit(0), lit(model.m - 1))).as("b"),
+        col("v"))
+      .select(col("i"), col("b"),
+        slice(col("v"), col("b") * lit(model.sub) + lit(1), lit(model.sub)).as("sv"))
+      .join(broadcast(codebookDF(spark, model)), "b")
+      .select(col("i"), col("b"), col("code"),
+        call_function("vec_sqdist", col("sv"), col("cv")).as("bd"))
+    val baseBlocks = encodeBlocks(base, vecCol, model)
+    baseBlocks
+      .join(lut, Seq("b", "code"))
+      .filter(col("i") =!= col("vec_id"))
+      .groupBy(col("i"), col("vec_id"))
+      // sum the m block distances in BLOCK ORDER (sorted fold over the
+      // collected pairs) — a plain sum() would be partition-order
+      // dependent in the last ulp and could flip exact-tie ranks
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("b"), col("bd")))),
+          e => e.getField("bd")),
+        lit(0.0), (acc, x) => acc + x).as("adc"))
+      .select(col("i"), col("vec_id"),
+        (-col("adc")).as("negd"), col("adc"))
+      .groupBy("i")
+      .agg(call_function("ap_topm", col("negd"), col("vec_id"), lit(topk)).as("keep"))
+      .select(col("i"), posexplode(col("keep")).as(Seq("pos", "e")))
+      .select(col("i"), col("e.k").as("k_id"), (-col("e.s")).as("adc"),
+        (col("pos") + lit(1)).as("rnk"))
+  }
+}

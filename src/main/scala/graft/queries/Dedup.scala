@@ -1112,6 +1112,18 @@ object Dedup extends QueryGroup {
           round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"),
           round(col("pc4"), 6).as("pc4"))
         .orderBy("vec_id")
+    }),
+
+    // Product quantization of the embedding table (Jégou et al. 2011;
+    // [[graft.functions.Pq]]): 64 dims → 8 blocks × 16-code codebooks,
+    // codes as a comma-joined string in block order. Driver-side train
+    // on a bounded sample, one-exchange distributed encode. D3-exempt;
+    // PqSpec pins code ranges, determinism, reconstruction gain, and
+    // exhaustive-ADC recall against exact distances.
+    "emb_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.functions.Pq.fit(emb, "embedding")
+      graft.functions.Pq.encode(emb, "embedding", model).orderBy("vec_id")
     })
   )
 

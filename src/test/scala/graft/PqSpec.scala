@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** graft.functions.Pq — product quantization (SURVEY §2.M emb_pq,
+  * D3-exempt): code validity + bit-determinism of the encode, a strict
+  * reconstruction-gain bound (PQ must beat the mean-only quantizer),
+  * ADC value correctness against driver arithmetic, and exhaustive-ADC
+  * top-k recall against exact distances on the fixture table. */
+class PqSpec extends SparkSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+    .select(col("vec_id"), col("embedding"))
+
+  test("encode emits m in-range codes per vector, bit-stable across partitionings") {
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    assert(model.m == 8 && model.sub == 8, s"unexpected shape m=${model.m} sub=${model.sub}")
+    model.codebooks.foreach(cb => assert(cb.length == 256, s"codebook size ${cb.length}"))
+    def run(parts: Int): Map[Long, String] =
+      graft.functions.Pq.encode(emb.repartition(parts), "embedding", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(32)
+    assert(a.size == 500, s"encoded rows ${a.size}")
+    a.values.foreach { s =>
+      val codes = s.split(",").map(_.toInt)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 256),
+        s"bad code row: $s")
+    }
+    assert(run(3) == a, "encode differs across partitionings")
+    // refit is deterministic too
+    val model2 = graft.functions.Pq.fit(emb, "embedding")
+    (0 until model.m).foreach { b =>
+      model.codebooks(b).zip(model2.codebooks(b)).foreach { case (x, y) =>
+        assert(x.sameElements(y), s"refit codebook drift in block $b")
+      }
+    }
+  }
+
+  test("PQ reconstruction beats the mean-only quantizer by at least 2x") {
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    val rows = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val d = rows.values.head.length
+    val mean = Array.tabulate(d)(i => rows.values.map(_(i)).sum / rows.size)
+    val codes = graft.functions.Pq.encodeBlocks(emb, "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    var msePq = 0.0; var mseMean = 0.0
+    rows.foreach { case (id, x) =>
+      (0 until d).foreach { i =>
+        val b = i / model.sub
+        val rec = model.codebooks(b)(codes((id, b)).toInt)(i % model.sub)
+        msePq += (x(i) - rec) * (x(i) - rec)
+        mseMean += (x(i) - mean(i)) * (x(i) - mean(i))
+      }
+    }
+    assert(msePq * 2.0 <= mseMean,
+      s"PQ MSE $msePq not at least 2x below mean-only MSE $mseMean")
+  }
+
+  test("ADC values match driver arithmetic; exhaustive ADC recalls exact neighbors") {
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    val rows = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val codes = graft.functions.Pq.encodeBlocks(emb, "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val topk = 10
+    val adc = graft.functions.Pq.adcTopk(emb, emb, "embedding", model, topk)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    // (a) returned ADC values equal the driver-computed lookup sums
+    def adcRef(q: Long, x: Long): Double = {
+      val qv = rows(q)
+      (0 until model.m).map { b =>
+        val cv = model.codebooks(b)(codes((x, b)).toInt)
+        (0 until model.sub).map { i =>
+          val t = qv(b * model.sub + i) - cv(i); t * t
+        }.sum
+      }.sum
+    }
+    adc.take(200).foreach { case (q, x, v, _) =>
+      val want = adcRef(q, x)
+      assert(math.abs(v - want) <= 1e-9 * math.max(1.0, want),
+        s"ADC($q,$x) = $v, driver says $want")
+    }
+
+    // (b) per-query rank order follows the ADC values
+    adc.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.sameElements(byRank.sorted), s"query $q ADC rank disorder")
+      assert(rs.length == topk, s"query $q returned ${rs.length} rows")
+    }
+
+    // (c) recall vs EXACT sqdist top-10 (self excluded): PQ at
+    // 8 blocks × 16 codes on this table measures ~0.7 — pin a floor
+    // with margin; the point is "quantized search finds real
+    // neighbors", exactness lives in the rerank stage callers add.
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recalls = rows.keys.toSeq.sorted.take(100).map { q =>
+      val exact = rows.keys.filter(_ != q).toSeq
+        .sortBy(x => (d2(rows(q), rows(x)), x)).take(topk).toSet
+      val got = adc.filter(_._1 == q).map(_._2).toSet
+      exact.intersect(got).size.toDouble / topk
+    }
+    val meanRecall = recalls.sum / recalls.length
+    assert(meanRecall >= 0.5,
+      s"exhaustive-ADC mean recall@$topk $meanRecall < 0.5")
+  }
+}
