@@ -327,6 +327,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
   }
 
+  test("PQ encode pays one exchange: vec_id hash reused by block and reassembly aggregates") {
+    // Pq.encode repartitions by vec_id up front; HashPartitioning on a
+    // SUBSET of the grouping keys satisfies the (vec_id, b) block
+    // aggregate and the per-vec reassembly alike, so neither aggregate
+    // may add a shuffle (the pipeline_pack property — at corpus scale a
+    // second exchange would re-move every encoded row).
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    val df = graft.functions.Pq.encode(emb, "embedding", model)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(!_.contains("ReusedExchange"))
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange across the PQ encode, got $exchanges:\n$p")
+  }
+
   test("multi-level IVF descent: frontier never re-exchanges, vecs exchange is reused") {
     // The round-11 tree descent's 100 TB property (BENCH_NOTES §21):
     // the first per-vec aggregate hash-partitions by vec_id, and every
