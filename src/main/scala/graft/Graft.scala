@@ -327,7 +327,7 @@ object Graft {
     * (comma-joined, block order) in one exchange — see
     * [[graft.functions.Pq]]; pair with [[graft.functions.Pq.adcTopk]]
     * for asymmetric-distance search over the codes. */
-  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 256,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)
     val model = functions.Pq.fit(e, "embedding", m, k)

@@ -436,7 +436,36 @@ object Ivf {
         }
         (id, p, v)
       }
-      CentroidTree(upper.top, upper.down :+ lvl)
+      prune(CentroidTree(upper.top, upper.down :+ lvl))
+    }
+  }
+
+  /** Remove CHILDLESS non-bottom nodes, bottom-up — the structural
+    * guarantee behind the distributed descent (round-11 ADVICE): after
+    * pruning, every surviving non-bottom node has ≥ 1 child, so a
+    * frontier that keeps ANY set of parents always expands to ≥ 1
+    * candidate at the next level and no vec_id can vanish from the
+    * assignments output via an all-childless inner join. (Before this,
+    * the driver mirror [[descend]] had a −1 fallback but the
+    * distributed plan had no equivalent — a point whose sprobe kept
+    * parents were all childless silently dropped.) The bottom level —
+    * the caller's real centroids — is never pruned; childless parents
+    * are unreachable dead branches whose removal only frees the probe
+    * slots they wasted. Applied at every [[buildTree]] exit, so both
+    * the driver mirror and the distributed plan descend the SAME
+    * fertile tree — agreement stays bit-identical. */
+  private[graft] def prune(tree: CentroidTree): CentroidTree = {
+    if (tree.down.isEmpty) tree
+    else {
+      val levels = tree.down.toArray
+      var i = levels.length - 1
+      while (i >= 1) {
+        val parents = levels(i).map(_._2).toSet
+        levels(i - 1) = levels(i - 1).filter(e => parents.contains(e._1))
+        i -= 1
+      }
+      val rootKeep = levels(0).map(_._2).toSet
+      CentroidTree(tree.top.filter(n => rootKeep.contains(n._1)), levels.toList)
     }
   }
 

@@ -15,17 +15,22 @@ import org.apache.spark.sql.types._
   *
   * Spark-first decomposition of "fit":
   *   1. one bounded scale pass (count + max|x| — sizes the fixed-point
-  *      shift, the same overflow discipline as Ivf.refine);
-  *   2. ONE distributed pass computing all d·(d+3)/2 moment sums via
-  *      [[PcaMoments]], a TypedImperativeAggregate whose buffer is a
-  *      long array — input rows never explode into (i, j) pairs (the
-  *      explode formulation is N·d²/2 intermediate rows — 2×10¹² at
-  *      N = 10⁹, d = 64 — where the aggregate does the same arithmetic
-  *      in-place and ships ONE buffer per task);
-  *   3. driver-side cyclic-Jacobi eigendecomposition of the d×d
+  *      shifts, the same overflow discipline as Ivf.refine);
+  *   2. one fixed-point MEAN pass (d keyed long sums) whose result
+  *      centers the data for pass 3 — conditioning, not convenience:
+  *      forming cov as E[xy] − μᵢμⱼ from uncentered sums cancels
+  *      catastrophically when the mean offset dominates the spread
+  *      (round-11 ADVICE);
+  *   3. ONE distributed pass computing all d·(d+3)/2 CENTERED moment
+  *      sums via [[PcaMoments]], a TypedImperativeAggregate whose
+  *      buffer is a long array — input rows never explode into (i, j)
+  *      pairs (the explode formulation is N·d²/2 intermediate rows —
+  *      2×10¹² at N = 10⁹, d = 64 — where the aggregate does the same
+  *      arithmetic in-place and ships ONE buffer per task);
+  *   4. driver-side cyclic-Jacobi eigendecomposition of the d×d
   *      covariance (d ≤ 1024 enforced — 10⁶ doubles, microseconds of
   *      driver time; the DATA never lands on the driver);
-  *   4. projection as a codegen'd expression per component
+  *   5. projection as a codegen'd expression per component
   *      (aggregate(zip_with(v, lit(loading)), …) — no UDF, no shuffle:
   *      the transform is embarrassingly row-parallel).
   *
@@ -63,12 +68,28 @@ object Pca {
 
   /** Fit on `vecs` (columns: anything + `col` array<double|float>).
     * POPULATION covariance (divisor n) — the PCA convention where
-    * eigenvalues equal projected variances. */
+    * eigenvalues equal projected variances. Null vectors are ignored
+    * (filtered before EVERY pass, so the scale/mean/moment passes agree
+    * on the row count — round-11 ADVICE: the old fit divided the
+    * null-skipping moment sums by an all-rows count).
+    *
+    * Numerical conditioning (round-11 ADVICE): second moments are
+    * accumulated CENTERED — a fixed-point per-dim mean pass runs first
+    * and its (deterministic) mean is subtracted per row before
+    * [[PcaMoments]], so the covariance never forms as the catastrophic
+    * E[xy] − μᵢμⱼ difference of two large numbers. For embeddings with
+    * a mean offset far from the origin (the common unnormalized case)
+    * this keeps the quantization error relative to the SPREAD, not the
+    * offset. Three bounded passes total (scale, mean, moments) — each a
+    * single scan with a scalar/d-row result; determinism is unchanged
+    * (every distributed sum is still a sum of longs, and the centering
+    * offset is itself derived from fixed-point sums). */
   def fit(vecs: DataFrame, vecCol: String): Model = {
     register(vecs.sparkSession)
     val v = vecs.select(transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
     val head = v.limit(1).collect()
-    require(head.nonEmpty, "Pca.fit: empty input")
+    require(head.nonEmpty, "Pca.fit: empty input (no non-null vectors)")
     val d = head(0).getSeq[Double](0).length
     require(d <= MaxDim, s"Pca.fit: d=$d exceeds MaxDim=$MaxDim")
     val scaleRow = v.agg(
@@ -76,18 +97,50 @@ object Pca {
       max(array_max(transform(col("v"), x => abs(x)))).as("m")).collect()(0)
     val n = scaleRow.getLong(0)
     val maxAbs = scaleRow.getDouble(1)
-    require(n > 1, s"Pca.fit: need ≥ 2 rows, got $n")
-    // largest partial: n · max(maxAbs, maxAbs²) · 2^shift < 2⁶² —
-    // same sizing rule as Ivf.refine, against the PRODUCT magnitude
-    val worst = math.max(1.0, math.max(maxAbs, maxAbs * maxAbs))
-    val shift = math.max(0, math.min(24,
-      62 - math.ceil(math.log(worst * n.toDouble) / math.log(2.0)).toInt))
+    require(n > 1, s"Pca.fit: need ≥ 2 non-null rows, got $n")
+    def shiftFor(worstMag: Double): Int = {
+      val worst = math.max(1.0, worstMag)
+      math.max(0, math.min(24,
+        62 - math.ceil(math.log(worst * n.toDouble) / math.log(2.0)).toInt))
+    }
+    // Pass 2: fixed-point per-dim mean (+ per-dim min/max, which bound
+    // the CENTERED magnitude exactly — bounding it by maxAbs + |μ|
+    // instead would burn the shift budget on the offset the centering
+    // just removed) — posexplode to (pos, x), one narrow hash aggregate
+    // over d groups. N·d exploded 16-byte rows, all codegen; the d²
+    // moment work stays in the aggregate pass.
+    val shift1 = shiftFor(maxAbs)
+    val scale1 = math.pow(2.0, shift1)
+    val mean0 = new Array[Double](d)
+    var maxAbsC = 0.0
+    v.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(round(col("x") * scale1).cast("long")).as("sx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+      .foreach { r =>
+        val m = (r.getLong(1).toDouble / scale1) / n
+        mean0(r.getInt(0)) = m
+        maxAbsC = math.max(maxAbsC,
+          math.max(r.getDouble(3) - m, m - r.getDouble(2)))
+      }
+    // Pass 3: moments of the CENTERED values, shift sized from the true
+    // centered spread.
+    val shift = shiftFor(math.max(maxAbsC, maxAbsC * maxAbsC))
     val scale = math.pow(2.0, shift)
-    val momRow = v.agg(expr(s"pca_moments(v, $shift)").as("m"))
+    val momRow = v
+      .select(zip_with(col("v"), typedLit(mean0.toSeq), (x, m) => x - m).as("cv"))
+      .agg(expr(s"pca_moments(cv, $shift)").as("m"))
       .collect()(0).getAs[org.apache.spark.sql.Row](0)
     val sums = momRow.getSeq[Long](0).toArray
     val prods = momRow.getSeq[Long](1).toArray
-    val mean = sums.map(s => (s.toDouble / scale) / n)
+    val nMom = momRow.getLong(2)
+    require(nMom == n, s"Pca.fit: moment pass saw $nMom rows, scale pass $n")
+    // δ = mean of the centered values — the tiny fixed-point residual of
+    // the centering offset; the true mean is μ₀ + δ and the centered
+    // covariance correction δᵢδⱼ is O(quantization²) — benign.
+    val delta = sums.map(s => (s.toDouble / scale) / n)
+    val mean = Array.tabulate(d)(i => mean0(i) + delta(i))
     val cov = Array.ofDim[Double](d, d)
     var idx = 0
     var i = 0
@@ -95,7 +148,7 @@ object Pca {
       var j = 0
       while (j <= i) {
         val exy = (prods(idx).toDouble / scale) / n
-        val c = exy - mean(i) * mean(j)
+        val c = exy - delta(i) * delta(j)
         cov(i)(j) = c; cov(j)(i) = c
         idx += 1; j += 1
       }

@@ -46,10 +46,14 @@ object Pq {
   /** Train per-block codebooks on a bounded sample. `d` must divide
     * into `m` equal blocks. Deterministic: hash-spread sample,
     * farthest-point init (smallest-id start), fixed Lloyd rounds with
-    * empty-cell keep, ties → smaller code. */
+    * empty-cell keep, ties → smaller code. `idCol` names the row-id
+    * column (long-castable — it seeds the hash-spread sample and keys
+    * every downstream group/join; round-11 ADVICE: the surface used to
+    * hard-code `vec_id` while advertising a generic `vecCol`). */
   def fit(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
-      sampleN: Int = 8192, lloydIters: Int = 4): Model = {
-    val v = vecs.select(col("vec_id"),
+      sampleN: Int = 8192, lloydIters: Int = 4,
+      idCol: String = "vec_id"): Model = {
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), _.cast("double")).as("v"))
     val sample = v.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleN).collect()
@@ -119,7 +123,8 @@ object Pq {
 
   /** Per-block code assignment: (vec_id, b, code) — the intermediate
     * frame both [[encode]] and [[adcTopk]]'s base side build on. */
-  def encodeBlocks(vecs: DataFrame, vecCol: String, model: Model): DataFrame = {
+  def encodeBlocks(vecs: DataFrame, vecCol: String, model: Model,
+      idCol: String = "vec_id"): DataFrame = {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
@@ -128,7 +133,7 @@ object Pq {
     // aggregate (partitioning on a SUBSET of the grouping keys
     // co-locates every group) AND the per-vec reassembly in [[encode]],
     // so neither aggregate adds a shuffle (the pipeline_pack property).
-    vecs.select(col("vec_id"),
+    vecs.select(col(idCol).cast("long").as("vec_id"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .repartition(col("vec_id"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(model.m - 1))).as("b"),
@@ -145,8 +150,9 @@ object Pq {
 
   /** Encode to one row per vector: codes as a comma-joined string in
     * block order (the house list-output convention). */
-  def encode(vecs: DataFrame, vecCol: String, model: Model): DataFrame =
-    encodeBlocks(vecs, vecCol, model)
+  def encode(vecs: DataFrame, vecCol: String, model: Model,
+      idCol: String = "vec_id"): DataFrame =
+    encodeBlocks(vecs, vecCol, model, idCol)
       .groupBy("vec_id")
       .agg(concat_ws(",",
         transform(array_sort(collect_list(struct(col("b"), col("code")))),
@@ -157,11 +163,11 @@ object Pq {
     * the k nearest (ties → smaller base id; self-match excluded).
     * Returns (i, k_id, adc, rnk). */
   def adcTopk(queries: DataFrame, base: DataFrame, vecCol: String,
-      model: Model, topk: Int): DataFrame = {
+      model: Model, topk: Int, idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val lut = queries.select(col("vec_id").as("i"),
+    val lut = queries.select(col(idCol).cast("long").as("i"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .select(col("i"), explode(sequence(lit(0), lit(model.m - 1))).as("b"),
         col("v"))
@@ -170,7 +176,7 @@ object Pq {
       .join(broadcast(codebookDF(spark, model)), "b")
       .select(col("i"), col("b"), col("code"),
         call_function("vec_sqdist", col("sv"), col("cv")).as("bd"))
-    val baseBlocks = encodeBlocks(base, vecCol, model)
+    val baseBlocks = encodeBlocks(base, vecCol, model, idCol)
     baseBlocks
       .join(lut, Seq("b", "code"))
       .filter(col("i") =!= col("vec_id"))

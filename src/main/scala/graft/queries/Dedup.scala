@@ -1115,7 +1115,7 @@ object Dedup extends QueryGroup {
     }),
 
     // Product quantization of the embedding table (Jégou et al. 2011;
-    // [[graft.functions.Pq]]): 64 dims → 8 blocks × 16-code codebooks,
+    // [[graft.functions.Pq]]): 64 dims → 8 blocks × 256-code codebooks,
     // codes as a comma-joined string in block order. Driver-side train
     // on a bounded sample, one-exchange distributed encode. D3-exempt;
     // PqSpec pins code ranges, determinism, reconstruction gain, and

@@ -65,4 +65,39 @@ object JoinAsofProperties extends Properties("join_asof") {
       }.toMap
       got == expected
     }
+
+  // Band-boundary guard for the banded range join (round-11 VERDICT
+  // #2): band ids must be the exact integral ⌊µs/window⌋ — a double
+  // division's quotient ulp exceeds 1 µs past ~year 2200, where a
+  // boundary row banding off-by-one silently drops a qualifying pair.
+  // Instants are drawn within ±2 windows of an hour-multiple boundary
+  // near year 2500 (1.676e16 µs) and BEFORE the epoch (negative
+  // micros — the floor-vs-truncate divide), with ±1 µs edge cases
+  // generated explicitly.
+  private val WindowUs = 3600000000L
+  private val bandInstances: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(2, 24)
+    boundary <- Gen.oneOf(4654800L * WindowUs, -13L * WindowUs)
+    offs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(-2 * WindowUs, 2 * WindowUs),
+      Gen.oneOf(-WindowUs - 1, -WindowUs, -1L, 0L, 1L,
+        WindowUs, WindowUs + 1)))
+  } yield offs.zipWithIndex.map { case (o, i) =>
+    ((i % 2).toLong, i.toLong, boundary + o)
+  }
+
+  property("banded pairs exact at far-future and pre-epoch band boundaries") =
+    forAll(bandInstances) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      val df = rows.toDF("key", "id", "us")
+        .select(col("key"), col("id"), timestamp_micros(col("us")).as("ts"))
+      val got = queries.Joins.rangeBandedPairs(df, WindowUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && b._3 > a._3 && b._3 <= a._3 + WindowUs
+      } yield (a._2, b._2)).toSet
+      got == expected
+    }
 }

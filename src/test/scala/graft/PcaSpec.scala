@@ -131,6 +131,55 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("null embedding rows are ignored by fit; all-null input errors cleanly") {
+    // round-11 ADVICE: the old fit divided the null-skipping moment
+    // sums by an all-rows count — any null rows silently biased the
+    // mean and covariance, and an all-null column NPE'd.
+    val base = fixture(300, 6, seed = 11)
+    val nulled = base.withColumn("embedding",
+      when(col("vec_id") % 5 === 0, lit(null).cast("array<double>"))
+        .otherwise(col("embedding")))
+    val m1 = graft.functions.Pca.fit(nulled, "embedding")
+    val m2 = graft.functions.Pca.fit(
+      base.filter(col("vec_id") % 5 =!= 0), "embedding")
+    assert(m1.mean.sameElements(m2.mean), "null rows biased the mean")
+    assert(m1.eigenvalues.sameElements(m2.eigenvalues),
+      "null rows biased the eigenvalues")
+    assert((0 until m1.d).forall(c => m1.loadings(c).sameElements(m2.loadings(c))),
+      "null rows biased the loadings")
+    val allNull = base.withColumn("embedding", lit(null).cast("array<double>"))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Pca.fit(allNull, "embedding")
+    }
+    assert(e.getMessage.contains("empty input"), s"unexpected error: ${e.getMessage}")
+  }
+
+  test("a huge mean offset does not degrade the eigenbasis (centered moments)") {
+    // round-11 ADVICE: uncentered second moments form cov as
+    // E[xy] − μᵢμⱼ — at offset 1e9 both terms are ~1e18 (double ulp
+    // ~256) while the true covariance is O(10²): the old fit's basis
+    // was pure cancellation noise there. The centered fit must
+    // reproduce the unshifted spectrum (covariance is shift-invariant).
+    val d = 6
+    val base = fixture(400, d, seed = 17)
+    val m0 = graft.functions.Pca.fit(base, "embedding")
+    val shifted = base.withColumn("embedding",
+      transform(col("embedding"), (x, i) => x + (i + 1) * 1e9))
+    val m1 = graft.functions.Pca.fit(shifted, "embedding")
+    (0 until d).foreach { c =>
+      val a = m0.eigenvalues(c); val b = m1.eigenvalues(c)
+      assert(math.abs(a - b) <= 1e-3 * math.max(1.0, a),
+        s"eigenvalue $c drifted under offset: $a vs $b")
+      val dot = math.abs(
+        (0 until d).map(i => m0.loadings(c)(i) * m1.loadings(c)(i)).sum)
+      assert(dot >= 0.999, s"component $c rotated under offset (|dot| = $dot)")
+    }
+    (0 until d).foreach { j =>
+      assert(math.abs(m1.mean(j) - (m0.mean(j) + (j + 1) * 1e9)) <= 1.0,
+        s"shifted mean[$j] ${m1.mean(j)} vs ${m0.mean(j) + (j + 1) * 1e9}")
+    }
+  }
+
   test("fit is bit-deterministic across partitionings; emb_pca key runs end-to-end") {
     val df = fixture(500, 8, seed = 42)
     val m1 = graft.functions.Pca.fit(df.repartition(32), "embedding")

@@ -91,7 +91,7 @@ class PqSpec extends SparkSuite {
     }
 
     // (c) recall vs EXACT sqdist top-10 (self excluded): PQ at
-    // 8 blocks × 16 codes on this table measures ~0.7 — pin a floor
+    // 8 blocks × 256 codes on this table measures ~0.64 — pin a floor
     // with margin; the point is "quantized search finds real
     // neighbors", exactness lives in the rerank stage callers add.
     def d2(a: Array[Double], b: Array[Double]): Double =

@@ -410,6 +410,40 @@ class SketchSpec extends SparkSuite {
         "on isotropic input — the isotropy probe did not fall back to flat")
   }
 
+  test("centroid-tree prune removes childless branches; buildTree output is fertile") {
+    // round-11 ADVICE (medium): the distributed descent inner-joins the
+    // frontier's kept parents against the next level's children — a
+    // vec_id whose sprobe kept parents were ALL childless yielded zero
+    // rows and silently dropped from the assignments output. Ivf.prune
+    // makes that structurally impossible: every surviving non-bottom
+    // node has ≥ 1 child. Hand-built tree with childless nodes at two
+    // levels, then the invariant on a real buildTree output.
+    import graft.functions.Ivf
+    val v = Array(0.0)
+    val top = Seq((0L, v), (1L, v), (2L, v))
+    val mid = Seq((0L, 0L, v), (1L, 0L, v), (2L, 1L, v)) // mid 1, 2 childless
+    val bot = Seq((10L, 0L, v), (11L, 0L, v))            // only mid 0 is fertile
+    val p = Ivf.prune(Ivf.CentroidTree(top, List(mid, bot)))
+    assert(p.down.last.map(_._1) == Seq(10L, 11L), "bottom level must never be pruned")
+    assert(p.down.head.map(_._1) == Seq(0L),
+      s"childless mid nodes survived: ${p.down.head.map(_._1)}")
+    // top 1 cascades out (its only child, mid 2, was childless); top 2 had none
+    assert(p.top.map(_._1) == Seq(0L), s"childless roots survived: ${p.top.map(_._1)}")
+    val rnd = new scala.util.Random(99)
+    val nodes = (0 until 500).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian() * 5.0)))
+    val built = Ivf.buildTree(nodes, branch = 8, sprobe = 2)
+    assert(built.down.nonEmpty, "500 nodes at branch 8 must build a real tree")
+    assert(built.down.last.map(_._1).sorted == (0L until 500L),
+      "bottom level must carry every input centroid")
+    val parentLevels = built.top.map(_._1) +: built.down.dropRight(1).map(_.map(_._1))
+    parentLevels.zip(built.down.map(_.map(_._2).toSet)).zipWithIndex.foreach {
+      case ((ids, childParents), lvl) =>
+        assert(ids.nonEmpty, s"level $lvl pruned to empty")
+        ids.foreach(id => assert(childParents.contains(id),
+          s"childless node $id at level $lvl — descent could drop points"))
+    }
+  }
+
   test("multi-level descent nprobe ranks match the flat ranking on probed centroids") {
     // nprobe > 1 through the tree: each returned (c_id, crnk) list must
     // be ordered by true distance (crnk 1..nprobe, no duplicates) and —

