@@ -322,11 +322,30 @@ object Graft {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     queries.Dedup.embQuantize(embOf(embeddings, idCol, vecCol))
 
+  /** IVFADC approximate top-k over the PQ codes — the composed
+    * production ANN query (faiss's IVFADC layering): IVF bucket
+    * candidates (Θ(√N) auto-sized centroids, nprobe probes) evaluated
+    * by asymmetric distance from the per-query lookup table, never
+    * all-pairs. ADC values on surviving pairs are identical to the
+    * exhaustive [[graft.functions.Pq.adcTopk]]; recall loss is the
+    * IVF bucket trade only (raise `nprobe` to close it). Returns
+    * (i, k_id, adc, rnk); add an exact rerank join on the survivors
+    * when true distances are required. */
+  def similarTopKPqIvf(spark: SparkSession, embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 8, pqK: Int = 256, centroids: Int = 0,
+      nprobe: Int = 8): DataFrame = {
+    val e = embOf(embeddings, idCol, vecCol)
+    val model = functions.Pq.fit(e, "embedding", m, pqK)
+    functions.Pq.ivfAdcTopk(e, "embedding", model, k, centroids, nprobe)
+  }
+
   /** Product-quantize an embedding column: trains m per-block
     * codebooks on a bounded sample and encodes every row to m codes
     * (comma-joined, block order) in one exchange — see
     * [[graft.functions.Pq]]; pair with [[graft.functions.Pq.adcTopk]]
-    * for asymmetric-distance search over the codes. */
+    * (exhaustive) or [[similarTopKPqIvf]] (IVF-bucketed) for
+    * asymmetric-distance search over the codes. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 256,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)

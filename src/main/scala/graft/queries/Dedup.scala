@@ -1124,6 +1124,24 @@ object Dedup extends QueryGroup {
       val emb = Tables.embeddings(s, dir)
       val model = graft.functions.Pq.fit(emb, "embedding")
       graft.functions.Pq.encode(emb, "embedding", model).orderBy("vec_id")
+    }),
+
+    // IVFADC composed ANN search over the PQ codes (round 12 —
+    // [[graft.functions.Pq.ivfAdcTopk]], the faiss IVFADC layering as a
+    // wired path rather than a scaladoc promise): IVF bucket candidates
+    // (c = 16 pinned for fixture stability, nprobe = 8) evaluated by
+    // asymmetric distance from the per-query LUT relation — never
+    // all-pairs. D3-exempt (approximate by design); PqSpec pins ADC
+    // value identity vs driver arithmetic, the recall floor vs exact
+    // neighbors, and bit-determinism; PlanSpec pins the no-cartesian
+    // candidate plan.
+    "simsearch_pq_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.functions.Pq.fit(emb, "embedding")
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, topk = 5,
+          centroids = 16, nprobe = 8)
+        .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
+        .orderBy("i", "rnk")
     })
   )
 

@@ -345,6 +345,30 @@ class PlanSpec extends SparkSuite {
       s"expected exactly 1 hash exchange across the PQ encode, got $exchanges:\n$p")
   }
 
+  test("IVFADC composition: candidate generation and ADC are equi-joins, no cartesian") {
+    // The composed IVFADC path (round-11 VERDICT #3) must keep the
+    // 100 TB join shapes: candidates come from a c_id equi-join of
+    // probes against homes, ADC block distances from the (i, b, code)
+    // equi-join against the per-query LUT — never a CartesianProduct.
+    // The only nested-loop joins allowed are the bounded broadcast
+    // centroid crossJoins of the FLAT assignment regime (c = 16 ≤ the
+    // two-level gate; a 16-row broadcast side), which disappear past
+    // the gate where assignments switches to the ap_topm descent.
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    val df = graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, topk = 5,
+      centroids = 16, nprobe = 8)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!p.contains("CartesianProduct"), s"cartesian product in IVFADC plan:\n$p")
+    val bnlj = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Reused"))
+    assert(bnlj <= 2,
+      s"$bnlj nested-loop joins — more than the two bounded centroid broadcasts:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook join is not broadcast:\n$p")
+  }
+
   test("multi-level IVF descent: frontier never re-exchanges, vecs exchange is reused") {
     // The round-11 tree descent's 100 TB property (BENCH_NOTES §21):
     // the first per-vec aggregate hash-partitions by vec_id, and every

@@ -106,4 +106,70 @@ class PqSpec extends SparkSuite {
     assert(meanRecall >= 0.5,
       s"exhaustive-ADC mean recall@$topk $meanRecall < 0.5")
   }
+
+  test("IVFADC composition: driver-exact ADC values, recall floor, determinism") {
+    // round-11 VERDICT #3 — the composed production path
+    // (Pq.ivfAdcTopk): IVF candidates restrict WHICH pairs are scored;
+    // the scores themselves must equal the exhaustive kernel's (the
+    // same per-query LUT arithmetic), ranks must follow them, and the
+    // IVF recall trade must stay bounded (probe, round 12, c = 16 on
+    // the isotropic fixture: 0.276 / 0.409 / 0.552 at nprobe 2/4/8 vs
+    // 0.644 exhaustive — floors pinned with margin).
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    val rows = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val codes = graft.functions.Pq.encodeBlocks(emb, "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val topk = 10
+    def run(): Array[(Long, Long, Double, Int)] =
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, topk,
+          centroids = 16, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val got = run()
+
+    // (a) every returned ADC value equals the driver-computed LUT sum —
+    // identical arithmetic to the exhaustive kernel
+    def adcRef(q: Long, x: Long): Double = {
+      val qv = rows(q)
+      (0 until model.m).map { b =>
+        val cv = model.codebooks(b)(codes((x, b)).toInt)
+        (0 until model.sub).map { i =>
+          val t = qv(b * model.sub + i) - cv(i); t * t
+        }.sum
+      }.sum
+    }
+    got.take(200).foreach { case (q, x, v, _) =>
+      val want = adcRef(q, x)
+      assert(math.abs(v - want) <= 1e-9 * math.max(1.0, want),
+        s"IVFADC($q,$x) = $v, driver says $want")
+    }
+
+    // (b) per-query rank order follows the ADC values; ≤ topk rows,
+    // no self-matches, no duplicates
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.sameElements(byRank.sorted), s"query $q ADC rank disorder")
+      assert(rs.length <= topk && rs.forall(_._2 != q) &&
+        rs.map(_._2).distinct.length == rs.length,
+        s"query $q returned malformed rows: ${rs.toSeq}")
+    }
+
+    // (c) recall vs EXACT sqdist top-10: the IVF bucket trade at
+    // nprobe = 8 of c = 16 measured 0.552 on this table — floor 0.45
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byQ = got.groupBy(_._1)
+    val recalls = rows.keys.toSeq.sorted.map { q =>
+      val exact = rows.keys.filter(_ != q).toSeq
+        .sortBy(x => (d2(rows(q), rows(x)), x)).take(topk).toSet
+      val g = byQ.getOrElse(q, Array.empty).map(_._2).toSet
+      exact.intersect(g).size.toDouble / topk
+    }
+    val meanRecall = recalls.sum / recalls.length
+    assert(meanRecall >= 0.45,
+      s"IVFADC mean recall@$topk $meanRecall < 0.45")
+
+    // (d) bit-determinism of the whole composition
+    assert(run().sameElements(got), "IVFADC result is not deterministic")
+  }
 }
