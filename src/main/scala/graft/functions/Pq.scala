@@ -159,6 +159,89 @@ object Pq {
         transform(array_sort(collect_list(struct(col("b"), col("code")))),
           e => e.getField("code").cast("string"))).as("codes"))
 
+  /** OPQ-lite model: PQ trained in a ROTATED basis — the public
+    * recipe for PQ recall on correlated dims (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013: their parametric baseline is
+    * exactly PCA + an eigenvalue-balanced dimension permutation; the
+    * full OPQ alternation is a refinement of it). `basisPerm(p)` is
+    * the eigen-component index placed at rotated position p
+    * (block-major), so block b quantizes components
+    * basisPerm(b·sub .. (b+1)·sub−1). The rotation is orthogonal —
+    * sqdist in the rotated basis EQUALS sqdist in the original space —
+    * so rotated-ADC results are directly comparable to (and
+    * substitutable for) unrotated ones; only the quantization error
+    * changes. */
+  final case class RotatedModel(pca: Pca.Model, basisPerm: Array[Int], pq: Model)
+
+  /** Eigenvalue-balanced assignment of the d eigen-components to m
+    * blocks: components in descending-λ order, each placed in the
+    * non-full block with the smallest Σ log λ (ties → smaller block) —
+    * the OPQ-parametric balance criterion (per-block quantizer error
+    * scales with the geometric mean of its variances, so balancing
+    * Σ log λ equalizes the m quantizers' loads; naive PCA order would
+    * dump all the variance into block 0 and waste the other m−1
+    * codebooks). Deterministic. Returns the block-major permutation. */
+  private[graft] def balancedPermutation(evals: Array[Double], m: Int): Array[Int] = {
+    val d = evals.length
+    require(d % m == 0, s"balancedPermutation: d=$d not divisible by m=$m")
+    val sub = d / m
+    // LPT greedy needs NON-NEGATIVE weights (log λ is typically all
+    // negative, where "smallest sum" re-feeds the same block and the
+    // greedy degenerates to the PCA-order split it exists to avoid).
+    // Shifting every log by the minimum is balance-neutral — each block
+    // ends with exactly `sub` items, so a constant shift moves every
+    // block's load identically — and makes the greedy behave.
+    val logs = evals.map(v => math.log(math.max(v, 1e-12)))
+    val shift = logs.min
+    val sums = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    logs.zipWithIndex.sortBy { case (w, i) => (-w, i) }.foreach { case (w, i) =>
+      val b = (0 until m).filter(buckets(_).length < sub)
+        .minBy(b => (sums(b), b))
+      buckets(b) += i
+      sums(b) += w - shift
+    }
+    buckets.flatMap(_.toSeq).toArray
+  }
+
+  /** Rotate an embedding column into the model's balanced eigenbasis:
+    * (vec_id, rv) with rv(p) = component basisPerm(p) of (x − μ).
+    * Row-parallel codegen'd projections (Pca.project), no shuffle. */
+  def rotate(vecs: DataFrame, vecCol: String, pca: Pca.Model,
+      basisPerm: Array[Int], idCol: String = "vec_id"): DataFrame = {
+    val d = pca.d
+    Pca.project(
+        vecs.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
+        vecCol, pca, d)
+      .select(col("vec_id"),
+        array(basisPerm.map(c => col(s"pc${c + 1}")).toIndexedSeq: _*).as("rv"))
+  }
+
+  /** Train OPQ-lite: PCA fit (centered fixed-point moments), balanced
+    * permutation, then the standard [[fit]] on the rotated frame. The
+    * unrotated [[fit]] stays the oracled default; this is the recall
+    * upgrade for correlated embedding dims (round-11 VERDICT #4). */
+  def fitRotated(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
+      sampleN: Int = 8192, lloydIters: Int = 4,
+      idCol: String = "vec_id"): RotatedModel = {
+    val pca = Pca.fit(vecs, vecCol)
+    val perm = balancedPermutation(pca.eigenvalues, m)
+    val rotated = rotate(vecs, vecCol, pca, perm, idCol)
+    RotatedModel(pca, perm, fit(rotated, "rv", m, k, sampleN, lloydIters))
+  }
+
+  /** Exhaustive ADC top-k in the rotated basis — both sides rotate with
+    * the model's (orthogonal) basis, so the returned ADC values
+    * approximate the ORIGINAL-space sqdist and rank against the same
+    * exact neighbors. Compose with [[ivfAdcTopk]] by passing a rotated
+    * frame instead. */
+  def adcTopkRotated(queries: DataFrame, base: DataFrame, vecCol: String,
+      rm: RotatedModel, topk: Int, idCol: String = "vec_id"): DataFrame =
+    adcTopk(
+      rotate(queries, vecCol, rm.pca, rm.basisPerm, idCol),
+      rotate(base, vecCol, rm.pca, rm.basisPerm, idCol),
+      "rv", rm.pq, topk)
+
   /** Per-query ADC lookup table as a relation: (i, b, code, bd) — for
     * every query, the block distance to every codebook entry (|Q|·m·k
     * rows; the classic ADC table, each block distance computed ONCE and

@@ -172,4 +172,68 @@ class PqSpec extends SparkSuite {
     // (d) bit-determinism of the whole composition
     assert(run().sameElements(got), "IVFADC result is not deterministic")
   }
+
+  test("OPQ-lite rotation: big recall gain on correlated dims, no collapse on isotropic") {
+    // round-11 VERDICT #4 — PQ in the eigenvalue-balanced PCA basis
+    // (Ge et al. 2013's parametric baseline). The rotation is
+    // orthogonal, so rotated ADC approximates ORIGINAL-space sqdist
+    // and recall is measured against the same exact neighbors.
+    // Measured (round-12 probe): correlated 0.839 → 0.984; isotropic
+    // fixture 0.648 → 0.628 (rotation is information-free on isotropic
+    // data — the codebooks just re-learn a rotated gaussian; the
+    // unrotated path stays the oracled default for exactly that
+    // reason).
+    import spark.implicits._
+    val topk = 10
+    def meanRecall(emb: org.apache.spark.sql.DataFrame,
+        got: Array[(Long, Long)]): Double = {
+      val rows = emb.collect().map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue).toArray).toMap
+      def d2(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val byQ = got.groupBy(_._1)
+      val rs = rows.keys.toSeq.sorted.map { q =>
+        val exact = rows.keys.filter(_ != q).toSeq
+          .sortBy(x => (d2(rows(q), rows(x)), x)).take(topk).toSet
+        exact.intersect(byQ.getOrElse(q, Array.empty).map(_._2).toSet).size.toDouble / topk
+      }
+      rs.sum / rs.length
+    }
+    def runBoth(e: org.apache.spark.sql.DataFrame, vc: String): (Double, Double) = {
+      val plain = graft.functions.Pq.fit(e, vc)
+      val rp = meanRecall(e.select(col("vec_id"), col(vc)),
+        graft.functions.Pq.adcTopk(e, e, vc, plain, topk)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val rm = graft.functions.Pq.fitRotated(e, vc)
+      val rr = meanRecall(e.select(col("vec_id"), col(vc)),
+        graft.functions.Pq.adcTopkRotated(e, e, vc, rm, topk)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      (rp, rr)
+    }
+    // correlated synthetic: 8 latent gaussians mixed into 64 dims —
+    // strong cross-block correlation, the regime OPQ exists for
+    val rnd = new scala.util.Random(4242)
+    val mix = Array.fill(64, 8)(rnd.nextGaussian())
+    val corr = (0 until 500).map { i =>
+      val z = Array.fill(8)(rnd.nextGaussian() * 3.0)
+      (i.toLong, (0 until 64).map(j =>
+        (0 until 8).map(l => mix(j)(l) * z(l)).sum + rnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "v")
+    val (plainCorr, rotCorr) = runBoth(corr, "v")
+    assert(rotCorr >= plainCorr + 0.05,
+      s"rotation did not beat plain PQ on correlated dims: $rotCorr vs $plainCorr")
+    assert(rotCorr >= 0.9, s"rotated recall $rotCorr < 0.9 on correlated dims")
+    // isotropic fixture: must stay in the same band (no collapse)
+    val (plainIso, rotIso) = runBoth(emb, "embedding")
+    assert(rotIso >= plainIso - 0.08 && rotIso >= 0.55,
+      s"rotated recall $rotIso collapsed vs plain $plainIso on isotropic data")
+    // the balanced permutation is a real permutation with balanced
+    // per-block log-variance loads
+    val rm = graft.functions.Pq.fitRotated(emb, "embedding")
+    assert(rm.basisPerm.sorted.sameElements(0 until 64), "basisPerm not a permutation")
+    val loads = rm.basisPerm.grouped(8).map(_.map(c =>
+      math.log(math.max(rm.pca.eigenvalues(c), 1e-12))).sum).toSeq
+    assert(loads.max - loads.min <= 1.0,
+      s"per-block log-variance loads unbalanced: $loads")
+  }
 }
