@@ -337,9 +337,164 @@ object Bench {
     spark.stop()
   }
 
+  /** IVFADC scale record (round-11 VERDICT #6): per-stage costs of the
+    * composed PQ+IVF ANN path at N = 50 k / 200 k — the ap_dist.json
+    * discipline applied to the round-12 composition. Replicated
+    * perturbed fixture embeddings (the apDist geometry — throughput is
+    * data-size-driven), input localCheckpointed so stage timings never
+    * re-run the replication union. Stages: PQ fit (bounded driver
+    * sample), centroid build (farthest-point seeds + Lloyd refine past
+    * the two-level gate), the nprobe assignment pass, the one-exchange
+    * encode, then the composed end-to-end query for a 1024-id workload
+    * (which internally re-derives its index — so end_to_end_sec is the
+    * honest cold cost, and the stage rows show the split). Recall
+    * sampled for 64 queries against a DISTRIBUTED exact top-10
+    * (crossJoin of the 64 broadcast queries — never N² and never a
+    * driver collect of the corpus). Writes pqivf.json; table lives in
+    * BENCH_NOTES §22. */
+  private def pqIvf(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val threads = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorExprs.register(spark)
+    graft.functions.ApAggs.register(spark)
+    val base = Tables.embeddings(spark, sfDir)
+    def emb(replicas: Int) = (0 until replicas)
+      .map(r => base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(r * 1e-3f)).otherwise(x)).as("embedding")))
+      .reduce(_.unionByName(_))
+      .repartition(threads)
+    val topk = 10
+    val nprobe = 8
+    val shapes = Seq(25, 100).map { rep =>
+      val e = emb(rep).localCheckpoint()
+      val n = e.count()
+      val v = e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      var model: graft.functions.Pq.Model = null
+      val fitSec = time { model = graft.functions.Pq.fit(e, "embedding") }
+      val c = graft.functions.Ivf.autoCentroids(n)
+      var cents: Seq[(Long, Seq[Double])] = null
+      val centSec = time {
+        val s0 = graft.functions.Ivf.seeds(v, c, sampleN = math.max(256, 2 * c))
+        cents = if (c > graft.functions.Ivf.TwoLevelThreshold)
+          graft.functions.Ivf.refine(v, s0) else s0
+      }
+      val assignSec = time {
+        graft.functions.Ivf.assignments(v, cents, nprobe,
+          (a, b) => call_function("vec_sqdist", a, b)).count()
+      }
+      val encodeSec = time {
+        graft.functions.Pq.encodeBlocks(v, "v", model).count()
+      }
+      // warm one end-to-end pass (JIT/codegen), then the recorded run —
+      // the min-of-2 discipline scaled down (each pass re-derives the
+      // whole index; two passes bound the record's box-noise exposure)
+      val qids = e.select(col("vec_id")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(1024).localCheckpoint()
+      def endToEnd(): Double = time {
+        graft.functions.Pq.ivfAdcTopk(e, "embedding", model, topk,
+          nprobe = nprobe, queryIds = Some(qids)).count()
+      }
+      val e2e = math.min(endToEnd(), endToEnd())
+      // recall sample: 64 of the workload ids vs distributed exact
+      val q64ids = qids.orderBy("vec_id").limit(64)
+      val got = graft.functions.Pq.ivfAdcTopk(e, "embedding", model, topk,
+          nprobe = nprobe, queryIds = Some(q64ids))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val q64 = v.join(broadcast(q64ids), "vec_id")
+        .select(col("vec_id").as("i"), col("v").as("qv"))
+      val exact = v.crossJoin(broadcast(q64))
+        .filter(col("i") =!= col("vec_id"))
+        .select(col("i"), col("vec_id"),
+          (-call_function("vec_sqdist", col("qv"), col("v"))).as("negd"))
+        .groupBy("i")
+        .agg(call_function("ap_topm", col("negd"), col("vec_id"), lit(topk)).as("keep"))
+        .select(col("i"), explode(col("keep.k")).as("k_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val gotByQ = got.groupBy(_._1); val exByQ = exact.groupBy(_._1)
+      val recalls = exByQ.map { case (q, ex) =>
+        val g = gotByQ.getOrElse(q, Array.empty).map(_._2).toSet
+        ex.map(_._2).count(g.contains).toDouble / topk
+      }
+      val recall = recalls.sum / recalls.size
+      graft.Checkpoints.release(e); graft.Checkpoints.release(qids)
+      f"""{"n":$n,"c":$c,"fit_sec":$fitSec%.3f,"cent_sec":$centSec%.3f,"assign_sec":$assignSec%.3f,"encode_sec":$encodeSec%.3f,"query_1024_end_to_end_sec":$e2e%.3f,"recall_at_$topk":$recall%.4f}"""
+    }
+    val json = s"""{"metric":"pq_ivf","unit":"sec","sf":"$sfDir","threads":$threads,"nprobe":$nprobe,"topk":$topk,"shapes":${shapes.mkString("[", ",", "]")}}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("pqivf.json"), json + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+
+  /** Quiet-window gate (round-11 VERDICT #1): this box oscillates
+    * ~1.3–1.5× between quiet and throttled windows on a MINUTES
+    * timescale (BENCH_NOTES §7/§14), and a record whose whole run lands
+    * in a throttled window reads as a plan regression it is not —
+    * r11's committed record put an unchanged stream_tumbling plan at
+    * 2.15× purely from window floors. Before any measurement pass, a
+    * bounded probe of the dispatch floor (cached lineitem count — the
+    * same signal the floors row records: ~0.033 s quiet, ~0.0425
+    * throttled) retries each minute until the floor draws at or below
+    * `SPARK_GRAFT_QUIET_GATE` (default 0.038, 0 disables) or the
+    * `SPARK_GRAFT_QUIET_WAIT` budget (default 900 s) expires — then
+    * records regardless, on the reasoning that a bounded wait usually
+    * catches a quiet window and an exhausted budget leaves us no worse
+    * than today. Messages go to stderr; stdout stays the one-JSON-line
+    * driver contract. */
+  private def waitForQuietWindow(sfDir: String, gate: Double, budgetSec: Double): Unit = {
+    val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      Tables.warm(spark, sfDir, Seq("lineitem" -> None))
+      Tables.lineitem(spark, sfDir).count() // materialize the cache, untimed
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val floor = (1 to 5)
+          .map(_ => time(Tables.lineitem(spark, sfDir).count())).min
+        attempt += 1
+        if (floor <= gate) {
+          System.err.println(
+            f"quiet-window gate: floor $floor%.4f <= $gate%.4f (probe $attempt) - recording")
+          done = true
+        } else if (System.nanoTime() >= deadline) {
+          System.err.println(
+            f"quiet-window gate: wait budget spent, floor still $floor%.4f - recording in a throttled window")
+          done = true
+        } else {
+          System.err.println(
+            f"quiet-window gate: floor $floor%.4f > $gate%.4f (probe $attempt) - sleeping 60 s")
+          Thread.sleep(60000)
+        }
+      }
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.get("SPARK_GRAFT_AP_DIST").contains("1")) { apDist(sfDir); return }
+    if (sys.env.get("SPARK_GRAFT_PQIVF").contains("1")) { pqIvf(sfDir); return }
+    val quietGate = sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "0.038").toDouble
+    if (quietGate > 0)
+      waitForQuietWindow(sfDir, quietGate,
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "900").toDouble)
     val avail = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     // Machine width first (best on this round's box), workload width

@@ -327,10 +327,17 @@ object Pq {
     * pairs are IDENTICAL to the exhaustive kernel's (PqSpec pins
     * both). Exact rerank on the survivors is one join away, as with
     * every candidate kernel in this engine. Returns
-    * (i, k_id, adc, rnk). */
+    * (i, k_id, adc, rnk).
+    *
+    * `queryIds` (optional, one long-castable column): restrict the
+    * QUERY side to a workload — the corpus is still fully indexed and
+    * searched, but only those ids probe, build LUT rows, and appear as
+    * `i`. The production shape: M queries against an N-row corpus
+    * costs M·(nprobe·N/c) candidate work, not N·(…). Self-matches stay
+    * excluded. */
   def ivfAdcTopk(vecs: DataFrame, vecCol: String, model: Model, topk: Int,
-      centroids: Int = 0, nprobe: Int = 8,
-      idCol: String = "vec_id"): DataFrame = {
+      centroids: Int = 0, nprobe: Int = 8, idCol: String = "vec_id",
+      queryIds: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
@@ -342,16 +349,20 @@ object Pq {
       if (c > Ivf.TwoLevelThreshold) Ivf.refine(v, cents0) else cents0
     val assigned = Ivf.assignments(v, cents, nprobe,
       (a, b) => call_function("vec_sqdist", a, b))
+    val qids = queryIds.map(q =>
+      q.select(col(q.columns.head).cast("long").as("vec_id")))
+    def queriesOnly(df: DataFrame): DataFrame =
+      qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)
       .select(col("vec_id"), col("c_id"))
-    val cand = assigned.select(col("vec_id").as("i"), col("c_id"))
+    val cand = queriesOnly(assigned).select(col("vec_id").as("i"), col("c_id"))
       .join(homes, "c_id")
       .filter(col("i") =!= col("vec_id"))
       .select("i", "vec_id")
     adcRank(
       cand
         .join(encodeBlocks(v, "v", model), "vec_id")
-        .join(lutDF(v, "v", model, "vec_id"), Seq("i", "b", "code")),
+        .join(lutDF(queriesOnly(v), "v", model, "vec_id"), Seq("i", "b", "code")),
       topk)
   }
 }
