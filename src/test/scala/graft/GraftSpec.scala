@@ -154,6 +154,16 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("similarTopKPqIvf matches simsearch_pq_ivf") {
+    val facade = rows(Graft.similarTopKPqIvf(spark, myEmb, 5, "item_id", "vec",
+        centroids = 16, nprobe = 8)
+      .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
+      .orderBy("i", "rnk"))
+    val key = rows(SparkEntry.queries("simsearch_pq_ivf")(spark, sf001))
+    assert(facade == key)
+    assert(facade.nonEmpty)
+  }
+
   test("quantizeInt8 matches emb_quantize") {
     val facade = rows(Graft.quantizeInt8(myEmb, "item_id", "vec").orderBy("vec_id"))
     val key = rows(SparkEntry.queries("emb_quantize")(spark, sf001))
