@@ -443,15 +443,22 @@ object Bench {
     * in a throttled window reads as a plan regression it is not —
     * r11's committed record put an unchanged stream_tumbling plan at
     * 2.15× purely from window floors. Before any measurement pass, a
-    * bounded probe of the dispatch floor (cached lineitem count — the
-    * same signal the floors row records: ~0.033 s quiet, ~0.0425
-    * throttled) retries each minute until the floor draws at or below
-    * `SPARK_GRAFT_QUIET_GATE` (default 0.038, 0 disables) or the
+    * bounded probe of the dispatch floor (cached lineitem count)
+    * retries each minute until the floor draws at or below
+    * `SPARK_GRAFT_QUIET_GATE` (0 disables) or the
     * `SPARK_GRAFT_QUIET_WAIT` budget (default 900 s) expires — then
     * records regardless, on the reasoning that a bounded wait usually
     * catches a quiet window and an exhausted budget leaves us no worse
-    * than today. Messages go to stderr; stdout stays the one-JSON-line
-    * driver contract. */
+    * than today.
+    *
+    * CALIBRATION (measured, round 12): this light probe session
+    * (local[8], plain unbucketed cache) clocks the same count ~1.75×
+    * above the floors ROW's regime (full bucketed warm, end of a long
+    * pass) — probe ≈ 0.058 s in a window whose in-run floor drew
+    * 0.0332, and 0.083–0.117 under throttle. The default gate is
+    * therefore 0.065, a PROBE-regime value; do not compare it to the
+    * committed floors line. Messages go to stderr; stdout stays the
+    * one-JSON-line driver contract. */
   private def waitForQuietWindow(sfDir: String, gate: Double, budgetSec: Double): Unit = {
     val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
     val spark = SparkSession.builder()
@@ -491,7 +498,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.get("SPARK_GRAFT_AP_DIST").contains("1")) { apDist(sfDir); return }
     if (sys.env.get("SPARK_GRAFT_PQIVF").contains("1")) { pqIvf(sfDir); return }
-    val quietGate = sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "0.038").toDouble
+    val quietGate = sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "0.065").toDouble
     if (quietGate > 0)
       waitForQuietWindow(sfDir, quietGate,
         sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "900").toDouble)
