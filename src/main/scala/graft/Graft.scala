@@ -340,6 +340,22 @@ object Graft {
     functions.Pq.ivfAdcTopk(e, "embedding", model, k, centroids, nprobe)
   }
 
+  /** [[similarTopKPqIvf]] + exact re-rank — the faiss `refine` stage
+    * completing the compressed-index pipeline: an ADC shortlist per
+    * query, true sqdist on the shortlist pairs only, deterministic
+    * re-rank. Returns (i, k_id, sqdist, rnk) with EXACT distances;
+    * recall is monotone in `shortlist` and `nprobe` (measured on the
+    * isotropic fixture: 0.55 ADC-only → 0.72 at shortlist 50). */
+  def similarTopKPqIvfReranked(spark: SparkSession, embeddings: DataFrame,
+      k: Int, shortlist: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding", m: Int = 8, pqK: Int = 256,
+      centroids: Int = 0, nprobe: Int = 8): DataFrame = {
+    val e = embOf(embeddings, idCol, vecCol)
+    val model = functions.Pq.fit(e, "embedding", m, pqK)
+    functions.Pq.ivfAdcRerankTopk(e, "embedding", model, k, shortlist,
+      centroids, nprobe)
+  }
+
   /** Product-quantize an embedding column: trains m per-block
     * codebooks on a bounded sample and encodes every row to m codes
     * (comma-joined, block order) in one exchange — see

@@ -365,4 +365,37 @@ object Pq {
         .join(lutDF(queriesOnly(v), "v", model, "vec_id"), Seq("i", "b", "code")),
       topk)
   }
+
+  /** IVFADC + exact re-rank — the faiss `refine` stage completing the
+    * production pipeline: an ADC-approximate shortlist from
+    * [[ivfAdcTopk]] (`shortlist` ≥ topk pairs per query), then TRUE
+    * sqdist evaluated on the shortlist pairs only (|Q|·shortlist
+    * vector reads — bounded, never N²) and re-ranked with the same
+    * deterministic bounded tail. Returns (i, k_id, sqdist, rnk) with
+    * EXACT distances — quantization error is gone from both the values
+    * and the ordering; only candidate coverage (IVF buckets ∩ the ADC
+    * shortlist) still bounds recall, so recall@k is monotone in
+    * `shortlist` and `nprobe`. */
+  def ivfAdcRerankTopk(vecs: DataFrame, vecCol: String, model: Model,
+      topk: Int, shortlist: Int = 50, centroids: Int = 0, nprobe: Int = 8,
+      idCol: String = "vec_id", queryIds: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= topk,
+      s"ivfAdcRerankTopk: shortlist=$shortlist < topk=$topk")
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    ivfAdcTopk(v, "v", model, shortlist, centroids, nprobe, "vec_id", queryIds)
+      .select(col("i"), col("k_id"))
+      .join(v.select(col("vec_id").as("k_id"), col("v").as("kv")), "k_id")
+      .join(v.select(col("vec_id").as("i"), col("v").as("qv")), "i")
+      .select(col("i"), col("k_id"),
+        (-call_function("vec_sqdist", col("qv"), col("kv"))).as("negd"))
+      .groupBy("i")
+      .agg(call_function("ap_topm", col("negd"), col("k_id"), lit(topk)).as("keep"))
+      .select(col("i"), posexplode(col("keep")).as(Seq("pos", "e")))
+      .select(col("i"), col("e.k").as("k_id"), (-col("e.s")).as("sqdist"),
+        (col("pos") + lit(1)).as("rnk"))
+  }
 }

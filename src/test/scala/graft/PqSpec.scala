@@ -173,6 +173,55 @@ class PqSpec extends SparkSuite {
     assert(run().sameElements(got), "IVFADC result is not deterministic")
   }
 
+  test("exact re-rank of the IVFADC shortlist: true distances, recall recovery") {
+    // The faiss refine stage (Pq.ivfAdcRerankTopk): quantization error
+    // must vanish from values AND ordering — only candidate coverage
+    // bounds recall. Measured (round-12 probe, c=16 nprobe=8):
+    // ADC-only 0.552 → reranked 0.679 (shortlist 20) / 0.720 (50).
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    val rows = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val topk = 10
+    def run(): Array[(Long, Long, Double, Int)] =
+      graft.functions.Pq.ivfAdcRerankTopk(emb, "embedding", model, topk,
+          shortlist = 50, centroids = 16, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val got = run()
+    // (a) returned distances are the TRUE sqdist, ranks follow them
+    got.foreach { case (q, x, v, _) =>
+      val want = d2(rows(q), rows(x))
+      assert(math.abs(v - want) <= 1e-9 * math.max(1.0, want),
+        s"rerank($q,$x) = $v, true sqdist $want")
+    }
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.sameElements(byRank.sorted), s"query $q rerank order broken")
+      assert(rs.length <= topk && rs.forall(_._2 != q), s"query $q malformed rows")
+    }
+    // (b) recall beats ADC-only by a real margin (coverage is the same
+    // shortlist; the gain is exactly the quantization-ranking recovery)
+    def recall(pairs: Array[(Long, Long)]): Double = {
+      val byQ = pairs.groupBy(_._1)
+      val rs = rows.keys.toSeq.sorted.map { q =>
+        val exact = rows.keys.filter(_ != q).toSeq
+          .sortBy(x => (d2(rows(q), rows(x)), x)).take(topk).toSet
+        exact.intersect(byQ.getOrElse(q, Array.empty).map(_._2).toSet).size.toDouble / topk
+      }
+      rs.sum / rs.length
+    }
+    val adcOnly = graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, topk,
+        centroids = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rAdc = recall(adcOnly)
+    val rRerank = recall(got.map(t => (t._1, t._2)))
+    assert(rRerank >= rAdc + 0.05 && rRerank >= 0.65,
+      s"reranked recall $rRerank did not recover over ADC-only $rAdc")
+    // (c) deterministic
+    assert(run().sameElements(got), "reranked result is not deterministic")
+  }
+
   test("OPQ-lite rotation: big recall gain on correlated dims, no collapse on isotropic") {
     // round-11 VERDICT #4 — PQ in the eigenvalue-balanced PCA basis
     // (Ge et al. 2013's parametric baseline). The rotation is
