@@ -94,10 +94,17 @@ object Pca {
     require(d <= MaxDim, s"Pca.fit: d=$d exceeds MaxDim=$MaxDim")
     val scaleRow = v.agg(
       count(lit(1)).as("n"),
-      max(array_max(transform(col("v"), x => abs(x)))).as("m")).collect()(0)
+      max(array_max(transform(col("v"), x => abs(x)))).as("m"),
+      min(size(col("v"))).as("dmin"),
+      max(size(col("v"))).as("dmax")).collect()(0)
     val n = scaleRow.getLong(0)
     val maxAbs = scaleRow.getDouble(1)
     require(n > 1, s"Pca.fit: need ≥ 2 non-null rows, got $n")
+    // Ragged input must fail LOUD here: the centered pass below uses
+    // zip_with, which would silently null-pad a short vector instead of
+    // tripping the aggregate's dimension check the raw path had.
+    require(scaleRow.getInt(2) == d && scaleRow.getInt(3) == d,
+      s"Pca.fit: ragged vectors (sizes ${scaleRow.getInt(2)}..${scaleRow.getInt(3)}, expected $d)")
     def shiftFor(worstMag: Double): Int = {
       val worst = math.max(1.0, worstMag)
       math.max(0, math.min(24,

@@ -152,6 +152,15 @@ class PcaSpec extends SparkSuite {
       graft.functions.Pca.fit(allNull, "embedding")
     }
     assert(e.getMessage.contains("empty input"), s"unexpected error: ${e.getMessage}")
+    // ragged vectors fail LOUD (the centered pass's zip_with would
+    // otherwise silently null-pad a short row)
+    val ragged = base.withColumn("embedding",
+      when(col("vec_id") === 7, slice(col("embedding"), 1, 3))
+        .otherwise(col("embedding")))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.functions.Pca.fit(ragged, "embedding")
+    }
+    assert(e2.getMessage.contains("ragged"), s"unexpected error: ${e2.getMessage}")
   }
 
   test("a huge mean offset does not degrade the eigenbasis (centered moments)") {

@@ -284,5 +284,16 @@ class PqSpec extends SparkSuite {
       math.log(math.max(rm.pca.eigenvalues(c), 1e-12))).sum).toSeq
     assert(loads.max - loads.min <= 1.0,
       s"per-block log-variance loads unbalanced: $loads")
+    // the rotation COMPOSES with the IVFADC path: a rotated frame runs
+    // the composed search under the same contract, and — the rotation
+    // being orthogonal — its recall measures against the ORIGINAL
+    // exact neighbors
+    val rotated = graft.functions.Pq.rotate(emb, "embedding", rm.pca, rm.basisPerm)
+    val composed = graft.functions.Pq.ivfAdcTopk(rotated, "rv", rm.pq, topk,
+        centroids = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rComposed = meanRecall(emb.select(col("vec_id"), col("embedding")), composed)
+    assert(rComposed >= 0.4,
+      s"rotated IVFADC recall $rComposed < 0.4 — composition broken")
   }
 }
