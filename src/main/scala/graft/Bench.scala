@@ -383,11 +383,7 @@ object Bench {
       val fitSec = time { model = graft.functions.Pq.fit(e, "embedding") }
       val c = graft.functions.Ivf.autoCentroids(n)
       var cents: Seq[(Long, Seq[Double])] = null
-      val centSec = time {
-        val s0 = graft.functions.Ivf.seeds(v, c, sampleN = math.max(256, 2 * c))
-        cents = if (c > graft.functions.Ivf.TwoLevelThreshold)
-          graft.functions.Ivf.refine(v, s0) else s0
-      }
+      val centSec = time { cents = graft.functions.Ivf.buildCentroids(v, c) }
       val assignSec = time {
         graft.functions.Ivf.assignments(v, cents, nprobe,
           (a, b) => call_function("vec_sqdist", a, b)).count()

@@ -220,6 +220,19 @@ object Ivf {
     * Driver cost stays probe·c·d — a few seconds even at c ≈ 10⁵. */
   val TreeAgreementProbeSample: Int = 512
 
+  /** THE centroid-build recipe: farthest-point seeds over the
+    * 2c-bounded hash-spread sample, plus euclidean Lloyd refinement on
+    * the large-c path (c > [[TwoLevelThreshold]] — the same gate as
+    * the two-level assignment, where k-center seeds hurt most; see
+    * [[refine]]). One definition (round-12 review: the sequence was
+    * copy-pasted across Dedup.ivfTopk, Pq.ivfAdcTopk, and the bench's
+    * stage-timing recipe — any drift would have silently desynchronized
+    * the committed pqivf.json record from the shipped path). */
+  def buildCentroids(vecs: DataFrame, c: Int): Seq[(Long, Seq[Double])] = {
+    val s0 = seeds(vecs, c, sampleN = math.max(256, 2 * c))
+    if (c > TwoLevelThreshold) refine(vecs, s0) else s0
+  }
+
   /** Bucket assignment shared by the sparse-AP graph builder and the
     * ANN index: returns `(vec_id, c_id, crnk)` — each point's `nprobe`
     * nearest centroids by `dist` (smaller = closer; ties → smaller

@@ -105,10 +105,19 @@ object Pca {
     // tripping the aggregate's dimension check the raw path had.
     require(scaleRow.getInt(2) == d && scaleRow.getInt(3) == d,
       s"Pca.fit: ragged vectors (sizes ${scaleRow.getInt(2)}..${scaleRow.getInt(3)}, expected $d)")
+    // Shift sized from the ACTUAL worst magnitude — no 1.0 floor and
+    // no small cap (round-12 review): data whose centered spread is
+    // tiny (the huge-offset regime the centering exists for) NEEDS a
+    // large shift, or every second-moment term rounds to zero and the
+    // covariance silently collapses; the old min(24, …) did exactly
+    // that below spread ~2e-4. The only real constraints are overflow
+    // (worst·n·2^shift < 2⁶²) and a finite 2^shift for degenerate
+    // all-constant input (worst = 0 → any shift works; 0 keeps pow
+    // sane).
     def shiftFor(worstMag: Double): Int = {
-      val worst = math.max(1.0, worstMag)
-      math.max(0, math.min(24,
-        62 - math.ceil(math.log(worst * n.toDouble) / math.log(2.0)).toInt))
+      if (worstMag <= 0 || worstMag.isNaN || worstMag.isInfinite) 0
+      else math.max(0, math.min(512,
+        62 - math.ceil(math.log(worstMag * n.toDouble) / math.log(2.0)).toInt))
     }
     // Pass 2: fixed-point per-dim mean (+ per-dim min/max, which bound
     // the CENTERED magnitude exactly — bounding it by maxAbs + |μ|

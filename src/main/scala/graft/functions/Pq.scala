@@ -334,7 +334,16 @@ object Pq {
     * searched, but only those ids probe, build LUT rows, and appear as
     * `i`. The production shape: M queries against an N-row corpus
     * costs M·(nprobe·N/c) candidate work, not N·(…). Self-matches stay
-    * excluded. */
+    * excluded.
+    *
+    * The `assigned` frame feeds two branches (homes + probes) without
+    * materialization — deliberately: the expensive distance work sits
+    * BELOW the per-vec ranking exchange in every assignment regime
+    * (map-side in the flat crossJoin; partial-aggregate in the
+    * two-level/tree ap_topm forms), so Catalyst's ReusedExchange serves
+    * the second branch from the first one's shuffle. Measured at
+    * N = 200 k (BENCH_NOTES §22): end-to-end 32.2 s ≈ the 33.5 s
+    * single-execution stage sum — no double-pay. */
   def ivfAdcTopk(vecs: DataFrame, vecCol: String, model: Model, topk: Int,
       centroids: Int = 0, nprobe: Int = 8, idCol: String = "vec_id",
       queryIds: Option[DataFrame] = None): DataFrame = {
@@ -344,13 +353,15 @@ object Pq {
     val v = vecs.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), _.cast("double")).as("v"))
     val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
-    val cents0 = Ivf.seeds(v, c, sampleN = math.max(256, 2 * c))
-    val cents =
-      if (c > Ivf.TwoLevelThreshold) Ivf.refine(v, cents0) else cents0
+    val cents = Ivf.buildCentroids(v, c)
     val assigned = Ivf.assignments(v, cents, nprobe,
       (a, b) => call_function("vec_sqdist", a, b))
+    // distinct: a duplicated workload id would double both its
+    // candidate pairs AND its LUT rows — the (i, b, code) join then
+    // yields k² block rows per pair and every adc value for that query
+    // comes out k²× the true distance, silently (round-12 review)
     val qids = queryIds.map(q =>
-      q.select(col(q.columns.head).cast("long").as("vec_id")))
+      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct())
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)

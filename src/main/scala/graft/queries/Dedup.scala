@@ -1166,17 +1166,12 @@ object Dedup extends QueryGroup {
     // −dot(v, unit(cv)) ascending IS cosine-descending ranking — 1/|v|
     // is a positive per-point constant — so the shared assignment
     // kernel needs one dot per candidate instead of dot + two norms.
-    val cents0 = graft.functions.Ivf
-      .seeds(vecs, c, sampleN = math.max(256, 2 * c))
-    // Large-c path only (the two-level gate): euclidean Lloyd refinement
-    // over a bounded sample, THEN unit-normalization — the k-means mean
-    // of a bucket re-normalized is the standard spherical-k-means update,
-    // so the refined centroids serve the cosine ranking below. Fixture
-    // shapes (explicit c = 16) keep the historical bit-identical seeds.
-    val cents1 =
-      if (c > graft.functions.Ivf.TwoLevelThreshold)
-        graft.functions.Ivf.refine(vecs, cents0)
-      else cents0
+    // Shared seeds + large-c Lloyd recipe (Ivf.buildCentroids), THEN
+    // unit-normalization — the k-means mean of a bucket re-normalized
+    // is the standard spherical-k-means update, so the refined
+    // centroids serve the cosine ranking below. Fixture shapes
+    // (explicit c = 16) keep the historical bit-identical seeds.
+    val cents1 = graft.functions.Ivf.buildCentroids(vecs, c)
     val cents = cents1.map { case (id, v) =>
         val nrm = math.sqrt(v.map(x => x * x).sum)
         (id, if (nrm > 0) v.map(_ / nrm) else v)

@@ -164,6 +164,17 @@ class GraftSpec extends SparkSuite {
     assert(facade.nonEmpty)
   }
 
+  test("pqEncode matches emb_pq") {
+    // round-12 review: the k=16 vs 256 facade/key default drift went
+    // uncaught because this sibling of every other "matches" test was
+    // missing
+    val facade = rows(Graft.pqEncode(myEmb, idCol = "item_id", vecCol = "vec")
+      .orderBy("vec_id"))
+    val key = rows(SparkEntry.queries("emb_pq")(spark, sf001))
+    assert(facade == key)
+    assert(facade.nonEmpty)
+  }
+
   test("quantizeInt8 matches emb_quantize") {
     val facade = rows(Graft.quantizeInt8(myEmb, "item_id", "vec").orderBy("vec_id"))
     val key = rows(SparkEntry.queries("emb_quantize")(spark, sf001))

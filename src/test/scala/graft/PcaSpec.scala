@@ -189,6 +189,30 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("tiny spread under a huge offset keeps a real covariance (shift sizing)") {
+    // round-12 review: the old min(24, …)-capped shift quantized every
+    // second-moment term to ZERO once the centered spread fell below
+    // ~2e-4 — exactly the huge-offset/tiny-spread regime the centering
+    // exists for. The shift is now sized from the actual magnitude.
+    // x → x·1e-5 + 1e6 scales the covariance by 1e-10 exactly (shift
+    // invariance + linear scaling), so the spectrum must track the
+    // base fit's.
+    val d = 6
+    val base = fixture(400, d, seed = 23)
+    val tiny = base.withColumn("embedding",
+      transform(col("embedding"), x => x * 1e-5 + 1e6))
+    val m0 = graft.functions.Pca.fit(base, "embedding")
+    val m1 = graft.functions.Pca.fit(tiny, "embedding")
+    (0 until d).foreach { c =>
+      val want = m0.eigenvalues(c) * 1e-10
+      assert(math.abs(m1.eigenvalues(c) - want) <= 1e-3 * math.max(want, 1e-18),
+        s"eigenvalue $c under tiny spread: ${m1.eigenvalues(c)} vs $want")
+      val dot = math.abs(
+        (0 until d).map(i => m0.loadings(c)(i) * m1.loadings(c)(i)).sum)
+      assert(dot >= 0.999, s"component $c rotated under tiny spread (|dot| = $dot)")
+    }
+  }
+
   test("fit is bit-deterministic across partitionings; emb_pca key runs end-to-end") {
     val df = fixture(500, 8, seed = 42)
     val m1 = graft.functions.Pca.fit(df.repartition(32), "embedding")

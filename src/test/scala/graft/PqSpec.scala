@@ -173,6 +173,24 @@ class PqSpec extends SparkSuite {
     assert(run().sameElements(got), "IVFADC result is not deterministic")
   }
 
+  test("duplicate ids in the query workload do not scale ADC values") {
+    // round-12 review: without the distinct, a workload id appearing k
+    // times duplicated both its candidate pairs and its LUT rows — the
+    // (i, b, code) join then produced k² block rows per pair and every
+    // adc came out k²× the true distance, silently (ranks unchanged).
+    import spark.implicits._
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    def run(ids: Seq[Long]): Seq[(Long, Long, Double, Int)] =
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, 5,
+          centroids = 16, nprobe = 8, queryIds = Some(ids.toDF("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val clean = run(Seq(7L, 11L))
+    assert(clean.map(_._1).toSet == Set(7L, 11L) && clean.nonEmpty)
+    assert(run(Seq(7L, 7L, 11L)) == clean,
+      "a duplicated workload id changed the result")
+  }
+
   test("exact re-rank of the IVFADC shortlist: true distances, recall recovery") {
     // The faiss refine stage (Pq.ivfAdcRerankTopk): quantization error
     // must vanish from values AND ordering — only candidate coverage
