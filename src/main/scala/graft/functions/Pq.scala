@@ -170,7 +170,11 @@ object Pq {
     * sqdist in the rotated basis EQUALS sqdist in the original space —
     * so rotated-ADC results are directly comparable to (and
     * substitutable for) unrotated ones; only the quantization error
-    * changes. */
+    * changes. Deliberately a rotation, NOT `emb_pca`'s whitening:
+    * whitening rescales axes by 1/√λ, which changes the metric — ANN
+    * in whitened space answers a different (Mahalanobis-like) query
+    * than the caller asked. Block balance comes from the permutation
+    * instead. */
   final case class RotatedModel(pca: Pca.Model, basisPerm: Array[Int], pq: Model)
 
   /** Eigenvalue-balanced assignment of the d eigen-components to m
