@@ -179,6 +179,22 @@ object Graft {
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
   }
 
+  /** Blocked edit-distance matching — entity resolution's
+    * blocking-then-matching pipeline: candidates share a block key
+    * (first whitespace token of `textCol` — pick/derive a finer key
+    * column upstream for hot blocks), matches are Levenshtein ≤
+    * `maxEdits`. The quadratic compare runs on DISTINCT strings per
+    * block only; exact duplicates expand from their group with no
+    * compare — corpus-scale duplication is the common case and costs
+    * nothing here. Returns (key_a < key_b, dist). Exact: the result
+    * row set equals the naive blocked self-join's. */
+  def blockedEditDistancePairs(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxEdits: Int = 2): DataFrame =
+    queries.Dedup.blockedEditPairs(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("name")),
+      maxEdits)
+
   /** Generic connected components over any (id_a, id_b) edge list. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
     queries.Dedup.connectedComponents(nodes, edges)

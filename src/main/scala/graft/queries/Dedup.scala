@@ -1142,8 +1142,60 @@ object Dedup extends QueryGroup {
           centroids = 16, nprobe = 8)
         .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
         .orderBy("i", "rnk")
-    })
+    }),
+
+    // Blocked entity-resolution matcher (round 12) over part names:
+    // same-first-token blocking + Levenshtein ≤ 3 — the classic ER
+    // blocking-then-matching pipeline ([[blockedEditPairs]]). Oracled
+    // exactly: DuckDB runs the naive blocked self-join; the engine runs
+    // the distinct-string decomposition and must produce the identical
+    // id-level row set.
+    "er_blocked_match" -> ((s, dir) =>
+      blockedEditPairs(
+          Tables.part(s, dir)
+            .select(col("p_partkey").as("id"), col("p_name").as("name")),
+          maxEdits = 3)
+        .orderBy("key_a", "key_b"))
   )
+
+  /** Blocked edit-distance matcher — entity resolution's
+    * blocking-then-matching shape, decomposed for corpus-scale string
+    * DUPLICATION (the fixture has 64 distinct names across 2000 parts;
+    * real catalogs are the same): the quadratic Levenshtein compare
+    * runs on DISTINCT strings per block only (Σ|distinct-block|²
+    * compares — 8²-ish per block here, vs 250² naive), exact-duplicate
+    * pairs come from same-string group expansion with NO compare at
+    * all, and the id-level result is provably the naive block-join's
+    * exact row set (cross-name pairs expand the name-pair relation
+    * through the two id lists; levenshtein is symmetric so the
+    * name-ordered compare serves both id orders). Per-task work is
+    * bounded by block population — never all-pairs; a pathological
+    * block (every distinct string under one token) is the hot-bucket
+    * case callers handle by picking a finer block function, the same
+    * discipline as the shingle df-cap. Input (id: long, name);
+    * returns (key_a < key_b, dist ≤ maxEdits). */
+  private[graft] def blockedEditPairs(rows: DataFrame, maxEdits: Int): DataFrame = {
+    val base = rows.select(col("id"), col("name"),
+      split(col("name"), " ").getItem(0).as("w"))
+    val names = base.select("w", "name").distinct()
+    val crossNames = names.as("a")
+      .join(names.as("b"),
+        col("a.w") === col("b.w") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= maxEdits)
+    val cross = crossNames
+      .join(base.select(col("name").as("name_a"), col("id").as("id_a")), "name_a")
+      .join(base.select(col("name").as("name_b"), col("id").as("id_b")), "name_b")
+      .select(least(col("id_a"), col("id_b")).as("key_a"),
+        greatest(col("id_a"), col("id_b")).as("key_b"), col("dist"))
+    val sameName = base.select(col("name"), col("id").as("id_a"))
+      .join(base.select(col("name"), col("id").as("id_b")), "name")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
+        lit(0).as("dist"))
+    cross.unionByName(sameName)
+  }
 
   /** IVF ANN top-k kernel shared by the query key and the clustered-data
     * mechanism test: farthest-point seeds (+ Lloyd refinement past the
@@ -1268,6 +1320,14 @@ object Dedup extends QueryGroup {
     s"list_aggregate(list_transform(list_zip($va, $vb), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum') / ($na * $nb)"
 
   def oracles: Seq[(String, String)] = Seq(
+    "er_blocked_match" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        | AND a.p_partkey < b.p_partkey
+        | AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY key_a, key_b""".stripMargin,
     "emb_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -164,6 +164,16 @@ class GraftSpec extends SparkSuite {
     assert(facade.nonEmpty)
   }
 
+  test("blockedEditDistancePairs matches er_blocked_match") {
+    val parts = Tables.part(spark, sf001)
+      .select(col("p_partkey").as("pid"), col("p_name").as("label"))
+    val facade = rows(Graft.blockedEditDistancePairs(parts, "pid", "label",
+      maxEdits = 3).orderBy("key_a", "key_b"))
+    val key = rows(SparkEntry.queries("er_blocked_match")(spark, sf001))
+    assert(facade == key)
+    assert(facade.nonEmpty)
+  }
+
   test("pqEncode matches emb_pq") {
     // round-12 review: the k=16 vs 256 facade/key default drift went
     // uncaught because this sibling of every other "matches" test was
