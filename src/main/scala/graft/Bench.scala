@@ -442,7 +442,8 @@ object Bench {
     * bounded probe of the dispatch floor (cached lineitem count)
     * retries each minute until the floor draws at or below
     * `SPARK_GRAFT_QUIET_GATE` (0 disables) or the
-    * `SPARK_GRAFT_QUIET_WAIT` budget (default 900 s) expires — then
+    * `SPARK_GRAFT_QUIET_WAIT` budget (default 600 s — bounded so the
+    * driver's round-end bench step cannot be starved by the wait) expires — then
     * records regardless, on the reasoning that a bounded wait usually
     * catches a quiet window and an exhausted budget leaves us no worse
     * than today.
@@ -497,7 +498,7 @@ object Bench {
     val quietGate = sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "0.065").toDouble
     if (quietGate > 0)
       waitForQuietWindow(sfDir, quietGate,
-        sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "900").toDouble)
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "600").toDouble)
     val avail = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     // Machine width first (best on this round's box), workload width
