@@ -59,6 +59,18 @@ object TextOps extends QueryGroup {
       .toDF("doc_id", "n_bytes", "width", "height", "format")
   }
 
+  /** The decode family's total byte source: text repeated until it
+    * covers `maxNeed` payload bytes (byte-measured — octet_length, not
+    * chars), with a 1-byte filler for empty docs so the repeat count
+    * never NPEs (round-4 ADVICE). One definition for PPM and WAV
+    * (round-12 review: the scaffold was copy-pasted with only the
+    * constant varying). Adds (bt, pxall). */
+  private def repeatToCover(docs: DataFrame, maxNeed: Int): DataFrame =
+    docs
+      .withColumn("bt", when(length(col("text")) > 0, col("text")).otherwise(lit(" ")))
+      .withColumn("pxall", encode(concat_ws("", array_repeat(col("bt"),
+        (lit(maxNeed) / expr("octet_length(bt)")).cast("int") + 1)), "UTF-8"))
+
   /** PPM (P6) frame + decode of a (doc_id, text) relation: ingest builds
     * the binary image "P6\n<w> <h>\n255\n" + w·h·3 pixel bytes (pixels
     * sampled from the text; w, h from the id — at most 16×9×3 = 432
@@ -77,10 +89,7 @@ object TextOps extends QueryGroup {
       encode(concat(lit("P6\n"), w.cast("string"), lit(" "),
         h.cast("string"), lit("\n255\n")), "UTF-8"),
       expr("substring(pxall, 1, need)")) // binary substring: byte slice
-    docs
-      .withColumn("bt", when(length(col("text")) > 0, col("text")).otherwise(lit(" ")))
-      .withColumn("pxall", encode(concat_ws("", array_repeat(col("bt"),
-        (lit(432) / expr("octet_length(bt)")).cast("int") + 1)), "UTF-8"))
+    repeatToCover(docs, 432)
       .withColumn("need", need)
       .select(col("doc_id"), payload.as("payload"))
       .as[(Long, Array[Byte])]
@@ -131,17 +140,18 @@ object TextOps extends QueryGroup {
     val blockAlign = ch * 2                 // 16-bit samples
     val nsamp = col("doc_id") % 50 + 10     // 10..59 frames
     val dataSize = nsamp * blockAlign       // ≤ 236 bytes
-    val payload = unhex(concat(
-      lit("52494646"), hle32(lit(36L) + dataSize),          // "RIFF" + size
-      lit("57415645"), lit("666D7420"), hle32(lit(16L)),    // "WAVE" "fmt " 16
-      hle16(lit(1L)), hle16(ch), hle32(sr),                 // PCM, channels, rate
-      hle32(sr * blockAlign), hle16(blockAlign), hle16(lit(16L)),
-      lit("64617461"), hle32(dataSize),                     // "data" + size
-      hex(expr("substring(pxall, 1, need)"))))
-    docs
-      .withColumn("bt", when(length(col("text")) > 0, col("text")).otherwise(lit(" ")))
-      .withColumn("pxall", encode(concat_ws("", array_repeat(col("bt"),
-        (lit(236) / expr("octet_length(bt)")).cast("int") + 1)), "UTF-8"))
+    // binary concat of the unhexed header and the raw payload slice —
+    // hex()ing the PCM bytes just to unhex them again doubled the
+    // payload transform for nothing (round-12 review)
+    val payload = concat(
+      unhex(concat(
+        lit("52494646"), hle32(lit(36L) + dataSize),          // "RIFF" + size
+        lit("57415645"), lit("666D7420"), hle32(lit(16L)),    // "WAVE" "fmt " 16
+        hle16(lit(1L)), hle16(ch), hle32(sr),                 // PCM, channels, rate
+        hle32(sr * blockAlign), hle16(blockAlign), hle16(lit(16L)),
+        lit("64617461"), hle32(dataSize))),                   // "data" + size
+      expr("substring(pxall, 1, need)"))
+    repeatToCover(docs, 236)
       .withColumn("need", dataSize.cast("int"))
       .select(col("doc_id"), payload.as("payload"))
       .as[(Long, Array[Byte])]
@@ -196,17 +206,16 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id", "term")
     }),
 
-    // Bigram counts across the corpus (positional lead within doc).
-    "text_ngrams" -> ((s, dir) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-        .withColumn("nxt", lead(col("term"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(concat(col("term"), lit(" "), col("nxt")).as("bigram"))
+    // Bigram counts across the corpus — via the shingle kernel
+    // (round-12 review: the old posexplode+lead form paid a per-doc
+    // window SORT of every exploded token just to pair neighbors; the
+    // explode(sequence)+element_at form produces the same adjacent
+    // pairs in pure codegen with no ordering requirement at all).
+    "text_ngrams" -> ((s, dir) =>
+      Dedup.shingles(s, Tables.documents(s, dir), dedup = false, n = 2)
+        .select(col("shingle").as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .orderBy("bigram")
-    }),
+        .orderBy("bigram")),
 
     // Per-(lang, source) corpus stats.
     "text_lang_stats" -> ((s, dir) =>
@@ -272,19 +281,11 @@ object TextOps extends QueryGroup {
       val base = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
-      val big = docs
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        // one doc_id spread serves BOTH aggregates below (the shingle
-        // family's discipline: HashPartitioning(doc_id) satisfies the
-        // (doc_id, bigram) clustering too — subset rule)
-        .repartition(Tables.workloadPartitions(s, docs), col("doc_id"))
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(0), size(col("ws")) - 2)).as("j"))
-        .select(col("doc_id"), concat_ws(" ",
-          element_at(col("ws"), col("j") + 1),
-          element_at(col("ws"), col("j") + 2)).as("bigram"))
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      // bigrams from the ONE shingle kernel (round-12 review: this block
+      // was a line-for-line copy of Dedup.shingles(dedup=false, n=2),
+      // including the doc_id-spread discipline — drift hazard)
+      val big = Dedup.shingles(s, docs, dedup = false, n = 2)
+        .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as("mx"))
       base.join(big, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
@@ -318,11 +319,20 @@ object TextOps extends QueryGroup {
       val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val boiler = g.join(boilerGrams, Seq("shingle"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-      totals.join(boiler, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
+      // LEFT join from documents (round-12 review): a <3-word doc has
+      // no shingles and used to vanish from the report entirely —
+      // hiding exactly the most degenerate docs from any downstream
+      // gate that joins on boiler_frac (the discipline
+      // text_quality_rep already follows). Zero-filled, frac 0.0.
+      Tables.documents(s, dir).select("doc_id")
+        .join(totals, Seq("doc_id"), "left")
+        .join(boiler, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-          round(coalesce(col("n_boiler"), lit(0L)) / col("n_grams").cast("double"), 4)
-            .as("boiler_frac"))
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            round(coalesce(col("n_boiler"), lit(0L)) / col("n_grams").cast("double"), 4))
+            .otherwise(lit(0.0)).as("boiler_frac"))
         .orderBy("doc_id")
     }),
 
@@ -507,28 +517,39 @@ object TextOps extends QueryGroup {
             ids.setValueCount(batch.size); pay.setValueCount(batch.size)
             val root = new VectorSchemaRoot(
               java.util.List.of[org.apache.arrow.vector.FieldVector](ids, pay))
-            val out = (0 until root.getRowCount).map { r =>
+            // finally: a parse failure mid-batch must still release the
+            // vectors, or the task-completion alloc.close() throws on
+            // outstanding buffers and BURIES the real error
+            // (round-12 review)
+            try (0 until root.getRowCount).map { r =>
               val n = pay.getValueLength(r).toLong // offset-buffer read
               val id = ids.get(r)
               val (w, h, fmt, off) = MmCodec.parseGft1(pay.get(r), id)
               (id, n - off, w, h, fmt)
-            }
-            root.close()
-            out
+            } finally root.close()
           }
         }
         .toDF("doc_id", "n_bytes", "width", "height", "format")
         .orderBy("doc_id")
     }),
 
-    // Frame sampling over the binary payload: 32-byte frames, every 2nd
-    // frame kept — the (id, frame_no, frame) batch shape a video pipeline
-    // feeds to a decoder.
+    // Frame sampling: 32-CHAR frames over the text payload (the batch
+    // shape a video pipeline feeds to a decoder; char slicing is
+    // deliberate and shared with the oracle — a real binary payload
+    // swaps in octet_length + binary substring, the decodePpm
+    // discipline), every 2nd frame kept. Frame count by exact integral
+    // `div` (the banded-join discipline), and an EMPTY doc has zero
+    // frames: the old ceil(len/32.0)−1 fed sequence(0, −1), which in
+    // Spark yields [0, −1] (descending default step) and fabricated a
+    // phantom frame_no=0 row the oracle's range(0, 0) never emits
+    // (round-12 review, confirmed live in spark-shell).
     "mm_frame_sample" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0L), ceil(length(col("text")) / lit(32.0)).cast("long") - 1))
-            .as("frame_no"))
+          expr("(length(text) + 31) div 32").as("nf"))
+        .filter(col("nf") > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("nf") - 1)).as("frame_no"))
         .filter(col("frame_no") % 2 === 0)
         .select(col("doc_id"), col("frame_no"),
           md5(col("text").substr(col("frame_no").cast("int") * 32 + 1, lit(32)))
@@ -751,14 +772,21 @@ object TextOps extends QueryGroup {
         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
         |       UNNEST(range(1, len(ws) - 1)) AS t(i)),
-        |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
-        |SELECT g.doc_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |  CAST(SUM(CASE WHEN df.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-        |  ROUND(SUM(CASE WHEN df.df >= 4 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS boiler_frac
-        |FROM g JOIN df ON g.g = df.g
-        |GROUP BY g.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT g.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN df.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |  FROM g JOIN df ON g.g = df.g
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CASE WHEN COALESCE(per.n_grams, 0) > 0
+        |       THEN ROUND(per.n_boiler / CAST(per.n_grams AS DOUBLE), 4)
+        |       ELSE CAST(0 AS DOUBLE) END AS boiler_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Independent derivation from the WAV generative formula (the Spark
     // side parses only bytes): any LE-walk or chunk-offset bug
     // mismatches.
