@@ -75,6 +75,19 @@ object Det {
   /** Exact-sum of a 2-decimal money column via integer cents. */
   def sumd2(c: Column): Column = fixedToDbl(sum(cents(c)), 100)
 
+  /** THE discounted-revenue fixed point — price·(1−disc) in integer
+    * 1e-4 units, as cents(price)·(100 − cents(disc)). One definition
+    * (round-12 review: this expression was hand-duplicated across
+    * agg_groupby, topkGlobal, orderkeyRevPlan, and two oracle strings —
+    * the exact drift class Det exists to prevent). Sum with sum(·) and
+    * convert via [[fixedToDbl]](·, 10000); headroom discussion above. */
+  def discUnits(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
+
+  /** SQL mirror of [[discUnits]]. */
+  def discUnitsSql(price: String, disc: String): String =
+    s"${centsSql(price)} * (100 - ${centsSql(disc)})"
+
   /** SQL mirror of [[sumd2]]. The divisor is CAST(100 AS DOUBLE), not the
     * literal 100.0: Spark parses a decimal literal and would produce a
     * DECIMAL division (AgreementSpec runs these strings in Spark too),

@@ -17,8 +17,8 @@ object Aggregates extends QueryGroup {
         .agg(
           sumd2(col("l_quantity")).as("sum_qty"),
           sumd2(col("l_extendedprice")).as("sum_base_price"),
-          // price·(1−disc) in integer 1e-4 units: cents × (100 − cents)
-          fixedToDbl(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))), 10000)
+          // price·(1−disc) in integer 1e-4 units (Det.discUnits)
+          fixedToDbl(sum(Det.discUnits(col("l_extendedprice"), col("l_discount"))), 10000)
             .as("sum_disc_price"),
           avgd2(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -58,26 +58,15 @@ object Aggregates extends QueryGroup {
 
     // Subtotal hierarchy. COALESCE the nullable grouping keys to a
     // sentinel so null-ordering differences can't bite (fixtures have no
-    // natural nulls in these columns — D4).
+    // natural nulls in these columns — D4). One shared body
+    // ([[subtotalBody]]) for rollup AND cube — the oracle side already
+    // shares rollupBody, and the two Scala bodies must stay identical
+    // for that shared oracle text to stay valid (round-12 review).
     "agg_rollup" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("sum_qty"), col("cnt"))
-        .orderBy("rf", "ls")),
+      subtotalBody(Tables.lineitem(s, dir).rollup("l_returnflag", "l_linestatus"))),
 
     "agg_cube" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .cube("l_returnflag", "l_linestatus")
-        .agg(sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("sum_qty"), col("cnt"))
-        .orderBy("rf", "ls")),
+      subtotalBody(Tables.lineitem(s, dir).cube("l_returnflag", "l_linestatus"))),
 
     // Explicit grouping sets ((rf), (ls), ()) with the GROUPING_ID()
     // disambiguator (SURVEY §2.D): gid tells a subtotal row apart from a
@@ -185,18 +174,25 @@ object Aggregates extends QueryGroup {
     }),
 
     // UNPIVOT/melt: the four lineitem measures to (key, metric, v) rows —
-    // the inverse reshape, Dataset.unpivot (Spark 4 melt).
+    // the inverse reshape, Dataset.unpivot (Spark 4 melt). The id set
+    // carries partkey+suppkey too: (l_orderkey, l_linenumber) is NOT
+    // unique in this fixture (11,785 duplicate pairs at sf0.01 with
+    // differing prices), so ordering by it alone violated D1 — tied
+    // rows with different v could legally come back in either order
+    // from either engine, and parity held only on the engines' stable
+    // single-split sorts (round-12 review). (ok, ln, pk, sk) is unique.
     "fn_unpivot" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-          "l_discount", "l_tax")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .unpivot(
-          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          ids = Array(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
           values = Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
           variableColumnName = "metric",
           valueColumnName = "v")
-        .orderBy("l_orderkey", "l_linenumber", "metric")),
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "metric")),
 
     // HLL++ sketch — approximate, so no oracle (D3); bounds asserted in
     // the ScalaTest suite instead.
@@ -277,6 +273,17 @@ object Aggregates extends QueryGroup {
         .orderBy("o_orderpriority"))
   )
 
+  /** Shared agg/coalesce/order body of agg_rollup and agg_cube — the
+    * Scala twin of [[rollupBody]]. */
+  private def subtotalBody(
+      g: org.apache.spark.sql.RelationalGroupedDataset): org.apache.spark.sql.DataFrame = g
+    .agg(sumd2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    .select(
+      coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+      coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+      col("sum_qty"), col("cnt"))
+    .orderBy("rf", "ls")
+
   private val rollupBody =
     s"""  COALESCE(l_returnflag, 'ALL') AS rf,
       |  COALESCE(l_linestatus, 'ALL') AS ls,
@@ -295,7 +302,7 @@ object Aggregates extends QueryGroup {
       s"""SELECT l_returnflag, l_linestatus,
         |  ${Det.sumd2Sql("l_quantity")} AS sum_qty,
         |  ${Det.sumd2Sql("l_extendedprice")} AS sum_base_price,
-        |  (CAST(SUM(${Det.centsSql("l_extendedprice")} * (100 - ${Det.centsSql("l_discount")})) AS BIGINT) / CAST(10000 AS DOUBLE)) AS sum_disc_price,
+        |  (CAST(SUM(${Det.discUnitsSql("l_extendedprice", "l_discount")}) AS BIGINT) / CAST(10000 AS DOUBLE)) AS sum_disc_price,
         |  ROUND(CAST(SUM(${Det.centsSql("l_quantity")}) AS BIGINT) / CAST(100 AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -368,15 +375,15 @@ object Aggregates extends QueryGroup {
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fn_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, metric, v FROM (
-        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, v FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
         |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'l_extendedprice', l_extendedprice FROM lineitem
         |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'l_discount', l_discount FROM lineitem
         |  UNION ALL
-        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,

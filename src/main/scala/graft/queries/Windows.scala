@@ -44,7 +44,7 @@ object Windows extends QueryGroup {
     // declare the orderkey access path: if the catalog has a bucketed
     // projection, the fact-side aggregate/join needs no exchange
     val l = Tables.projection(s, dir, "lineitem", "l_orderkey")
-    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    val rev = Det.discUnits(col("l_extendedprice"), col("l_discount"))
     val fact =
       if (preAgg) orderkeyRevPlan(s, dir)
       else l.select(col("l_orderkey"), rev.as("rev_units"))
@@ -69,7 +69,7 @@ object Windows extends QueryGroup {
   private[graft] def orderkeyRevPlan(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val l = Tables.projection(s, dir, "lineitem", "l_orderkey")
-    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    val rev = Det.discUnits(col("l_extendedprice"), col("l_discount"))
     l.groupBy(col("l_orderkey")).agg(sum(rev).as("rev_units"))
   }
 
@@ -408,7 +408,7 @@ object Windows extends QueryGroup {
         |ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey ASC""".stripMargin,
     "topk_global" ->
       s"""SELECT c_custkey, c_name,
-        |  (CAST(SUM(${Det.centsSql("l_extendedprice")} * (100 - ${Det.centsSql("l_discount")})) AS BIGINT) / CAST(10000 AS DOUBLE)) AS revenue
+        |  (CAST(SUM(${Det.discUnitsSql("l_extendedprice", "l_discount")}) AS BIGINT) / CAST(10000 AS DOUBLE)) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_custkey, c_name
