@@ -177,13 +177,9 @@ object Joins extends QueryGroup {
         .orderBy(graft.Det.liKey.head, graft.Det.liKey.tail: _*)
     }),
 
-    // As-of join (no Spark builtin): for each order, the latest strictly
-    // earlier order of the same customer; date ties broken by max
-    // orderkey (D6). Union-tag + last_value(ignoreNulls) over a single
-    // (custkey, date, tag, key) sort — query rows (tag 0) sort before
-    // same-date build rows (tag 1), so ROWS ... AND -1 sees only strictly
-    // earlier dates. One shuffle, linear in input — the 100 TB-scale
-    // as-of algorithm (vs the O(pairs) self-join the oracle uses).
+    // As-of join — semantics and scale argument on the [[asofPrev]]
+    // kernel scaladoc (one copy; the duplicated comment here was the
+    // doc-drift class the Det.discUnits consolidation removed for code).
     "join_asof" -> ((s, dir) =>
       asofPrev(Tables.orders(s, dir)
           .select("o_custkey", "o_orderkey", "o_orderdate"))
@@ -225,14 +221,6 @@ object Joins extends QueryGroup {
         .orderBy("event_id"))
   )
 
-  /** INCLUSIVE as-of kernel shared by `join_asof_event` and the property
-    * suite: for each probe row, the latest build row with build.t ≤
-    * probe.t (ties on t broken by max bid — builds sort with tag 0
-    * BEFORE same-instant probes, so the strictly-preceding frame still
-    * sees them). (t, tag, bid) order is deterministic for builds; probes
-    * tie only with other probes (bid null), whose relative order cannot
-    * change the preceding-build set — output is deterministic (D6).
-    * `probe`: (key, t, event_id); `build`: (key, t, bid: long). */
   /** Banded range self-join kernel — pairs (id_a, id_b) of rows sharing
     * `key` with ts_b ∈ (ts_a, ts_a + windowMicros]. Input columns:
     * (key, id, ts: timestamp). Both sides get a ⌊µs/window⌋ band id;
@@ -265,6 +253,14 @@ object Joins extends QueryGroup {
       .select("id_a", "id_b")
   }
 
+  /** INCLUSIVE as-of kernel shared by `join_asof_event` and the property
+    * suite: for each probe row, the latest build row with build.t ≤
+    * probe.t (ties on t broken by max bid — builds sort with tag 0
+    * BEFORE same-instant probes, so the strictly-preceding frame still
+    * sees them). (t, tag, bid) order is deterministic for builds; probes
+    * tie only with other probes (bid null), whose relative order cannot
+    * change the preceding-build set — output is deterministic (D6).
+    * `probe`: (key, t, event_id); `build`: (key, t, bid: long). */
   private[graft] def asofInclusive(probe: org.apache.spark.sql.DataFrame,
       build: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = probe.withColumn("tag", lit(1))

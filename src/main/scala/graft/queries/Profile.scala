@@ -39,7 +39,7 @@ object Profile extends QueryGroup {
   }
 
   def queries: Seq[(String, Q)] = Seq(
-    // One-pass column profile: per numeric column — row count, nulls,
+    // One-pass column profile: per numeric column — non-null row count,
     // exact distinct count, min/max, exact sum (cents). All columns
     // profile in a SINGLE scan: one aggregate with every per-column
     // statistic, pivoted to long form afterwards with stack() (3 rows
@@ -101,19 +101,22 @@ object Profile extends QueryGroup {
     // entity, linear at scale); the classic product-analytics query.
     "funnel_stages" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      def firstAfter(tpe: String, prev: Option[DataFrame], prevCol: String,
+      // prev couples the gating frame WITH its timestamp column — a
+      // single Option, so no "" sentinel and no way to pair a frame
+      // with the wrong column (round-12 review)
+      def firstAfter(tpe: String, prev: Option[(DataFrame, String)],
           out: String): DataFrame = {
         val base = ev.filter(col("event_type") === tpe)
         val gated = prev match {
-          case Some(p) => base.join(p.select("user_id", prevCol), "user_id")
+          case Some((p, prevCol)) => base.join(p.select("user_id", prevCol), "user_id")
             .filter(col("ts") >= col(prevCol))
           case None => base
         }
         gated.groupBy("user_id").agg(min(col("ts")).as(out))
       }
-      val v = firstAfter("view", None, "", "t_view")
-      val c = firstAfter("click", Some(v), "t_view", "t_click")
-      val p = firstAfter("purchase", Some(c), "t_click", "t_purchase")
+      val v = firstAfter("view", None, "t_view")
+      val c = firstAfter("click", Some((v, "t_view")), "t_click")
+      val p = firstAfter("purchase", Some((c, "t_click")), "t_purchase")
       ev.select("user_id").distinct()
         .join(v, Seq("user_id"), "left")
         .join(c, Seq("user_id"), "left")

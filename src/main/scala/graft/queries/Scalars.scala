@@ -249,6 +249,10 @@ object Scalars extends QueryGroup {
         |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0)) AS n_pos,
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sum_all
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // vals re-extracts $.k directly (not a generic json_each walk): the
+    // events generator pins props to the single-key {"k": <int>} shape
+    // (FIXTURES.md) — if that pin ever changes, the Spark side's generic
+    // map_values will diverge from this oracle HERE, deliberately.
     "fn_json_map" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,

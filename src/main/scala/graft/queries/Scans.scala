@@ -97,6 +97,11 @@ object Scans extends QueryGroup {
       s.read
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
         .option("header", "true")
+        // validate header names against the declared schema instead of
+        // mapping positionally — a reordered/extended sideload file then
+        // fails FAST at the scan, not as a hash mismatch downstream
+        // (round-12 review)
+        .option("enforceSchema", "false")
         .csv(path)
         .orderBy("s_suppkey")
     }),
