@@ -134,9 +134,19 @@ object Ann {
               var dot = 0.0; var p = 0
               while (p < kv.length) { dot += q(p) * kv(p); p += 1 }
               val cos = dot / (nq * nk)
+              // Double.compare ordering, NOT primitive </== (round-12
+              // review): a zero-norm vector yields cos = NaN, which the
+              // primitive comparisons both reject — NaN rows silently
+              // ranked last/dropped while ORDER BY cos DESC in Spark
+              // AND DuckDB ranks NaN first. Double.compare treats NaN
+              // as greater than everything (and equal to itself, so the
+              // id tie-break still applies) — bit-compatible with both
+              // engines' sort.
               var pos = filled
-              while (pos > 0 && (topC(pos - 1) < cos ||
-                (topC(pos - 1) == cos && topI(pos - 1) > kid))) pos -= 1
+              while (pos > 0 && {
+                val c = java.lang.Double.compare(topC(pos - 1), cos)
+                c < 0 || (c == 0 && topI(pos - 1) > kid)
+              }) pos -= 1
               if (pos < k) {
                 val upTo = math.min(filled, k - 1)
                 var m = upTo

@@ -71,7 +71,11 @@ case class ApTop2(left: Expression, right: Expression,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Top2Buf] with BinaryLike[Expression] {
 
-  override def nullable: Boolean = false
+  // nullable: a group whose values are ALL null has no max — the
+  // window form yields null there, and fabricating (0.0, key 0) would
+  // be a silent wrong answer for any SQL caller (round-12 review; AP's
+  // own call sites always feed ≥ 1 non-null value per group)
+  override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("m1", DoubleType, nullable = false),
     StructField("k1", LongType, nullable = false),
@@ -92,13 +96,15 @@ case class ApTop2(left: Expression, right: Expression,
     buf.mergeFrom(other); buf
   }
 
-  override def eval(buf: Top2Buf): Any = {
-    val row = new GenericInternalRow(3)
-    row.setDouble(0, buf.m1)
-    row.setLong(1, buf.k1)
-    if (buf.count >= 2) row.setDouble(2, buf.m2) else row.setNullAt(2)
-    row
-  }
+  override def eval(buf: Top2Buf): Any =
+    if (buf.count == 0) null
+    else {
+      val row = new GenericInternalRow(3)
+      row.setDouble(0, buf.m1)
+      row.setLong(1, buf.k1)
+      if (buf.count >= 2) row.setDouble(2, buf.m2) else row.setNullAt(2)
+      row
+    }
 
   override def serialize(buf: Top2Buf): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(36)
@@ -135,6 +141,7 @@ case class ApTop2(left: Expression, right: Expression,
   * keeping the bit-exact equivalence with the window form on any
   * input. */
 final class TopMBuf(val m: Int) {
+  require(m >= 1, s"ap_topm: m must be >= 1, got $m")
   val set = new java.util.TreeSet[(Double, Long)](
     new java.util.Comparator[(Double, Long)] {
       def compare(a: (Double, Long), b: (Double, Long)): Int = {
@@ -167,7 +174,13 @@ case class ApTopM(first: Expression, second: Expression, third: Expression,
   extends TypedImperativeAggregate[TopMBuf]
   with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
 
-  private lazy val m: Int = third.eval().asInstanceOf[Number].intValue()
+  private lazy val m: Int = {
+    // a clear unsupported-usage error instead of an NPE deep in buffer
+    // creation when a caller passes a per-row column as m (round-12
+    // review; the buffer's own require rejects m < 1)
+    require(third.foldable, "ap_topm: m must be a literal (foldable) expression")
+    third.eval().asInstanceOf[Number].intValue()
+  }
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

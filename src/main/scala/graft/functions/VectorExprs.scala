@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for vector math (SURVEY §4.4 ladder:
   * builtin HOFs → native Expression → kernel). The zip_with+aggregate
@@ -12,19 +13,58 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * primitive accumulation loop inside whole-stage codegen instead. The
   * loop is the same left-to-right fold as the builtin and the DuckDB
   * oracle formulation, so values stay bit-identical.
+  *
+  * Input discipline (round-12 review — both are session-registered for
+  * arbitrary SQL use, so misuse is user-reachable):
+  *   - non-array<double> children fail at ANALYSIS (checkInputDataTypes)
+  *     instead of reinterpreting int storage at double strides (silent
+  *     garbage) or class-cast-crashing; the SQL registration wraps the
+  *     arguments in a Cast to array<double>, so `vec_dot(array(1,2), …)`
+  *     still coerces like the builtin HOFs would;
+  *   - RAGGED inputs fail loud with the lengths in the message — the
+  *     old min-length truncation returned a silently wrong partial sum,
+  *     the exact defect class Pca.fit fails loud on. (The zip_with
+  *     builtin would null-pad instead; a distance over half a vector is
+  *     never what a caller meant, so an error beats both.)
   */
-case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  // callers always supply array<double> inputs (no coercion needed)
+private[functions] trait VecBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$fnName expects (array<double>, array<double>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  protected def fnName: String
+
+  @inline protected final def checkSameLength(x: ArrayData, y: ArrayData): Unit =
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$fnName: ragged vectors (${x.numElements()} vs ${y.numElements()})")
+
+  /** Codegen guard mirroring [[checkSameLength]]. */
+  protected final def lenGuard(x: String, y: String): String =
+    s"""if ($x.numElements() != $y.numElements())
+       |  throw new IllegalArgumentException(
+       |    "$fnName: ragged vectors (" + $x.numElements() + " vs " + $y.numElements() + ")");
+       |""".stripMargin
+}
+
+case class VecDot(left: Expression, right: Expression) extends VecBinary {
+
+  override protected def fnName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    checkSameLength(x, y)
     var acc = 0.0
     var i = 0
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
     acc
   }
@@ -35,7 +75,8 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${lenGuard(x, y)}
+         |int $n = $x.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
@@ -50,18 +91,17 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 /** Σ (x_i − y_i)² — the AP similarity kernel (negated at the call site). */
-case class VecSqDist(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class VecSqDist(left: Expression, right: Expression) extends VecBinary {
 
-  // callers always supply array<double> inputs (no coercion needed)
-  override def dataType: DataType = DoubleType
+  override protected def fnName: String = "vec_sqdist"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    checkSameLength(x, y)
     var acc = 0.0
     var i = 0
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
     acc
   }
@@ -73,7 +113,8 @@ case class VecSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${lenGuard(x, y)}
+         |int $n = $x.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $x.getDouble($i) - $y.getDouble($i);
@@ -89,10 +130,16 @@ case class VecSqDist(left: Expression, right: Expression)
 }
 
 object VectorExprs {
-  /** Register vec_dot / vec_sqdist for SQL + expr() use in a session. */
+  /** Register vec_dot / vec_sqdist for SQL + expr() use in a session.
+    * Arguments are cast to array<double> (a no-op when already typed),
+    * so SQL callers get the builtin HOFs' coercion while the raw
+    * expressions stay strictly typed. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_sqdist", es => VecSqDist(es(0), es(1)), "built-in")
+    def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(d(es(0)), d(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("vec_sqdist",
+      es => VecSqDist(d(es(0)), d(es(1))), "built-in")
   }
 }

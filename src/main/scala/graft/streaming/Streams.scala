@@ -38,15 +38,35 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // sum_value via the Det cents encoding — the SAME aggregate as the
+      // batch twin (StreamingBatch.hourlyAggPlan): a plain double sum()
+      // is state-merge-order dependent in its final ulps, so replays of
+      // identical data could emit different bits (round-12 review)
+      .agg(count(lit(1)).as("n"), graft.Det.sumd2(col("value")).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming dedup: first event per (user_id, event_type) within the
-    * watermark horizon. */
+  /** Streaming dedup: first event per (user_id, event_type) — EXACT
+    * global semantics (the batch twin stream_dedup's contract). State
+    * discipline (round-12 review): with the event-time column absent
+    * from the key subset, Spark never evicts dedup state by watermark —
+    * state is bounded by the KEY CARDINALITY (|users|·|types| here),
+    * not by the horizon. That is the right trade for entity-keyed
+    * dedup; for an unbounded key space use [[dedupWithinHorizon]]. */
   def dedup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** Horizon-bounded streaming dedup (`dropDuplicatesWithinWatermark`):
+    * duplicates are suppressed only within the watermark horizon and
+    * state IS evicted as the watermark advances — the form an
+    * unbounded-cardinality key space (content digests, URLs) needs at
+    * 100 TB/day, trading exactness across distant re-occurrences for
+    * bounded state. */
+  def dedupWithinHorizon(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
   /** Per-user session windows (30-minute gap). */
   def sessions(events: DataFrame): DataFrame =
@@ -96,8 +116,8 @@ object Streams {
   def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events
-      .select(col("user_id"), col("event_id"))
-      .as[(Long, Long)]
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Update())
@@ -107,9 +127,14 @@ object Streams {
 
 /** Per-user running count as a [[StatefulProcessor]]: one ValueState[Long]
   * holds the count-so-far; each input batch's rows are processed in
-  * event_id order (deterministic within a replay chunk). */
+  * (ts, event_id) order — the SAME order the batch cross-check
+  * (stream_stateful's window) uses; sorting by event_id alone diverged
+  * whenever arrival ids ran against event time (round-12 review). The
+  * equivalence claim is scoped to ts-ordered replays: a row arriving in
+  * a LATER batch than its timestamp peers still counts late (arbitrary
+  * state has no watermark reordering). */
 class RunningCountProcessor
-    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
   @transient private var count: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -117,10 +142,10 @@ class RunningCountProcessor
 
   override def handleInputRows(
       userId: Long,
-      rows: Iterator[(Long, Long)],
+      rows: Iterator[(Long, Long, Long)],
       timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
     var n = if (count.exists()) count.get() else 0L
-    val out = rows.toSeq.sortBy(_._2).map { case (_, eventId) =>
+    val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, _, eventId) =>
       n += 1
       (userId, eventId, n)
     }
