@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * Nothing is ever collected to the driver except the N-row diagonal
   * (for convergence tracking), so the dataflow scales with cluster
   * parallelism; the dense N² pair set itself is AP's intrinsic cost.
-  * `localCheckpoint` every `checkpointEvery` iterations truncates the
-  * growing window-plan lineage (the classic iterative-Spark failure
-  * mode, SURVEY §4.3).
+  * `localCheckpoint` truncates the growing window-plan lineage every
+  * iteration (the classic iterative-Spark failure mode, SURVEY §4.3),
+  * with the convergence-probe cadence batched adaptively (see
+  * runLoop's `checkEvery`; a dead `checkpointEvery` knob that no
+  * longer controlled anything was removed in round 12).
   *
   * Defaults follow the public Frey–Dueck/scikit-learn convention:
   * damping 0.5, maxIter 200, convergenceIter 15, preference = median of
@@ -121,17 +123,13 @@ object AffinityPropagation {
     val c =
       if (centroids > 0) centroids
       else graft.functions.Ivf.autoCentroids(e.count())
-    val cents0 = graft.functions.Ivf.seeds(e, c, sampleN = math.max(256, 2 * c))
-    // Large-c path only (same gate as the two-level assignment): Lloyd
-    // refinement pulls the k-center outlier seeds into density — measured
-    // 2× lower quantization distortion (tighter in-bucket candidates,
-    // cleaner super-bucket geometry) at non-increasing occupancy skew.
-    // Small-c fixture shapes keep the historical bit-identical seeds
-    // (see Ivf.refine scaladoc).
-    val cents =
-      if (c > graft.functions.Ivf.TwoLevelThreshold)
-        graft.functions.Ivf.refine(e, cents0)
-      else cents0
+    // Shared seeds + large-c Lloyd recipe (Ivf.buildCentroids — round-12
+    // review consolidated the copy-pasted sequence): refinement pulls
+    // the k-center outlier seeds into density past the two-level gate
+    // (measured 2× lower quantization distortion at non-increasing
+    // occupancy skew); small-c fixture shapes keep the historical
+    // bit-identical seeds (see Ivf.refine scaladoc).
+    val cents = graft.functions.Ivf.buildCentroids(e, c)
     val assigned = graft.functions.Ivf
       .assignments(e, cents, nprobe,
         (v, cv) => call_function("vec_sqdist", v, cv))
@@ -218,9 +216,18 @@ object AffinityPropagation {
       .withColumn("rn", row_number().over(ord))
       .withColumn("m1", max(col("asum")).over(wI))
       .withColumn("m2", max(when(col("rn") > 1, col("asum"))).over(wI))
+      // m2 = NULL on a SINGLE-ROW group (an isolated node whose only
+      // supplied row is its diagonal preference): under the documented
+      // sparse semantics every absent pair is s = −∞, so the subtracted
+      // "best other" is −∞ and r(k,k) = +∞ — the node elects itself,
+      // exactly what the local dense kernel computes for the identical
+      // input. Leaving the NULL propagated r = NULL and silently
+      // excluded the node from every exemplar set (round-12 review).
       .withColumn("r",
         lit(damping) * col("r") + lit(1.0 - damping) *
-          (col("s") - when(col("rn") === 1, col("m2")).otherwise(col("m1"))))
+          (col("s") - when(col("rn") === 1,
+              coalesce(col("m2"), lit(Double.NegativeInfinity)))
+            .otherwise(col("m1"))))
       .drop("asum", "rn", "m1", "m2")
   }
 
@@ -264,9 +271,13 @@ object AffinityPropagation {
     val withAsum = msgs.withColumn("asum", col("a") + col("s"))
     val top2 = withAsum.groupBy("i").agg(expr("ap_top2(asum, k)").as("t2"))
     withAsum.join(top2.hint("shuffle_hash"), "i")
+      // coalesce(m2, −∞): same isolated-node fix as the window form —
+      // the two passes must stay bit-identical, including on
+      // single-row groups (round-12 review)
       .withColumn("r",
         lit(damping) * col("r") + lit(1.0 - damping) *
-          (col("s") - when(col("k") === col("t2.k1"), col("t2.m2"))
+          (col("s") - when(col("k") === col("t2.k1"),
+              coalesce(col("t2.m2"), lit(Double.NegativeInfinity)))
             .otherwise(col("t2.m1"))))
       .select("i", "k", "s", "r", "a")
   }
@@ -385,8 +396,7 @@ object AffinityPropagation {
         jitter)
     else
       run(spark, embeddings, damping, maxIter, convergenceIter,
-        checkpointEvery = 10, prefOverride, autoRelease = autoRelease,
-        jitter = jitter)
+        prefOverride, autoRelease = autoRelease, jitter = jitter)
   }
 
   /** Small-N path: collect the (id, vector) rows (N×d — small), run the
@@ -459,7 +469,6 @@ object AffinityPropagation {
       damping: Double = 0.5,
       maxIter: Int = 200,
       convergenceIter: Int = 15,
-      checkpointEvery: Int = 10,
       prefOverride: Option[Double] = None,
       neighbors: Option[Int] = None,
       knnExact: Boolean = false,
@@ -684,6 +693,10 @@ object AffinityPropagation {
       checkEvery: Int = 0,
       onInitMaterialized: () => Unit = () => ()): Result =
     loopMonitor(msgs0.sparkSession).synchronized {
+    // a zero-iteration loop has no exemplar state to report — fail with
+    // the contract instead of an NPE at Result construction
+    // (round-12 review)
+    require(maxIter >= 1, s"AffinityPropagation: maxIter must be >= 1, got $maxIter")
     val spark = msgs0.sparkSession
     // Deterministically free the PREVIOUS run's final-generation
     // checkpoint (contract: consume an auto-released Result before the
@@ -855,7 +868,15 @@ object AffinityPropagation {
   }
 
   /** Assignment given an exemplar set: label(i) = argmax_{k∈E} s(i,k),
-    * exemplars self-assigned; ties broken by smallest k (D6). */
+    * exemplars self-assigned; ties broken by smallest k (D6).
+    *
+    * Sparse-input contract: a point whose supplied rows contain NO
+    * exemplar is unassignable (every absent pair is s = −∞) and is
+    * OMITTED from the result — deliberate, and documented on the
+    * public facade ([[graft.Graft.clusterFromSimilarities]]); callers
+    * needing every id labeled left-join the result against their node
+    * set. Dense inputs always carry every (i, exemplar) pair, so
+    * nothing is ever omitted there. */
   def assign(offdiag: DataFrame, exemplars: Seq[Long], spark: SparkSession): DataFrame = {
     import spark.implicits._
     val ex = exemplars.toDF("ex_k")

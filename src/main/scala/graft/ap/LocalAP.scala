@@ -126,6 +126,7 @@ object LocalAP {
       prefOverride: Option[Double] = None,
       diagProvided: Array[Boolean] = null,
       jitter: Double = 0.0): State = {
+    require(maxIter >= 1, s"LocalAP: maxIter must be >= 1, got $maxIter")
     val n = s.length
     // Opt-in oscillation guard, BEFORE the preference median so the
     // whole loop (preference included) sees one consistent matrix.

@@ -477,6 +477,26 @@ object Dedup extends QueryGroup {
     * string is hashed once; each per-seed hash then combines two
     * fixed-width longs in codegen — no string allocation on the hot
     * path. */
+  /** Members per band bucket above which candidate generation switches
+    * from ALL-PAIRS to STAR edges (every member paired with the
+    * bucket's smallest doc_id). An oversized bucket is by construction
+    * a near-duplicate MEGA-GROUP — its members share a full band of
+    * minhashes — whose true pair count is quadratic in the group size:
+    * no pair listing can be linear there (round-12 review; a 100k-copy
+    * document would have exploded ~5·10⁹ rows out of 8 tasks). Star
+    * edges keep the output LINEAR while preserving exactly what
+    * downstream dedup consumes: connected components are unchanged (a
+    * star spans the same component) and the rerank stage still
+    * verifies every emitted edge exactly — the candidate-set recall
+    * trade is confined to pairs BETWEEN non-min members of one mega
+    * bucket, which the dedup pipeline never needed as explicit pairs.
+    * Fixture buckets sit far below the cap, so oracled and benched
+    * behavior is bit-identical. (The bucket member ARRAY is linear in
+    * bucket size — ~8 MB per million-copy bucket; for corpora beyond
+    * that, run [[Graft.exactDuplicates]] digest dedup first, the
+    * standard composition.) */
+  private[graft] val BandBucketCap: Int = 4096
+
   /** MinHash-LSH candidate pairs — the scale path: band-bucket join
     * instead of the all-pairs shingle join. 8 bands × 4 rows; a band's
     * 4 minhashes collapse to one xxhash64 bucket key (collisions only
@@ -484,14 +504,14 @@ object Dedup extends QueryGroup {
     * each bucket's members, NOT a bands⋈bands self-join: the self-join
     * re-executes the whole signature pipeline for its second input
     * (measured 2× the query at sf0.1), while the group-by shuffles the
-    * bucket rows once. Near-dup buckets are small by construction (a
-    * giant bucket would mean thousands of mutual near-dups), so the
-    * within-bucket pair explode is bounded; sort_array makes member
+    * bucket rows once. Within-bucket pair generation is bounded by
+    * [[BandBucketCap]] (star edges above it); sort_array makes member
     * order — and thus pair orientation — partition-order-proof (D6). */
   private[graft] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame =
     minhashPairsFrom(minhashSignatures(s, docs))
 
-  private[graft] def minhashPairsFrom(sig: DataFrame): DataFrame = {
+  private[graft] def minhashPairsFrom(sig: DataFrame,
+      bucketCap: Int = BandBucketCap): DataFrame = {
     val bands = sig.select(col("doc_id"),
         explode(array((0 to 7).map(b =>
           struct(lit(b).as("band"),
@@ -501,7 +521,12 @@ object Dedup extends QueryGroup {
     bands.groupBy("band", "bsig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode(col("ms")).as("doc_a"), col("ms"))
+      // ≤ cap: every member on the left (all pairs via a<b). > cap: only
+      // the smallest member on the left (star edges) — linear output.
+      .select(col("ms"),
+        when(size(col("ms")) <= lit(bucketCap), col("ms"))
+          .otherwise(slice(col("ms"), 1, 1)).as("lefts"))
+      .select(explode(col("lefts")).as("doc_a"), col("ms"))
       .select(col("doc_a"), explode(col("ms")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
@@ -554,8 +579,10 @@ object Dedup extends QueryGroup {
         col("n").as("nb")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"),
         max(col("na")).as("na"), max(col("nb")).as("nb"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      // the shared withJaccard rounding, NOT an inline copy — the
+      // "values exactly jaccardPairsHashed's" invariant depends on one
+      // definition of the formula (round-12 review)
+      .transform(withJaccard)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -586,7 +613,16 @@ object Dedup extends QueryGroup {
     * at least one band, so the band-equality join finds every such pair
     * — exact result, but only bucket-mates are ever compared (no N²
     * cross join; the bucket join shuffles O(N·4) rows and compares
-    * O(Σ bucket²) pairs). */
+    * O(Σ bucket²) pairs).
+    *
+    * Exact-contract caveat (round-12 review): D exact copies of one
+    * document genuinely HAVE D²/2 qualifying pairs — the quadratic is
+    * in this operator's OUTPUT, not an avoidable plan artifact, so
+    * unlike minhash candidates it cannot be star-capped without
+    * breaking the "every hamming ≤ 3 pair" promise. The production
+    * composition for duplicate-heavy corpora is digest dedup FIRST
+    * ([[Graft.exactDuplicates]] / pipeline_keep_canonical), then
+    * simhash over the distinct survivors. */
   private[graft] def simhashPairs(s: SparkSession, docs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     val sh = simhashes(s, docs)
@@ -818,14 +854,20 @@ object Dedup extends QueryGroup {
     releasePrevComponents(spark)
     var e = p.filter(col("u").isNotNull && col("v").isNotNull)
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // carry each generation's count forward — re-counting the previous
+    // checkpoint every round was one redundant full pass per star round
+    // (round-12 review)
+    var eCount = e.count()
     var stable = false
     while (!stable) {
       val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
       // Exact set-equality convergence check: both sides are distinct, so
       // equal counts + empty difference ⇔ equal sets.
-      stable = next.count() == e.count() && next.except(e).isEmpty
+      stable = nextCount == eCount && next.except(e).isEmpty
       releaseCheckpoint(e)
       e = next
+      eCount = nextCount
     }
     recordComponentsCheckpoint(spark, e)
     val base =

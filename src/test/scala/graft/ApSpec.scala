@@ -181,6 +181,31 @@ class ApSpec extends SparkSuite {
         s"${dense.exemplars.size} (ratio $ratio) — outside the 1.25× band")
   }
 
+  test("isolated node in a sparse similarity graph self-elects in BOTH regimes") {
+    // round-12 review: a node supplied ONLY its diagonal preference row
+    // (an isolated node in a caller-supplied sparse graph) hit a NULL
+    // m2 in the distributed responsibility pass — r(x,x) went NULL and
+    // the node silently vanished from the exemplar set, while the local
+    // dense kernel (s = −∞ fill) made it its own exemplar. Both passes
+    // now coalesce the missing second-max to −∞: r(x,x) = +∞, the node
+    // self-elects, regimes agree.
+    import spark.implicits._
+    // two tight mutual neighbors + isolated node 9 with only s(9,9)
+    val sims = Seq(
+      (1L, 2L, -1.0), (2L, 1L, -1.0),
+      (1L, 3L, -9.0), (3L, 1L, -9.0),
+      (2L, 3L, -9.0), (3L, 2L, -9.0),
+      (9L, 9L, -5.0)).toDF("i", "k", "s")
+    def exemplarsOf(threshold: Int): Seq[Long] =
+      AffinityPropagation.solveFromSimilarities(spark, sims,
+        localNodeThreshold = threshold).exemplars
+    val dist = exemplarsOf(0)     // forced-distributed regime
+    val local = exemplarsOf(2000) // local dense kernel
+    assert(dist.contains(9L), s"distributed regime dropped the isolated node: $dist")
+    assert(local.contains(9L), s"local regime dropped the isolated node: $local")
+    assert(dist == local, s"regimes disagree: distributed $dist vs local $local")
+  }
+
   test("distributed runLoop releases superseded checkpoints (≤2 pinned after 30 iterations)") {
     import spark.implicits._
     // round-6 VERDICT #1: each iteration localCheckpoints a new generation
