@@ -30,12 +30,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("ap_cluster_sizes")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.flatMap(_.queries).toMap
+  /** One entry per implemented operator from SURVEY.md §2. Duplicate
+    * keys across groups fail LOUD: toMap's silent last-wins would drop
+    * a query (and its oracle) from verification with no signal at all
+    * (round-12 review). Lazy vals — built and checked once. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    uniqueByKey(groups.flatMap(_.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (D3). */
-  def oracleSql: Map[String, String] =
-    groups.flatMap(_.oracles).toMap
+  lazy val oracleSql: Map[String, String] =
+    uniqueByKey(groups.flatMap(_.oracles), "oracle")
+
+  private def uniqueByKey[V](entries: Seq[(String, V)], what: String): Map[String, V] = {
+    val dups = entries.groupBy(_._1).filter(_._2.length > 1).keys.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate $what keys across QueryGroups (silently shadowed): ${dups.mkString(", ")}")
+    entries.toMap
+  }
 }

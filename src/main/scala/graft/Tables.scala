@@ -132,8 +132,17 @@ object Tables {
       }
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       cached.count() // materialize now, not inside the first timed query
-      warmedCache(spark).put((sfDir, name), cached)
+      putWarm(spark, (sfDir, name), cached)
     }
+
+  /** Install a warmed entry, unpersisting any entry it replaces — a
+    * re-warm (e.g. a long-lived service refreshing after re-ingest)
+    * used to leak the superseded MEMORY_ONLY copy for the session's
+    * life (round-12 review). The new entry is always materialized
+    * BEFORE the old one is dropped, so readers never recompute. */
+  private def putWarm(spark: SparkSession, key: (String, String),
+      df: DataFrame): Unit =
+    warmedCache(spark).put(key, df).foreach(_.unpersist(false))
 
   /** Additional bucketed projections of already-loaded tables — the
     * C-Store/Vertica idea: one logical table, several physical sort/
@@ -146,7 +155,7 @@ object Tables {
       .repartition(workloadPartitions(spark, base), col(key))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
-    warmedCache(spark).put((sfDir, s"$name#$key"), df)
+    putWarm(spark, (sfDir, s"$name#$key"), df)
   }
 
   /** The projection of `name` bucketed by `key` if one was warmed, else
@@ -192,7 +201,7 @@ object Tables {
       .repartition(workloadPartitions(spark, plan), col("hb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
-    warmedCache(spark).put((sfDir, "events#hourly"), df)
+    putWarm(spark, (sfDir, "events#hourly"), df)
   }
 
   /** Generic derived-projection hooks (the [[eventsHourly]] pattern for
@@ -215,7 +224,7 @@ object Tables {
       name: String, plan: DataFrame): Unit = {
     val df = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     df.count()
-    warmedCache(spark).put((sfDir, name), df)
+    putWarm(spark, (sfDir, name), df)
   }
 
   private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {

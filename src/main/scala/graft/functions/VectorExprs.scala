@@ -136,10 +136,14 @@ object VectorExprs {
     * expressions stay strictly typed. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+    def two(name: String, es: Seq[Expression]): (Expression, Expression) = {
+      require(es.length == 2,
+        s"$name expects exactly 2 arguments (array<double>, array<double>), got ${es.length}")
+      (Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType)))
+    }
     reg.createOrReplaceTempFunction("vec_dot",
-      es => VecDot(d(es(0)), d(es(1))), "built-in")
+      es => { val (a, b) = two("vec_dot", es); VecDot(a, b) }, "built-in")
     reg.createOrReplaceTempFunction("vec_sqdist",
-      es => VecSqDist(d(es(0)), d(es(1))), "built-in")
+      es => { val (a, b) = two("vec_sqdist", es); VecSqDist(a, b) }, "built-in")
   }
 }

@@ -37,8 +37,13 @@ object ApQueries extends QueryGroup {
     // fixture its final checkpoint must not be unpersisted out from
     // under the cached (unrecomputable) messages plan by the next run's
     // release pass. Pinned once per (session, dir); session-bounded.
-    m.getOrElseUpdate(dir, AffinityPropagation.solve(s, Tables.embeddings(s, dir),
-      autoRelease = false))
+    // per-session monitor: a concurrent first use could run the solve
+    // TWICE and orphan the loser's pinned (autoRelease = false)
+    // checkpoint for the session's life (round-12 review)
+    m.synchronized {
+      m.getOrElseUpdate(dir, AffinityPropagation.solve(s, Tables.embeddings(s, dir),
+        autoRelease = false))
+    }
   }
 
   def queries: Seq[(String, Q)] = Seq(

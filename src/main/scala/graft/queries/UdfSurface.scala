@@ -16,7 +16,11 @@ object UdfSurface extends QueryGroup {
     * IEEE division per element — bit-deterministic). */
   private val normalizeUdf = udf { (v: Seq[Double]) =>
     val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
-    v.map(_ / norm)
+    // a zero vector has no direction: define its unit form as zeros —
+    // 0/0 = NaN would flow into cast(long) as a silent 0 on the Spark
+    // side while the oracle's CAST(floor(NaN)) hard-errors (round-12
+    // review; the oracle mirrors this CASE)
+    if (norm == 0.0) v.map(_ => 0.0) else v.map(_ / norm)
   }
 
   /** Typed Aggregator: elementwise vector mean — the centroid-shaped
@@ -25,6 +29,10 @@ object UdfSurface extends QueryGroup {
     def zero: (Long, Array[Double]) = (0L, Array.empty)
     def reduce(b: (Long, Array[Double]), v: Seq[Double]): (Long, Array[Double]) = {
       val s = if (b._2.isEmpty) new Array[Double](v.length) else b._2
+      // fail loud on ragged input (house discipline — VecBinary, Pca.fit):
+      // truncation or index errors here were silent or inscrutable
+      require(v.length == s.length,
+        s"vec_mean: ragged vectors (${v.length} vs ${s.length})")
       var i = 0
       while (i < v.length) { s(i) += v(i); i += 1 }
       (b._1 + 1, s)
@@ -33,6 +41,8 @@ object UdfSurface extends QueryGroup {
       if (x._2.isEmpty) y
       else if (y._2.isEmpty) x
       else {
+        require(x._2.length == y._2.length,
+          s"vec_mean: ragged merge (${x._2.length} vs ${y._2.length})")
         var i = 0
         while (i < x._2.length) { x._2(i) += y._2(i); i += 1 }
         (x._1 + y._1, x._2)
@@ -87,8 +97,10 @@ object UdfSurface extends QueryGroup {
   def oracles: Seq[(String, String)] = Seq(
     "udf_scalar" ->
       """SELECT vec_id,
-        |  array_to_string(list_transform(embedding, x -> CAST(CAST(floor(round(CAST(x AS DOUBLE) /
-        |    sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')), 4) * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS unit_vec
+        |  array_to_string(list_transform(embedding, x -> CAST(CAST(floor(round(
+        |    CASE WHEN sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) END,
+        |    4) * 10000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS unit_vec
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "udaf_aggregator" ->
       """SELECT label, pos, round(SUM(v) / COUNT(*), 4) + 0.0 AS value
