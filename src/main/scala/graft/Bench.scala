@@ -50,9 +50,10 @@ object Bench {
     "dedup_cluster")    // BASELINE: 0.892 s (DuckDB recursive-CTE components)
 
   /** One width's full measurement pass: session at local[threads], warm
-    * the buffer-pool layouts, 3 consecutive + 2 interleaved reps per
-    * query, floors; every timing folded into `results`/`floorMins` via
-    * min. The session is stopped by the caller starting the next one. */
+    * the buffer-pool layouts, 2 consecutive reps per query + the
+    * budgeted round-robin cycles (see the object scaladoc), floors;
+    * every timing folded into `results`/`floorMins` via min. The
+    * session is stopped by the caller starting the next one. */
   private def runPass(sfDir: String, threads: Int,
       results: scala.collection.mutable.LinkedHashMap[String, Double],
       floorMins: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
@@ -104,10 +105,8 @@ object Bench {
     graft.queries.Dedup.warmShingles(spark, sfDir)
     // AP's kernel classes JIT-compile on the first solve; warm that one
     // (JVM-wide, but cheap enough to repeat per pass).
-    graft.ap.AffinityPropagation.solve(spark,
-      Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500))
-
     val emb500 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500)
+    graft.ap.AffinityPropagation.solve(spark, emb500)
     val timed: Seq[(String, () => Unit)] =
       headline.map { name =>
         val fn = SparkEntry.queries(name)
@@ -184,6 +183,26 @@ object Bench {
     * iteration delta, which subtracts the shared similarity-build +
     * preference prefix. Prints one JSON line, writes ap_dist.json;
     * results table lives in BENCH_NOTES §15, refreshed per round. */
+  /** Replicated PERTURBED fixture embeddings — the shared scale-record
+    * geometry of apDist and pqIvf (round-12 review: the 6-line
+    * construction was duplicated; BENCH_NOTES compares the two records,
+    * so their geometries must stay identical by construction). Replica
+    * r offsets ids by r·10⁶ and shifts dim 0 by r·10⁻³ (exact
+    * duplicates oscillate AP forever at λ = 0.5; the shift is ~10⁻³ of
+    * the coordinate scale, so throughput geometry is unchanged).
+    * Repartitioned to `parts`: the fixture parquet is one row group and
+    * no 100 TB input is 1 partition. */
+  private def replicatedEmbeddings(base: org.apache.spark.sql.DataFrame,
+      replicas: Int, parts: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, transform, when}
+    (0 until replicas)
+      .map(r => base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(r * 1e-3f)).otherwise(x)).as("embedding")))
+      .reduce(_.unionByName(_))
+      .repartition(parts)
+  }
+
   private def apDist(sfDir: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit, transform, when}
     val threads = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -211,13 +230,10 @@ object Bench {
     // below (measured: 200 iters, no convergence; perturbed: 34). The
     // shift is ~1e-3 of the coordinate scale, so per-iteration cost and
     // graph geometry are unchanged for the throughput samples.
-    def emb(replicas: Int) = (0 until replicas)
-      .map(r => base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x + lit(r * 1e-3f)).otherwise(x)).as("embedding")))
-      .reduce(_.unionByName(_))
-      .repartition(threads)
-    val dense = emb(2)  // N = 4000 = localThreshold: the smallest distributed N
+    def emb(replicas: Int) = replicatedEmbeddings(base, replicas, threads)
+    val baseN = base.count()
+    val dense = emb(2)  // N = 2·baseN = localThreshold at sf0.1: the smallest distributed N
+    val denseN = 2 * baseN
     def runFixed(e: org.apache.spark.sql.DataFrame, iters: Int,
         m: Option[Int]): Double = time {
       val r = ap.AffinityPropagation.run(spark, e,
@@ -271,7 +287,7 @@ object Bench {
       val s10 = math.min(x10a, x10b)
       val per = (s10 - math.min(x2a, x2b)) / 8.0
       graft.Checkpoints.release(g)
-      (rep * 2000, edges, buildSec, s10, per)
+      (rep * baseN, edges, buildSec, s10, per)
     }
     val sparseJson = sparseStats.map { case (n, edges, buildSec, sec, per) =>
       f"""{"n":$n,"edges":$edges,"build_sec":$buildSec%.3f,"iters":10,"sec":$sec%.3f,"sec_per_iter":$per%.3f}"""
@@ -329,7 +345,7 @@ object Bench {
     // converged loop at the recorded per-iter cost once the remedy
     // ladder reaches the rung this geometry needs.
     val (conv50, conv50Sec, conv50RunSec, conv50Jitter, conv50Lam) = convergedRun(emb(25), "N=50000")
-    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":4000,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_budget_iters_rationale":"iteration-homogeneous loop (identical two-exchange plan every pass): unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters at the recorded per-iter cost) adds minutes of box time for no new signal","sparse_m":50,"sparse":$sparseJson,"sparse_rows_ratio_50k_over_6k":$rowsRatio%.2f,"sparse_per_iter_ratio_50k_over_6k":$perRatio%.2f,"sparse_converged_n":20000,"sparse_converged_ladder_sec":$convSec%.3f,"sparse_converged_run_sec":$convRunSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size},"sparse_converged_jitter":$convJitter%.1e,"sparse_converged_damping":$convLam%.1f,"sparse_converged_50k_ladder_sec":$conv50Sec%.3f,"sparse_converged_50k_run_sec":$conv50RunSec%.3f,"sparse_converged_50k_iters":${conv50.iterations},"sparse_converged_50k_exemplars":${conv50.exemplars.size},"sparse_converged_50k_jitter":$conv50Jitter%.1e,"sparse_converged_50k_damping":$conv50Lam%.1f,"sparse_exemplar_rate_note":"the replica geometry makes the 2000 base points (N/R at R replicas) the correct count: each fixture point appears as a perturbed replica micro-cluster (1e-3 shifts, intra-replica similarity ~-1e-6 vs inter-point ~-10s), so one exemplar per replica group is the right clustering; on the SAME unreplicated N=2000 input sparse m=50 and dense agree within 2 pct (ApSpec same-input test: dense 206, exact-m50 207, bucketed 210)"}"""
+    val json = f"""{"metric":"ap_dist","unit":"sec","sf":"$sfDir","threads":$threads,"dense_n":$denseN,"dense_iters":4,"dense_sec":$d4%.3f,"dense_sec_per_iter":$dPer%.3f,"dense_delta_ok":${dPer > 0},"dense_budget_iters_rationale":"iteration-homogeneous loop (identical two-exchange plan every pass): unit cost x iteration count = converged cost; a converged dense N=4000 run (~50 iters at the recorded per-iter cost) adds minutes of box time for no new signal","sparse_m":50,"sparse":$sparseJson,"sparse_rows_ratio_50k_over_6k":$rowsRatio%.2f,"sparse_per_iter_ratio_50k_over_6k":$perRatio%.2f,"sparse_converged_n":20000,"sparse_converged_ladder_sec":$convSec%.3f,"sparse_converged_run_sec":$convRunSec%.3f,"sparse_converged_iters":${conv.iterations},"sparse_converged_exemplars":${conv.exemplars.size},"sparse_converged_jitter":$convJitter%.1e,"sparse_converged_damping":$convLam%.1f,"sparse_converged_50k_ladder_sec":$conv50Sec%.3f,"sparse_converged_50k_run_sec":$conv50RunSec%.3f,"sparse_converged_50k_iters":${conv50.iterations},"sparse_converged_50k_exemplars":${conv50.exemplars.size},"sparse_converged_50k_jitter":$conv50Jitter%.1e,"sparse_converged_50k_damping":$conv50Lam%.1f,"sparse_exemplar_rate_note":"the replica geometry makes the 2000 base points (N/R at R replicas) the correct count: each fixture point appears as a perturbed replica micro-cluster (1e-3 shifts, intra-replica similarity ~-1e-6 vs inter-point ~-10s), so one exemplar per replica group is the right clustering; on the SAME unreplicated N=2000 input sparse m=50 and dense agree within 2 pct (ApSpec same-input test: dense 206, exact-m50 207, bucketed 210)"}"""
     println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("ap_dist.json"), json + "\n")
@@ -366,12 +382,7 @@ object Bench {
     graft.functions.VectorExprs.register(spark)
     graft.functions.ApAggs.register(spark)
     val base = Tables.embeddings(spark, sfDir)
-    def emb(replicas: Int) = (0 until replicas)
-      .map(r => base.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x + lit(r * 1e-3f)).otherwise(x)).as("embedding")))
-      .reduce(_.unionByName(_))
-      .repartition(threads)
+    def emb(replicas: Int) = replicatedEmbeddings(base, replicas, threads)
     val topk = 10
     val nprobe = 8
     val shapes = Seq(25, 100).map { rep =>
@@ -466,8 +477,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      Tables.warm(spark, sfDir, Seq("lineitem" -> None))
-      Tables.lineitem(spark, sfDir).count() // materialize the cache, untimed
+      Tables.warm(spark, sfDir, Seq("lineitem" -> None)) // warm() materializes
       var attempt = 0
       var done = false
       while (!done) {
@@ -492,6 +502,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every JSON field below is formatted with f"%.4f"-style
+    // interpolation, which follows the JVM default locale — a
+    // comma-decimal locale would emit unparseable records
+    // (round-12 review)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.get("SPARK_GRAFT_AP_DIST").contains("1")) { apDist(sfDir); return }
     if (sys.env.get("SPARK_GRAFT_PQIVF").contains("1")) { pqIvf(sfDir); return }

@@ -35,12 +35,23 @@ object Verify {
         else col(f.name)
       }.toIndexedSeq: _*)
     }
+    // Delete a key's previous dump BEFORE attempting it: a query that
+    // throws used to leave the prior run's parquet in place, and a
+    // reused outDir then let a REGRESSED query pass the compare against
+    // its own stale results (round-12 review). A failure now leaves the
+    // key's path absent — a loud missing-output, never a stale pass.
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.forall(_.contains(name)))
-      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.forall(_.contains(name))) {
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
+        try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -127,7 +127,14 @@ object LocalAP {
       diagProvided: Array[Boolean] = null,
       jitter: Double = 0.0): State = {
     require(maxIter >= 1, s"LocalAP: maxIter must be >= 1, got $maxIter")
+    require(s.length >= 1, "LocalAP: empty input")
     val n = s.length
+    // n = 1: the only point is trivially its own exemplar — the median
+    // branch below would index off(-1) on the empty off-diagonal array
+    // (round-12 review; reachable via Graft.cluster on a 1-row frame)
+    if (n == 1)
+      return State(ids, s, Array.ofDim[Double](1, 1), Array.ofDim[Double](1, 1),
+        Set(ids(0)), 0, converged = true)
     // Opt-in oscillation guard, BEFORE the preference median so the
     // whole loop (preference included) sees one consistent matrix.
     if (jitter > 0) applyJitter(ids, s, jitter)

@@ -181,6 +181,23 @@ class ApSpec extends SparkSuite {
         s"${dense.exemplars.size} (ratio $ratio) — outside the 1.25× band")
   }
 
+  test("single-point and empty inputs: trivial exemplar / loud error (round-12)") {
+    // n = 1 used to AIOOBE(-1) in the median branch; reachable from the
+    // public facade on a 1-row frame. n = 0 must error with the
+    // contract, not an index crash.
+    import spark.implicits._
+    val one = Seq((42L, Seq.fill(8)(0.5))).toDF("vec_id", "embedding")
+    val labeled = graft.Graft.cluster(spark, one).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labeled.toSeq == Seq((42L, 42L)),
+      s"single point must self-elect: ${labeled.toSeq}")
+    val e = intercept[IllegalArgumentException] {
+      AffinityPropagation.solve(spark,
+        Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.toLowerCase.contains("empty"), s"unexpected: ${e.getMessage}")
+  }
+
   test("isolated node in a sparse similarity graph self-elects in BOTH regimes") {
     // round-12 review: a node supplied ONLY its diagonal preference row
     // (an isolated node in a caller-supplied sparse graph) hit a NULL
