@@ -96,15 +96,23 @@ object Pca {
       count(lit(1)).as("n"),
       max(array_max(transform(col("v"), x => abs(x)))).as("m"),
       min(size(col("v"))).as("dmin"),
-      max(size(col("v"))).as("dmax")).collect()(0)
+      max(size(col("v"))).as("dmax"),
+      max(when(exists(col("v"), x => x.isNull), 1).otherwise(0)).as("nullEl"))
+      .collect()(0)
     val n = scaleRow.getLong(0)
-    val maxAbs = scaleRow.getDouble(1)
     require(n > 1, s"Pca.fit: need ≥ 2 non-null rows, got $n")
     // Ragged input must fail LOUD here: the centered pass below uses
     // zip_with, which would silently null-pad a short vector instead of
     // tripping the aggregate's dimension check the raw path had.
     require(scaleRow.getInt(2) == d && scaleRow.getInt(3) == d,
       s"Pca.fit: ragged vectors (sizes ${scaleRow.getInt(2)}..${scaleRow.getInt(3)}, expected $d)")
+    // Null ELEMENTS inside a vector fail loud too (round-12 ADVICE):
+    // an all-null dimension would NPE on the mean read below, and a
+    // partially-null one would silently bias sx against the n divisor —
+    // the same discipline as the null-VECTOR filter above.
+    require(scaleRow.getInt(4) == 0,
+      "Pca.fit: vectors contain null elements — clean or impute upstream")
+    val maxAbs = scaleRow.getDouble(1)
     // Shift sized from the ACTUAL worst magnitude — no 1.0 floor and
     // no small cap (round-12 review): data whose centered spread is
     // tiny (the huge-offset regime the centering exists for) NEEDS a

@@ -363,9 +363,14 @@ object Pq {
     // distinct: a duplicated workload id would double both its
     // candidate pairs AND its LUT rows — the (i, b, code) join then
     // yields k² block rows per pair and every adc value for that query
-    // comes out k²× the true distance, silently (round-12 review)
-    val qids = queryIds.map(q =>
-      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct())
+    // comes out k²× the true distance, silently (round-12 review).
+    // Exactly ONE column: a silent columns.head pick on a wider frame
+    // would run a wrong (or cast-to-null) workload (round-12 ADVICE).
+    val qids = queryIds.map { q =>
+      require(q.columns.length == 1,
+        s"ivfAdcTopk: queryIds must be a single id column, got (${q.columns.mkString(", ")})")
+      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct()
+    }
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)

@@ -478,23 +478,28 @@ object Dedup extends QueryGroup {
     * fixed-width longs in codegen — no string allocation on the hot
     * path. */
   /** Members per band bucket above which candidate generation switches
-    * from ALL-PAIRS to STAR edges (every member paired with the
-    * bucket's smallest doc_id). An oversized bucket is by construction
-    * a near-duplicate MEGA-GROUP — its members share a full band of
-    * minhashes — whose true pair count is quadratic in the group size:
-    * no pair listing can be linear there (round-12 review; a 100k-copy
-    * document would have exploded ~5·10⁹ rows out of 8 tasks). Star
-    * edges keep the output LINEAR while preserving exactly what
-    * downstream dedup consumes: connected components are unchanged (a
-    * star spans the same component) and the rerank stage still
-    * verifies every emitted edge exactly — the candidate-set recall
-    * trade is confined to pairs BETWEEN non-min members of one mega
-    * bucket, which the dedup pipeline never needed as explicit pairs.
-    * Fixture buckets sit far below the cap, so oracled and benched
-    * behavior is bit-identical. (The bucket member ARRAY is linear in
-    * bucket size — ~8 MB per million-copy bucket; for corpora beyond
-    * that, run [[Graft.exactDuplicates]] digest dedup first, the
-    * standard composition.) */
+    * from ALL-PAIRS to CHAIN edges (consecutive pairs over the sorted
+    * members). An oversized bucket is by construction a near-duplicate
+    * MEGA-GROUP — its members share a full band of minhashes — whose
+    * true pair count is quadratic in the group size: no pair listing
+    * can be linear there (round-12 review; a 100k-copy document would
+    * have exploded ~5·10⁹ rows out of 8 tasks). Chain edges keep the
+    * output LINEAR while spanning the same connected component as
+    * all-pairs on the RAW candidate graph. A chain, not a hub-star
+    * (round-12 ADVICE): downstream RERANK filters each edge by exact
+    * Jaccard, and under a star one banding-collision HUB (the smallest
+    * id happening to be a false candidate) failed every spoke and
+    * severed true near-dups from each other — a chain confines any one
+    * bad member's damage to its two incident links. The residual
+    * caveat stands either way: post-rerank connectivity of a capped
+    * mega bucket can still be weaker than all-pairs would have been
+    * (any linear subgraph trades that), which dedup absorbs because
+    * mega buckets are near-identical copies in practice. Fixture
+    * buckets sit far below the cap, so oracled and benched behavior is
+    * bit-identical. (The bucket member ARRAY is linear in bucket
+    * size — ~8 MB per million-copy bucket; for corpora beyond that,
+    * run [[Graft.exactDuplicates]] digest dedup first, the standard
+    * composition.) */
   private[graft] val BandBucketCap: Int = 4096
 
   /** MinHash-LSH candidate pairs — the scale path: band-bucket join
@@ -505,7 +510,7 @@ object Dedup extends QueryGroup {
     * re-executes the whole signature pipeline for its second input
     * (measured 2× the query at sf0.1), while the group-by shuffles the
     * bucket rows once. Within-bucket pair generation is bounded by
-    * [[BandBucketCap]] (star edges above it); sort_array makes member
+    * [[BandBucketCap]] (chain edges above it); sort_array makes member
     * order — and thus pair orientation — partition-order-proof (D6). */
   private[graft] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame =
     minhashPairsFrom(minhashSignatures(s, docs))
@@ -518,18 +523,21 @@ object Dedup extends QueryGroup {
             xxhash64(col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
               col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as("bsig"))): _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bsig").as("bsig"))
-    bands.groupBy("band", "bsig")
+    val buckets = bands.groupBy("band", "bsig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      // ≤ cap: every member on the left (all pairs via a<b). > cap: only
-      // the smallest member on the left (star edges) — linear output.
-      .select(col("ms"),
-        when(size(col("ms")) <= lit(bucketCap), col("ms"))
-          .otherwise(slice(col("ms"), 1, 1)).as("lefts"))
-      .select(explode(col("lefts")).as("doc_a"), col("ms"))
+    // ≤ cap: all pairs via a<b (streamed through two explodes — never a
+    // quadratic in-row array). > cap: consecutive-pair CHAIN over the
+    // sorted members — linear output, a<b by construction.
+    val allPairs = buckets.filter(size(col("ms")) <= lit(bucketCap))
+      .select(explode(col("ms")).as("doc_a"), col("ms"))
       .select(col("doc_a"), explode(col("ms")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+    val chain = buckets.filter(size(col("ms")) > lit(bucketCap))
+      .select(col("ms"),
+        posexplode(slice(col("ms"), lit(1), size(col("ms")) - 1)).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), element_at(col("ms"), col("i") + 2).as("doc_b"))
+    allPairs.unionByName(chain).distinct()
   }
 
   private[graft] def minhashSignatures(s: SparkSession, docs: DataFrame): DataFrame =
@@ -1231,6 +1239,11 @@ object Dedup extends QueryGroup {
       .join(base.select(col("name").as("name_b"), col("id").as("id_b")), "name_b")
       .select(least(col("id_a"), col("id_b")).as("key_a"),
         greatest(col("id_a"), col("id_b")).as("key_b"), col("dist"))
+      // an id listed under TWO different ≤-maxEdits names would meet
+      // itself here; the naive join's id_a < id_b excludes self-pairs,
+      // so the exact-row-set claim needs the same exclusion (round-12
+      // ADVICE)
+      .filter(col("key_a") =!= col("key_b"))
     val sameName = base.select(col("name"), col("id").as("id_a"))
       .join(base.select(col("name"), col("id").as("id_b")), "name")
       .filter(col("id_a") < col("id_b"))

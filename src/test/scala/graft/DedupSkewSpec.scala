@@ -36,15 +36,17 @@ class DedupSkewSpec extends SparkSuite {
     assert(plain.nonEmpty)
   }
 
-  test("minhash mega-bucket engages star edges: linear output, components unchanged") {
+  test("minhash mega-bucket engages chain edges: linear output, components unchanged") {
     // round-12 review: a duplicate mega-group shares every band bucket,
     // and uncapped within-bucket pair generation is quadratic in the
     // group size (~5e9 rows for a 100k-copy document). Above
-    // BandBucketCap the kernel emits STAR edges (member ↔ bucket min)
-    // instead — linear, and component-equivalent for dedup. 20
-    // identical docs with a forcing cap of 8: star = 19 pairs (all
-    // through the min id) vs 190 all-pairs uncapped; clustering groups
-    // all 20 either way.
+    // BandBucketCap the kernel emits CHAIN edges (consecutive pairs
+    // over the sorted members — round-12 ADVICE moved this off the
+    // hub-star so one bad member can no longer sever the whole bucket
+    // post-rerank) — linear, and component-equivalent for dedup. 20
+    // identical docs with a forcing cap of 8: chain = 19 pairs
+    // (i, i+1) vs 190 all-pairs uncapped; clustering groups all 20
+    // either way.
     import spark.implicits._
     val text = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = (0 until 20).map(i => (i.toLong, text))
@@ -52,9 +54,9 @@ class DedupSkewSpec extends SparkSuite {
     val sig = graft.queries.Dedup.minhashSignatures(spark, docs)
     val capped = graft.queries.Dedup.minhashPairsFrom(sig, bucketCap = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(capped.length == 19, s"expected 19 star edges, got ${capped.length}")
-    assert(capped.forall(_._1 == 0L),
-      s"star edges must all go through the bucket min: ${capped.take(5).toSeq}")
+    assert(capped.length == 19, s"expected 19 chain edges, got ${capped.length}")
+    assert(capped.toSet == (0L until 19L).map(i => (i, i + 1)).toSet,
+      s"chain edges must be consecutive sorted pairs: ${capped.sorted.take(5).toSeq}")
     val uncapped = graft.queries.Dedup.minhashPairsFrom(sig)
       .count()
     assert(uncapped == 190L, s"uncapped all-pairs should be 190, got $uncapped")
@@ -64,7 +66,7 @@ class DedupSkewSpec extends SparkSuite {
           .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
       .collect().map(r => r.getLong(1)).distinct
     assert(comps.toSeq == Seq(0L),
-      s"star edges must keep the mega-group one component: ${comps.toSeq}")
+      s"chain edges must keep the mega-group one component: ${comps.toSeq}")
   }
 
   test("stopword-heavy corpus: hot buckets bypassed, hot-dominated pairs still found") {

@@ -57,4 +57,33 @@ object ErProperties extends Properties("er_blocked") {
       } yield (a._1, b._1, d)).toSet
       got == expected
     }
+
+  // ids drawn from a small range ⇒ the same id appears under several
+  // names with high probability — the round-12 ADVICE shape: an id
+  // listed under two ≤-maxEdits names must NOT emit a self-pair (the
+  // naive join's a.id < b.id excludes it; the decomposed kernel's
+  // cross-name branch needed the explicit key_a ≠ key_b filter)
+  private val dupIdInstances: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 30)
+    ns <- Gen.listOfN(n, names)
+    ids <- Gen.listOfN(n, Gen.choose(0L, math.max(1L, n / 3L)))
+  } yield ids.zip(ns)
+
+  property("duplicate ids: no self-pairs, row set still = naive") =
+    forAll(dupIdInstances) { rows =>
+      import spark.implicits._
+      val maxEdits = 2
+      val got = queries.Dedup.blockedEditPairs(
+          rows.toDF("id", "name"), maxEdits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expected = (for {
+        a <- rows; b <- rows
+        if a._1 < b._1
+        if a._2.split(" ").headOption.getOrElse("") ==
+          b._2.split(" ").headOption.getOrElse("")
+        d = lev(a._2, b._2)
+        if d <= maxEdits
+      } yield (a._1, b._1, d)).toSet
+      got.forall(t => t._1 != t._2) && got == expected
+    }
 }

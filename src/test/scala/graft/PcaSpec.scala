@@ -161,6 +161,17 @@ class PcaSpec extends SparkSuite {
       graft.functions.Pca.fit(ragged, "embedding")
     }
     assert(e2.getMessage.contains("ragged"), s"unexpected error: ${e2.getMessage}")
+    // null ELEMENTS inside a vector fail loud too (round-12 ADVICE: an
+    // all-null dim NPE'd on the mean read; a partial null silently
+    // biased sx against the n divisor)
+    val nullEl = base.withColumn("embedding",
+      when(col("vec_id") === 3,
+        concat(slice(col("embedding"), 1, 5), array(lit(null).cast("double"))))
+        .otherwise(col("embedding")))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.functions.Pca.fit(nullEl, "embedding")
+    }
+    assert(e3.getMessage.contains("null elements"), s"unexpected error: ${e3.getMessage}")
   }
 
   test("a huge mean offset does not degrade the eigenbasis (centered moments)") {

@@ -189,6 +189,14 @@ class PqSpec extends SparkSuite {
     assert(clean.map(_._1).toSet == Set(7L, 11L) && clean.nonEmpty)
     assert(run(Seq(7L, 7L, 11L)) == clean,
       "a duplicated workload id changed the result")
+    // a multi-column workload frame must fail loud, not silently run
+    // whatever columns.head happens to be (round-12 ADVICE)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, 5,
+        centroids = 16, nprobe = 8,
+        queryIds = Some(Seq(("x", 7L)).toDF("junk", "id")))
+    }
+    assert(e.getMessage.contains("single id column"), s"unexpected: ${e.getMessage}")
   }
 
   test("exact re-rank of the IVFADC shortlist: true distances, recall recovery") {
