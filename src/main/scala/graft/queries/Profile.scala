@@ -81,6 +81,40 @@ object Profile extends QueryGroup {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // MERGE / upsert — the lakehouse idiom a 100 TB pipeline applies a
+    // CDC change-set with (round-12 VERDICT #6): one FULL OUTER join of
+    // target × changes on the key, then per-row resolution — D rows
+    // drop, U rows take the change's values, I rows (no target match)
+    // enter, untouched target rows pass through. One shuffle on the
+    // merge key (the join), no windows, no driver state — exactly how
+    // Delta/Iceberg MERGE plans the row-level pass at scale. The
+    // change-set is derived deterministically from the target itself
+    // (keys ≡3 mod 10 reprice +10.00, ≡7 delete, ≡0 clone to fresh
+    // keys +10⁸) so the key needs no side files; money stays exact
+    // integer cents end to end (D2).
+    "cdc_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val target = o.select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("tc"))
+      val upd = o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          col("o_custkey").as("ck"), (cents(col("o_totalprice")) + 1000L).as("cc"))
+      val del = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("long").as("ck"), lit(null).cast("long").as("cc"))
+      val ins = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          lit("I").as("op"), col("o_custkey").as("ck"),
+          cents(col("o_totalprice")).as("cc"))
+      target.join(upd.unionByName(del).unionByName(ins),
+          Seq("o_orderkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("o_orderkey"),
+          coalesce(col("ck"), col("o_custkey")).as("o_custkey"),
+          coalesce(col("cc"), col("tc")).as("o_total_cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // String-distance functions: edit distance and a length-normalized
     // similarity — the fuzzy-match primitives under entity resolution.
     // Per-row scalar compute (codegen'd), embarrassingly parallel.
@@ -198,6 +232,24 @@ object Profile extends QueryGroup {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "cdc_merge" ->
+      s"""WITH ch AS (
+         |  SELECT o_orderkey, 'U' AS op, o_custkey AS ck,
+         |    ${Det.centsSql("o_totalprice")} + 1000 AS cc
+         |  FROM orders WHERE o_orderkey % 10 = 3
+         |  UNION ALL
+         |  SELECT o_orderkey, 'D', NULL, NULL
+         |  FROM orders WHERE o_orderkey % 10 = 7
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, 'I', o_custkey,
+         |    ${Det.centsSql("o_totalprice")}
+         |  FROM orders WHERE o_orderkey % 10 = 0)
+         |SELECT COALESCE(t.o_orderkey, ch.o_orderkey) AS o_orderkey,
+         |  COALESCE(ch.ck, t.o_custkey) AS o_custkey,
+         |  COALESCE(ch.cc, ${Det.centsSql("t.o_totalprice")}) AS o_total_cents
+         |FROM orders t FULL OUTER JOIN ch ON t.o_orderkey = ch.o_orderkey
+         |WHERE COALESCE(ch.op, '') <> 'D'
+         |ORDER BY o_orderkey""".stripMargin,
     "fn_string_sim" ->
       """SELECT p_partkey, levenshtein(p_brand, p_type) AS lev,
         |  ROUND(1.0 - CAST(levenshtein(p_brand, p_type) AS DOUBLE) /
