@@ -379,4 +379,49 @@ class GraftSpec extends SparkSuite {
       assert(r.getString(4) == "rgb8")
     }
   }
+
+  test("PNG decode reconstructs the exact generative pixel bytes; corruption fails loud") {
+    // round-12 VERDICT #3 — the compressed-format decode: deflate →
+    // inflate → unfilter must be the identity on the pixel payload,
+    // byte-measured on non-ASCII and empty docs (the decodePpm
+    // discipline), and a flipped payload byte must trip the chunk CRC,
+    // never produce plausible pixels.
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "héllo wörld ünïcode résumé naïve çédille"),
+      (2L, "日本語のテキストです 中文文本 한국어"),
+      (3L, ""),
+      (4L, "plain ascii text for contrast"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = queries.TextOps.decodePng(spark, docs).orderBy("doc_id").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val (id, w, h, npix, sum) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w == id % 11 + 4 && h == id % 5 + 3, s"doc $id dims")
+      assert(npix == w * h * 3, s"doc $id n_pix")
+      assert(r.getString(5) == "png-rgb8")
+      // driver-side generative expectation, byte-measured
+      val bt = texts.find(_._1 == id).get._2 match { case "" => " "; case t => t }
+      val b = bt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val want = (0 until npix.toInt).map(i => (b(i % b.length) & 0xff).toLong).sum
+      assert(sum == want, s"doc $id: px_sum $sum != generative $want")
+    }
+    // all five filter types really cycle (h up to 7 rows, (id+r) % 5)
+    // and encode→parse is the identity on the pixel array
+    val rnd = new scala.util.Random(99)
+    val (w0, h0) = (9, 7)
+    val px = Array.fill((w0 * h0 * 3))(rnd.nextInt(256).toByte)
+    val payload = queries.MmCodec.encodePng(2L, w0, h0, px)
+    val (pw, ph, back) = queries.MmCodec.parsePng(payload, 2L)
+    assert(pw == w0 && ph == h0 && java.util.Arrays.equals(back, px),
+      "encode→parse is not the identity")
+    // flip one IDAT payload byte → CRC must fail
+    val corrupt = payload.clone()
+    corrupt(8 + 12 + 13 + 8 + 4) = (corrupt(8 + 12 + 13 + 8 + 4) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      queries.MmCodec.parsePng(corrupt, 2L)
+    }
+    assert(e.getMessage.contains("CRC mismatch"), s"unexpected: ${e.getMessage}")
+  }
 }
