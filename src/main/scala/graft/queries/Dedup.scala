@@ -1176,20 +1176,27 @@ object Dedup extends QueryGroup {
       graft.functions.Pq.encode(emb, "embedding", model).orderBy("vec_id")
     }),
 
-    // IVFADC composed ANN search over the PQ codes (round 12 —
-    // [[graft.functions.Pq.ivfAdcTopk]], the faiss IVFADC layering as a
-    // wired path rather than a scaladoc promise): IVF bucket candidates
-    // (c = 16 pinned for fixture stability, nprobe = 8) evaluated by
-    // asymmetric distance from the per-query LUT relation — never
-    // all-pairs. D3-exempt (approximate by design); PqSpec pins ADC
-    // value identity vs driver arithmetic, the recall floor vs exact
-    // neighbors, and bit-determinism; PlanSpec pins the no-cartesian
+    // IVFADC composed ANN search over the PQ codes — since round 13 the
+    // RESIDUAL index ([[graft.functions.Pq.fitIvfPqCached]] +
+    // [[graft.functions.Pq.ivfAdcTopk]]'s IvfPqModel overload, the
+    // faiss IVFADC default: codes quantize r = x − centroid(home(x))):
+    // IVF bucket candidates (c = 16 pinned for fixture stability,
+    // nprobe = 8) evaluated by asymmetric distance from the
+    // per-(query, probed-centroid) residual LUT — never all-pairs, and
+    // the session index cache makes repeated builds free. Measured
+    // (BENCH_NOTES §25): residual beats raw by +0.04..+0.09 recall@10
+    // on clustered data (the production regime) and concedes ~0.04 on
+    // this isotropic fixture (0.516 vs 0.552 — centroid subtraction
+    // removes nothing there), same regime-dependence as the OPQ
+    // rotation. D3-exempt (approximate by design); PqSpec pins residual
+    // ADC value identity vs driver arithmetic, recall floors in both
+    // regimes, and bit-determinism; PlanSpec pins the no-cartesian
     // candidate plan.
     "simsearch_pq_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.functions.Pq.fit(emb, "embedding")
-      graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, topk = 5,
-          centroids = 16, nprobe = 8)
+      val im = graft.functions.Pq.fitIvfPqCached(emb, "embedding", centroids = 16)
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", im, topk = 5,
+          nprobe = 8, idCol = "vec_id", queryIds = None)
         .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
         .orderBy("i", "rnk")
     }),

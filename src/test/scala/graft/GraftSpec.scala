@@ -164,6 +164,46 @@ class GraftSpec extends SparkSuite {
     assert(facade.nonEmpty)
   }
 
+  test("IVFADC index cache: second fit is the same model and issues no jobs") {
+    // round-12 VERDICT #2 — a facade caller iterating queries used to
+    // pay a full centroid build + residual model fit per call. The
+    // session registry must hand back the SAME model for the same
+    // (normalized plan, m, k, centroids), and the cached path must run
+    // ZERO Spark jobs (the build's sample collects are the only jobs a
+    // fit issues; a cache hit skips them all).
+    val emb = Tables.embeddings(spark, sf001)
+      // distinct plan from every other test's input so this test owns
+      // its cache entry regardless of suite ordering
+      .filter(col("vec_id") % 2 === 0)
+    val m1 = graft.functions.Pq.fitIvfPqCached(emb, "embedding", centroids = 16)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m2 = graft.functions.Pq.fitIvfPqCached(emb, "embedding", centroids = 16)
+      assert(m2 eq m1, "second fit rebuilt the index instead of hitting the cache")
+      // the residual query over a cached index constructs LAZILY too
+      // (flat assignment at c = 16): building the DataFrame must not
+      // run jobs either — only the caller's action does
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", m2, 5,
+        nprobe = 8, idCol = "vec_id", queryIds = None)
+      Thread.sleep(1500) // let any stray async job-start events land
+      assert(jobs.get() == 0,
+        s"cached fit + lazy query construction ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a renamed-column route to the same data still hits (the key is
+    // the canonicalized NORMALIZED plan)
+    val renamed = emb.select(col("vec_id").as("item_id"), col("embedding").as("vec"))
+    val m3 = graft.functions.Pq.fitIvfPqCached(renamed, "vec",
+      centroids = 16, idCol = "item_id")
+    assert(m3 eq m1, "renamed columns missed the cache")
+  }
+
   test("blockedEditDistancePairs matches er_blocked_match") {
     val parts = Tables.part(spark, sf001)
       .select(col("p_partkey").as("pid"), col("p_name").as("label"))

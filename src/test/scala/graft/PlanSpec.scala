@@ -369,6 +369,30 @@ class PlanSpec extends SparkSuite {
       s"codebook join is not broadcast:\n$p")
   }
 
+  test("residual IVFADC keeps the no-cartesian candidate plan") {
+    // The round-13 production path (IvfPqModel overload): candidates
+    // from the c_id equi-join, residual codes joined by vec_id, ADC
+    // from the (i, c_id, b, code) equi-join against the residual LUT —
+    // never a CartesianProduct. Allowed nested-loops: the bounded
+    // broadcast centroid crossJoins of the flat assignment regime (the
+    // query's nprobe pass + the residual encode's home pass + the LUT's
+    // probe reuse — each a 16-row broadcast side).
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val im = graft.functions.Pq.fitIvfPq(emb, "embedding", centroids = 16)
+    val df = graft.functions.Pq.ivfAdcTopk(emb, "embedding", im, topk = 5,
+      nprobe = 8, idCol = "vec_id", queryIds = None)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in residual IVFADC plan:\n$p")
+    val bnlj = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") && !l.contains("Reused"))
+    assert(bnlj <= 3,
+      s"$bnlj nested-loop joins — more than the bounded centroid broadcasts:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/centroid joins are not broadcast:\n$p")
+  }
+
   test("multi-level IVF descent: frontier never re-exchanges, vecs exchange is reused") {
     // The round-11 tree descent's 100 TB property (BENCH_NOTES §21):
     // the first per-vec aggregate hash-partitions by vec_id, and every
