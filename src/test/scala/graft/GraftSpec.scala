@@ -164,6 +164,28 @@ class GraftSpec extends SparkSuite {
     assert(facade.nonEmpty)
   }
 
+  test("OPQ path threads a non-vec_id id column end to end") {
+    // round-12 verdict #7: adcTopkRotated/fitRotated documented the
+    // vec_id contract instead of proving idCol works — a caller's own
+    // id column must produce the identical result as the renamed-to-
+    // vec_id route, through fit, rotation, and the rotated ADC search.
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val mine = e.select(col("vec_id").as("item_id"), col("embedding").as("vec"))
+    val rmA = graft.functions.Pq.fitRotated(e, "embedding")
+    val rmB = graft.functions.Pq.fitRotated(mine, "vec", idCol = "item_id")
+    assert(rmA.basisPerm.sameElements(rmB.basisPerm), "basisPerm drift under idCol")
+    (0 until rmA.pq.m).foreach { b =>
+      rmA.pq.codebooks(b).zip(rmB.pq.codebooks(b)).foreach { case (x, y) =>
+        assert(x.sameElements(y), s"codebook drift in block $b under idCol")
+      }
+    }
+    val a = rows(graft.functions.Pq.adcTopkRotated(e, e, "embedding", rmA, 5))
+    val b = rows(graft.functions.Pq.adcTopkRotated(mine, mine, "vec", rmB, 5,
+      idCol = "item_id"))
+    assert(a == b && a.nonEmpty, "adcTopkRotated differs under a caller id column")
+  }
+
   test("IVFADC index cache: second fit is the same model and issues no jobs") {
     // round-12 VERDICT #2 — a facade caller iterating queries used to
     // pay a full centroid build + residual model fit per call. The
