@@ -401,6 +401,33 @@ object Graft {
     functions.Pca.project(embeddings, vecCol, model, k, whiten)
   }
 
+  /** MERGE / upsert — apply a CDC change-set to a target relation (the
+    * Delta/Iceberg MERGE row-level semantics, the cdc_merge key on
+    * caller columns): one FULL OUTER join on `keyCol`, then per-row
+    * resolution — rows whose change op is "D" drop, "U"/"I" rows take
+    * the change's payload values (an I key absent from the target
+    * inserts), untouched target rows pass through. `changes` must
+    * carry `keyCol`, `opCol`, and every target payload column (null
+    * payload on D rows is fine — they never surface). One shuffle on
+    * the merge key, no windows, no driver state — linear at any scale.
+    * Returns the merged relation with the target's schema. */
+  def merge(target: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String = "op"): DataFrame = {
+    val payload = target.columns.filterNot(_ == keyCol).toSeq
+    require(changes.columns.contains(opCol),
+      s"merge: changes has no op column '$opCol' (columns: ${changes.columns.mkString(", ")})")
+    payload.foreach(c => require(changes.columns.contains(c),
+      s"merge: changes is missing target payload column '$c'"))
+    val t = target.select((col(keyCol) +:
+      payload.map(c => col(c).as(s"__t_$c"))): _*)
+    val ch = changes.select((col(keyCol) +: col(opCol).as("__op") +:
+      payload.map(c => col(c).as(s"__c_$c"))): _*)
+    t.join(ch, Seq(keyCol), "full_outer")
+      .filter(coalesce(col("__op"), lit("")) =!= "D")
+      .select((col(keyCol) +:
+        payload.map(c => coalesce(col(s"__c_$c"), col(s"__t_$c")).as(c))): _*)
+  }
+
   // ---- data quality --------------------------------------------------
 
   /** One-pass multi-column profile of 2-decimal numeric columns:

@@ -164,6 +164,32 @@ class GraftSpec extends SparkSuite {
     assert(facade.nonEmpty)
   }
 
+  test("merge matches cdc_merge on the same change-set") {
+    // the facade applies the identical U/D/I change-set the key derives
+    // (keys ≡3 mod 10 reprice +10.00, ≡7 delete, ≡0 clone to +10⁸) and
+    // must reproduce the key's merged rows on caller columns
+    import graft.Det.cents
+    val o = Tables.orders(spark, sf001)
+    val target = o.select(col("o_orderkey"), col("o_custkey"),
+      cents(col("o_totalprice")).as("o_total_cents"))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        col("o_custkey"), (cents(col("o_totalprice")) + 1000L).as("o_total_cents"))
+    val del = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("long").as("o_total_cents"))
+    val ins = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        lit("I").as("op"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_total_cents"))
+    val facade = rows(Graft.merge(target,
+        upd.unionByName(del).unionByName(ins), "o_orderkey")
+      .orderBy("o_orderkey"))
+    val key = rows(SparkEntry.queries("cdc_merge")(spark, sf001))
+    assert(facade == key && facade.nonEmpty)
+  }
+
   test("OPQ path threads a non-vec_id id column end to end") {
     // round-12 verdict #7: adcTopkRotated/fitRotated documented the
     // vec_id contract instead of proving idCol works — a caller's own
