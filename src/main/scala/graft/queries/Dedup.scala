@@ -526,18 +526,21 @@ object Dedup extends QueryGroup {
     val buckets = bands.groupBy("band", "bsig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
       .filter(size(col("ms")) >= 2)
-    // ≤ cap: all pairs via a<b (streamed through two explodes — never a
-    // quadratic in-row array). > cap: consecutive-pair CHAIN over the
-    // sorted members — linear output, a<b by construction.
-    val allPairs = buckets.filter(size(col("ms")) <= lit(bucketCap))
-      .select(explode(col("ms")).as("doc_a"), col("ms"))
-      .select(col("doc_a"), explode(col("ms")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-    val chain = buckets.filter(size(col("ms")) > lit(bucketCap))
-      .select(col("ms"),
-        posexplode(slice(col("ms"), lit(1), size(col("ms")) - 1)).as(Seq("i", "doc_a")))
-      .select(col("doc_a"), element_at(col("ms"), col("i") + 2).as("doc_b"))
-    allPairs.unionByName(chain).distinct()
+    // ONE pass, no regime union (a union of two filtered branches
+    // re-executes the bucket aggregate's reduce side per branch —
+    // measured +47% on the benched key): each member pairs with the
+    // members AFTER it in the sorted array — ALL of them at ≤ cap
+    // (all-pairs, a < b structurally, no post-filter halving), only
+    // the NEXT one above cap (chain edges — linear). The slice array
+    // is linear in bucket size per row; the quadratic all-pairs
+    // volume exists only as the streamed explode output.
+    buckets
+      .select(col("ms"), size(col("ms")).as("n"),
+        posexplode(col("ms")).as(Seq("pa", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("ms"), col("pa") + 2,
+        when(col("n") > lit(bucketCap), least(lit(1), col("n") - col("pa") - 1))
+          .otherwise(col("n") - col("pa") - 1))).as("doc_b"))
+      .distinct()
   }
 
   private[graft] def minhashSignatures(s: SparkSession, docs: DataFrame): DataFrame =
