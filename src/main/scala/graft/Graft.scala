@@ -405,11 +405,17 @@ object Graft {
     * Delta/Iceberg MERGE row-level semantics, the cdc_merge key on
     * caller columns): one FULL OUTER join on `keyCol`, then per-row
     * resolution — rows whose change op is "D" drop, "U"/"I" rows take
-    * the change's payload values (an I key absent from the target
-    * inserts), untouched target rows pass through. `changes` must
-    * carry `keyCol`, `opCol`, and every target payload column (null
-    * payload on D rows is fine — they never surface). One shuffle on
-    * the merge key, no windows, no driver state — linear at any scale.
+    * the change's payload values VERBATIM, nulls included (resolution
+    * keys on the matched op, never coalesce — a U row nulling a column
+    * must null it; round-13 review), an I key absent from the target
+    * inserts, untouched target rows pass through. `changes` must carry
+    * `keyCol`, `opCol`, and every target payload column (null payload
+    * on D rows is fine — they never surface). A change-set with MORE
+    * THAN ONE row per key fails LOUD at execution (the Delta "multiple
+    * source rows matched" contract — a silent full-outer fanout would
+    * corrupt the keyed relation); resolve multi-op batches upstream,
+    * e.g. keep the last op per key by your sequence column. One
+    * shuffle on the merge key, no driver state — linear at any scale.
     * Returns the merged relation with the target's schema. */
   def merge(target: DataFrame, changes: DataFrame, keyCol: String,
       opCol: String = "op"): DataFrame = {
@@ -420,12 +426,24 @@ object Graft {
       s"merge: changes is missing target payload column '$c'"))
     val t = target.select((col(keyCol) +:
       payload.map(c => col(c).as(s"__t_$c"))): _*)
-    val ch = changes.select((col(keyCol) +: col(opCol).as("__op") +:
-      payload.map(c => col(c).as(s"__c_$c"))): _*)
+    // per-key multiplicity rides each change row; the op projection
+    // asserts it at execution (prune-proof: the guard wraps the op
+    // every downstream branch reads). The count window shares the
+    // join's key hashing — one exchange for both.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val ch = changes.select((col(keyCol) +: col(opCol).as("__op0") +:
+        payload.map(c => col(c).as(s"__c_$c"))): _*)
+      .withColumn("__nch", count(lit(1)).over(w))
+      .withColumn("__op",
+        when(assert_true(col("__nch") === 1,
+          concat(lit("merge: multiple change rows for key "),
+            col(keyCol).cast("string"))).isNull, col("__op0")))
+      .drop("__op0", "__nch")
     t.join(ch, Seq(keyCol), "full_outer")
       .filter(coalesce(col("__op"), lit("")) =!= "D")
       .select((col(keyCol) +:
-        payload.map(c => coalesce(col(s"__c_$c"), col(s"__t_$c")).as(c))): _*)
+        payload.map(c => when(col("__op").isNotNull, col(s"__c_$c"))
+          .otherwise(col(s"__t_$c")).as(c))): _*)
   }
 
   // ---- data quality --------------------------------------------------

@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Product quantization (Jégou et al., "Product Quantization for
   * Nearest Neighbor Search", PAMI 2011 — public method) over an
@@ -313,24 +312,50 @@ object Pq {
     * the ranking loss — drops at an unchanged bit budget. */
   final case class IvfPqModel(cents: Seq[(Long, Seq[Double])], pq: Model)
 
-  /** (vec_id, c_id, rv): each vector's home bucket and its residual
-    * against that bucket's centroid — the relation both the residual
-    * TRAIN and the residual ENCODE quantize. One assignment pass
-    * (nprobe = 1), one broadcast centroid join, a codegen'd zip_with —
-    * no extra exchange beyond the assignment's own. */
-  private[graft] def residuals(v: DataFrame,
-      cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val spark = v.sparkSession
-    import spark.implicits._
-    val homes = Ivf.assignments(v, cents, nprobe = 1,
+  /** Each vector's home bucket: (vec_id, c_id) via one nprobe = 1
+    * assignment pass. crnk 1 of ANY nprobe is the same ranking, so a
+    * caller that already ran a wider assignment passes its crnk = 1
+    * rows to [[residualsFrom]] instead — bit-identical, one pass. */
+  private[graft] def homesOf(v: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    Ivf.assignments(v, cents, nprobe = 1,
         (a, b) => call_function("vec_sqdist", a, b))
       .filter(col("crnk") === 1)
       .select(col("vec_id"), col("c_id"))
+
+  /** Guarded centered difference shared by the residual relation and
+    * the residual LUT: zip_with silently NULL-PADS a ragged pair (the
+    * exact hazard Pca.fit fails loud on), so the subtraction only runs
+    * behind an assert_true on equal sizes and no null elements —
+    * execution-time loud, prune-proof (the guard is INSIDE the result
+    * expression), no extra pass. */
+  private def guardedDiff(x: Column, c: Column, id: Column): Column =
+    when(
+      assert_true(
+        size(x) === size(c) && !exists(x, e => e.isNull),
+        concat(lit("Pq residual: ragged or null-element vector (size "),
+          size(x).cast("string"), lit(" vs "), size(c).cast("string"),
+          lit(") for id "), id.cast("string"))).isNull,
+      zip_with(x, c, (a, b) => a - b))
+
+  /** (vec_id, c_id, rv): residuals against the given HOME relation —
+    * the relation both the residual TRAIN and the residual ENCODE
+    * quantize. One broadcast centroid join + a codegen'd guarded
+    * zip_with; no exchange beyond the homes input's own. */
+  private[graft] def residualsFrom(v: DataFrame, homes: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
     homes.join(v, "vec_id")
       .join(broadcast(cents.toDF("c_id", "centv")), "c_id")
       .select(col("vec_id"), col("c_id"),
-        zip_with(col("v"), col("centv"), (x, c) => x - c).as("rv"))
+        guardedDiff(col("v"), col("centv"), col("vec_id")).as("rv"))
   }
+
+  /** [[residualsFrom]] with its own nprobe = 1 assignment pass. */
+  private[graft] def residuals(v: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    residualsFrom(v, homesOf(v, cents), cents)
 
   /** Train the residual index: centroids via the shared
     * [[Ivf.buildCentroids]] recipe (auto-sized unless pinned), then the
@@ -354,35 +379,54 @@ object Pq {
 
   // Session-scoped index registry (round-12 VERDICT #2): a facade
   // caller iterating queries paid a full centroid-build + residual
-  // model fit PER CALL. Keyed by the canonicalized analyzed plan of the
-  // NORMALIZED input (so the same data reached through renamed columns
-  // still hits) plus the shape parameters; weak-keyed by the session
-  // OBJECT and weak-valued (the Tables discipline — a collected entry
-  // just refits; a dead session's entries vanish with it, and strong
-  // values would pin nothing here since the model does not reach its
-  // session).
+  // model fit PER CALL. Keyed by the canonicalized optimized plan's
+  // STRING RENDERING of the NORMALIZED input (so the same data reached
+  // through renamed columns still hits) plus the shape parameters.
+  // Keys are strings, NOT LogicalPlans, deliberately: a plan's leaf
+  // relations strongly reference their SparkSession, and a WeakHashMap
+  // whose VALUE map holds such keys pins its own session entry forever
+  // (the documented WeakHashMap value→key hazard the Tables cache
+  // comments spell out; round-13 review caught this one). Weak-keyed
+  // by the session OBJECT and weak-valued — a collected model just
+  // refits (deterministically bit-identical, PqSpec), and a dead
+  // session's entries truly vanish with it.
   private val indexCache = new java.util.WeakHashMap[
     SparkSession,
-    scala.collection.concurrent.TrieMap[(LogicalPlan, Int, Int, Int),
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int),
       java.lang.ref.WeakReference[IvfPqModel]]]()
 
   private def sessionIndexCache(spark: SparkSession) = indexCache.synchronized {
     var m = indexCache.get(spark)
     if (m == null) {
       m = scala.collection.concurrent.TrieMap
-        .empty[(LogicalPlan, Int, Int, Int),
+        .empty[(String, Int, Int, Int),
           java.lang.ref.WeakReference[IvfPqModel]]
       indexCache.put(spark, m)
     }
     m
   }
 
+  /** Drop every cached index of `spark` — the refit hook for callers
+    * whose underlying DATA changed under an unchanged plan (see the
+    * staleness note on [[fitIvfPqCached]]). */
+  def invalidateIndexCache(spark: SparkSession): Unit =
+    indexCache.synchronized { indexCache.remove(spark); () }
+
   /** [[fitIvfPq]] behind the session index registry: the first call per
     * (input plan, m, k, centroids) builds; later calls return the SAME
     * model with no jobs (plan canonicalization only — analysis, never
     * execution). Deterministic builds make the cache semantically
-    * invisible: a refit after a collected entry produces bit-identical
-    * codebooks (PqSpec pins refit determinism). */
+    * invisible FOR IMMUTABLE INPUTS: a refit after a collected entry
+    * produces bit-identical codebooks (PqSpec pins refit determinism).
+    *
+    * Staleness contract (round-13 review): the key is the PLAN, not
+    * the data — a mutable source whose plan compares equal across
+    * reads (a JDBC table, a catalog table re-ingested in place) serves
+    * the FIRST build's centroids/codebooks until the caller refits.
+    * Call [[invalidateIndexCache]] after re-ingest, or use the uncached
+    * [[fitIvfPq]] when the corpus mutates under you; immutable parquet
+    * fixture paths (this engine's norm) are keyed correctly because a
+    * re-written path is a different file listing. */
   def fitIvfPqCached(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
       centroids: Int = 0, idCol: String = "vec_id"): IvfPqModel = {
     val v = vecs.select(col(idCol).cast("long").as("vec_id"),
@@ -391,13 +435,20 @@ object Pq {
     // collapses the normalization Project into a caller's rename
     // Projects, so two column-name routes to the same data share one
     // entry; canonicalization then strips alias names and expr ids.
-    // Optimization is driver-only analysis work — no jobs.
-    val key = (v.queryExecution.optimizedPlan.canonicalized, m, k, centroids)
+    // Optimization is driver-only analysis work — no jobs. Rendered
+    // verbose (plan + schema) so distinct relations can't collide on a
+    // truncated display string.
+    val plan = v.queryExecution.optimizedPlan.canonicalized
+    val key = (plan.treeString(verbose = true) + "\n" + plan.schema.catalogString,
+      m, k, centroids)
     val cache = sessionIndexCache(vecs.sparkSession)
     cache.get(key).flatMap(r => Option(r.get())) match {
       case Some(im) => im
       case None =>
         val im = fitIvfPq(v, "v", m, k, centroids)
+        // prune entries whose weak model was collected — they can
+        // never hit again and would otherwise accumulate per workload
+        cache.filterInPlace((_, ref) => ref.get() != null)
         cache.put(key, new java.lang.ref.WeakReference(im))
         im
     }
@@ -419,7 +470,7 @@ object Pq {
     probes.join(qv.select(col("vec_id").as("i"), col("v")), "i")
       .join(broadcast(cents.toDF("c_id", "centv")), "c_id")
       .select(col("i"), col("c_id"),
-        zip_with(col("v"), col("centv"), (x, c) => x - c).as("qr"))
+        guardedDiff(col("v"), col("centv"), col("i")).as("qr"))
       .select(col("i"), col("c_id"),
         explode(sequence(lit(0), lit(model.m - 1))).as("b"), col("qr"))
       .select(col("i"), col("c_id"), col("b"),
@@ -467,7 +518,11 @@ object Pq {
     val cand = probes.join(homes, "c_id")
       .filter(col("i") =!= col("vec_id"))
       .select("i", "c_id", "vec_id")
-    val codes = encodeBlocks(residuals(v, im.cents), "rv", im.pq)
+    // residual codes from the SAME assignment pass's crnk = 1 rows —
+    // a second nprobe = 1 assignment would re-pay the O(N·c·d)
+    // distance stage per call (round-13 review); crnk 1 of the nprobe
+    // pass is bit-identical to a dedicated homes pass
+    val codes = encodeBlocks(residualsFrom(v, homes, im.cents), "rv", im.pq)
     adcRank(
       cand
         .join(codes, "vec_id")

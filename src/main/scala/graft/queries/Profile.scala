@@ -84,14 +84,18 @@ object Profile extends QueryGroup {
     // MERGE / upsert — the lakehouse idiom a 100 TB pipeline applies a
     // CDC change-set with (round-12 VERDICT #6): one FULL OUTER join of
     // target × changes on the key, then per-row resolution — D rows
-    // drop, U rows take the change's values, I rows (no target match)
-    // enter, untouched target rows pass through. One shuffle on the
-    // merge key (the join), no windows, no driver state — exactly how
-    // Delta/Iceberg MERGE plans the row-level pass at scale. The
-    // change-set is derived deterministically from the target itself
-    // (keys ≡3 mod 10 reprice +10.00, ≡7 delete, ≡0 clone to fresh
-    // keys +10⁸) so the key needs no side files; money stays exact
-    // integer cents end to end (D2).
+    // drop, U/I rows take the change's values (keyed on the matched
+    // op, not coalesce, so a null change payload would land as null —
+    // the Delta semantics; round-13 review), untouched target rows
+    // pass through. One shuffle on the merge key (the join), no
+    // windows, no driver state — exactly how Delta/Iceberg MERGE plans
+    // the row-level pass at scale. The change-set is derived
+    // deterministically from the target itself (keys ≡3 mod 10 reprice
+    // +10.00, ≡7 delete, ≡0 clone to fresh NEGATIVE keys −(k+1) —
+    // collision-free against the positive key space at ANY scale; the
+    // first form's +10⁸ offset collided with real orderkeys past
+    // SF ≈ 17, round-13 review) so the key needs no side files; money
+    // stays exact integer cents end to end (D2).
     "cdc_merge" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val target = o.select(col("o_orderkey"), col("o_custkey"),
@@ -103,15 +107,17 @@ object Profile extends QueryGroup {
         .select(col("o_orderkey"), lit("D").as("op"),
           lit(null).cast("long").as("ck"), lit(null).cast("long").as("cc"))
       val ins = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
-        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        .select((-(col("o_orderkey") + lit(1L))).as("o_orderkey"),
           lit("I").as("op"), col("o_custkey").as("ck"),
           cents(col("o_totalprice")).as("cc"))
       target.join(upd.unionByName(del).unionByName(ins),
           Seq("o_orderkey"), "full_outer")
         .filter(coalesce(col("op"), lit("")) =!= "D")
         .select(col("o_orderkey"),
-          coalesce(col("ck"), col("o_custkey")).as("o_custkey"),
-          coalesce(col("cc"), col("tc")).as("o_total_cents"))
+          when(col("op").isNotNull, col("ck"))
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("op").isNotNull, col("cc"))
+            .otherwise(col("tc")).as("o_total_cents"))
         .orderBy("o_orderkey")
     }),
 
@@ -241,12 +247,13 @@ object Profile extends QueryGroup {
          |  SELECT o_orderkey, 'D', NULL, NULL
          |  FROM orders WHERE o_orderkey % 10 = 7
          |  UNION ALL
-         |  SELECT o_orderkey + 100000000, 'I', o_custkey,
+         |  SELECT -(o_orderkey + 1), 'I', o_custkey,
          |    ${Det.centsSql("o_totalprice")}
          |  FROM orders WHERE o_orderkey % 10 = 0)
          |SELECT COALESCE(t.o_orderkey, ch.o_orderkey) AS o_orderkey,
-         |  COALESCE(ch.ck, t.o_custkey) AS o_custkey,
-         |  COALESCE(ch.cc, ${Det.centsSql("t.o_totalprice")}) AS o_total_cents
+         |  CASE WHEN ch.op IS NOT NULL THEN ch.ck ELSE t.o_custkey END AS o_custkey,
+         |  CASE WHEN ch.op IS NOT NULL THEN ch.cc
+         |       ELSE ${Det.centsSql("t.o_totalprice")} END AS o_total_cents
          |FROM orders t FULL OUTER JOIN ch ON t.o_orderkey = ch.o_orderkey
          |WHERE COALESCE(ch.op, '') <> 'D'
          |ORDER BY o_orderkey""".stripMargin,

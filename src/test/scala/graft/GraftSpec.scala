@@ -180,7 +180,7 @@ class GraftSpec extends SparkSuite {
         lit(null).cast("long").as("o_custkey"),
         lit(null).cast("long").as("o_total_cents"))
     val ins = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
-      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+      .select((-(col("o_orderkey") + lit(1L))).as("o_orderkey"),
         lit("I").as("op"), col("o_custkey"),
         cents(col("o_totalprice")).as("o_total_cents"))
     val facade = rows(Graft.merge(target,
@@ -188,6 +188,33 @@ class GraftSpec extends SparkSuite {
       .orderBy("o_orderkey"))
     val key = rows(SparkEntry.queries("cdc_merge")(spark, sf001))
     assert(facade == key && facade.nonEmpty)
+  }
+
+  test("merge applies NULL change payloads and rejects multi-row change keys") {
+    // round-13 review: coalesce-style resolution silently kept the
+    // target's old value for a U row nulling a column, and a
+    // full-outer fanout silently multiplied rows for a key with two
+    // ops. Nulls must LAND; multiplicity must FAIL (the Delta
+    // "multiple source rows matched" contract).
+    import spark.implicits._
+    val target = Seq((1L, "a@x", 10L), (2L, "b@x", 20L))
+      .toDF("id", "email", "v")
+    val nullUpd = Seq((1L, "U", Option.empty[String], Option(11L)))
+      .toDF("id", "op", "email", "v")
+    val merged = Graft.merge(target, nullUpd, "id").orderBy("id").collect()
+    assert(merged.length == 2)
+    assert(merged(0).isNullAt(1) && merged(0).getLong(2) == 11L,
+      s"U row's null email did not land: ${merged(0)}")
+    assert(merged(1).getString(1) == "b@x" && merged(1).getLong(2) == 20L)
+    val dup = Seq((1L, "I", Option("x@x"), Option(1L)),
+        (1L, "U", Option("y@x"), Option(2L)))
+      .toDF("id", "op", "email", "v")
+    val e = intercept[Exception] {
+      Graft.merge(target, dup, "id").collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("multiple change rows"),
+      s"unexpected: ${e.getMessage}")
   }
 
   test("OPQ path threads a non-vec_id id column end to end") {

@@ -308,6 +308,21 @@ class PqSpec extends SparkSuite {
     assert(meanRecall >= 0.45,
       s"residual IVFADC isotropic recall@$topk $meanRecall < 0.45")
     assert(run().sameElements(got), "residual IVFADC is not deterministic")
+    // ragged / null-element vectors fail LOUD in the residual relation
+    // (round-13 review: zip_with would otherwise null-pad silently —
+    // the exact hazard Pca.fit guards; exercised via residualsFrom so
+    // the check is hit directly, not shadowed by vec_sqdist's own
+    // assignment-time guard)
+    import spark.implicits._
+    val vr = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "v")
+    val homes2 = Seq((0L, 0L), (1L, 0L)).toDF("vec_id", "c_id")
+    val e2 = intercept[Exception] {
+      graft.functions.Pq.residualsFrom(vr, homes2,
+        Seq((0L, Seq(0.0, 0.0, 0.0)))).collect()
+    }
+    assert(e2.getMessage.contains("ragged or null-element"),
+      s"unexpected: ${e2.getMessage}")
   }
 
   test("residual codes beat raw codes on clustered data at the same bit budget") {
