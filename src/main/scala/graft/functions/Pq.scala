@@ -412,6 +412,27 @@ object Pq {
   def invalidateIndexCache(spark: SparkSession): Unit =
     indexCache.synchronized { indexCache.remove(spark); () }
 
+  /** Identity of the plan's leaf relations, rendered EXPLICITLY: a
+    * plan's treeString shows `Relation [cols] parquet` — NO file
+    * paths — and a LocalRelation prints schema but not data, so two
+    * same-schema datasets would collide on the rendered key and the
+    * cache would serve the wrong model. File sources key on their
+    * root paths; local (test/in-memory) relations on their rows'
+    * hash; anything else on its full node string. */
+  private def leafIdentity(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+    plan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            s"files:${fs.location.rootPaths.mkString(",")}"
+          case other => s"rel:${other.toString}"
+        }
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"local:${loc.data.hashCode}:${loc.output.map(a => a.name + ":" + a.dataType.catalogString).mkString(",")}"
+      case leaf => s"leaf:${leaf.toString}"
+    }.mkString(";")
+
   /** [[fitIvfPq]] behind the session index registry: the first call per
     * (input plan, m, k, centroids) builds; later calls return the SAME
     * model with no jobs (plan canonicalization only — analysis, never
@@ -435,11 +456,15 @@ object Pq {
     // collapses the normalization Project into a caller's rename
     // Projects, so two column-name routes to the same data share one
     // entry; canonicalization then strips alias names and expr ids.
-    // Optimization is driver-only analysis work — no jobs. Rendered
-    // verbose (plan + schema) so distinct relations can't collide on a
-    // truncated display string.
+    // Optimization is driver-only analysis work — no jobs. The key is
+    // the untruncated verbose rendering + schema + EXPLICIT leaf
+    // identity ([[leafIdentity]] — treeString omits file paths and
+    // local-relation data, which would otherwise collide same-schema
+    // datasets onto one entry).
     val plan = v.queryExecution.optimizedPlan.canonicalized
-    val key = (plan.treeString(verbose = true) + "\n" + plan.schema.catalogString,
+    val key = (plan.treeString(verbose = true, addSuffix = false,
+        maxFields = Int.MaxValue, printOperatorId = false) +
+      "\n" + plan.schema.catalogString + "\n" + leafIdentity(plan),
       m, k, centroids)
     val cache = sessionIndexCache(vecs.sparkSession)
     cache.get(key).flatMap(r => Option(r.get())) match {

@@ -277,6 +277,18 @@ class GraftSpec extends SparkSuite {
     val m3 = graft.functions.Pq.fitIvfPqCached(renamed, "vec",
       centroids = 16, idCol = "item_id")
     assert(m3 eq m1, "renamed columns missed the cache")
+    // two same-schema datasets must NOT collide (round-13: plan
+    // treeStrings omit local-relation data and file paths — the leaf
+    // identity component is what keeps these apart)
+    import spark.implicits._
+    def synth(seed: Double) = (0 until 40)
+      .map(i => (i.toLong, (0 until 8).map(j => seed + i * 0.1 + j).toList))
+      .toDF("vec_id", "embedding")
+    val sA = graft.functions.Pq.fitIvfPqCached(synth(0.0), "embedding", centroids = 4)
+    val sB = graft.functions.Pq.fitIvfPqCached(synth(100.0), "embedding", centroids = 4)
+    assert(!(sA eq sB), "distinct same-schema datasets collided onto one cache entry")
+    assert(!sA.cents.map(_._2).sameElements(sB.cents.map(_._2)),
+      "collided models: identical centroids for different data")
   }
 
   test("blockedEditDistancePairs matches er_blocked_match") {
