@@ -437,8 +437,40 @@ object Bench {
         ex.map(_._2).count(g.contains).toDouble / topk
       }
       val recall = recalls.sum / recalls.size
+      // RESIDUAL index on the SAME centroids (round 13) — the deltas
+      // against the raw rows isolate what residual encoding costs at
+      // scale: the fit consumes the residual relation (one extra
+      // nprobe=1 assignment under the sample scan) and the encode pays
+      // the same assignment per pass; the query swaps the per-query
+      // LUT for the per-(query, probed-centroid) one. Recall is at the
+      // exact-ceiling on this replicated corpus for both encodings
+      // (the clustered-regime recall GAIN is pinned in PqSpec).
+      var rim: graft.functions.Pq.IvfPqModel = null
+      val residFitSec = time {
+        rim = graft.functions.Pq.IvfPqModel(cents,
+          graft.functions.Pq.fit(
+            graft.functions.Pq.residuals(v, cents), "rv"))
+      }
+      val residEncodeSec = time {
+        graft.functions.Pq.encodeBlocks(
+          graft.functions.Pq.residuals(v, cents), "rv", rim.pq).count()
+      }
+      def endToEndR(): Double = time {
+        graft.functions.Pq.ivfAdcTopk(e, "embedding", rim, topk,
+          nprobe = nprobe, idCol = "vec_id", queryIds = Some(qids)).count()
+      }
+      val e2eR = math.min(endToEndR(), endToEndR())
+      val gotR = graft.functions.Pq.ivfAdcTopk(e, "embedding", rim, topk,
+          nprobe = nprobe, idCol = "vec_id", queryIds = Some(q64ids))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val gotRByQ = gotR.groupBy(_._1)
+      val recallsR = exByQ.map { case (q, ex) =>
+        val g = gotRByQ.getOrElse(q, Array.empty).map(_._2).toSet
+        ex.map(_._2).count(g.contains).toDouble / topk
+      }
+      val recallR = recallsR.sum / recallsR.size
       graft.Checkpoints.release(e); graft.Checkpoints.release(qids)
-      f"""{"n":$n,"c":$c,"fit_sec":$fitSec%.3f,"cent_sec":$centSec%.3f,"assign_sec":$assignSec%.3f,"encode_sec":$encodeSec%.3f,"query_1024_end_to_end_sec":$e2e%.3f,"recall_at_$topk":$recall%.4f}"""
+      f"""{"n":$n,"c":$c,"fit_sec":$fitSec%.3f,"cent_sec":$centSec%.3f,"assign_sec":$assignSec%.3f,"encode_sec":$encodeSec%.3f,"query_1024_end_to_end_sec":$e2e%.3f,"recall_at_$topk":$recall%.4f,"resid_fit_sec":$residFitSec%.3f,"resid_encode_sec":$residEncodeSec%.3f,"resid_query_1024_sec":$e2eR%.3f,"resid_recall_at_$topk":$recallR%.4f}"""
     }
     val json = s"""{"metric":"pq_ivf","unit":"sec","sf":"$sfDir","threads":$threads,"nprobe":$nprobe,"topk":$topk,"shapes":${shapes.mkString("[", ",", "]")}}"""
     println(json)
