@@ -351,15 +351,22 @@ object Graft {
     * data at the same bit budget (BENCH_NOTES §25); recall loss vs
     * exact is the IVF bucket trade plus quantization (raise `nprobe`,
     * or rerank with [[similarTopKPqIvfReranked]]). Returns
-    * (i, k_id, adc, rnk). */
+    * (i, k_id, adc, rnk).
+    *
+    * `queryIds` (optional, a single-id-column frame) restricts the
+    * PROBING workload — the production shape: the corpus is fully
+    * indexed and searched, but only those ids ask; M queries against
+    * an N-row corpus cost M·(nprobe·N/c) candidate work. With the
+    * session-cached index this is the repeated-query loop: build once,
+    * then per-workload calls pay only their own search. */
   def similarTopKPqIvf(spark: SparkSession, embeddings: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 8, pqK: Int = 256, centroids: Int = 0,
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 8, queryIds: Option[DataFrame] = None): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)
     val im = functions.Pq.fitIvfPqCached(e, "embedding", m, pqK, centroids)
     functions.Pq.ivfAdcTopk(e, "embedding", im, k, nprobe,
-      idCol = "vec_id", queryIds = None)
+      idCol = "vec_id", queryIds = queryIds)
   }
 
   /** [[similarTopKPqIvf]] + exact re-rank — the faiss `refine` stage
@@ -371,11 +378,12 @@ object Graft {
   def similarTopKPqIvfReranked(spark: SparkSession, embeddings: DataFrame,
       k: Int, shortlist: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding", m: Int = 8, pqK: Int = 256,
-      centroids: Int = 0, nprobe: Int = 8): DataFrame = {
+      centroids: Int = 0, nprobe: Int = 8,
+      queryIds: Option[DataFrame] = None): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)
     val im = functions.Pq.fitIvfPqCached(e, "embedding", m, pqK, centroids)
     functions.Pq.ivfAdcRerankTopk(e, "embedding", im, k, shortlist, nprobe,
-      idCol = "vec_id", queryIds = None)
+      idCol = "vec_id", queryIds = queryIds)
   }
 
   /** Product-quantize an embedding column: trains m per-block

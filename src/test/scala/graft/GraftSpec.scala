@@ -190,6 +190,22 @@ class GraftSpec extends SparkSuite {
     assert(facade == key && facade.nonEmpty)
   }
 
+  test("similarTopKPqIvf queryIds workload equals the self-search restricted to it") {
+    // the production repeated-query shape: a workload call must return
+    // exactly the unrestricted self-search's rows for those queries
+    // (same index — the session cache guarantees the same model)
+    import spark.implicits._
+    val all = rows(Graft.similarTopKPqIvf(spark, myEmb, 5, "item_id", "vec",
+        centroids = 16, nprobe = 8)
+      .filter(col("i").isin(3L, 17L, 42L))
+      .orderBy("i", "rnk"))
+    val workload = rows(Graft.similarTopKPqIvf(spark, myEmb, 5, "item_id", "vec",
+        centroids = 16, nprobe = 8,
+        queryIds = Some(Seq(3L, 17L, 42L).toDF("id")))
+      .orderBy("i", "rnk"))
+    assert(workload == all && workload.nonEmpty)
+  }
+
   test("merge applies NULL change payloads and rejects multi-row change keys") {
     // round-13 review: coalesce-style resolution silently kept the
     // target's old value for a U row nulling a column, and a
