@@ -437,14 +437,15 @@ object Bench {
         ex.map(_._2).count(g.contains).toDouble / topk
       }
       val recall = recalls.sum / recalls.size
-      // RESIDUAL index on the SAME centroids (round 13) — the deltas
-      // against the raw rows isolate what residual encoding costs at
-      // scale: the fit consumes the residual relation (one extra
-      // nprobe=1 assignment under the sample scan) and the encode pays
-      // the same assignment per pass; the query swaps the per-query
-      // LUT for the per-(query, probed-centroid) one. Recall is at the
-      // exact-ceiling on this replicated corpus for both encodings
-      // (the clustered-regime recall GAIN is pinned in PqSpec).
+      // RESIDUAL index on the SAME centroids (round 13). COMPARISON
+      // CAVEAT (round-13 review): the raw end-to-end above re-derives
+      // its centroids INSIDE the timed call (count + buildCentroids —
+      // its documented cold cost), while the residual query receives
+      // the prebuilt model — like-for-like, subtract cent_sec (and the
+      // count) from the raw row before reading the two against each
+      // other. Recall is at the exact-ceiling on this replicated
+      // corpus for both encodings (the clustered-regime recall GAIN is
+      // pinned in PqSpec).
       var rim: graft.functions.Pq.IvfPqModel = null
       val residFitSec = time {
         rim = graft.functions.Pq.IvfPqModel(cents,

@@ -356,16 +356,18 @@ object Graft {
     * `queryIds` (optional, a single-id-column frame) restricts the
     * PROBING workload — the production shape: the corpus is fully
     * indexed and searched, but only those ids ask; M queries against
-    * an N-row corpus cost M·(nprobe·N/c) candidate work. With the
-    * session-cached index this is the repeated-query loop: build once,
-    * then per-workload calls pay only their own search. */
+    * an N-row corpus cost M·(nprobe·N/c) candidate work. The session
+    * registry materializes the index (persisted homes + residual
+    * codes) on first use, so repeated workload calls pay ONLY their
+    * own query side — release the storage with
+    * [[graft.functions.Pq.invalidateIndexCache]]. */
   def similarTopKPqIvf(spark: SparkSession, embeddings: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 8, pqK: Int = 256, centroids: Int = 0,
       nprobe: Int = 8, queryIds: Option[DataFrame] = None): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)
-    val im = functions.Pq.fitIvfPqCached(e, "embedding", m, pqK, centroids)
-    functions.Pq.ivfAdcTopk(e, "embedding", im, k, nprobe,
+    val idx = functions.Pq.ivfPqIndexCached(e, "embedding", m, pqK, centroids)
+    functions.Pq.ivfAdcTopk(e, "embedding", idx, k, nprobe,
       idCol = "vec_id", queryIds = queryIds)
   }
 
@@ -381,8 +383,8 @@ object Graft {
       centroids: Int = 0, nprobe: Int = 8,
       queryIds: Option[DataFrame] = None): DataFrame = {
     val e = embOf(embeddings, idCol, vecCol)
-    val im = functions.Pq.fitIvfPqCached(e, "embedding", m, pqK, centroids)
-    functions.Pq.ivfAdcRerankTopk(e, "embedding", im, k, shortlist, nprobe,
+    val idx = functions.Pq.ivfPqIndexCached(e, "embedding", m, pqK, centroids)
+    functions.Pq.ivfAdcRerankTopk(e, "embedding", idx, k, shortlist, nprobe,
       idCol = "vec_id", queryIds = queryIds)
   }
 
@@ -437,15 +439,19 @@ object Graft {
     // per-key multiplicity rides each change row; the op projection
     // asserts it at execution (prune-proof: the guard wraps the op
     // every downstream branch reads). The count window shares the
-    // join's key hashing — one exchange for both.
+    // join's key hashing — one exchange for both. NULL keys are exempt
+    // (round-13 review): partitionBy pools them into ONE group, but
+    // they never equal-match a target row, so they cannot fan out —
+    // each passes through independently as before.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
     val ch = changes.select((col(keyCol) +: col(opCol).as("__op0") +:
         payload.map(c => col(c).as(s"__c_$c"))): _*)
       .withColumn("__nch", count(lit(1)).over(w))
       .withColumn("__op",
-        when(assert_true(col("__nch") === 1,
+        when(assert_true(col(keyCol).isNull || col("__nch") === 1,
           concat(lit("merge: multiple change rows for key "),
-            col(keyCol).cast("string"))).isNull, col("__op0")))
+            coalesce(col(keyCol).cast("string"), lit("?")))).isNull,
+          col("__op0")))
       .drop("__op0", "__nch")
     t.join(ch, Seq(keyCol), "full_outer")
       .filter(coalesce(col("__op"), lit("")) =!= "D")

@@ -377,6 +377,16 @@ object Pq {
       fit(residuals(v, cents), "rv", m, k, sampleN, lloydIters, "vec_id"))
   }
 
+  /** Materialized residual index: the model plus the corpus-side
+    * relations every query re-derived per call — homes (vec_id, c_id)
+    * and residual block codes (vec_id, b, code), both persisted
+    * MEMORY_ONLY. With these in executor storage a workload query pays
+    * ONLY its own side: M-row assignment, LUT, candidate join — the
+    * per-call O(N·c) assignment and O(N·m) re-encode are gone
+    * (round-13 review: the model-only cache still re-paid both). */
+  final case class IvfPqIndex(model: IvfPqModel, homes: DataFrame,
+      codes: DataFrame)
+
   // Session-scoped index registry (round-12 VERDICT #2): a facade
   // caller iterating queries paid a full centroid-build + residual
   // model fit PER CALL. Keyed by the canonicalized optimized plan's
@@ -386,52 +396,77 @@ object Pq {
   // relations strongly reference their SparkSession, and a WeakHashMap
   // whose VALUE map holds such keys pins its own session entry forever
   // (the documented WeakHashMap value→key hazard the Tables cache
-  // comments spell out; round-13 review caught this one). Weak-keyed
-  // by the session OBJECT and weak-valued — a collected model just
-  // refits (deterministically bit-identical, PqSpec), and a dead
-  // session's entries truly vanish with it.
+  // comments spell out; round-13 review caught this one).
+  //
+  // Two tiers per entry, the Tables load/warm discipline:
+  //   - the MODEL (driver-side arrays — does not reach the session, so
+  //     model-only entries never pin it);
+  //   - optionally the MATERIALIZED index (persisted homes + codes
+  //     DataFrames, built on first indexed query). These DO reach the
+  //     session — the explicit, bounded price of materialized executor
+  //     storage, released by [[invalidateIndexCache]] or session stop.
+  private final class IndexEntry(val model: IvfPqModel) {
+    @volatile var index: Option[IvfPqIndex] = None
+  }
+
   private val indexCache = new java.util.WeakHashMap[
     SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Int, Int, Int),
-      java.lang.ref.WeakReference[IvfPqModel]]]()
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int), IndexEntry]]()
 
   private def sessionIndexCache(spark: SparkSession) = indexCache.synchronized {
     var m = indexCache.get(spark)
     if (m == null) {
       m = scala.collection.concurrent.TrieMap
-        .empty[(String, Int, Int, Int),
-          java.lang.ref.WeakReference[IvfPqModel]]
+        .empty[(String, Int, Int, Int), IndexEntry]
       indexCache.put(spark, m)
     }
     m
   }
 
-  /** Drop every cached index of `spark` — the refit hook for callers
-    * whose underlying DATA changed under an unchanged plan (see the
-    * staleness note on [[fitIvfPqCached]]). */
-  def invalidateIndexCache(spark: SparkSession): Unit =
-    indexCache.synchronized { indexCache.remove(spark); () }
+  /** Drop every cached index of `spark`, unpersisting any materialized
+    * homes/codes storage — the refit hook for callers whose underlying
+    * DATA changed under an unchanged plan (see the staleness note on
+    * [[fitIvfPqCached]]), and the release hook for the index tier's
+    * executor storage. */
+  def invalidateIndexCache(spark: SparkSession): Unit = {
+    val m = indexCache.synchronized { Option(indexCache.remove(spark)) }
+    m.foreach(_.values.foreach(_.index.foreach { ix =>
+      ix.homes.unpersist(false); ix.codes.unpersist(false); ()
+    }))
+  }
 
   /** Identity of the plan's leaf relations, rendered EXPLICITLY: a
     * plan's treeString shows `Relation [cols] parquet` — NO file
     * paths — and a LocalRelation prints schema but not data, so two
     * same-schema datasets would collide on the rendered key and the
-    * cache would serve the wrong model. File sources key on their
-    * root paths; local (test/in-memory) relations on their rows'
-    * hash; anything else on its full node string. */
+    * cache would serve the wrong model. File sources key on their root
+    * paths; local (test/in-memory) relations on their rows' hash;
+    * RDD-backed plans (localCheckpoint / createDataFrame(rdd)) on the
+    * RDD id; cached plans on their cache builder's identity. Returns
+    * None for any leaf type without a provable data identity — the
+    * caller then BYPASSES the cache (correct-but-uncached beats a
+    * possible collision serving the wrong index; round-13 review:
+    * LogicalRDD and InMemoryRelation render no data identity at all,
+    * so the string fallback collided same-schema checkpoints). */
   private def leafIdentity(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
-    plan.collectLeaves().map {
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] = {
+    val ids = plan.collectLeaves().map {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            s"files:${fs.location.rootPaths.mkString(",")}"
-          case other => s"rel:${other.toString}"
+            Some(s"files:${fs.location.rootPaths.mkString(",")}")
+          case _ => None
         }
       case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        s"local:${loc.data.hashCode}:${loc.output.map(a => a.name + ":" + a.dataType.catalogString).mkString(",")}"
-      case leaf => s"leaf:${leaf.toString}"
-    }.mkString(";")
+        Some(s"local:${loc.data.hashCode}:${loc.output.map(a => a.name + ":" + a.dataType.catalogString).mkString(",")}")
+      case rdd: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(s"rdd:${rdd.rdd.id}")
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        Some(s"cached:${System.identityHashCode(imr.cacheBuilder)}")
+      case _ => None
+    }
+    if (ids.forall(_.isDefined)) Some(ids.flatten.mkString(";")) else None
+  }
 
   /** [[fitIvfPq]] behind the session index registry: the first call per
     * (input plan, m, k, centroids) builds; later calls return the SAME
@@ -448,35 +483,137 @@ object Pq {
     * [[fitIvfPq]] when the corpus mutates under you; immutable parquet
     * fixture paths (this engine's norm) are keyed correctly because a
     * re-written path is a different file listing. */
+  /** Cache key for the normalized input, or None when any leaf lacks a
+    * provable data identity (bypass — see [[leafIdentity]]). The plan
+    * is the OPTIMIZED canonicalized one, not analyzed: the optimizer
+    * collapses the normalization Project into a caller's rename
+    * Projects, so two column-name routes to the same data share one
+    * entry; canonicalization then strips alias names and expr ids.
+    * Optimization is driver-only analysis work — no jobs. The key is
+    * the untruncated verbose rendering + schema + EXPLICIT leaf
+    * identity. */
+  private def cacheKey(v: DataFrame, m: Int, k: Int,
+      centroids: Int): Option[(String, Int, Int, Int)] = {
+    val plan = v.queryExecution.optimizedPlan.canonicalized
+    leafIdentity(plan).map { leaves =>
+      (plan.treeString(verbose = true, addSuffix = false,
+          maxFields = Int.MaxValue, printOperatorId = false) +
+        "\n" + plan.schema.catalogString + "\n" + leaves,
+        m, k, centroids)
+    }
+  }
+
+  /** Entry for the normalized input — fits the model on first sight;
+    * None when the source is unidentifiable (caller bypasses). */
+  private def cachedEntry(v: DataFrame, m: Int, k: Int,
+      centroids: Int): Option[IndexEntry] =
+    cacheKey(v, m, k, centroids).map { key =>
+      val cache = sessionIndexCache(v.sparkSession)
+      cache.get(key) match {
+        case Some(e) => e
+        case None =>
+          val e = new IndexEntry(fitIvfPq(v, "v", m, k, centroids))
+          cache.putIfAbsent(key, e).getOrElse(e)
+      }
+    }
+
   def fitIvfPqCached(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
       centroids: Int = 0, idCol: String = "vec_id"): IvfPqModel = {
     val v = vecs.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    // OPTIMIZED canonicalized plan, not analyzed: the optimizer
-    // collapses the normalization Project into a caller's rename
-    // Projects, so two column-name routes to the same data share one
-    // entry; canonicalization then strips alias names and expr ids.
-    // Optimization is driver-only analysis work — no jobs. The key is
-    // the untruncated verbose rendering + schema + EXPLICIT leaf
-    // identity ([[leafIdentity]] — treeString omits file paths and
-    // local-relation data, which would otherwise collide same-schema
-    // datasets onto one entry).
-    val plan = v.queryExecution.optimizedPlan.canonicalized
-    val key = (plan.treeString(verbose = true, addSuffix = false,
-        maxFields = Int.MaxValue, printOperatorId = false) +
-      "\n" + plan.schema.catalogString + "\n" + leafIdentity(plan),
-      m, k, centroids)
-    val cache = sessionIndexCache(vecs.sparkSession)
-    cache.get(key).flatMap(r => Option(r.get())) match {
-      case Some(im) => im
-      case None =>
-        val im = fitIvfPq(v, "v", m, k, centroids)
-        // prune entries whose weak model was collected — they can
-        // never hit again and would otherwise accumulate per workload
-        cache.filterInPlace((_, ref) => ref.get() != null)
-        cache.put(key, new java.lang.ref.WeakReference(im))
-        im
+    cachedEntry(v, m, k, centroids) match {
+      case Some(e) => e.model
+      case None => fitIvfPq(v, "v", m, k, centroids) // unidentifiable source
     }
+  }
+
+  /** The MATERIALIZED residual index behind the session registry: the
+    * first call per (input plan, shape) fits the model; the first call
+    * needing the index marks homes + codes persisted (MEMORY_ONLY —
+    * materialized lazily by the first query that runs, reused by every
+    * later one). Storage cost ≈ N·(m+2) small values — release with
+    * [[invalidateIndexCache]]. An unidentifiable source (no provable
+    * leaf data identity) gets a correct UNCACHED index each call. */
+  def ivfPqIndexCached(vecs: DataFrame, vecCol: String, m: Int = 8,
+      k: Int = 256, centroids: Int = 0, idCol: String = "vec_id"): IvfPqIndex = {
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    def build(model: IvfPqModel, persist: Boolean): IvfPqIndex = {
+      val homes0 = homesOf(v, model.cents)
+      val homes = if (persist)
+        homes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      else homes0
+      val codes0 = encodeBlocks(residualsFrom(v, homes, model.cents), "rv", model.pq)
+      val codes = if (persist)
+        codes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      else codes0
+      IvfPqIndex(model, homes, codes)
+    }
+    cachedEntry(v, m, k, centroids) match {
+      case Some(e) =>
+        e.index.getOrElse(e.synchronized {
+          e.index.getOrElse {
+            val ix = build(e.model, persist = true)
+            e.index = Some(ix)
+            ix
+          }
+        })
+      case None => build(fitIvfPq(v, "v", m, k, centroids), persist = false)
+    }
+  }
+
+  /** Residual IVFADC over a MATERIALIZED index — the repeated-query
+    * production path: only the QUERY side computes per call (workload
+    * assignment over M rows, the residual LUT, the candidate join);
+    * the corpus-side homes and codes come from the index storage
+    * (round-13 review: the model-only cache still re-paid the O(N·c)
+    * assignment and the O(N·m) re-encode per call). Same rows as the
+    * self-building overload — assignment is per-row independent, so a
+    * workload-restricted pass ranks each query identically. Returns
+    * (i, k_id, adc, rnk). */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, idx: IvfPqIndex, topk: Int,
+      nprobe: Int, idCol: String, queryIds: Option[DataFrame]): DataFrame = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val qids = queryIds.map { q =>
+      require(q.columns.length == 1,
+        s"ivfAdcTopk: queryIds must be a single id column, got (${q.columns.mkString(", ")})")
+      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct()
+    }
+    def queriesOnly(df: DataFrame): DataFrame =
+      qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val qv = queriesOnly(v)
+    val probes = Ivf.assignments(qv, idx.model.cents, nprobe,
+        (a, b) => call_function("vec_sqdist", a, b))
+      .select(col("vec_id").as("i"), col("c_id"))
+    val cand = probes.join(idx.homes, "c_id")
+      .filter(col("i") =!= col("vec_id"))
+      .select("i", "c_id", "vec_id")
+    adcRank(
+      cand
+        .join(idx.codes, "vec_id")
+        .join(lutResidualDF(qv, probes, idx.model.pq, idx.model.cents),
+          Seq("i", "c_id", "b", "code")),
+      topk)
+  }
+
+  /** [[ivfAdcRerankTopk]] over a materialized index: ADC shortlist from
+    * the indexed search, true sqdist on the shortlist pairs only. */
+  def ivfAdcRerankTopk(vecs: DataFrame, vecCol: String, idx: IvfPqIndex,
+      topk: Int, shortlist: Int, nprobe: Int, idCol: String,
+      queryIds: Option[DataFrame]): DataFrame = {
+    require(shortlist >= topk,
+      s"ivfAdcRerankTopk: shortlist=$shortlist < topk=$topk")
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    rerankExact(v,
+      ivfAdcTopk(v, "v", idx, shortlist, nprobe, "vec_id", queryIds), topk)
   }
 
   /** Residual-LUT rows for a probing workload: for every (query i,

@@ -1197,8 +1197,8 @@ object Dedup extends QueryGroup {
     // candidate plan.
     "simsearch_pq_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val im = graft.functions.Pq.fitIvfPqCached(emb, "embedding", centroids = 16)
-      graft.functions.Pq.ivfAdcTopk(emb, "embedding", im, topk = 5,
+      val idx = graft.functions.Pq.ivfPqIndexCached(emb, "embedding", centroids = 16)
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", idx, topk = 5,
           nprobe = 8, idCol = "vec_id", queryIds = None)
         .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
         .orderBy("i", "rnk")

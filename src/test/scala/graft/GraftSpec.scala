@@ -231,6 +231,16 @@ class GraftSpec extends SparkSuite {
     assert(e.getMessage != null &&
       e.getMessage.contains("multiple change rows"),
       s"unexpected: ${e.getMessage}")
+    // NULL-key change rows are NOT a fanout hazard (they never
+    // equal-match a target) — two of them must pass through, not trip
+    // the multiplicity guard (round-13 review)
+    val nullKeys = Seq((Option.empty[Long], "I", Option("n1@x"), Option(1L)),
+        (Option.empty[Long], "I", Option("n2@x"), Option(2L)))
+      .toDF("id", "op", "email", "v")
+    val withNulls = Graft.merge(target, nullKeys, "id").collect()
+    assert(withNulls.length == 4 &&
+      withNulls.count(_.isNullAt(0)) == 2,
+      s"null-key change rows mishandled: ${withNulls.toSeq}")
   }
 
   test("OPQ path threads a non-vec_id id column end to end") {
@@ -293,6 +303,19 @@ class GraftSpec extends SparkSuite {
     val m3 = graft.functions.Pq.fitIvfPqCached(renamed, "vec",
       centroids = 16, idCol = "item_id")
     assert(m3 eq m1, "renamed columns missed the cache")
+    // materialized-index tier (round-13): one index per entry, shared
+    // on repeat, its model the entry's model, and the indexed query
+    // row-identical to the self-building overload
+    val ix1 = graft.functions.Pq.ivfPqIndexCached(emb, "embedding", centroids = 16)
+    val ix2 = graft.functions.Pq.ivfPqIndexCached(emb, "embedding", centroids = 16)
+    assert((ix2 eq ix1) && (ix1.model eq m1),
+      "materialized index not shared with the model entry")
+    val viaIndex = rows(graft.functions.Pq.ivfAdcTopk(emb, "embedding", ix1, 5,
+      nprobe = 8, idCol = "vec_id", queryIds = None).orderBy("i", "rnk"))
+    val viaModel = rows(graft.functions.Pq.ivfAdcTopk(emb, "embedding", m1, 5,
+      nprobe = 8, idCol = "vec_id", queryIds = None).orderBy("i", "rnk"))
+    assert(viaIndex == viaModel && viaIndex.nonEmpty,
+      "indexed query diverged from the self-building overload")
     // two same-schema datasets must NOT collide (round-13: plan
     // treeStrings omit local-relation data and file paths — the leaf
     // identity component is what keeps these apart)
