@@ -44,6 +44,51 @@ object Pq {
     s
   }
 
+  /** THE engine-normalized (vec_id, v) projection — one definition for
+    * the ten call sites that each hand-rolled it (round-13 review). */
+  private def normalize(vecs: DataFrame, vecCol: String,
+      idCol: String): DataFrame =
+    vecs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+
+  /** Model-dimension + null-element guard riding the vector expression
+    * (prune-proof — the guard IS the value every consumer reads). A
+    * too-SHORT vector fails in vec_sqdist's own ragged check, but a
+    * too-LONG one would silently encode its first m·sub dims (slice
+    * clips), and a null element reads as 0.0 inside vec_sqdist's
+    * ArrayData walk — both silent-garbage paths (round-13 review). */
+  private def guardedVec(vcol: Column, model: Model, id: Column): Column =
+    when(
+      assert_true(
+        size(vcol) === lit(model.m * model.sub) && !exists(vcol, e => e.isNull),
+        concat(lit("Pq: vector size "), size(vcol).cast("string"),
+          lit(" != model dims "), lit(model.m * model.sub),
+          lit(", or null element, for id "),
+          coalesce(id.cast("string"), lit("?")))).isNull,
+      vcol)
+
+  /** Normalized, deduplicated query workload — one definition for the
+    * three overloads that each hand-rolled it. distinct: a duplicated
+    * workload id would double both its candidate pairs AND its LUT
+    * rows — the join then yields k² block rows per pair and every adc
+    * comes out k²× the true distance, silently (round-12 review).
+    * Exactly ONE column (a silent columns.head pick on a wider frame
+    * would run a wrong workload), and every id must CAST to long —
+    * a cast-to-null id would broadcast-join nothing and return an
+    * empty result with no error (round-13 review). */
+  private def workloadIds(queryIds: Option[DataFrame]): Option[DataFrame] =
+    queryIds.map { q =>
+      require(q.columns.length == 1,
+        s"ivfAdcTopk: queryIds must be a single id column, got (${q.columns.mkString(", ")})")
+      val c = col(q.columns.head)
+      q.select(
+          when(assert_true(c.cast("long").isNotNull,
+            concat(lit("ivfAdcTopk: queryIds value does not cast to long: "),
+              coalesce(c.cast("string"), lit("null")))).isNull,
+            c.cast("long")).as("vec_id"))
+        .distinct()
+    }
+
   /** Train per-block codebooks on a bounded sample. `d` must divide
     * into `m` equal blocks. Deterministic: hash-spread sample,
     * farthest-point init (smallest-id start), fixed Lloyd rounds with
@@ -54,14 +99,26 @@ object Pq {
   def fit(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
       sampleN: Int = 8192, lloydIters: Int = 4,
       idCol: String = "vec_id"): Model = {
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
-    val sample = v.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val v = normalize(vecs, vecCol, idCol)
+    // content-hash tiebreak: duplicate ids carrying DIFFERENT vectors
+    // would otherwise tie the sort key and let TakeOrdered keep an
+    // arbitrary row per run, breaking the documented determinism (and
+    // the cache's bit-identical-refit pin) — round-13 review. Unique
+    // ids never reach the third key, so historical fits are unchanged.
+    val sample = v.orderBy(xxhash64(col("vec_id")), col("vec_id"),
+        xxhash64(col("v")))
       .limit(sampleN).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(sample.nonEmpty, "Pq.fit: empty input")
     val d = sample(0)._2.length
     require(d % m == 0, s"Pq.fit: d=$d not divisible into m=$m blocks")
+    // every sampled row at d, loud: copyOfRange ZERO-PADS a short
+    // vector past its length — silent all-zero tail blocks would pull
+    // the Lloyd centroids toward the origin (round-13 review)
+    sample.foreach { case (id, x) =>
+      require(x.length == d,
+        s"Pq.fit: ragged sample vector (length ${x.length}, expected $d) for id $id")
+    }
     val sub = d / m
     val codebooks = Array.tabulate(m) { b =>
       val blockSample: IndexedSeq[(Long, Array[Double])] =
@@ -134,11 +191,10 @@ object Pq {
     // aggregate (partitioning on a SUBSET of the grouping keys
     // co-locates every group) AND the per-vec reassembly in [[encode]],
     // so neither aggregate adds a shuffle (the pipeline_pack property).
-    vecs.select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
+    normalize(vecs, vecCol, idCol)
       .repartition(col("vec_id"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(model.m - 1))).as("b"),
-        col("v"))
+        guardedVec(col("v"), model, col("vec_id")).as("v"))
       .select(col("vec_id"), col("b"),
         slice(col("v"), col("b") * lit(model.sub) + lit(1), lit(model.sub)).as("sv"))
       .join(broadcast(codebookDF(spark, model)), "b")
@@ -253,8 +309,9 @@ object Pq {
   private def lutDF(queries: DataFrame, vecCol: String, model: Model,
       idCol: String): DataFrame = {
     val spark = queries.sparkSession
-    queries.select(col(idCol).cast("long").as("i"),
-        transform(col(vecCol), _.cast("double")).as("v"))
+    normalize(queries, vecCol, idCol)
+      .select(col("vec_id").as("i"),
+        guardedVec(col("v"), model, col("vec_id")).as("v"))
       .select(col("i"), explode(sequence(lit(0), lit(model.m - 1))).as("b"),
         col("v"))
       .select(col("i"), col("b"),
@@ -369,8 +426,7 @@ object Pq {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    val v = normalize(vecs, vecCol, idCol)
     val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
     val cents = Ivf.buildCentroids(v, c)
     IvfPqModel(cents,
@@ -404,7 +460,12 @@ object Pq {
   //   - optionally the MATERIALIZED index (persisted homes + codes
   //     DataFrames, built on first indexed query). These DO reach the
   //     session — the explicit, bounded price of materialized executor
-  //     storage, released by [[invalidateIndexCache]] or session stop.
+  //     storage. Release with [[invalidateIndexCache]]; a session STOP
+  //     frees the executor storage (it dies with the context) but the
+  //     DRIVER-side entry stays pinned by this value→key chain until
+  //     invalidated — the same documented trade as Tables' warmed tier
+  //     (round-13 review: "vanishes on session GC" is only true of
+  //     model-only entries).
   private final class IndexEntry(val model: IvfPqModel) {
     @volatile var index: Option[IvfPqIndex] = None
   }
@@ -468,21 +529,6 @@ object Pq {
     if (ids.forall(_.isDefined)) Some(ids.flatten.mkString(";")) else None
   }
 
-  /** [[fitIvfPq]] behind the session index registry: the first call per
-    * (input plan, m, k, centroids) builds; later calls return the SAME
-    * model with no jobs (plan canonicalization only — analysis, never
-    * execution). Deterministic builds make the cache semantically
-    * invisible FOR IMMUTABLE INPUTS: a refit after a collected entry
-    * produces bit-identical codebooks (PqSpec pins refit determinism).
-    *
-    * Staleness contract (round-13 review): the key is the PLAN, not
-    * the data — a mutable source whose plan compares equal across
-    * reads (a JDBC table, a catalog table re-ingested in place) serves
-    * the FIRST build's centroids/codebooks until the caller refits.
-    * Call [[invalidateIndexCache]] after re-ingest, or use the uncached
-    * [[fitIvfPq]] when the corpus mutates under you; immutable parquet
-    * fixture paths (this engine's norm) are keyed correctly because a
-    * re-written path is a different file listing. */
   /** Cache key for the normalized input, or None when any leaf lacks a
     * provable data identity (bypass — see [[leafIdentity]]). The plan
     * is the OPTIMIZED canonicalized one, not analyzed: the optimizer
@@ -517,10 +563,25 @@ object Pq {
       }
     }
 
+  /** [[fitIvfPq]] behind the session index registry: the first call per
+    * (input plan, m, k, centroids) builds; later calls return the SAME
+    * model with no jobs (plan canonicalization only — analysis, never
+    * execution). Deterministic builds make the cache semantically
+    * invisible FOR IMMUTABLE INPUTS: a refit after invalidation
+    * produces bit-identical codebooks (PqSpec pins refit determinism).
+    *
+    * Staleness contract (round-13 review): the key is the PLAN plus
+    * its provable LEAF DATA IDENTITY — file sources key on their root
+    * paths, so a path OVERWRITTEN IN PLACE (same directory, new data)
+    * serves the FIRST build's centroids/codebooks until the caller
+    * refits: call [[invalidateIndexCache]] after an in-place
+    * re-ingest, or use the uncached [[fitIvfPq]] when the corpus
+    * mutates under you. A re-written DIFFERENT path keys fresh, and
+    * sources with no provable identity at all (e.g. JDBC relations)
+    * BYPASS the cache — refit every call, never stale. */
   def fitIvfPqCached(vecs: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
       centroids: Int = 0, idCol: String = "vec_id"): IvfPqModel = {
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    val v = normalize(vecs, vecCol, idCol)
     cachedEntry(v, m, k, centroids) match {
       case Some(e) => e.model
       case None => fitIvfPq(v, "v", m, k, centroids) // unidentifiable source
@@ -536,29 +597,67 @@ object Pq {
     * leaf data identity) gets a correct UNCACHED index each call. */
   def ivfPqIndexCached(vecs: DataFrame, vecCol: String, m: Int = 8,
       k: Int = 256, centroids: Int = 0, idCol: String = "vec_id"): IvfPqIndex = {
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
-    def build(model: IvfPqModel, persist: Boolean): IvfPqIndex = {
-      val homes0 = homesOf(v, model.cents)
-      val homes = if (persist)
-        homes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      else homes0
-      val codes0 = encodeBlocks(residualsFrom(v, homes, model.cents), "rv", model.pq)
-      val codes = if (persist)
-        codes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      else codes0
+    val v = normalize(vecs, vecCol, idCol)
+    def persisted(df: DataFrame, persist: Boolean): DataFrame =
+      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      else df
+    // index from an already-fit model: one homes pass (unavoidable —
+    // the fit's own homes relation was transient)
+    def fromModel(model: IvfPqModel, persist: Boolean): IvfPqIndex = {
+      val homes = persisted(homesOf(v, model.cents), persist)
+      val codes = persisted(
+        encodeBlocks(residualsFrom(v, homes, model.cents), "rv", model.pq), persist)
       IvfPqIndex(model, homes, codes)
     }
-    cachedEntry(v, m, k, centroids) match {
-      case Some(e) =>
-        e.index.getOrElse(e.synchronized {
-          e.index.getOrElse {
-            val ix = build(e.model, persist = true)
+    // fresh build: ONE homes relation serves the residual TRAIN, the
+    // persisted index side, and the codes (round-13 review: fitIvfPq
+    // followed by a separate homesOf re-paid the O(N·c·d) assignment
+    // pass on every first build)
+    def buildAll(persist: Boolean): IvfPqIndex = {
+      val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
+      val cents = Ivf.buildCentroids(v, c)
+      val homes = persisted(homesOf(v, cents), persist)
+      val model = IvfPqModel(cents,
+        fit(residualsFrom(v, homes, cents), "rv", m, k))
+      val codes = persisted(
+        encodeBlocks(residualsFrom(v, homes, cents), "rv", model.pq), persist)
+      IvfPqIndex(model, homes, codes)
+    }
+    def unpersistIx(ix: IvfPqIndex): Unit = {
+      ix.homes.unpersist(false); ix.codes.unpersist(false); ()
+    }
+    cacheKey(v, m, k, centroids) match {
+      case None => buildAll(persist = false) // unidentifiable source
+      case Some(key) =>
+        val cache = sessionIndexCache(vecs.sparkSession)
+        def installIndex(e: IndexEntry): IvfPqIndex =
+          e.index.getOrElse(e.synchronized {
+            e.index.getOrElse {
+              val ix = fromModel(e.model, persist = true)
+              e.index = Some(ix)
+              // an invalidation racing this build already swept the
+              // registry without seeing these frames — unmark them so
+              // no executor storage is orphaned (the frames stay
+              // correct, merely uncached) — round-13 review
+              if (!cache.get(key).exists(_ eq e)) unpersistIx(ix)
+              ix
+            }
+          })
+        cache.get(key) match {
+          case Some(e) => installIndex(e)
+          case None =>
+            val ix = buildAll(persist = true)
+            val e = new IndexEntry(ix.model)
             e.index = Some(ix)
-            ix
-          }
-        })
-      case None => build(fitIvfPq(v, "v", m, k, centroids), persist = false)
+            cache.putIfAbsent(key, e) match {
+              case None =>
+                if (!cache.get(key).exists(_ eq e)) unpersistIx(ix)
+                ix
+              case Some(prior) => // lost the insert race — drop ours
+                unpersistIx(ix)
+                installIndex(prior)
+            }
+        }
     }
   }
 
@@ -576,13 +675,8 @@ object Pq {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
-    val qids = queryIds.map { q =>
-      require(q.columns.length == 1,
-        s"ivfAdcTopk: queryIds must be a single id column, got (${q.columns.mkString(", ")})")
-      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct()
-    }
+    val v = normalize(vecs, vecCol, idCol)
+    val qids = workloadIds(queryIds)
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
     val qv = queriesOnly(v)
@@ -610,8 +704,7 @@ object Pq {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    val v = normalize(vecs, vecCol, idCol)
     rerankExact(v,
       ivfAdcTopk(v, "v", idx, shortlist, nprobe, "vec_id", queryIds), topk)
   }
@@ -660,15 +753,10 @@ object Pq {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    val v = normalize(vecs, vecCol, idCol)
     val assigned = Ivf.assignments(v, im.cents, nprobe,
       (a, b) => call_function("vec_sqdist", a, b))
-    val qids = queryIds.map { q =>
-      require(q.columns.length == 1,
-        s"ivfAdcTopk: queryIds must be a single id column, got (${q.columns.mkString(", ")})")
-      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct()
-    }
+    val qids = workloadIds(queryIds)
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)
@@ -711,8 +799,7 @@ object Pq {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    val v = normalize(vecs, vecCol, idCol)
     rerankExact(v,
       ivfAdcTopk(v, "v", im, shortlist, nprobe, "vec_id", queryIds), topk)
   }
@@ -788,23 +875,12 @@ object Pq {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    val v = normalize(vecs, vecCol, idCol)
     val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
     val cents = Ivf.buildCentroids(v, c)
     val assigned = Ivf.assignments(v, cents, nprobe,
       (a, b) => call_function("vec_sqdist", a, b))
-    // distinct: a duplicated workload id would double both its
-    // candidate pairs AND its LUT rows — the (i, b, code) join then
-    // yields k² block rows per pair and every adc value for that query
-    // comes out k²× the true distance, silently (round-12 review).
-    // Exactly ONE column: a silent columns.head pick on a wider frame
-    // would run a wrong (or cast-to-null) workload (round-12 ADVICE).
-    val qids = queryIds.map { q =>
-      require(q.columns.length == 1,
-        s"ivfAdcTopk: queryIds must be a single id column, got (${q.columns.mkString(", ")})")
-      q.select(col(q.columns.head).cast("long").as("vec_id")).distinct()
-    }
+    val qids = workloadIds(queryIds)
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)
@@ -838,8 +914,7 @@ object Pq {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+    val v = normalize(vecs, vecCol, idCol)
     rerankExact(v,
       ivfAdcTopk(v, "v", model, shortlist, centroids, nprobe, "vec_id", queryIds),
       topk)

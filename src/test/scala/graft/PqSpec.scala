@@ -325,6 +325,35 @@ class PqSpec extends SparkSuite {
       s"unexpected: ${e2.getMessage}")
   }
 
+  test("input guards: wrong-dim vectors, null workload ids, ragged fit sample fail loud") {
+    // round-13 review: slice CLIPS, so a too-long vector silently
+    // encoded its first m·sub dims; a workload id casting to null
+    // broadcast-joined nothing and returned an empty result; a ragged
+    // fit sample zero-padded its tail blocks via copyOfRange.
+    import spark.implicits._
+    val model = graft.functions.Pq.fit(emb, "embedding")
+    val tooLong = Seq((0L, (0 until 128).map(_.toDouble)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      graft.functions.Pq.encodeBlocks(tooLong, "embedding", model).collect()
+    }
+    assert(e1.getMessage.contains("model dims"), s"unexpected: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      graft.functions.Pq.ivfAdcTopk(emb, "embedding", model, 5,
+        centroids = 16, nprobe = 8,
+        queryIds = Some(Seq(Option.empty[Long]).toDF("id"))).collect()
+    }
+    assert(e2.getMessage.contains("does not cast to long"),
+      s"unexpected: ${e2.getMessage}")
+    val ragged = (0 until 50).map(i =>
+        (i.toLong, (0 until (if (i == 7) 32 else 64)).map(_.toDouble)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.functions.Pq.fit(ragged, "embedding")
+    }
+    assert(e3.getMessage.contains("ragged sample"), s"unexpected: ${e3.getMessage}")
+  }
+
   test("residual codes beat raw codes on clustered data at the same bit budget") {
     // The regime residual encoding exists for (Jégou 2011 §V): many
     // clusters vs limited per-block codebook capacity — raw PQ spends
