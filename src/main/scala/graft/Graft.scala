@@ -460,6 +460,31 @@ object Graft {
           .otherwise(col(s"__t_$c")).as(c))): _*)
   }
 
+  /** NOT IN at scale — the three-valued-logic-exact decomposition of
+    * `probe.key NOT IN (SELECT key FROM inner)` into SHUFFLED
+    * operators. Spark itself plans single-column NOT IN only as a
+    * BROADCAST null-aware anti join (the inner side must fit the
+    * driver — fine for dimensions, impossible for a fact-sized inner);
+    * this form scales: a shuffled left-anti join over the non-null
+    * keys, one broadcast one-row null-presence scalar gating the
+    * result (ANY null in the inner set empties it, per SQL 3VL), and
+    * null probe keys dropped (NULL NOT IN (...) is never true).
+    * Returns probe's rows/schema. Row-equal to the engine's own NOT IN
+    * wherever that one can run (GraftSpec pins both paths and the null
+    * cases). */
+  def notIn(probe: DataFrame, probeKey: String, inner: DataFrame,
+      innerKey: String): DataFrame = {
+    val keys = inner.select(col(innerKey).as("__k"))
+    val nullPresence = keys.agg(
+      count(when(col("__k").isNull, 1)).as("__n_null"))
+    probe.filter(col(probeKey).isNotNull)
+      .join(keys.filter(col("__k").isNotNull),
+        col(probeKey) === col("__k"), "left_anti")
+      .crossJoin(broadcast(nullPresence))
+      .filter(col("__n_null") === 0)
+      .drop("__n_null")
+  }
+
   // ---- data quality --------------------------------------------------
 
   /** One-pass multi-column profile of 2-decimal numeric columns:

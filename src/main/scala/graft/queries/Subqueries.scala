@@ -66,7 +66,14 @@ object Subqueries extends QueryGroup {
     // NOT IN → Spark's null-aware anti join (a dedicated physical path:
     // one null in the subquery column would empty the result under
     // three-valued logic, so the engine must track null presence even
-    // when — as here, keys are non-null — none occurs).
+    // when — as here, keys are non-null — none occurs). SCALE CONTRACT
+    // (round-13 review): Spark plans single-column NOT IN ONLY as a
+    // broadcast NAAJ — the subquery side must fit the driver, which
+    // holds for dimension-sized inners (this key's shape) but not for
+    // a fact-sized one; at that scale use [[graft.Graft.notIn]], the
+    // three-valued-logic-exact decomposition into a SHUFFLED anti join
+    // plus a one-row null-presence guard (GraftSpec pins it row-equal
+    // to this key and exact on the null cases).
     "subq_not_in" ->
       """SELECT c_custkey, c_name
         |FROM customer

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
 object Windows extends QueryGroup {
   import Det._
 
+  /** D1 output order for per-suppkey lineitem rows, derived from the
+    * canonical unique key ([[Det.liKey]]) rather than hand-spelled —
+    * the round-12 discUnits centralization discipline (round-13
+    * review: the five-column list was duplicated across the file). */
+  private val bySuppkeyThenLiKey: Seq[org.apache.spark.sql.Column] =
+    col("l_suppkey") +: Det.liKey.filterNot(_ == "l_suppkey").map(col)
+
   /** Both physical shapes of topk_global (see the key's comment).
     * `preAgg = true` is the scale plan; false is the small-input plan.
     * Exposed so PlanSpec can pin each shape independently of the size
@@ -112,7 +119,7 @@ object Windows extends QueryGroup {
           rank().over(wTies).cast("long").as("rnk"),
           dense_rank().over(wTies).cast("long").as("drnk"),
           row_number().over(wUnique).cast("long").as("rn"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .orderBy(bySuppkeyThenLiKey: _*)
     }),
 
     "win_analytic" -> ((s, dir) => {
@@ -156,7 +163,7 @@ object Windows extends QueryGroup {
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_extendedprice"),
           fixedToDbl(sum(cents(col("l_extendedprice"))).over(w), 100).as("running_rev"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .orderBy(bySuppkeyThenLiKey: _*)
     }),
 
     // RANGE frame: peers (equal o_totalprice) are included together, so
@@ -225,7 +232,7 @@ object Windows extends QueryGroup {
     // that grows linearly with sf — a driver OOM at 100×.)
     // Regime choice: the size statistic (the cost-based call), OR the
     // catalog has the per-orderkey pre-aggregate ingested — a warmed
-    // lineitem#okrev makes the scale plan strictly cheaper at ANY size
+    // lineitem#okrev_cust makes the scale plan strictly cheaper at ANY size
     // (the 150 k-group hash agg leaves every rep and the fact side
     // shrinks 4:1 before the join).
     "topk_global" -> ((s, dir) => {
@@ -255,10 +262,15 @@ object Windows extends QueryGroup {
     // the shape that wins once the shuffle, not the local sort, is the
     // bottleneck (100 TB path). Bit-identical rows to topk_per_group.
     "topk_bounded_agg" -> ((s, dir) => {
-      s.udf.register("li_top3", udaf(new graft.functions.TopKRows(3)))
+      // direct Column application — registering into the session-global
+      // function registry and round-tripping through expr() bought
+      // nothing here (SQL-callable registration is UdfSurface's own
+      // surface; round-13 review)
+      val top3 = udaf(new graft.functions.TopKRows(3))
       Tables.lineitem(s, dir)
         .groupBy("l_suppkey")
-        .agg(expr("li_top3(l_extendedprice, l_orderkey, l_linenumber, l_partkey)").as("top"))
+        .agg(top3(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey")).as("top"))
         .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("l_suppkey"), col("t.orderkey").as("l_orderkey"),
           col("t.linenumber").as("l_linenumber"),

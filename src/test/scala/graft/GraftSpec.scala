@@ -206,6 +206,41 @@ class GraftSpec extends SparkSuite {
     assert(workload == all && workload.nonEmpty)
   }
 
+  test("notIn decomposition matches subq_not_in and Spark's NOT IN on null cases") {
+    // the scalable NOT IN (shuffled anti + null-presence guard) must be
+    // row-equal to the broadcast-NAAJ key on the fixture shape, and
+    // 3VL-exact where nulls appear (any inner null → empty; null probe
+    // keys never qualify) — checked against Spark's own NOT IN.
+    import spark.implicits._
+    Tables.orders(spark, sf001).createOrReplaceTempView("orders")
+    val inner = spark.sql(
+      """SELECT o_custkey FROM orders
+        |WHERE o_totalprice > (SELECT 0.5 * MAX(o_totalprice) FROM orders)""".stripMargin)
+    val facade = rows(Graft.notIn(
+        Tables.customer(spark, sf001).select("c_custkey", "c_name"),
+        "c_custkey", inner, "o_custkey")
+      .orderBy("c_custkey"))
+    val key = rows(SparkEntry.queries("subq_not_in")(spark, sf001))
+    assert(facade == key && facade.nonEmpty)
+    // null cases vs the engine's own NOT IN
+    val probe = Seq(Option(1L), Option(2L), Option(3L), Option.empty[Long])
+      .toDF("k")
+    def reference(innerVals: Seq[Option[Long]]): Seq[Seq[Any]] = {
+      probe.createOrReplaceTempView("__p")
+      innerVals.toDF("k").createOrReplaceTempView("__i")
+      rows(spark.sql(
+        "SELECT k FROM __p WHERE k NOT IN (SELECT k FROM __i) ORDER BY k"))
+    }
+    def mine(innerVals: Seq[Option[Long]]): Seq[Seq[Any]] =
+      rows(Graft.notIn(probe, "k", innerVals.toDF("k"), "k").orderBy("k"))
+    val withNull = Seq(Option(2L), Option.empty[Long])
+    val noNull = Seq(Option(2L), Option(5L))
+    assert(mine(withNull) == reference(withNull) && mine(withNull).isEmpty,
+      "inner null must empty the result")
+    assert(mine(noNull) == reference(noNull) && mine(noNull).nonEmpty,
+      "non-null decomposition diverged from the engine's NOT IN")
+  }
+
   test("merge applies NULL change payloads and rejects multi-row change keys") {
     // round-13 review: coalesce-style resolution silently kept the
     // target's old value for a U row nulling a column, and a
