@@ -418,7 +418,10 @@ object Graft {
     * the change's payload values VERBATIM, nulls included (resolution
     * keys on the matched op, never coalesce — a U row nulling a column
     * must null it; round-13 review), an I key absent from the target
-    * inserts, untouched target rows pass through. `changes` must carry
+    * inserts, a U key absent from the target is DROPPED (Delta's WHEN
+    * MATCHED UPDATE applies to matched rows only — use op I for
+    * upsert-style inserts; round-13 ADVICE), untouched target rows
+    * pass through. `changes` must carry
     * `keyCol`, `opCol`, and every target payload column (null payload
     * on D rows is fine — they never surface). A change-set with MORE
     * THAN ONE row per key fails LOUD at execution (the Delta "multiple
@@ -434,7 +437,9 @@ object Graft {
       s"merge: changes has no op column '$opCol' (columns: ${changes.columns.mkString(", ")})")
     payload.foreach(c => require(changes.columns.contains(c),
       s"merge: changes is missing target payload column '$c'"))
-    val t = target.select((col(keyCol) +:
+    // explicit presence marker: a payload of all-null target values
+    // must still count as MATCHED for the U-row gate below
+    val t = target.select((col(keyCol) +: lit(true).as("__t_present") +:
       payload.map(c => col(c).as(s"__t_$c"))): _*)
     // per-key multiplicity rides each change row; the op projection
     // asserts it at execution (prune-proof: the guard wraps the op
@@ -455,6 +460,10 @@ object Graft {
       .drop("__op0", "__nch")
     t.join(ch, Seq(keyCol), "full_outer")
       .filter(coalesce(col("__op"), lit("")) =!= "D")
+      // Delta WHEN MATCHED: an unmatched U row neither updates nor
+      // inserts (3VL note: target-only rows have __op null, so the
+      // conjunction is false and negation keeps them)
+      .filter(!(col("__op") === "U" && col("__t_present").isNull))
       .select((col(keyCol) +:
         payload.map(c => when(col("__op").isNotNull, col(s"__c_$c"))
           .otherwise(col(s"__t_$c")).as(c))): _*)
@@ -466,23 +475,30 @@ object Graft {
     * BROADCAST null-aware anti join (the inner side must fit the
     * driver — fine for dimensions, impossible for a fact-sized inner);
     * this form scales: a shuffled left-anti join over the non-null
-    * keys, one broadcast one-row null-presence scalar gating the
-    * result (ANY null in the inner set empties it, per SQL 3VL), and
-    * null probe keys dropped (NULL NOT IN (...) is never true).
-    * Returns probe's rows/schema. Row-equal to the engine's own NOT IN
-    * wherever that one can run (GraftSpec pins both paths and the null
-    * cases). */
+    * keys, one broadcast one-row inner-stats scalar gating the result
+    * (ANY null in the inner set empties it, per SQL 3VL), and null
+    * probe keys dropped — EXCEPT over an EMPTY inner relation, where
+    * `x NOT IN ()` is TRUE for every x including NULL (IN over the
+    * empty set is FALSE, not unknown — round-13 ADVICE), so null-key
+    * probe rows are kept exactly when the inner count is 0. Returns
+    * probe's rows/schema. Row-equal to the engine's own NOT IN
+    * wherever that one can run (GraftSpec pins both paths, the null
+    * cases, and the empty-inner case). */
   def notIn(probe: DataFrame, probeKey: String, inner: DataFrame,
       innerKey: String): DataFrame = {
     val keys = inner.select(col(innerKey).as("__k"))
-    val nullPresence = keys.agg(
-      count(when(col("__k").isNull, 1)).as("__n_null"))
-    probe.filter(col(probeKey).isNotNull)
+    val innerStats = broadcast(keys.agg(
+      count(when(col("__k").isNull, 1)).as("__n_null"),
+      count(lit(1)).as("__n_inner")))
+    val nonNullProbe = probe.filter(col(probeKey).isNotNull)
       .join(keys.filter(col("__k").isNotNull),
         col(probeKey) === col("__k"), "left_anti")
-      .crossJoin(broadcast(nullPresence))
+      .crossJoin(innerStats)
       .filter(col("__n_null") === 0)
-      .drop("__n_null")
+    val nullProbe = probe.filter(col(probeKey).isNull)
+      .crossJoin(innerStats)
+      .filter(col("__n_inner") === 0)
+    nonNullProbe.unionByName(nullProbe).drop("__n_null", "__n_inner")
   }
 
   // ---- data quality --------------------------------------------------

@@ -629,17 +629,25 @@ object Pq {
     cacheKey(v, m, k, centroids) match {
       case None => buildAll(persist = false) // unidentifiable source
       case Some(key) =>
-        val cache = sessionIndexCache(vecs.sparkSession)
+        val spark = vecs.sparkSession
+        val cache = sessionIndexCache(spark)
+        // an invalidation racing a build REMOVES the whole per-session
+        // map from the registry without clearing it, so probing the
+        // captured `cache` alone would still see e and miss the sweep
+        // (round-13 ADVICE) — the live check re-fetches the registry's
+        // CURRENT map and requires both identities to hold before
+        // trusting the install; otherwise the builder unpersists its
+        // own frames (idempotent with the sweep's unpersist, so the
+        // race's other interleaving is safe too)
+        def stillLive(e: IndexEntry): Boolean =
+          indexCache.synchronized { indexCache.get(spark) eq cache } &&
+            cache.get(key).exists(_ eq e)
         def installIndex(e: IndexEntry): IvfPqIndex =
           e.index.getOrElse(e.synchronized {
             e.index.getOrElse {
               val ix = fromModel(e.model, persist = true)
               e.index = Some(ix)
-              // an invalidation racing this build already swept the
-              // registry without seeing these frames — unmark them so
-              // no executor storage is orphaned (the frames stay
-              // correct, merely uncached) — round-13 review
-              if (!cache.get(key).exists(_ eq e)) unpersistIx(ix)
+              if (!stillLive(e)) unpersistIx(ix)
               ix
             }
           })
@@ -651,7 +659,7 @@ object Pq {
             e.index = Some(ix)
             cache.putIfAbsent(key, e) match {
               case None =>
-                if (!cache.get(key).exists(_ eq e)) unpersistIx(ix)
+                if (!stillLive(e)) unpersistIx(ix)
                 ix
               case Some(prior) => // lost the insert race — drop ours
                 unpersistIx(ix)

@@ -239,6 +239,12 @@ class GraftSpec extends SparkSuite {
       "inner null must empty the result")
     assert(mine(noNull) == reference(noNull) && mine(noNull).nonEmpty,
       "non-null decomposition diverged from the engine's NOT IN")
+    // EMPTY inner: NOT IN () is TRUE for every probe row INCLUDING the
+    // null-key one (IN over the empty set is FALSE, not unknown) —
+    // round-13 ADVICE: the first facade dropped null keys here
+    val empty = Seq.empty[Option[Long]]
+    assert(mine(empty) == reference(empty) && mine(empty).length == 4,
+      s"empty-inner NOT IN must keep ALL probe rows incl. null: ${mine(empty)}")
   }
 
   test("merge applies NULL change payloads and rejects multi-row change keys") {
@@ -276,6 +282,17 @@ class GraftSpec extends SparkSuite {
     assert(withNulls.length == 4 &&
       withNulls.count(_.isNullAt(0)) == 2,
       s"null-key change rows mishandled: ${withNulls.toSeq}")
+    // an UNMATCHED U row is dropped, not inserted (Delta WHEN MATCHED
+    // applies to matched rows only — round-13 ADVICE); an unmatched I
+    // beside it still inserts, and matched rows still update
+    val mixed = Seq((1L, "U", Option("z@x"), Option(99L)),
+        (7L, "U", Option("ghost@x"), Option(70L)),
+        (8L, "I", Option("new@x"), Option(80L)))
+      .toDF("id", "op", "email", "v")
+    val m2 = Graft.merge(target, mixed, "id").orderBy("id").collect()
+    assert(m2.map(_.getLong(0)).toSeq == Seq(1L, 2L, 8L) &&
+      m2(0).getLong(2) == 99L && m2(2).getString(1) == "new@x",
+      s"unmatched-U handling wrong: ${m2.toSeq}")
   }
 
   test("OPQ path threads a non-vec_id id column end to end") {
