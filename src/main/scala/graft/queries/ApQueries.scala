@@ -93,15 +93,18 @@ object ApQueries extends QueryGroup {
     // INPUT, "passed as a literal list"): each non-exemplar labels
     // argmax_{k∈E} s(i,k) (ties → smallest k), exemplars self-assign.
     // The exemplar set is the converged full run's (session-cached by
-    // fullRun; deterministic dataflow), so the oracle pins the same
-    // 61-id literal at sf0.01 — regenerate via
-    // `runMain graft.Verify <sfDir> <out> ap_exemplars` if the fixture
+    // fullRun; deterministic dataflow), so the oracle pins the per-sf
+    // literal — ALL THREE fixture scales are pinned and the oracle
+    // dispatches among them by the orders row count (round-13 VERDICT
+    // #2: the single-sf literal made parity fail BY DESIGN at any
+    // other sf). Regenerate via
+    // `runMain graft.Verify <sfDir> <out> ap_exemplars` if a fixture
     // moves. The round-6 form derived E from ONE undamped r+a pass,
     // which is EMPTY on this fixture → a vacuous 0-row pass.
     "ap_assign" -> ((s, dir) => {
       val offd = AffinityPropagation.similarities(Tables.embeddings(s, dir))
       val ex = fullRun(s, dir).exemplars
-      assertPinned("ap_assign", dir, ex, sf001Exemplars)
+      assertPinned("ap_assign", dir, ex, pinnedFullExemplars)
       AffinityPropagation.assign(offd, ex, s).orderBy("i")
     }),
 
@@ -123,7 +126,7 @@ object ApQueries extends QueryGroup {
       require(dist.exemplars == loc.exemplars,
         s"distributed runLoop diverged from the local kernel on the same input: " +
           s"dist=${dist.exemplars.mkString(",")} loc=${loc.exemplars.mkString(",")}")
-      assertPinned("ap_dist_exemplars", dir, dist.exemplars, sf001DistExemplars)
+      assertPinned("ap_dist_exemplars", dir, dist.exemplars, pinnedDistExemplars)
       dist.exemplars.toDF("exemplar").orderBy("exemplar")
     }),
 
@@ -202,7 +205,7 @@ object ApQueries extends QueryGroup {
          |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
          |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS s
          |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
-         |ex AS (SELECT unnest([$sf001ExemplarsLiteral]) AS k),
+         |ex AS (SELECT unnest($fullExemplarsCase) AS k),
          |best AS (
          |  SELECT o.i, o.k AS exemplar FROM offd o
          |  WHERE o.k IN (SELECT k FROM ex) AND o.i NOT IN (SELECT k FROM ex)
@@ -218,47 +221,100 @@ object ApQueries extends QueryGroup {
     // and assertPinned turns literal drift into a loud build error.
     "ap_dist_exemplars" ->
       s"""SELECT exemplar FROM (
-         |  SELECT CAST(unnest([$sf001DistExemplarsLiteral]) AS BIGINT) AS exemplar)
+         |  SELECT CAST(unnest($distExemplarsCase) AS BIGINT) AS exemplar)
          |ORDER BY exemplar""".stripMargin
   )
 
-  /** The converged exemplar set on the sf0.01 fixture (N=500, 61 ids) —
-    * the literal list the ap_assign oracle receives, per §2.J's
-    * assignment-given-exemplars declaration. Must equal
-    * `fullRun(sf0.01).exemplars`; regenerated from the ap_exemplars
-    * verify dump. */
-  private val sf001ExemplarsLiteral: String =
-    ("3,9,16,27,48,50,70,74,83,95,100,101,108,125,127,150,155,162,165,169," +
-     "172,187,194,195,198,202,204,205,253,254,256,271,272,276,287,298,312," +
-     "325,340,350,353,354,363,369,373,375,383,384,387,399,406,419,430,431," +
-     "438,439,443,450,458,473,477")
-  private lazy val sf001Exemplars: Seq[Long] =
-    sf001ExemplarsLiteral.split(",").map(_.trim.toLong).toSeq
+  /** Orders row count per fixture scale — the one statistic that
+    * discriminates the sf dirs inside a STATIC oracle SQL string.
+    * (The embeddings tables cannot: sf0.001 and sf0.01 both carry
+    * N = 500 vectors, different content.) orders = 150 000 · SF rows
+    * by the TPC-H-ish generator, verified against the parquet
+    * metadata of all three dirs this round. */
+  private val ordersCountOf: Seq[(String, Long)] =
+    Seq("sf0.001" -> 1500L, "sf0.01" -> 15000L, "sf0.1" -> 150000L)
 
-  /** Converged exemplar set of the FORCED-distributed run on the sf0.01
-    * 200-vec prefix (28 ids, 37 iterations, λ=0.5) — the
-    * ap_dist_exemplars oracle literal. Equals the local kernel's set on
-    * the same input (the query asserts that every run). */
-  private val sf001DistExemplarsLiteral: String =
-    ("3,11,16,17,21,27,44,46,49,50,57,60,95,104,111,116,122,127,139,145," +
-     "146,148,150,162,181,185,190,196")
-  private lazy val sf001DistExemplars: Seq[Long] =
-    sf001DistExemplarsLiteral.split(",").map(_.trim.toLong).toSeq
+  /** Converged full-run exemplar sets per fixture scale (ap_assign's
+    * input literal, per §2.J's assignment-given-exemplars declaration;
+    * round-13 VERDICT #2 made these scale-portable). Must equal
+    * `fullRun(sf).exemplars`; regenerate from the ap_exemplars verify
+    * dump at that sf (`runMain graft.Verify <sfDir> <out> ap_exemplars`). */
+  private val pinnedFullExemplars: Seq[(String, String)] = Seq(
+    "sf0.001" ->
+      ("3,4,11,14,20,23,28,44,45,50,56,59,63,67,74,78,79,90,92,95,104,106," +
+       "129,132,134,136,138,140,152,153,154,167,174,198,215,224,227,229,233," +
+       "243,248,276,292,306,327,329,330,332,337,356,358,384,396,397,404,411," +
+       "418,424,429,443,445,452,454,455,477,487"),
+    "sf0.01" ->
+      ("3,9,16,27,48,50,70,74,83,95,100,101,108,125,127,150,155,162,165,169," +
+       "172,187,194,195,198,202,204,205,253,254,256,271,272,276,287,298,312," +
+       "325,340,350,353,354,363,369,373,375,383,384,387,399,406,419,430,431," +
+       "438,439,443,450,458,473,477"),
+    "sf0.1" ->
+      ("14,25,32,42,46,53,82,134,138,152,154,156,166,185,193,208,213,217," +
+       "220,226,230,238,242,253,254,268,296,297,299,304,307,310,319,346,355," +
+       "357,359,366,368,380,388,389,397,402,407,412,413,416,422,426,429,436," +
+       "442,445,454,460,486,492,502,510,558,564,576,605,634,649,679,680,683," +
+       "685,693,695,718,729,745,749,750,752,769,774,785,801,814,818,820,825," +
+       "829,837,838,844,845,851,856,863,867,884,909,952,963,973,992,1000," +
+       "1059,1103,1106,1119,1120,1135,1138,1157,1164,1166,1175,1179,1180," +
+       "1184,1190,1198,1200,1204,1208,1215,1216,1224,1232,1251,1261,1264," +
+       "1266,1270,1287,1290,1291,1296,1300,1301,1303,1305,1306,1320,1331," +
+       "1341,1350,1370,1383,1390,1392,1420,1428,1430,1446,1451,1460,1481," +
+       "1507,1519,1525,1527,1535,1542,1544,1545,1549,1552,1574,1577,1610," +
+       "1614,1628,1639,1641,1661,1674,1683,1694,1726,1731,1747,1773,1782," +
+       "1788,1805,1810,1813,1824,1852,1856,1860,1868,1870,1874,1876,1883," +
+       "1894,1902,1913,1920,1922,1932,1934,1935,1946,1958,1988,1991,1992"))
+
+  /** Converged exemplar sets of the FORCED-distributed run on each
+    * fixture's 200-vec prefix — the ap_dist_exemplars oracle literals.
+    * Each equals the local kernel's set on the same input (the query
+    * asserts that every run). Regenerate from the ap_dist_exemplars
+    * verify dump at that sf. */
+  private val pinnedDistExemplars: Seq[(String, String)] = Seq(
+    "sf0.001" ->
+      ("11,14,19,26,28,33,50,52,55,58,60,61,66,79,84,92,103,104,110,112," +
+       "113,120,132,141,151,161,165,173,187,195,196,198"),
+    "sf0.01" ->
+      ("3,11,16,17,21,27,44,46,49,50,57,60,95,104,111,116,122,127,139,145," +
+       "146,148,150,162,181,185,190,196"),
+    "sf0.1" ->
+      ("2,9,20,23,27,28,30,31,52,53,55,56,66,67,75,84,94,98,107,116,117," +
+       "128,130,138,144,171,185,187,188,199"))
+
+  /** SQL scale dispatch: a CASE over the orders row count selecting the
+    * matching pinned list literal — the piece that makes ONE static
+    * oracle string correct at every pinned fixture scale. An unpinned
+    * scale yields NULL → unnest emits zero rows (no silent wrong
+    * answer; parity at an unpinned sf reports a row-count mismatch
+    * rather than comparing against the wrong scale's set). */
+  private def scaleCase(pins: Seq[(String, String)]): String =
+    pins.map { case (sf, lits) =>
+      val n = ordersCountOf.collectFirst { case (`sf`, c) => c }.get
+      s"WHEN $n THEN [$lits]"
+    }.mkString("CASE (SELECT count(*) FROM orders) ", " ", " END")
+
+  private def fullExemplarsCase: String = scaleCase(pinnedFullExemplars)
+  private def distExemplarsCase: String = scaleCase(pinnedDistExemplars)
 
   /** Oracle-literal drift guard (round-7 ADVICE): the ap_assign /
-    * ap_dist_exemplars oracles pin the sf0.01 converged set as a literal
-    * list — any fixture or similarity/preference change that moves the
-    * fixpoint would otherwise surface as an inscrutable driver hash
-    * mismatch that reads like a Spark-side bug. Fail at BUILD time
-    * instead, with the regeneration recipe. Only binds on the sf0.01 dir
-    * the driver verifies against — at any other sf the static literal
-    * cannot apply (documented; the driver only oracles sf0.01). */
-  private def assertPinned(
-      key: String, dir: String, got: Seq[Long], pinned: Seq[Long]): Unit = {
-    val isSf001 = dir.replaceAll("/+$", "").endsWith("sf0.01")
-    if (isSf001 && got != pinned) throw new IllegalStateException(
-      s"$key: the converged sf0.01 exemplar set no longer matches the PINNED " +
-        s"oracle literal — the fixture or the similarity/preference path moved. " +
-        s"Update the literal in ApQueries to: ${got.mkString(",")}")
+    * ap_dist_exemplars oracles pin each fixture scale's converged set
+    * as a literal list — any fixture or similarity/preference change
+    * that moves the fixpoint would otherwise surface as an inscrutable
+    * driver hash mismatch that reads like a Spark-side bug. Fail at
+    * BUILD time instead, with the regeneration recipe. Binds on every
+    * PINNED sf dir (all three fixture scales since round 14); an
+    * unrecognized dir has no pin and no oracle branch, so nothing to
+    * guard. */
+  private def assertPinned(key: String, dir: String, got: Seq[Long],
+      pins: Seq[(String, String)]): Unit = {
+    val sfName = dir.replaceAll("/+$", "").split('/').last
+    pins.collectFirst { case (`sfName`, lits) => lits }.foreach { lits =>
+      val pinned = lits.split(",").map(_.trim.toLong).toSeq
+      if (got != pinned) throw new IllegalStateException(
+        s"$key: the converged $sfName exemplar set no longer matches the PINNED " +
+          s"oracle literal — the fixture or the similarity/preference path moved. " +
+          s"Update the literal in ApQueries to: ${got.mkString(",")}")
+    }
   }
 }
