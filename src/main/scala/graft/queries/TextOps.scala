@@ -618,11 +618,75 @@ object TextOps extends QueryGroup {
     "pipeline_pack" -> ((s, dir) =>
       packSequences(Tables.documents(s, dir)).orderBy("shard", "pack_id")),
 
+    // Small-file compaction planning (kernel scaladoc on
+    // [[compactPlan]]).
+    "pipeline_compact" -> ((s, dir) =>
+      compactPlan(Tables.documents(s, dir)).orderBy("part", "out_shard")),
+
     // Unigram-LM quality scoring (kernel scaladoc on
     // [[unigramSurprisal]]).
     "text_unigram_logprob" -> ((s, dir) =>
-      unigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id"))
+      unigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Distributed BPE tokenizer TRAINING (kernel scaladoc on
+    // [[graft.functions.Bpe]], round-13 VERDICT ambition #3): 16
+    // merges from the iterative distributed pair-count aggregate.
+    // Deterministic, so each fixture scale's converged table is pinned
+    // in the oracle (the ap_assign scale-dispatch discipline) and
+    // drift fails loud at build time with the regeneration recipe.
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.functions.Bpe.train(Tables.documents(s, dir), bpeMerges)
+      assertBpePinned(dir, t)
+      t.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+        .orderBy("rank")
+    }),
+
+    // BPE APPLICATION with a fixed pinned vocab (the sf0.01-trained
+    // table — a constant, so the key is scale-portable): per-document
+    // word and token counts under the learned subword merges. Pure
+    // codegen'd per-row string work + one keyed aggregate.
+    "text_bpe" -> ((s, dir) =>
+      graft.functions.Bpe.applyMerges(Tables.documents(s, dir), pinnedBpeVocab)
+        .orderBy("doc_id"))
   )
+
+  /** Merge count of the text_bpe_train key (small enough that the
+    * per-iteration jobs stay cheap in Verify; the kernel itself takes
+    * any K). */
+  private val bpeMerges = 16
+
+  /** BPE merge tables per fixture scale, "l r" per merge in rank
+    * order — the text_bpe_train oracle literals (regenerate via
+    * `runMain graft.Verify <sfDir> <out> text_bpe_train`). sf0.01's
+    * table doubles as [[pinnedBpeVocab]], text_bpe's fixed
+    * application vocab. */
+  private val pinnedBpeTables: Seq[(String, String)] = Seq(
+    "sf0.001" -> "e r;o r;i n;o w;s t;l u;a r;p ar;m er;a t;a n;c an;s can;c o;co lu;colu m",
+    "sf0.01" -> "e r;i n;o w;o r;s t;m er;a t;l u;a r;p ar;j o;jo in;a s;as h;h ash;r ow",
+    "sf0.1" -> "e r;i n;o r;s t;o w;t a;l u;m er;a r;p ar;u p;par k;s park;d ow;in dow;w indow")
+
+  private def parseBpe(lits: String): Seq[(String, String)] =
+    lits.split(";").toSeq.filter(_.nonEmpty).map { m =>
+      val Array(l, r) = m.split(" "); (l, r)
+    }
+
+  private[graft] def pinnedBpeVocab: Seq[(String, String)] =
+    parseBpe(pinnedBpeTables.collectFirst { case ("sf0.01", t) => t }.get)
+
+  /** Build-time drift guard for the pinned BPE tables (the ApQueries
+    * assertPinned discipline): binds on every pinned sf dir. */
+  private def assertBpePinned(dir: String, got: Seq[(String, String)]): Unit = {
+    val sfName = dir.replaceAll("/+$", "").split('/').last
+    pinnedBpeTables.collectFirst { case (`sfName`, lits) => lits }
+      .filter(_.nonEmpty).foreach { lits =>
+        if (got != parseBpe(lits)) throw new IllegalStateException(
+          s"text_bpe_train: the converged $sfName merge table no longer matches " +
+            s"the PINNED oracle literal — the fixture or the trainer moved. " +
+            s"Update pinnedBpeTables to: ${got.map { case (l, r) => s"$l $r" }.mkString(";")}")
+      }
+  }
 
   /** Sequence packing — the step between curation and the trainer:
     * documents are concatenated shard-by-shard into fixed `seqLen`-token
@@ -648,6 +712,37 @@ object TextOps extends QueryGroup {
       .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Small-file compaction planning — the 100 TB housekeeping idiom
+    * (round-13 VERDICT ambition #4): given (file_id, bytes), emit a
+    * deterministic bin-pack assignment of input files to target-size
+    * output shards, the manifest a compaction job executes (the
+    * Delta OPTIMIZE / Iceberg rewrite_data_files planning step).
+    * Greedy next-fit DECREASING: files sort size-desc (tie:
+    * file_id — big files first puts each oversized file alone in its
+    * own bin and lets the small-file tail fill gaps), a running byte
+    * sum assigns the bin by exact integral `div` (a file spanning a
+    * boundary belongs to the bin where it starts — same discipline as
+    * [[packSequences]]). Planning is sequential per domain, so the
+    * scale form partitions the planning domain first (file_id mod
+    * `parts` here; a real lake plans per table partition) — one keyed
+    * window per part, no global running sum, parts = parallelism at
+    * any corpus size. Returns one manifest row per (part, out_shard):
+    * file count, byte total, id range. */
+  private[graft] def compactPlan(docs: DataFrame, targetBytes: Long = 16384,
+      parts: Int = 4): DataFrame = {
+    require(targetBytes > 0 && parts > 0,
+      "compactPlan: targetBytes and parts must be positive")
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(parts)).as("part"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("cum", sum(col("n_bytes")).over(
+        Window.partitionBy("part").orderBy(col("n_bytes").desc, col("doc_id"))))
+      .withColumn("out_shard", expr(s"(cum - n_bytes) div $targetBytes"))
+      .groupBy("part", "out_shard")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("tot_bytes"),
+        min(col("doc_id")).as("first_file"), max(col("doc_id")).as("last_file"))
   }
 
   /** Unigram-LM quality scoring: corpus-MLE surprisal −ln(c/total) per
@@ -907,6 +1002,19 @@ object TextOps extends QueryGroup {
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "pipeline_compact" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS part,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, part, n_bytes,
+        |    CAST(SUM(n_bytes) OVER (PARTITION BY part ORDER BY n_bytes DESC, doc_id) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT part, (cum - n_bytes) // 16384 AS out_shard, COUNT(*) AS n_files,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS tot_bytes,
+        |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+        |FROM c GROUP BY part, out_shard ORDER BY part, out_shard""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, term
@@ -916,8 +1024,58 @@ object TextOps extends QueryGroup {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |  ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_nll
         |FROM toks JOIN lm USING (term)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The converged merge table re-stated as a pinned literal with the
+    // ApQueries scale dispatch (orders row count discriminates the sf
+    // dirs; an unpinned scale yields NULL → zero rows, a loud row-count
+    // mismatch rather than a wrong-scale compare). assertBpePinned
+    // turns literal drift into a build-time error with the
+    // regeneration recipe, so this oracle can never silently agree
+    // with a stale pin.
+    "text_bpe_train" ->
+      s"""WITH m AS (SELECT string_split($bpeTableCase, ';') AS arr),
+         |i AS (SELECT CAST(unnest(range(1, len(arr)+1)) AS BIGINT) AS rank, arr FROM m)
+         |SELECT rank, string_split(arr[rank], ' ')[1] AS left_sym,
+         |  string_split(arr[rank], ' ')[2] AS right_sym
+         |FROM i ORDER BY rank""".stripMargin,
+
+    // Independent re-derivation of the BPE application: the same
+    // wrapped-symbol representation built in raw SQL, the merge chain
+    // unrolled to 16 nested replace() calls (both engines' replace is
+    // left-to-right non-overlapping — exactly greedy-left BPE, the
+    // [[graft.functions.Bpe]] scaladoc argument), token count =
+    // open-paren count of the final representation.
+    "text_bpe" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |  FROM documents),
+         |r AS (SELECT doc_id, $bpeRepSql AS rep FROM w WHERE length(w) > 0)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(length(rep) - length(replace(rep, '(', ''))) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** SQL scale dispatch for the text_bpe_train oracle — the ApQueries
+    * scaleCase discipline: orders = 150 000 · SF rows is the one
+    * statistic that discriminates the fixture dirs inside a static
+    * oracle string (embeddings carries N = 500 at both small scales). */
+  private def bpeTableCase: String =
+    pinnedBpeTables.map { case (sf, lits) =>
+      val n = sf match {
+        case "sf0.001" => 1500L; case "sf0.01" => 15000L; case "sf0.1" => 150000L
+      }
+      s"WHEN $n THEN '$lits'"
+    }.mkString("CASE (SELECT count(*) FROM orders) ", " ", " END")
+
+  /** The text_bpe merge chain as nested SQL replace() calls over the
+    * wrapped `(c)(h)(a)(r)` representation — generated from
+    * [[pinnedBpeVocab]] so the oracle and the Spark plan replay the
+    * SAME fixed table by construction. */
+  private def bpeRepSql: String =
+    pinnedBpeVocab.foldLeft("""regexp_replace(w, '(.)', '(\1)', 'g')""") {
+      case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
+    }
 }
 
 /** Byte-level parser for the GFT1 framed image record:
