@@ -277,6 +277,22 @@ object Pq {
         array(basisPerm.map(c => col(s"pc${c + 1}")).toIndexedSeq: _*).as("rv"))
   }
 
+  /** [[rotate]] as a single Column expression — component
+    * `basisPerm(p)` of (x − μ), the same per-component
+    * `Σ xᵢ·wᵢ − μ·w` arithmetic as Pca.project, packed into one array
+    * instead of pc1..pcd columns. The rotated-RESIDUAL paths use this
+    * form on BOTH the encode and the LUT side, so the two sides'
+    * rotations are the same expression tree by construction (bit-equal
+    * doubles — the determinism contract every ADC pin relies on). */
+  private[graft] def rotateExpr(vcol: Column, pca: Pca.Model,
+      basisPerm: Array[Int]): Column =
+    array(basisPerm.toIndexedSeq.map { c =>
+      val w = pca.loadings(c)
+      val bias = pca.mean.zip(w).map { case (m, wi) => m * wi }.sum
+      aggregate(zip_with(vcol, typedLit(w.toSeq), (x, l) => x * l),
+        lit(0.0), (acc, e) => acc + e) - lit(bias)
+    }: _*)
+
   /** Train OPQ-lite: PCA fit (centered fixed-point moments), balanced
     * permutation, then the standard [[fit]] on the rotated frame. The
     * unrotated [[fit]] stays the oracled default; this is the recall
@@ -727,13 +743,14 @@ object Pq {
     * next to the candidate block rows (k ≪ candidates/query at the
     * auto centroid size). */
   private def lutResidualDF(qv: DataFrame, probes: DataFrame,
-      model: Model, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      model: Model, cents: Seq[(Long, Seq[Double])],
+      post: Column => Column = identity): DataFrame = {
     val spark = qv.sparkSession
     import spark.implicits._
     probes.join(qv.select(col("vec_id").as("i"), col("v")), "i")
       .join(broadcast(cents.toDF("c_id", "centv")), "c_id")
       .select(col("i"), col("c_id"),
-        guardedDiff(col("v"), col("centv"), col("i")).as("qr"))
+        post(guardedDiff(col("v"), col("centv"), col("i"))).as("qr"))
       .select(col("i"), col("c_id"),
         explode(sequence(lit(0), lit(model.m - 1))).as("b"), col("qr"))
       .select(col("i"), col("c_id"), col("b"),
@@ -810,6 +827,96 @@ object Pq {
     val v = normalize(vecs, vecCol, idCol)
     rerankExact(v,
       ivfAdcTopk(v, "v", im, shortlist, nprobe, "vec_id", queryIds), topk)
+  }
+
+  /** OPQ-over-residuals: the faiss OPQ+IVFADC composition (round-13
+    * VERDICT #3) — coarse centroids exactly as [[IvfPqModel]], but the
+    * PQ quantizes ROTATED residuals: R·(r − μ_r) with R the
+    * eigenvalue-balanced orthogonal basis of the RESIDUAL distribution
+    * (not the raw vectors' — the rotation is learned on exactly the
+    * distribution the codebooks quantize, which is OPQ's point). R is
+    * orthogonal, so ‖R(qr−μ)−R(rx−μ)‖² = ‖qr−rx‖² and the ADC
+    * approximates the same original-space sqdist as the unrotated
+    * residual index; what changes is WHERE the quantization error
+    * lands — the balanced permutation equalizes the m blocks'
+    * Σ log λ so no single codebook carries the variance. */
+  final case class RotatedIvfPqModel(cents: Seq[(Long, Seq[Double])],
+      pca: Pca.Model, basisPerm: Array[Int], pq: Model)
+
+  /** Train the rotated residual index: shared centroid recipe →
+    * residual relation → PCA of the residuals → balanced permutation →
+    * standard [[fit]] on the rotated residual frame. All three learned
+    * pieces (centroids, basis, codebooks) are COUPLED — see
+    * [[RotatedIvfPqModel]]. */
+  def fitIvfPqRotated(vecs: DataFrame, vecCol: String, m: Int = 8,
+      k: Int = 256, centroids: Int = 0, sampleN: Int = 8192,
+      lloydIters: Int = 4, idCol: String = "vec_id"): RotatedIvfPqModel = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = normalize(vecs, vecCol, idCol)
+    val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
+    val cents = Ivf.buildCentroids(v, c)
+    val res = residuals(v, cents)
+    val pca = Pca.fit(res, "rv")
+    val perm = balancedPermutation(pca.eigenvalues, m)
+    val rot = res.select(col("vec_id"),
+      rotateExpr(col("rv"), pca, perm).as("rv"))
+    RotatedIvfPqModel(cents, pca, perm,
+      fit(rot, "rv", m, k, sampleN, lloydIters))
+  }
+
+  /** Rotated-residual IVFADC self-search — candidate stages identical
+    * to the residual overload (one assignment pass, probes ⋈ homes,
+    * never N²); the ADC side encodes R·(r − μ) codes and scores them
+    * against a LUT whose query residuals pass through the SAME
+    * [[rotateExpr]] (one expression tree, both sides — bit-equal by
+    * construction). Costs one extra codegen'd d×d projection per
+    * encoded/probed row over the unrotated index; no new exchange. */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, rim: RotatedIvfPqModel,
+      topk: Int, nprobe: Int, idCol: String,
+      queryIds: Option[DataFrame]): DataFrame = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = normalize(vecs, vecCol, idCol)
+    val assigned = Ivf.assignments(v, rim.cents, nprobe,
+      (a, b) => call_function("vec_sqdist", a, b))
+    val qids = workloadIds(queryIds)
+    def queriesOnly(df: DataFrame): DataFrame =
+      qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val homes = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val probes = queriesOnly(assigned)
+      .select(col("vec_id").as("i"), col("c_id"))
+    val cand = probes.join(homes, "c_id")
+      .filter(col("i") =!= col("vec_id"))
+      .select("i", "c_id", "vec_id")
+    val rotRes = residualsFrom(v, homes, rim.cents)
+      .select(col("vec_id"),
+        rotateExpr(col("rv"), rim.pca, rim.basisPerm).as("rv"))
+    adcRank(
+      cand
+        .join(encodeBlocks(rotRes, "rv", rim.pq), "vec_id")
+        .join(lutResidualDF(queriesOnly(v), probes, rim.pq, rim.cents,
+            qr => rotateExpr(qr, rim.pca, rim.basisPerm)),
+          Seq("i", "c_id", "b", "code")),
+      topk)
+  }
+
+  /** [[ivfAdcRerankTopk]] over the rotated residual index: rotated ADC
+    * shortlist, then TRUE sqdist on the shortlist pairs only. */
+  def ivfAdcRerankTopk(vecs: DataFrame, vecCol: String,
+      rim: RotatedIvfPqModel, topk: Int, shortlist: Int, nprobe: Int,
+      idCol: String, queryIds: Option[DataFrame]): DataFrame = {
+    require(shortlist >= topk,
+      s"ivfAdcRerankTopk: shortlist=$shortlist < topk=$topk")
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = normalize(vecs, vecCol, idCol)
+    rerankExact(v,
+      ivfAdcTopk(v, "v", rim, shortlist, nprobe, "vec_id", queryIds), topk)
   }
 
   /** Exact re-rank tail shared by both rerank overloads: true sqdist on

@@ -36,6 +36,7 @@ object ResidualProbe {
     }
     val raw = functions.Pq.fit(emb, "embedding")
     val im = functions.Pq.fitIvfPq(emb, "embedding", centroids = 16)
+    val rm = functions.Pq.fitIvfPqRotated(emb, "embedding", centroids = 16)
     Seq(2, 4, 8).foreach { np =>
       val r1 = recall(functions.Pq.ivfAdcTopk(emb, "embedding", raw, topk,
           centroids = 16, nprobe = np)
@@ -43,7 +44,10 @@ object ResidualProbe {
       val r2 = recall(functions.Pq.ivfAdcTopk(emb, "embedding", im, topk,
           nprobe = np, idCol = "vec_id", queryIds = None)
         .collect().map(r => (r.getLong(0), r.getLong(1))))
-      println(f"isotropic nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f")
+      val r3 = recall(functions.Pq.ivfAdcTopk(emb, "embedding", rm, topk,
+          nprobe = np, idCol = "vec_id", queryIds = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"isotropic nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f")
     }
 
     // clustered regime — the data shape residual encoding exists for:
@@ -71,6 +75,7 @@ object ResidualProbe {
     }
     val rawC = functions.Pq.fit(cl, "embedding")
     val imC = functions.Pq.fitIvfPq(cl, "embedding", centroids = 16)
+    val rmC = functions.Pq.fitIvfPqRotated(cl, "embedding", centroids = 16)
     Seq(2, 8).foreach { np =>
       val r1 = clRecall(functions.Pq.ivfAdcTopk(cl, "embedding", rawC, topk,
           centroids = 16, nprobe = np)
@@ -78,7 +83,10 @@ object ResidualProbe {
       val r2 = clRecall(functions.Pq.ivfAdcTopk(cl, "embedding", imC, topk,
           nprobe = np, idCol = "vec_id", queryIds = None)
         .collect().map(r => (r.getLong(0), r.getLong(1))))
-      println(f"clustered nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f")
+      val r3 = clRecall(functions.Pq.ivfAdcTopk(cl, "embedding", rmC, topk,
+          nprobe = np, idCol = "vec_id", queryIds = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"clustered nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f")
     }
 
     // harder shapes: many clusters vs a small codebook (the faiss
@@ -113,6 +121,55 @@ object ResidualProbe {
           nprobe = 8, idCol = "vec_id", queryIds = None)
         .collect().map(r => (r.getLong(0), r.getLong(1))))
       println(f"hard clusters=$nClusters k=$kk%3d nprobe=8  raw=$r1%.3f  residual=$r2%.3f")
+    }
+
+    // heavy-tailed mixture (round-13 VERDICT #5): cluster sizes ~ Zipf,
+    // per-cluster σ varying 0.5..3 — closer to a real embedding corpus
+    // than the equal-size 10σ blobs above (a few giant clusters, a long
+    // tail of tiny ones, inhomogeneous spread)
+    {
+      val rnd3 = new scala.util.Random(2026)
+      val nC = 32
+      val cents3 = Array.fill(nC, 64)(rnd3.nextGaussian() * 10.0)
+      val sigma = Array.tabulate(nC)(c => 0.5 + 2.5 * c / (nC - 1).toDouble)
+      val weights = Array.tabulate(nC)(c => 1.0 / (c + 1)) // Zipf s=1
+      val wsum = weights.sum
+      val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / wsum)
+      val zdocs = (0 until 1500).map { i =>
+        val u = rnd3.nextDouble()
+        val c = cum.indexWhere(u <= _)
+        (i.toLong,
+          (0 until 64).map(j => cents3(c)(j) + rnd3.nextGaussian() * sigma(c)).toSeq)
+      }.toDF("vec_id", "embedding")
+      val zRows = zdocs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val zExact = zRows.keys.toSeq.sorted.map { q =>
+        q -> zRows.keys.filter(_ != q).toSeq
+          .sortBy(x => (d2(zRows(q), zRows(x)), x)).take(topk).toSet
+      }.toMap
+      def zRecall(pairs: Array[(Long, Long)]): Double = {
+        val byQ = pairs.groupBy(_._1)
+        val rs = zRows.keys.toSeq.sorted.map { q =>
+          zExact(q).intersect(byQ.getOrElse(q, Array.empty).map(_._2).toSet)
+            .size.toDouble / topk
+        }
+        rs.sum / rs.length
+      }
+      val rawZ = functions.Pq.fit(zdocs, "embedding")
+      val imZ = functions.Pq.fitIvfPq(zdocs, "embedding", centroids = 16)
+      val rmZ = functions.Pq.fitIvfPqRotated(zdocs, "embedding", centroids = 16)
+      Seq(4, 8).foreach { np =>
+        val r1 = zRecall(functions.Pq.ivfAdcTopk(zdocs, "embedding", rawZ, topk,
+            centroids = 16, nprobe = np)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val r2 = zRecall(functions.Pq.ivfAdcTopk(zdocs, "embedding", imZ, topk,
+            nprobe = np, idCol = "vec_id", queryIds = None)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val r3 = zRecall(functions.Pq.ivfAdcTopk(zdocs, "embedding", rmZ, topk,
+            nprobe = np, idCol = "vec_id", queryIds = None)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        println(f"zipf nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f")
+      }
     }
 
     // driver value-identity spot check on the residual path (clustered)
