@@ -642,4 +642,61 @@ class GraftSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("CRC mismatch"), s"unexpected: ${e.getMessage}")
   }
+
+  test("JPEG decode: dims formula, bounded lossy error, determinism, corrupt markers fail loud") {
+    // round-13 VERDICT #6 — the third real compressed format and the
+    // first LOSSY one (the JDK's own baseline-JPEG codec). No SQL
+    // oracle can re-derive lossy pixels, so this suite IS the key's
+    // certificate: dims from the id formula, mean |decoded − source|
+    // bounded (quality 0.95 on byte-valued text pixels), two runs
+    // bit-identical, and a clipped/flipped marker fails before the
+    // codec runs.
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "héllo wörld ünïcode résumé naïve çédille"),
+      (2L, "日本語のテキストです 中文文本 한국어"),
+      (3L, ""),
+      (4L, "plain ascii text for contrast"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = queries.TextOps.decodeJpeg(spark, docs).orderBy("doc_id").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val (id, w, h, npix) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w == id % 11 + 4 && h == id % 5 + 3, s"doc $id dims")
+      assert(npix == w * h * 3, s"doc $id n_pix")
+      assert(r.getString(5) == "jpeg-rgb8")
+    }
+    // decode determinism: the whole decoded relation, twice
+    val again = queries.TextOps.decodeJpeg(spark, docs).orderBy("doc_id").collect()
+    assert(got.map(_.toString).sameElements(again.map(_.toString)),
+      "JPEG decode is not deterministic")
+    // bounded reconstruction error on a driver round-trip: encode a
+    // known pixel array, decode it back, mean abs error must be small
+    // (lossy but faithful) and FAR below the ~47 of unrelated bytes
+    val rnd = new scala.util.Random(7)
+    val (w0, h0) = (14, 7)
+    val px = Array.fill(w0 * h0 * 3)((32 + rnd.nextInt(95)).toByte) // printable range
+    val payload = queries.MmCodec.encodeJpeg(5L, w0, h0, px)
+    val (pw, ph, back) = queries.MmCodec.parseJpeg(payload, 5L)
+    assert(pw == w0 && ph == h0, "round-trip dims")
+    val meanErr = px.indices.map(i =>
+      math.abs((px(i) & 0xff) - (back(i) & 0xff))).sum.toDouble / px.length
+    // measured 17.8 on this JDK: random bytes are JPEG's worst case
+    // (no spatial coherence + 4:2:0 chroma subsampling); two unrelated
+    // printable-byte arrays differ by ~31.7 mean, so 22 certifies a
+    // real decode with margin on both sides
+    assert(meanErr <= 22.0,
+      s"JPEG mean abs reconstruction error $meanErr > 22 — decode broken or quality wrong")
+    assert(meanErr < 30.0, s"sanity: $meanErr not far below the unrelated-bytes mean")
+    // corrupt SOI and truncated EOI both fail loud BEFORE the codec
+    val noSoi = payload.clone(); noSoi(1) = 0x00.toByte
+    val e1 = intercept[IllegalArgumentException] {
+      queries.MmCodec.parseJpeg(noSoi, 5L)
+    }
+    assert(e1.getMessage.contains("SOI"), s"unexpected: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      queries.MmCodec.parseJpeg(payload.dropRight(1), 5L)
+    }
+    assert(e2.getMessage.contains("EOI"), s"unexpected: ${e2.getMessage}")
+  }
 }
