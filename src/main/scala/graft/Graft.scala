@@ -275,6 +275,40 @@ object Graft {
     queries.TextOps.unigramSurprisal(docsOf(docs, idCol, textCol))
       .select(col("doc_id").as("id"), col("n_tok"), col("avg_nll"))
 
+  /** Train a BPE merge table on a text column: `merges` iterations of
+    * the distributed freq-weighted adjacent-pair count (driver state =
+    * the K-row table). Deterministic; same iterative-aggregate shape
+    * as the AP loop. Kernel scaladoc: [[functions.Bpe.train]]. */
+  def bpeTrain(docs: DataFrame, merges: Int,
+      textCol: String = "text"): Seq[(String, String)] =
+    functions.Bpe.train(docs, merges, textCol)
+
+  /** Apply a fixed BPE merge table (from [[bpeTrain]] or any
+    * rank-ordered (left, right) list): per-document word and subword
+    * token counts — the tokenizer-budget statistic a pipeline computes
+    * corpus-wide. Codegen'd per-row replace chain, no shuffle before
+    * the final keyed aggregate. Returns (id, n_words, n_tokens).
+    * Kernel scaladoc: [[functions.Bpe.applyMerges]]. */
+  def bpeEncode(docs: DataFrame, table: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    functions.Bpe.applyMerges(docs, table, idCol, textCol)
+      .select(col(idCol).as("id"), col("n_words"), col("n_tokens"))
+
+  /** Small-file compaction planning on caller columns: deterministic
+    * size-decreasing bin-pack of (file, bytes) rows into
+    * `targetBytes`-sized output shards, planned independently per
+    * `partCol` domain (a lake's table partition — planning is
+    * sequential per domain, so partitions ARE the parallelism at any
+    * corpus size). Returns one manifest row per (part, out_shard):
+    * (part, out_shard, n_files, tot_bytes, first_file, last_file).
+    * Kernel scaladoc: [[queries.TextOps.compactPlanBytes]]. */
+  def compactionPlan(files: DataFrame, idCol: String, bytesCol: String,
+      partCol: String, targetBytes: Long = 128L * 1024 * 1024): DataFrame =
+    queries.TextOps.compactPlanBytes(
+      files.select(col(idCol).cast("long").as("doc_id"),
+        col(partCol).as("part"), col(bytesCol).cast("long").as("n_bytes")),
+      targetBytes)
+
   // ---- similarity search over embeddings -----------------------------
 
   /** Sparse m-nearest-neighbor similarity graph over an embedding

@@ -787,11 +787,21 @@ object TextOps extends QueryGroup {
     * file count, byte total, id range. */
   private[graft] def compactPlan(docs: DataFrame, targetBytes: Long = 16384,
       parts: Int = 4): DataFrame = {
-    require(targetBytes > 0 && parts > 0,
-      "compactPlan: targetBytes and parts must be positive")
-    docs
-      .select(col("doc_id"), pmod(col("doc_id"), lit(parts)).as("part"),
-        octet_length(col("text")).cast("long").as("n_bytes"))
+    require(parts > 0, "compactPlan: parts must be positive")
+    compactPlanBytes(
+      docs.select(col("doc_id"), pmod(col("doc_id"), lit(parts)).as("part"),
+        octet_length(col("text")).cast("long").as("n_bytes")),
+      targetBytes)
+  }
+
+  /** The planner core on a (doc_id, part, n_bytes) relation — the shape
+    * [[graft.Graft.compactionPlan]] exposes on caller columns (a real
+    * lake passes its table-partition id as `part`; the oracled key
+    * derives both from the documents fixture). */
+  private[graft] def compactPlanBytes(files: DataFrame,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "compactPlan: targetBytes must be positive")
+    files
       .withColumn("cum", sum(col("n_bytes")).over(
         Window.partitionBy("part").orderBy(col("n_bytes").desc, col("doc_id"))))
       .withColumn("out_shard", expr(s"(cum - n_bytes) div $targetBytes"))

@@ -68,6 +68,33 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("bpeTrain/bpeEncode match the text_bpe keys on renamed columns") {
+    // train parity: the facade table on renamed columns equals the
+    // oracled key's rank-ordered merge rows
+    val table = Graft.bpeTrain(myDocs, merges = 16, textCol = "body")
+    val keyTable = rows(SparkEntry.queries("text_bpe_train")(spark, sf001))
+      .map(r => (r(1).asInstanceOf[String], r(2).asInstanceOf[String]))
+    assert(table == keyTable)
+    // encode parity against the oracled application key (fixed sf0.01
+    // pinned vocab — pass the key's own first rows through the facade)
+    val vocab = rows(SparkEntry.queries("text_bpe_train")(spark, sf01))
+      .map(r => (r(1).asInstanceOf[String], r(2).asInstanceOf[String]))
+    val facade = rows(Graft.bpeEncode(myDocs, vocab, idCol = "document_id",
+      textCol = "body").orderBy("id"))
+    val key = rows(SparkEntry.queries("text_bpe")(spark, sf001))
+    assert(facade == key)
+  }
+
+  test("compactionPlan matches pipeline_compact on caller columns") {
+    val files = myDocs.select(col("document_id"),
+      (col("document_id") % 4).as("bucket"),
+      expr("octet_length(body)").as("sz"))
+    val facade = rows(Graft.compactionPlan(files, "document_id", "sz",
+      "bucket", targetBytes = 16384).orderBy("part", "out_shard"))
+    val key = rows(SparkEntry.queries("pipeline_compact")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("nearDupPairs (minhash LSH) matches dedup_minhash") {
     val facade = rows(Graft.nearDupPairs(spark, myDocs, "document_id", "body")
       .orderBy("id_a", "id_b"))
