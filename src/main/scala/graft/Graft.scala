@@ -309,6 +309,21 @@ object Graft {
         col(partCol).as("part"), col(bytesCol).cast("long").as("n_bytes")),
       targetBytes)
 
+  /** Z-order layout planning on caller columns: min-max-quantize two
+    * dimensions to a 16-bit lattice (exact integer arithmetic),
+    * interleave into a 32-bit Morton code, shard on its top `shardBits`
+    * bits — a pure per-row map with no global sort, so the plan is
+    * embarrassingly parallel at any corpus size. Returns one manifest
+    * row per z-shard with its row count and both dimensions' bounding
+    * box: (z_shard, n_rows, min_a, max_a, min_b, max_b). Kernel
+    * scaladoc: [[queries.TextOps.zorderPlanDims]]. */
+  def zorderPlan(rows: DataFrame, colA: String, colB: String,
+      shardBits: Int = 6): DataFrame =
+    queries.TextOps.zorderPlanDims(
+      rows.select(col(colA).cast("long").as("a"),
+        col(colB).cast("long").as("b")),
+      shardBits)
+
   // ---- similarity search over embeddings -----------------------------
 
   /** Sparse m-nearest-neighbor similarity graph over an embedding

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, QueryGroup, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -678,6 +678,11 @@ object TextOps extends QueryGroup {
     "pipeline_compact" -> ((s, dir) =>
       compactPlan(Tables.documents(s, dir)).orderBy("part", "out_shard")),
 
+    // Z-order layout planning over lineitem's (l_partkey, l_suppkey)
+    // (kernel scaladoc on [[zorderPlan]]).
+    "pipeline_zorder" -> ((s, dir) =>
+      zorderPlan(Tables.lineitem(s, dir)).orderBy("z_shard")),
+
     // Unigram-LM quality scoring (kernel scaladoc on
     // [[unigramSurprisal]]).
     "text_unigram_logprob" -> ((s, dir) =>
@@ -809,6 +814,61 @@ object TextOps extends QueryGroup {
       .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("tot_bytes"),
         min(col("doc_id")).as("first_file"), max(col("doc_id")).as("last_file"))
   }
+
+  /** Z-order (Morton-curve) layout planning — the multi-dimensional
+    * clustering idiom behind Delta `OPTIMIZE ZORDER BY` / Iceberg
+    * sort-order rewrites: rows map onto a space-filling curve over two
+    * dimensions so a RANGE of the curve covers a small RECTANGLE of the
+    * key space, and per-file min/max stats then prune filters on BOTH
+    * dimensions (a plain sort prunes only its leading column). Each
+    * dimension min-max-quantizes to a 16-bit lattice with exact integer
+    * arithmetic — `(x − lo) · 65535 div max(hi − lo, 1)`, BIGINT-safe,
+    * no double quotient whose ulp could flip a lattice cell — the
+    * 32-bit Morton code interleaves the two quantized values bit by bit
+    * (a codegen'd 32-term shift/mask OR chain, no UDF), and the output
+    * shard is the code's top `shardBits` bits. Shard assignment is a
+    * pure per-row map — NO global sort: a top-bit prefix IS a curve
+    * range by construction — so the plan is embarrassingly parallel at
+    * any corpus size; the one cross-row step is the four-value min/max
+    * aggregate that rides back as a broadcast one-row stats relation
+    * (the corpus-total discipline). Returns the manifest a rewrite job
+    * would execute: one row per z-shard with its row count and the
+    * bounding box of both dimensions — narrow boxes are the locality
+    * the curve buys (GraftSpec pins z-shard box area well under the
+    * lead-column-sorted layout's on the same shard count). */
+  private[graft] def zorderPlan(lineitem: DataFrame): DataFrame =
+    zorderPlanDims(lineitem.select(
+      col("l_partkey").cast("long").as("a"),
+      col("l_suppkey").cast("long").as("b")))
+
+  /** The planner core on an (a, b) relation — the shape
+    * [[graft.Graft.zorderPlan]] exposes on caller columns. */
+  private[graft] def zorderPlanDims(rows: DataFrame,
+      shardBits: Int = 6): DataFrame = {
+    require(shardBits > 0 && shardBits <= 32,
+      s"zorderPlan: shardBits must be in 1..32, got $shardBits")
+    val stats = rows.agg(
+      min(col("a")).as("lo_a"), max(col("a")).as("hi_a"),
+      min(col("b")).as("lo_b"), max(col("b")).as("hi_b"))
+    val qa = expr("((a - lo_a) * 65535) div greatest(hi_a - lo_a, 1)")
+    val qb = expr("((b - lo_b) * 65535) div greatest(hi_b - lo_b, 1)")
+    rows.crossJoin(broadcast(stats))
+      .withColumn("z", interleave16(qa, qb))
+      .withColumn("z_shard", shiftright(col("z"), 32 - shardBits))
+      .groupBy("z_shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+  }
+
+  /** Bit interleave of two 16-bit quantized values: bit i of `qa` lands
+    * at position 2i, bit i of `qb` at 2i+1 — 32 shift/mask terms OR'd,
+    * all codegen'd builtins. */
+  private def interleave16(qa: Column, qb: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
 
   /** Unigram-LM quality scoring: corpus-MLE surprisal −ln(c/total) per
     * token, averaged per document — the cheap perplexity proxy a
@@ -1080,6 +1140,25 @@ object TextOps extends QueryGroup {
         |  CAST(SUM(n_bytes) AS BIGINT) AS tot_bytes,
         |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
         |FROM c GROUP BY part, out_shard ORDER BY part, out_shard""".stripMargin,
+
+    // The same quantize → interleave → top-bits pipeline in raw SQL;
+    // the 32-term Morton chain is generated from ONE bit-count constant
+    // shared with the Spark plan (zInterleaveSql), so the two sides
+    // cannot drift.
+    "pipeline_zorder" ->
+      s"""WITH s AS (
+         |  SELECT min(l_partkey) AS lo_a, max(l_partkey) AS hi_a,
+         |    min(l_suppkey) AS lo_b, max(l_suppkey) AS hi_b
+         |  FROM lineitem),
+         |q AS (
+         |  SELECT l_partkey AS a, l_suppkey AS b,
+         |    ((l_partkey - lo_a) * 65535) // greatest(hi_a - lo_a, 1) AS qa,
+         |    ((l_suppkey - lo_b) * 65535) // greatest(hi_b - lo_b, 1) AS qb
+         |  FROM lineitem, s),
+         |z AS (SELECT a, b, ${zInterleaveSql("qa", "qb")} AS z FROM q)
+         |SELECT z >> 26 AS z_shard, COUNT(*) AS n_rows,
+         |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+         |FROM z GROUP BY z_shard ORDER BY z_shard""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, term
@@ -1132,6 +1211,14 @@ object TextOps extends QueryGroup {
       }
       s"WHEN $n THEN '$lits'"
     }.mkString("CASE (SELECT count(*) FROM orders) ", " ", " END")
+
+  /** The pipeline_zorder Morton chain as SQL — generated from the same
+    * 16-bit lattice constant as [[interleave16]] so the oracle and the
+    * Spark plan interleave identically by construction. */
+  private def zInterleaveSql(qa: String, qb: String): String =
+    (0 until 16).map { i =>
+      s"((($qa >> $i) & 1) << ${2 * i}) | ((($qb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
 
   /** The text_bpe merge chain as nested SQL replace() calls over the
     * wrapped `(c)(h)(a)(r)` representation — generated from

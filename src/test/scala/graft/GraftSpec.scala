@@ -95,6 +95,48 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("zorderPlan matches pipeline_zorder on caller columns; curve buys locality") {
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val facade = rows(Graft.zorderPlan(li, "pk", "sk").orderBy("z_shard"))
+    val key = rows(SparkEntry.queries("pipeline_zorder")(spark, sf001))
+    assert(facade == key)
+
+    // Every input row lands in exactly one shard.
+    assert(facade.map(_(1).asInstanceOf[Long]).sum == li.count())
+
+    // The locality claim itself. Z-ordering is measure-PRESERVING, so
+    // mean box AREA ties any sorted layout — the property a rewrite
+    // job actually pays for is that min/max stats prune filters on
+    // BOTH dimensions: every z-shard must be narrow in a AND in b,
+    // where a lead-column sort into the same shard count is narrow in
+    // its lead dimension but spans ~the FULL other one.
+    def meanWidths(shards: Seq[Seq[Any]], spanA: Long, spanB: Long): (Double, Double) = {
+      val wA = shards.map(r => (r(3).asInstanceOf[Long] - r(2).asInstanceOf[Long])
+        .toDouble / spanA)
+      val wB = shards.map(r => (r(5).asInstanceOf[Long] - r(4).asInstanceOf[Long])
+        .toDouble / spanB)
+      (wA.sum / wA.size, wB.sum / wB.size)
+    }
+    val Seq(Seq(loA: Long, hiA: Long, loB: Long, hiB: Long)) = rows(li.agg(
+      min(col("pk").cast("long")), max(col("pk").cast("long")),
+      min(col("sk").cast("long")), max(col("sk").cast("long"))))
+    val (spanA, spanB) = (math.max(hiA - loA, 1L), math.max(hiB - loB, 1L))
+    val nShards = facade.size
+    val leadSorted = rows(li
+      .withColumn("shard", expr(
+        s"((cast(pk as bigint) - $loA) * $nShards) div greatest($spanA + 1, 1)"))
+      .groupBy("shard")
+      .agg(count(lit(1)), min(col("pk").cast("long")), max(col("pk").cast("long")),
+        min(col("sk").cast("long")), max(col("sk").cast("long"))))
+    val (zA, zB) = meanWidths(facade, spanA, spanB)
+    val (_, leadB) = meanWidths(leadSorted, spanA, spanB)
+    assert(zA <= 0.3 && zB <= 0.3,
+      s"z-shards not narrow in both dims: mean widths a=$zA b=$zB")
+    assert(leadB >= 0.9,
+      s"control broke: lead-sorted layout should span dim b, got $leadB")
+  }
+
   test("nearDupPairs (minhash LSH) matches dedup_minhash") {
     val facade = rows(Graft.nearDupPairs(spark, myDocs, "document_id", "body")
       .orderBy("id_a", "id_b"))
