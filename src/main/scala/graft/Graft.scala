@@ -199,6 +199,25 @@ object Graft {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
     queries.Dedup.connectedComponents(nodes, edges)
 
+  /** Damped PageRank (d = 0.85, `iters` fixed iterations) over a caller
+    * edge list, in exact integer nano-units — bit-deterministic on any
+    * engine and any partitioning (no float sum order). Edges are
+    * symmetrized (u→v plus v→u), which also guarantees no dangling
+    * mass; pass a pre-symmetrized directed list with
+    * `symmetrize = false` only if every source node has an out-edge.
+    * Returns (node, rank_nano) with Σ rank_nano ≈ 10⁹. Kernel
+    * scaladoc: [[queries.Dedup.pagerankEdges]]. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 8, symmetrize: Boolean = true): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    queries.Dedup.pagerankEdges(
+      if (symmetrize)
+        e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      else e,
+      iters)
+  }
+
   /** Pairs of same-`key` rows within a time window — (id_a, id_b) with
     * ts(id_b) ∈ (ts(id_a), ts(id_a) + window] — via the BANDED range
     * join (hour-bucket-style equi bands): per-task work is bounded by

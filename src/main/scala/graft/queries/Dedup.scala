@@ -848,6 +848,86 @@ object Dedup extends QueryGroup {
       .distinct()
   }
 
+  /** Damped PageRank (d = 0.85, T fixed iterations) over the
+    * supplier↔part bipartite graph of distinct lineitem pairs,
+    * symmetrized so every node has out-edges (no dangling-mass term)
+    * and an sf-proportional node count. Rank mass lives in EXACT
+    * integer NANO-units (Σr = 10⁹ minus deterministic floor-division
+    * dust): share = r div deg, r' = (0.15·10⁹ div N) + (85·Σshares)
+    * div 100 — every step is integral, so the T-step fixpoint is
+    * bit-identical in any engine that evaluates the same arithmetic,
+    * and the DuckDB oracle replays the FULL iteration as T unrolled
+    * CTEs generated from the same constants (float PageRank could
+    * never be oracled this way: cross-engine sum order would diverge).
+    * Each iteration is one join + one keyed aggregate — the standard
+    * distributed PageRank dataflow; at 100 TB the edge/degree relations
+    * would persist and the loop would localCheckpoint every few rounds
+    * exactly like [[componentsStars]] (this oracled key keeps the
+    * declarative 8-stage plan: Catalyst sees one tree, and the fixture
+    * graphs are vocabulary-sized). Returns (node, rank_nano) —
+    * suppliers at their key, parts at key + 10⁶. */
+  private[graft] def pagerankNano(lineitem: DataFrame,
+      iters: Int = pagerankIters): DataFrame = {
+    val pairs = lineitem.select(col("l_suppkey").cast("long").as("sk"),
+      col("l_partkey").cast("long").as("pk")).distinct()
+    pagerankEdges(
+      pairs.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))
+        .unionByName(pairs.select((col("pk") + 1000000L).as("u"), col("sk").as("v"))),
+      iters)
+  }
+
+  /** The iteration core on a symmetrized (u, v) edge relation (every
+    * node must carry an out-edge — the caller symmetrizes, which also
+    * removes the dangling-mass term) — the shape
+    * [[graft.Graft.pagerank]] exposes on caller columns. */
+  private[graft] def pagerankEdges(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters > 0, s"pagerank: iters must be positive, got $iters")
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val degE = edges.join(deg, "u")
+    // symmetric graph ⇒ the node set IS deg's key set; N rides a
+    // broadcast one-row relation (the corpus-total discipline)
+    val nRel = deg.agg(count(lit(1)).as("cnt"))
+    var r = deg.crossJoin(broadcast(nRel))
+      .select(col("u").as("node"), expr("1000000000 div cnt").as("r"))
+    for (_ <- 1 to iters)
+      r = degE.join(r.withColumnRenamed("node", "u"), "u")
+        .select(col("v"), expr("r div d").as("share"))
+        .groupBy("v")
+        .agg(sum(col("share")).as("s"))
+        .crossJoin(broadcast(nRel))
+        .select(col("v").as("node"),
+          expr("(150000000 div cnt) + (85 * s) div 100").as("r"))
+    r.select(col("node"), col("r").as("rank_nano"))
+  }
+
+  private val pagerankIters = 8
+
+  /** The graph_pagerank oracle: build edges/degrees/N, then unroll the
+    * integral iteration as `iters` generated CTEs r1..rT — each the
+    * literal SQL form of one Spark loop step, from the same constants.
+    * DuckDB's SUM(BIGINT) widens to HUGEINT, hence the explicit cast. */
+  private def pagerankSql(iters: Int): String = {
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS node, (150000000 // (SELECT cnt FROM n))
+         |    + (85 * CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT)) // 100 AS r
+         |  FROM e JOIN r${i - 1} ON e.u = r${i - 1}.node
+         |  JOIN deg ON e.u = deg.u
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT sk AS u, pk + 1000000 AS v FROM p
+       |  UNION ALL
+       |  SELECT pk + 1000000 AS u, sk AS v FROM p),
+       |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+       |n AS (SELECT COUNT(*) AS cnt FROM deg),
+       |r0 AS (SELECT u AS node, 1000000000 // cnt AS r FROM deg, n),
+       |$its
+       |SELECT node, r AS rank_nano FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Distributed regime: alternate large-star/small-star until the edge
     * set is a fixpoint — at which point every component is a star rooted
     * at its min id and the edge set IS the (node → component) map for
@@ -1041,6 +1121,15 @@ object Dedup extends QueryGroup {
         .select(col("id").as("o_orderkey"), col("component"))
         .orderBy("o_orderkey")
     }),
+
+    // Damped PageRank over the supplier↔part bipartite graph (kernel
+    // scaladoc on [[pagerankNano]]) — the second graph-analytics key,
+    // and unlike the AP loop it is FULLY oracled: exact integer
+    // arithmetic makes the 8-iteration fixpoint bit-identical in both
+    // engines, so the DuckDB oracle replays the whole iteration, not
+    // just a converged literal.
+    "graph_pagerank" -> ((s, dir) =>
+      pagerankNano(Tables.lineitem(s, dir)).orderBy("node")),
 
     // MinHash-LSH candidate pairs — the scale path: band-bucket join
     // instead of the all-pairs shingle join. 8 bands × 4 rows; a band's
@@ -1459,6 +1548,10 @@ object Dedup extends QueryGroup {
         |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r)
         |SELECT u AS o_orderkey, MIN(r) AS component FROM walk GROUP BY u
         |ORDER BY o_orderkey""".stripMargin,
+    // The FULL 8-iteration integral fixpoint unrolled as generated
+    // CTEs — same constants as the Spark loop by construction.
+    "graph_pagerank" -> pagerankSql(pagerankIters),
+
     // Rerank recall is 1.0 on these fixtures (asserted in SketchSpec:
     // every true j ≥ 0.2 pair is band-caught), so the exact-Jaccard SQL
     // is the binding oracle for the composed key as well.

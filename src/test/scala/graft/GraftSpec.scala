@@ -137,6 +137,26 @@ class GraftSpec extends SparkSuite {
       s"control broke: lead-sorted layout should span dim b, got $leadB")
   }
 
+  test("pagerank matches graph_pagerank on caller columns; mass conserved") {
+    val li = Tables.lineitem(spark, sf001)
+    val pairs = li.select(col("l_suppkey").cast("long").as("src"),
+      (col("l_partkey").cast("long") + 1000000L).as("dst")).distinct()
+    val facade = rows(Graft.pagerank(pairs, "src", "dst").orderBy("node"))
+    val key = rows(SparkEntry.queries("graph_pagerank")(spark, sf001))
+    assert(facade == key)
+
+    // Rank mass: Σ rank_nano = 10⁹ minus deterministic floor-division
+    // dust (bounded by ~(edges + nodes) per iteration).
+    val mass = facade.map(_(1).asInstanceOf[Long]).sum
+    assert(mass <= 1000000000L && mass >= 990000000L,
+      s"pagerank mass $mass outside the floor-dust envelope")
+
+    // Bipartite sanity: a supplier linked to many parts outranks the
+    // uniform base — the rank actually moved along edges.
+    val base = 150000000L / facade.size
+    assert(facade.map(_(1).asInstanceOf[Long]).max > base * 2)
+  }
+
   test("nearDupPairs (minhash LSH) matches dedup_minhash") {
     val facade = rows(Graft.nearDupPairs(spark, myDocs, "document_id", "body")
       .orderBy("id_a", "id_b"))
