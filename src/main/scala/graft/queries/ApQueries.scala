@@ -84,9 +84,16 @@ object ApQueries extends QueryGroup {
         .select(col("i"), col("k"), r6z(col("r")).as("r"), r6z(col("a")).as("a"))
         .orderBy("i", "k")),
 
+    // Converged exemplar set of the full damped loop. Oracled since
+    // round 14: the per-sf converged sets are already pinned for
+    // ap_assign (scale-dispatched literals + build-time drift guard),
+    // and this key's output IS that set — so the same pin oracles it
+    // directly, upgrading it from D3-exempt.
     "ap_exemplars" -> ((s, dir) => {
       import s.implicits._
-      fullRun(s, dir).exemplars.toDF("exemplar").orderBy("exemplar")
+      val ex = fullRun(s, dir).exemplars
+      assertPinned("ap_exemplars", dir, ex, pinnedFullExemplars)
+      ex.toDF("exemplar").orderBy("exemplar")
     }),
 
     // Assignment-given-exemplars (SURVEY §2.J: the exemplar set is an
@@ -141,8 +148,11 @@ object ApQueries extends QueryGroup {
     }),
 
     // Flagship deliverable: exemplar → member count from the full loop.
+    // Oracled since round 14: assignment-given-the-pinned-set is
+    // ap_assign's proven SQL; the sizes are its GROUP BY.
     "ap_cluster_sizes" -> ((s, dir) => {
       val res = fullRun(s, dir)
+      assertPinned("ap_cluster_sizes", dir, res.exemplars, pinnedFullExemplars)
       val offd = AffinityPropagation.similarities(Tables.embeddings(s, dir))
       AffinityPropagation.assign(offd, res.exemplars, s)
         .groupBy("exemplar").agg(count(lit(1)).as("n_members"))
@@ -222,7 +232,33 @@ object ApQueries extends QueryGroup {
     "ap_dist_exemplars" ->
       s"""SELECT exemplar FROM (
          |  SELECT CAST(unnest($distExemplarsCase) AS BIGINT) AS exemplar)
-         |ORDER BY exemplar""".stripMargin
+         |ORDER BY exemplar""".stripMargin,
+    // The converged set itself, via the same scale-dispatched pin
+    // (assertPinned in the build turns drift into a loud error, so
+    // this can never silently agree with a stale literal).
+    "ap_exemplars" ->
+      s"""SELECT exemplar FROM (
+         |  SELECT CAST(unnest($fullExemplarsCase) AS BIGINT) AS exemplar)
+         |ORDER BY exemplar""".stripMargin,
+    // ap_assign's proven assignment SQL, grouped to sizes.
+    "ap_cluster_sizes" ->
+      s"""WITH offd AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS k,
+         |    -list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS s
+         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+         |ex AS (SELECT unnest($fullExemplarsCase) AS k),
+         |best AS (
+         |  SELECT o.i, o.k AS exemplar FROM offd o
+         |  WHERE o.k IN (SELECT k FROM ex) AND o.i NOT IN (SELECT k FROM ex)
+         |  QUALIFY row_number() OVER (PARTITION BY o.i ORDER BY o.s DESC, o.k) = 1),
+         |asg AS (
+         |  SELECT i, exemplar FROM best
+         |  UNION ALL
+         |  SELECT k AS i, k AS exemplar FROM ex)
+         |SELECT CAST(exemplar AS BIGINT) AS exemplar, COUNT(*) AS n_members
+         |FROM asg GROUP BY exemplar ORDER BY exemplar""".stripMargin
   )
 
   /** Orders row count per fixture scale — the one statistic that
