@@ -574,8 +574,13 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val floorMins = scala.collection.mutable.LinkedHashMap[String, Double]()
     widths.foreach { w =>
-      gate()
+      // stop the previous pass's session BEFORE gating: getOrCreate
+      // inside the gate would otherwise reuse that warm full-width
+      // session, whose cached count clocks the in-run regime (~1.75×
+      // faster than the calibrated probe regime) and waves a throttled
+      // window through the probe-regime 0.050 gate (round-14 review)
       SparkSession.getActiveSession.foreach(_.stop())
+      gate()
       runPass(sfDir, w, results, floorMins)
     }
     // Third oscillation phase (round-13 VERDICT #1): a short top-up
@@ -584,8 +589,8 @@ object Bench {
     // throttled stretch, the per-query min picks up this phase's
     // samples. Cheap: JIT and plans are warm from the earlier passes,
     // so 20 s of round-robin yields several full cycles.
+    SparkSession.getActiveSession.foreach(_.stop()) // before the gate — see above
     gate()
-    SparkSession.getActiveSession.foreach(_.stop())
     runPass(sfDir, widths.head, results, floorMins,
       budgetSec = sys.env.getOrElse("SPARK_GRAFT_TOPUP_BUDGET", "20").toDouble,
       apDistReps = 1)

@@ -202,20 +202,21 @@ object Graft {
   /** Damped PageRank (d = 0.85, `iters` fixed iterations) over a caller
     * edge list, in exact integer nano-units — bit-deterministic on any
     * engine and any partitioning (no float sum order). Edges are
-    * symmetrized (u→v plus v→u), which also guarantees no dangling
-    * mass; pass a pre-symmetrized directed list with
-    * `symmetrize = false` only if every source node has an out-edge.
-    * Returns (node, rank_nano) with Σ rank_nano ≈ 10⁹. Kernel
-    * scaladoc: [[queries.Dedup.pagerankEdges]]. */
+    * symmetrized (u→v plus v→u, one pass), which also guarantees no
+    * dangling mass. With `symmetrize = false` the directed list is
+    * taken as-is: the node set is then the SOURCE set (deg's key set),
+    * so every node must carry an out-edge — a pure sink (never a
+    * source) is absent from the result, while a pure source (never a
+    * destination) correctly keeps its teleport base. Returns
+    * (node, rank_nano) with Σ rank_nano ≈ 10⁹ when no mass leaves
+    * through absent sinks. Kernel scaladoc:
+    * [[queries.Dedup.pagerankEdges]]. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 8, symmetrize: Boolean = true): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     queries.Dedup.pagerankEdges(
-      if (symmetrize)
-        e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      else e,
-      iters)
+      if (symmetrize) queries.Dedup.symmetrized(e) else e, iters)
   }
 
   /** Pairs of same-`key` rows within a time window — (id_a, id_b) with

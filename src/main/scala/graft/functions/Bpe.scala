@@ -109,6 +109,15 @@ object Bpe {
     * words). Token count = `(`-count of the final representation. */
   def applyMerges(docs: DataFrame, table: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the (sym) wrapping is collision-free ONLY on the [a-z] charset
+    // (scaladoc above); a caller-supplied vocab with a paren or other
+    // out-of-charset symbol would silently corrupt the replace chain
+    // (round-14 review) — fail loud instead
+    require(table.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty &&
+        (l + r).forall(c => c >= 'a' && c <= 'z') },
+      "Bpe.applyMerges: merge symbols must be non-empty [a-z] strings — " +
+        "the (sym) wrapped representation is only collision-free on that charset")
     val rep = table.foldLeft(wrapChars(col("w"))) {
       case (c, (l, r)) => applyOne(c, l, r)
     }

@@ -261,15 +261,6 @@ object ApQueries extends QueryGroup {
          |FROM asg GROUP BY exemplar ORDER BY exemplar""".stripMargin
   )
 
-  /** Orders row count per fixture scale — the one statistic that
-    * discriminates the sf dirs inside a STATIC oracle SQL string.
-    * (The embeddings tables cannot: sf0.001 and sf0.01 both carry
-    * N = 500 vectors, different content.) orders = 150 000 · SF rows
-    * by the TPC-H-ish generator, verified against the parquet
-    * metadata of all three dirs this round. */
-  private val ordersCountOf: Seq[(String, Long)] =
-    Seq("sf0.001" -> 1500L, "sf0.01" -> 15000L, "sf0.1" -> 150000L)
-
   /** Converged full-run exemplar sets per fixture scale (ap_assign's
     * input literal, per §2.J's assignment-given-exemplars declaration;
     * round-13 VERDICT #2 made these scale-portable). Must equal
@@ -318,20 +309,14 @@ object ApQueries extends QueryGroup {
       ("2,9,20,23,27,28,30,31,52,53,55,56,66,67,75,84,94,98,107,116,117," +
        "128,130,138,144,171,185,187,188,199"))
 
-  /** SQL scale dispatch: a CASE over the orders row count selecting the
-    * matching pinned list literal — the piece that makes ONE static
-    * oracle string correct at every pinned fixture scale. An unpinned
-    * scale yields NULL → unnest emits zero rows (no silent wrong
-    * answer; parity at an unpinned sf reports a row-count mismatch
-    * rather than comparing against the wrong scale's set). */
-  private def scaleCase(pins: Seq[(String, String)]): String =
-    pins.map { case (sf, lits) =>
-      val n = ordersCountOf.collectFirst { case (`sf`, c) => c }.get
-      s"WHEN $n THEN [$lits]"
-    }.mkString("CASE (SELECT count(*) FROM orders) ", " ", " END")
-
-  private def fullExemplarsCase: String = scaleCase(pinnedFullExemplars)
-  private def distExemplarsCase: String = scaleCase(pinnedDistExemplars)
+  // SQL scale dispatch ([[SfPins.scaleCase]] — shared with TextOps'
+  // BPE pins since round-14 review): the piece that makes ONE static
+  // oracle string correct at every pinned fixture scale, rendering
+  // each pinned set as a list literal.
+  private def fullExemplarsCase: String =
+    SfPins.scaleCase(pinnedFullExemplars, l => s"[$l]")
+  private def distExemplarsCase: String =
+    SfPins.scaleCase(pinnedDistExemplars, l => s"[$l]")
 
   /** Oracle-literal drift guard (round-7 ADVICE): the ap_assign /
     * ap_dist_exemplars oracles pin each fixture scale's converged set

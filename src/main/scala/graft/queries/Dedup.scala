@@ -870,33 +870,51 @@ object Dedup extends QueryGroup {
       iters: Int = pagerankIters): DataFrame = {
     val pairs = lineitem.select(col("l_suppkey").cast("long").as("sk"),
       col("l_partkey").cast("long").as("pk")).distinct()
-    pagerankEdges(
-      pairs.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))
-        .unionByName(pairs.select((col("pk") + 1000000L).as("u"), col("sk").as("v"))),
-      iters)
+    pagerankEdges(symmetrized(
+      pairs.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))), iters)
   }
 
-  /** The iteration core on a symmetrized (u, v) edge relation (every
-    * node must carry an out-edge — the caller symmetrizes, which also
-    * removes the dangling-mass term) — the shape
-    * [[graft.Graft.pagerank]] exposes on caller columns. */
+  /** u→v plus v→u in ONE pass (explode of a 2-struct array — a
+    * union of two selects would evaluate the input relation twice,
+    * re-paying its scan and distinct at every reference: round-14
+    * review). */
+  private[graft] def symmetrized(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+      struct(col("u"), col("v")),
+      struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** The iteration core on a (u, v) edge relation where every node
+    * carries an out-edge (deg's key set IS the node set; the caller
+    * symmetrizes, which also guarantees it and removes the
+    * dangling-mass term) — the shape [[graft.Graft.pagerank]] exposes
+    * on caller columns. A node with no IN-edges is NOT dropped: the
+    * per-iteration aggregate only emits in-neighbors, so the node set
+    * left-joins back in and sourceless nodes keep their teleport base
+    * (0.15·10⁹ div N) — on a symmetrized graph the join is a no-op
+    * row-wise but keeps the general directed case correct (round-14
+    * review: {(1,2),(2,1),(3,1)} must rank node 3 at base, not lose
+    * its row and node 1 its share). */
   private[graft] def pagerankEdges(edges: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, s"pagerank: iters must be positive, got $iters")
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val degE = edges.join(deg, "u")
-    // symmetric graph ⇒ the node set IS deg's key set; N rides a
-    // broadcast one-row relation (the corpus-total discipline)
+    val nodes = deg.select(col("u").as("node"))
+    // N rides a broadcast one-row relation (the corpus-total discipline)
     val nRel = deg.agg(count(lit(1)).as("cnt"))
-    var r = deg.crossJoin(broadcast(nRel))
-      .select(col("u").as("node"), expr("1000000000 div cnt").as("r"))
+    var r = nodes.crossJoin(broadcast(nRel))
+      .select(col("node"), expr("1000000000 div cnt").as("r"))
     for (_ <- 1 to iters)
-      r = degE.join(r.withColumnRenamed("node", "u"), "u")
-        .select(col("v"), expr("r div d").as("share"))
-        .groupBy("v")
-        .agg(sum(col("share")).as("s"))
+      r = nodes.join(
+        degE.join(r.withColumnRenamed("node", "u"), "u")
+          .select(col("v"), expr("r div d").as("share"))
+          .groupBy("v")
+          .agg(sum(col("share")).as("s"))
+          .withColumnRenamed("v", "node"),
+        Seq("node"), "left")
         .crossJoin(broadcast(nRel))
-        .select(col("v").as("node"),
-          expr("(150000000 div cnt) + (85 * s) div 100").as("r"))
+        .select(col("node"),
+          expr("(150000000 div cnt) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
     r.select(col("node"), col("r").as("rank_nano"))
   }
 

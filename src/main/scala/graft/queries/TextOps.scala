@@ -852,8 +852,17 @@ object TextOps extends QueryGroup {
       min(col("b")).as("lo_b"), max(col("b")).as("hi_b"))
     val qa = expr("((a - lo_a) * 65535) div greatest(hi_a - lo_a, 1)")
     val qb = expr("((b - lo_b) * 65535) div greatest(hi_b - lo_b, 1)")
+    // (x − lo) · 65535 must stay inside a BIGINT or the Morton codes
+    // silently wrap (round-14 review: epoch-nanos spans would) — fail
+    // LOUD instead; the guard rides the z expression so column pruning
+    // can't drop it (the Graft.merge assert_true discipline)
+    val spanCap = Long.MaxValue / 65535
+    val guard = assert_true(
+      col("hi_a") - col("lo_a") <= spanCap && col("hi_b") - col("lo_b") <= spanCap,
+      lit(s"zorderPlan: a dimension span exceeds ${spanCap} — the 16-bit " +
+        "quantization arithmetic would overflow; rescale that dimension first"))
     rows.crossJoin(broadcast(stats))
-      .withColumn("z", interleave16(qa, qb))
+      .withColumn("z", when(guard.isNull, interleave16(qa, qb)))
       .withColumn("z_shard", shiftright(col("z"), 32 - shardBits))
       .groupBy("z_shard")
       .agg(count(lit(1)).as("n_rows"),
@@ -1200,17 +1209,11 @@ object TextOps extends QueryGroup {
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
-  /** SQL scale dispatch for the text_bpe_train oracle — the ApQueries
-    * scaleCase discipline: orders = 150 000 · SF rows is the one
-    * statistic that discriminates the fixture dirs inside a static
-    * oracle string (embeddings carries N = 500 at both small scales). */
+  /** SQL scale dispatch for the text_bpe_train oracle
+    * ([[SfPins.scaleCase]], shared with the ApQueries exemplar pins),
+    * rendering each pinned merge table as a string literal. */
   private def bpeTableCase: String =
-    pinnedBpeTables.map { case (sf, lits) =>
-      val n = sf match {
-        case "sf0.001" => 1500L; case "sf0.01" => 15000L; case "sf0.1" => 150000L
-      }
-      s"WHEN $n THEN '$lits'"
-    }.mkString("CASE (SELECT count(*) FROM orders) ", " ", " END")
+    SfPins.scaleCase(pinnedBpeTables, l => s"'$l'")
 
   /** The pipeline_zorder Morton chain as SQL — generated from the same
     * 16-bit lattice constant as [[interleave16]] so the oracle and the

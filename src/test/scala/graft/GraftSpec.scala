@@ -157,6 +157,38 @@ class GraftSpec extends SparkSuite {
     assert(facade.map(_(1).asInstanceOf[Long]).max > base * 2)
   }
 
+  test("pagerank keeps sourceless nodes at teleport base (directed input)") {
+    import spark.implicits._
+    // node 3 is never a destination: it must stay at the teleport base
+    // (and node 1 must still receive its share), not silently drop
+    // from the result (round-14 review)
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = rows(Graft.pagerank(e, "src", "dst", iters = 4, symmetrize = false))
+    assert(out.size == 3)
+    val m = out.map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    assert(m(3L) == 150000000L / 3)
+    // nodes 1 and 2 both receive mass (the 1↔2 two-cycle oscillates
+    // with iteration parity, so compare each against the base, not
+    // against each other)
+    assert(m(1L) > m(3L) && m(2L) > m(3L))
+  }
+
+  test("zorderPlan fails loud when a dimension span would overflow") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (Long.MaxValue / 2, 5L)).toDF("x", "y")
+    val ex = intercept[Exception] { Graft.zorderPlan(df, "x", "y").collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("zorderPlan")), chain(ex).mkString(" | "))
+  }
+
+  test("bpeEncode rejects out-of-charset merge symbols") {
+    intercept[IllegalArgumentException] {
+      Graft.bpeEncode(myDocs, Seq(("a)(b", "c")),
+        idCol = "document_id", textCol = "body")
+    }
+  }
+
   test("nearDupPairs (minhash LSH) matches dedup_minhash") {
     val facade = rows(Graft.nearDupPairs(spark, myDocs, "document_id", "body")
       .orderBy("id_a", "id_b"))
