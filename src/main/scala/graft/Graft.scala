@@ -361,6 +361,26 @@ object Graft {
     ap.AffinityPropagation.sparseSimilarities(embOf(embeddings, idCol, vecCol), m)
       .select(col("i").as("id_a"), col("k").as("id_b"), col("s"))
 
+  /** Hybrid lexical + vector retrieval fused by reciprocal rank (RRF,
+    * Cormack et al. 2009 — the fusion every modern hybrid-search stack
+    * ships): term-overlap ranking over `docs` and round-4 cosine
+    * ranking over `embeddings`, fused as 1/(60+rank_lex) +
+    * 1/(60+rank_vec) with a FULL OUTER join so single-list candidates
+    * keep their one term. Query ids must exist in both relations.
+    * Returns (q, rnk, d, score), `topK` rows per query. Kernel
+    * scaladoc: [[queries.Dedup.hybridRrf]]. */
+  def hybridSearch(spark: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], topK: Int = 10,
+      poolK: Int = 20, docIdCol: String = "doc_id",
+      textCol: String = "text", vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    queries.Dedup.hybridRrf(spark,
+      docs.select(col(docIdCol).cast("long").as("doc_id"),
+        col(textCol).as("text")),
+      embeddings.select(col(vecIdCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding")),
+      queryIds, poolK, topK)
+
   /** Exact top-k cosine neighbors per vector via the broadcast-index
     * kernel — single-node-engine throughput while the index side fits an
     * executor; use [[similarTopKIvf]] beyond that. Returns

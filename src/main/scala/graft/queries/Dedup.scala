@@ -468,6 +468,73 @@ object Dedup extends QueryGroup {
   private def cosine(va: String, vb: String, na: String, nb: String): Column =
     expr(s"vec_dot($va, $vb)") / (col(na) * col(nb))
 
+  /** The search_hybrid_rrf query set — ids present in BOTH documents
+    * and embeddings at every fixture scale. A real deployment passes
+    * its own query relation through [[graft.Graft.hybridSearch]]. */
+  private[graft] val hybridQueryIds: Seq[Long] = Seq(3L, 47L, 102L)
+
+  /** Hybrid lexical + vector retrieval with reciprocal-rank fusion —
+    * the fusion rule behind every modern "hybrid search" stack
+    * (Cormack et al. 2009's RRF; Elasticsearch/OpenSearch/Vespa ship
+    * it verbatim): two candidate lists are ranked independently and
+    * fused by score = 1/(60+rank_lex) + 1/(60+rank_vec), which needs
+    * no score calibration between the two retrievers — only ranks.
+    *
+    *  - lexical side: distinct-term overlap between the query document
+    *    and every candidate (the BM25 core with degenerate IDF — an
+    *    exact integer count, engine-order-proof), ranked per query,
+    *    pool capped at `poolK`.
+    *  - vector side: exact cosine against the query vectors (round-4
+    *    before ranking — the simsearch_topk discipline that makes
+    *    cross-engine rank ties break identically on the id), same cap.
+    *  - fusion: FULL OUTER on (query, candidate) — a candidate missing
+    *    from one list contributes only the other list's term. The
+    *    score is a fixed two-operand double expression (one division
+    *    each + one commutative add), so it is bit-equal cross-engine.
+    *
+    * Scale shape: the query relation is tiny and BROADCAST to both
+    * sides; the lexical join shuffles on term (posting-list sized),
+    * the vector side is one broadcast pass over the embedding
+    * relation, the two rank windows partition by query — nothing
+    * all-pairs, nothing driver-side. Returns (q, rnk, d, score),
+    * `topK` rows per query. */
+  private[graft] def hybridRrf(s: SparkSession, docs: DataFrame,
+      emb: DataFrame, queryIds: Seq[Long], poolK: Int, topK: Int): DataFrame = {
+    require(queryIds.nonEmpty && poolK >= topK,
+      s"hybridRrf: need query ids and poolK >= topK, got $queryIds, $poolK, $topK")
+    val rrfK = 60 // the constant from Cormack et al. 2009
+    val wq = Window.partitionBy("q")
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(split(lower(col("text")), "[^a-z]+"))).as("t"))
+      .filter(length(col("t")) > 0)
+    val lex = terms.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q"), col("t"))
+      .join(terms.select(col("doc_id").as("d"), col("t")), "t")
+      .filter(col("q") =!= col("d"))
+      .groupBy("q", "d").agg(count(lit(1)).as("ovl"))
+      .withColumn("rnk_lex",
+        row_number().over(wq.orderBy(desc("ovl"), asc("d"))))
+      .filter(col("rnk_lex") <= poolK)
+      .select("q", "d", "rnk_lex")
+    val n = normed(s, emb)
+    val qv = n.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
+    val vec = n.join(broadcast(qv), col("vec_id") =!= col("q"))
+      .withColumn("cos",
+        round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 4))
+      .withColumn("rnk_vec",
+        row_number().over(wq.orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rnk_vec") <= poolK)
+      .select(col("q"), col("vec_id").as("d"), col("rnk_vec"))
+    lex.join(vec, Seq("q", "d"), "full_outer")
+      .withColumn("score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rnk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rnk_vec")), lit(0.0)), 6) + lit(0.0))
+      .withColumn("rnk", row_number().over(wq.orderBy(desc("score"), asc("d"))))
+      .filter(col("rnk") <= topK)
+      .select(col("q"), col("rnk").cast("long").as("rnk"), col("d"), col("score"))
+  }
+
   /** 32-minhash signature per doc as 32 COLUMNS of one codegen'd hash
     * aggregate: min(xxhash64(h, seed)) for seed 0..31 over the shingle
     * hashes. ONE pass over the shingle rows, no 32× explode — the
@@ -1237,6 +1304,12 @@ object Dedup extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
         .orderBy("i", "rnk")),
 
+    // Hybrid lexical+vector retrieval fused by reciprocal rank (kernel
+    // scaladoc on [[hybridRrf]]).
+    "search_hybrid_rrf" -> ((s, dir) =>
+      hybridRrf(s, Tables.documents(s, dir), Tables.embeddings(s, dir),
+        hybridQueryIds, poolK = 20, topK = 10).orderBy("q", "rnk")),
+
     // IVF-bucketed ANN — the scale path: assign every vector to its
     // nearest of 16 seed centroids, then each query probes only its
     // nprobe nearest centroid buckets. Seeds are deterministic greedy
@@ -1618,6 +1691,51 @@ object Dedup extends QueryGroup {
          |      ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rnk
          |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
          |WHERE rnk <= 5
-         |ORDER BY i, rnk""".stripMargin
+         |ORDER BY i, rnk""".stripMargin,
+
+    // The same two retrievers + fusion in raw SQL: integer term
+    // overlap, round-4 cosine, per-query ranks, RRF as the identical
+    // two-operand double expression (CAST, never a decimal literal —
+    // the AgreementSpec rule).
+    "search_hybrid_rrf" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id,
+         |      unnest(list_distinct(string_split_regex(lower(text), '[^a-z]+'))) AS t
+         |    FROM documents)
+         |  WHERE length(t) > 0),
+         |lex AS (
+         |  SELECT q, d, rnk_lex FROM (
+         |    SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY ovl DESC, d) AS rnk_lex
+         |    FROM (
+         |      SELECT a.doc_id AS q, b.doc_id AS d, COUNT(*) AS ovl
+         |      FROM tt a JOIN tt b ON a.t = b.t AND a.doc_id <> b.doc_id
+         |      WHERE a.doc_id IN ($hybridIdsSql)
+         |      GROUP BY a.doc_id, b.doc_id))
+         |  WHERE rnk_lex <= 20),
+         |$normedSql,
+         |vec AS (
+         |  SELECT q, d, rnk_vec FROM (
+         |    SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY cos DESC, d) AS rnk_vec
+         |    FROM (
+         |      SELECT a.vec_id AS q, b.vec_id AS d,
+         |        round(${cosSql("a.v", "b.v", "a.nrm", "b.nrm")}, 4) AS cos
+         |      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |      WHERE a.vec_id IN ($hybridIdsSql)))
+         |  WHERE rnk_vec <= 20),
+         |f AS (
+         |  SELECT COALESCE(lex.q, vec.q) AS q, COALESCE(lex.d, vec.d) AS d,
+         |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + rnk_lex), CAST(0 AS DOUBLE))
+         |        + COALESCE(CAST(1 AS DOUBLE) / (60 + rnk_vec), CAST(0 AS DOUBLE)), 6)
+         |      + 0.0 AS score
+         |  FROM lex FULL OUTER JOIN vec ON lex.q = vec.q AND lex.d = vec.d)
+         |SELECT q, rnk, d, score FROM (
+         |  SELECT q, d, score,
+         |    CAST(row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS BIGINT) AS rnk
+         |  FROM f)
+         |WHERE rnk <= 10
+         |ORDER BY q, rnk""".stripMargin
   )
+
+  private def hybridIdsSql: String = hybridQueryIds.mkString(", ")
 }

