@@ -216,7 +216,8 @@ object Graft {
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     queries.Dedup.pagerankEdges(
-      if (symmetrize) queries.Dedup.symmetrized(e) else e, iters)
+      if (symmetrize) queries.Dedup.symmetrized(e) else e, iters,
+      fillSourceless = !symmetrize)
   }
 
   /** Pairs of same-`key` rows within a time window — (id_a, id_b) with

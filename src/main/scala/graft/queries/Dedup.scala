@@ -500,8 +500,22 @@ object Dedup extends QueryGroup {
     * `topK` rows per query. */
   private[graft] def hybridRrf(s: SparkSession, docs: DataFrame,
       emb: DataFrame, queryIds: Seq[Long], poolK: Int, topK: Int): DataFrame = {
-    require(queryIds.nonEmpty && poolK >= topK,
-      s"hybridRrf: need query ids and poolK >= topK, got $queryIds, $poolK, $topK")
+    require(queryIds.nonEmpty && topK > 0 && poolK >= topK,
+      s"hybridRrf: need query ids and poolK >= topK > 0, got $queryIds, $poolK, $topK")
+    // a query id missing from either relation would silently degrade
+    // that query to a single-list (or empty) result — fail loud
+    // instead (the round's fail-loud discipline); the probes are
+    // bounded by |queryIds| rows each
+    def requirePresent(rel: DataFrame, idCol: String, name: String): Unit = {
+      val present = rel.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val missing = queryIds.filterNot(present)
+      require(missing.isEmpty,
+        s"hybridRrf: query ids ${missing.mkString(",")} absent from the $name relation")
+    }
+    requirePresent(docs, "doc_id", "documents")
+    requirePresent(emb, "vec_id", "embeddings")
     val rrfK = 60 // the constant from Cormack et al. 2009
     val wq = Window.partitionBy("q")
     val terms = docs.select(col("doc_id"),
@@ -938,7 +952,8 @@ object Dedup extends QueryGroup {
     val pairs = lineitem.select(col("l_suppkey").cast("long").as("sk"),
       col("l_partkey").cast("long").as("pk")).distinct()
     pagerankEdges(symmetrized(
-      pairs.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))), iters)
+      pairs.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))), iters,
+      fillSourceless = false) // symmetric ⇒ every node has in-edges
   }
 
   /** u→v plus v→u in ONE pass (explode of a 2-struct array — a
@@ -958,11 +973,14 @@ object Dedup extends QueryGroup {
     * on caller columns. A node with no IN-edges is NOT dropped: the
     * per-iteration aggregate only emits in-neighbors, so the node set
     * left-joins back in and sourceless nodes keep their teleport base
-    * (0.15·10⁹ div N) — on a symmetrized graph the join is a no-op
-    * row-wise but keeps the general directed case correct (round-14
-    * review: {(1,2),(2,1),(3,1)} must rank node 3 at base, not lose
-    * its row and node 1 its share). */
-  private[graft] def pagerankEdges(edges: DataFrame, iters: Int): DataFrame = {
+    * (0.15·10⁹ div N) — the fill join runs only when
+    * `fillSourceless` is set (the general directed case: round-14
+    * review, {(1,2),(2,1),(3,1)} must rank node 3 at base, not lose
+    * its row and node 1 its share); symmetrized callers pass false
+    * because every node then has in-edges and the join would be a
+    * per-row no-op costing one extra stage per iteration. */
+  private[graft] def pagerankEdges(edges: DataFrame, iters: Int,
+      fillSourceless: Boolean = true): DataFrame = {
     require(iters > 0, s"pagerank: iters must be positive, got $iters")
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val degE = edges.join(deg, "u")
@@ -971,17 +989,17 @@ object Dedup extends QueryGroup {
     val nRel = deg.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nRel))
       .select(col("node"), expr("1000000000 div cnt").as("r"))
-    for (_ <- 1 to iters)
-      r = nodes.join(
-        degE.join(r.withColumnRenamed("node", "u"), "u")
-          .select(col("v"), expr("r div d").as("share"))
-          .groupBy("v")
-          .agg(sum(col("share")).as("s"))
-          .withColumnRenamed("v", "node"),
-        Seq("node"), "left")
+    for (_ <- 1 to iters) {
+      val agg = degE.join(r.withColumnRenamed("node", "u"), "u")
+        .select(col("v"), expr("r div d").as("share"))
+        .groupBy("v")
+        .agg(sum(col("share")).as("s"))
+        .withColumnRenamed("v", "node")
+      r = (if (fillSourceless) nodes.join(agg, Seq("node"), "left") else agg)
         .crossJoin(broadcast(nRel))
         .select(col("node"),
           expr("(150000000 div cnt) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
+    }
     r.select(col("node"), col("r").as("rank_nano"))
   }
 

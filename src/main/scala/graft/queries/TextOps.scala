@@ -855,12 +855,17 @@ object TextOps extends QueryGroup {
     // (x − lo) · 65535 must stay inside a BIGINT or the Morton codes
     // silently wrap (round-14 review: epoch-nanos spans would) — fail
     // LOUD instead; the guard rides the z expression so column pruning
-    // can't drop it (the Graft.merge assert_true discipline)
-    val spanCap = Long.MaxValue / 65535
+    // can't drop it (the Graft.merge assert_true discipline). The span
+    // test itself runs in DOUBLE: a signed-64-bit-wide range would wrap
+    // hi − lo in long arithmetic and pass a long-typed guard (the
+    // second-pass review) — doubles never wrap, and their ≤2⁄¹¹-ulp
+    // error at ±2⁶³ is dwarfed by the 65536 safety margin off the cap.
+    val spanCap = (Long.MaxValue / 65535 - 65536).toDouble
     val guard = assert_true(
-      col("hi_a") - col("lo_a") <= spanCap && col("hi_b") - col("lo_b") <= spanCap,
-      lit(s"zorderPlan: a dimension span exceeds ${spanCap} — the 16-bit " +
-        "quantization arithmetic would overflow; rescale that dimension first"))
+      col("hi_a").cast("double") - col("lo_a").cast("double") <= spanCap &&
+        col("hi_b").cast("double") - col("lo_b").cast("double") <= spanCap,
+      lit("zorderPlan: a dimension span exceeds Long.MaxValue/65535 — the " +
+        "16-bit quantization arithmetic would overflow; rescale that dimension first"))
     rows.crossJoin(broadcast(stats))
       .withColumn("z", when(guard.isNull, interleave16(qa, qb)))
       .withColumn("z_shard", shiftright(col("z"), 32 - shardBits))

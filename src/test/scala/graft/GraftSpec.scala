@@ -163,9 +163,14 @@ class GraftSpec extends SparkSuite {
       vecIdCol = "item_id", vecCol = "vec").orderBy("q", "rnk"))
     val key = rows(SparkEntry.queries("search_hybrid_rrf")(spark, sf001))
     assert(facade == key)
-    // RRF sanity: every query returns exactly topK rows and a candidate
-    // on BOTH lists outscores one on a single list at the same ranks.
+    // RRF sanity: every query returns exactly topK rows, and every
+    // fused score sits inside the algebraic envelope — at most
+    // 2/(60+1) (both lists at rank 1), at least 1/(60+poolK) (one
+    // list at the pool tail) — which pins both fusion terms.
     assert(facade.map(_(0)).distinct.size == 3 && facade.size == 30)
+    val scores = facade.map(_(3).asInstanceOf[Double])
+    assert(scores.forall(v => v >= 1.0 / 80 - 1e-6 && v <= 2.0 / 61 + 1e-6),
+      s"scores outside the RRF envelope: min ${scores.min} max ${scores.max}")
   }
 
   test("pagerank keeps sourceless nodes at teleport base (directed input)") {
@@ -186,11 +191,16 @@ class GraftSpec extends SparkSuite {
 
   test("zorderPlan fails loud when a dimension span would overflow") {
     import spark.implicits._
-    val df = Seq((0L, 0L), (Long.MaxValue / 2, 5L)).toDF("x", "y")
-    val ex = intercept[Exception] { Graft.zorderPlan(df, "x", "y").collect() }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val df = Seq((0L, 0L), (Long.MaxValue / 2, 5L)).toDF("x", "y")
+    val ex = intercept[Exception] { Graft.zorderPlan(df, "x", "y").collect() }
     assert(chain(ex).exists(_.contains("zorderPlan")), chain(ex).mkString(" | "))
+    // a signed-64-bit-wide span wraps hi − lo in LONG arithmetic — the
+    // double-typed guard must still catch it (second review pass)
+    val wide = Seq((Long.MinValue / 2, 0L), (Long.MaxValue / 2, 5L)).toDF("x", "y")
+    val ex2 = intercept[Exception] { Graft.zorderPlan(wide, "x", "y").collect() }
+    assert(chain(ex2).exists(_.contains("zorderPlan")), chain(ex2).mkString(" | "))
   }
 
   test("bpeEncode rejects out-of-charset merge symbols") {
