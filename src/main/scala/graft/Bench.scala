@@ -509,9 +509,16 @@ object Bench {
     * 0.0332, and 0.083–0.117 under throttle. The default gate was
     * 0.065 through round 13 — and the driver's r13 record passed it at
     * 0.0628 in a mildly throttled window that put an unchanged plan at
-    * 2.56×, so round 14 tightens it to 0.050 (the value whose gated
-    * window measured the same plan at 1.60×; still a PROBE-regime
-    * value — do not compare it to the committed floors line). Messages
+    * 2.56×, so round 14 tightened it to 0.050. That value, however, was
+    * calibrated from probes taken UNDER the round-14 regime bug (warm
+    * in-run session ~1.75× fast); with the stop-before-gate fix every
+    * probe now runs fresh, where the calibrated QUIET probe is ~0.058 —
+    * a 0.050 gate would never pass even in quiet windows, burn the full
+    * shared wait budget on every run, and then record ungated (round-14
+    * ADVICE, medium). Round 15 recalibrates to 0.062: above the
+    * fresh-probe quiet baseline (~0.058) with margin for probe noise,
+    * below the observed throttle floor (≥0.083) — still a PROBE-regime
+    * value; do not compare it to the committed floors line. Messages
     * go to stderr; stdout stays the one-JSON-line driver contract. */
   private def waitForQuietWindow(sfDir: String, gate: Double, deadline: Long): Unit = {
     val spark = SparkSession.builder()
@@ -555,7 +562,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.get("SPARK_GRAFT_AP_DIST").contains("1")) { apDist(sfDir); return }
     if (sys.env.get("SPARK_GRAFT_PQIVF").contains("1")) { pqIvf(sfDir); return }
-    val quietGate = sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "0.050").toDouble
+    val quietGate = sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE", "0.062").toDouble
     // ONE wait budget shared by every gate call (total wall spent
     // sleeping for quiet windows stays ≤ QUIET_WAIT regardless of how
     // many passes re-gate)
@@ -594,6 +601,29 @@ object Bench {
     runPass(sfDir, widths.head, results, floorMins,
       budgetSec = sys.env.getOrElse("SPARK_GRAFT_TOPUP_BUDGET", "20").toDouble,
       apDistReps = 1)
+    // Record insurance (round-14 VERDICT #7): if any PINNED row's min
+    // still sits above 1.9× its BASELINE pin after the top-up, spend one
+    // more re-gated top-up pass — the per-row min across passes then
+    // spans a fourth oscillation phase for exactly the rows at risk of a
+    // throttled-window draw. One retry only; the gate's shared wait
+    // budget bounds total wall regardless.
+    val pins = Map(
+      "agg_groupby" -> 0.084, "topk_global" -> 0.065,
+      "topk_per_group" -> 0.150, "stream_tumbling" -> 0.024,
+      "simsearch_topk" -> 0.358, "join_asof" -> 0.102,
+      "dedup_minhash" -> 0.440, "dedup_cluster" -> 0.892,
+      "ap_full_n500" -> 0.190)
+    val weak = results.collect {
+      case (k, v) if pins.get(k).exists(p => v > 1.9 * p) => k }.toSeq
+    if (weak.nonEmpty) {
+      System.err.println(
+        s"retry pass: pinned rows above 1.9x after top-up: ${weak.mkString(",")}")
+      SparkSession.getActiveSession.foreach(_.stop())
+      gate()
+      runPass(sfDir, widths.head, results, floorMins,
+        budgetSec = sys.env.getOrElse("SPARK_GRAFT_TOPUP_BUDGET", "20").toDouble,
+        apDistReps = 1)
+    }
 
     val floors = if (!sys.env.get("SPARK_GRAFT_FLOORS").contains("0")) {
       val fs = floorMins.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }

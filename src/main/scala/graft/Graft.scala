@@ -199,25 +199,29 @@ object Graft {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
     queries.Dedup.connectedComponents(nodes, edges)
 
-  /** Damped PageRank (d = 0.85, `iters` fixed iterations) over a caller
-    * edge list, in exact integer nano-units — bit-deterministic on any
-    * engine and any partitioning (no float sum order). Edges are
-    * symmetrized (u→v plus v→u, one pass), which also guarantees no
-    * dangling mass. With `symmetrize = false` the directed list is
-    * taken as-is: the node set is then the SOURCE set (deg's key set),
-    * so every node must carry an out-edge — a pure sink (never a
-    * source) is absent from the result, while a pure source (never a
-    * destination) correctly keeps its teleport base. Returns
-    * (node, rank_nano) with Σ rank_nano ≈ 10⁹ when no mass leaves
-    * through absent sinks. Kernel scaladoc:
+  /** Damped PageRank (d = 0.85) over a caller edge list, in exact
+    * integer nano-units — bit-deterministic on any engine and any
+    * partitioning (no float sum order). Edges are symmetrized (u→v plus
+    * v→u, one pass), which also guarantees no dangling mass. With
+    * `symmetrize = false` the directed list is taken as-is: the node
+    * set is src ∪ dst — a pure source keeps its teleport base, and a
+    * pure SINK is ranked too, its retained mass redistributed via the
+    * classic dangling term each iteration, so Σ rank_nano ≈ 10⁹ (minus
+    * integral-floor dust) on any input. Long loops are safe at any
+    * `iters`: past `checkpointEvery` iterations lineage truncates at
+    * that cadence, and `tolNano > 0` adds an integer-exact early stop
+    * (max |Δrank_nano| ≤ tolNano, checked at checkpoint boundaries).
+    * Returns (node, rank_nano). Kernel scaladoc:
     * [[queries.Dedup.pagerankEdges]]. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 8, symmetrize: Boolean = true): DataFrame = {
+      iters: Int = 8, symmetrize: Boolean = true,
+      checkpointEvery: Int = 8, tolNano: Long = 0L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     queries.Dedup.pagerankEdges(
       if (symmetrize) queries.Dedup.symmetrized(e) else e, iters,
-      fillSourceless = !symmetrize)
+      fillSourceless = !symmetrize, includeSinks = !symmetrize,
+      checkpointEvery = checkpointEvery, tolNano = tolNano)
   }
 
   /** Pairs of same-`key` rows within a time window — (id_a, id_b) with
@@ -339,7 +343,7 @@ object Graft {
     * box: (z_shard, n_rows, min_a, max_a, min_b, max_b). Kernel
     * scaladoc: [[queries.TextOps.zorderPlanDims]]. */
   def zorderPlan(rows: DataFrame, colA: String, colB: String,
-      shardBits: Int = 6): DataFrame =
+      shardBits: Int = queries.TextOps.zorderShardBits): DataFrame =
     queries.TextOps.zorderPlanDims(
       rows.select(col(colA).cast("long").as("a"),
         col(colB).cast("long").as("b")),

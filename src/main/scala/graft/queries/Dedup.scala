@@ -966,42 +966,158 @@ object Dedup extends QueryGroup {
       struct(col("v").as("u"), col("u").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
 
-  /** The iteration core on a (u, v) edge relation where every node
-    * carries an out-edge (deg's key set IS the node set; the caller
-    * symmetrizes, which also guarantees it and removes the
-    * dangling-mass term) — the shape [[graft.Graft.pagerank]] exposes
-    * on caller columns. A node with no IN-edges is NOT dropped: the
-    * per-iteration aggregate only emits in-neighbors, so the node set
-    * left-joins back in and sourceless nodes keep their teleport base
-    * (0.15·10⁹ div N) — the fill join runs only when
-    * `fillSourceless` is set (the general directed case: round-14
-    * review, {(1,2),(2,1),(3,1)} must rank node 3 at base, not lose
-    * its row and node 1 its share); symmetrized callers pass false
-    * because every node then has in-edges and the join would be a
-    * per-row no-op costing one extra stage per iteration. */
+  /** The iteration core on a (u, v) edge relation — the shape
+    * [[graft.Graft.pagerank]] exposes on caller columns.
+    *
+    * Node set. By default the SOURCE set (deg's keys — the symmetrized
+    * caller's case, where src = dst by construction). With
+    * `includeSinks` the node set is src ∪ dst, so a pure sink (a
+    * destination that never sources an edge) is RANKED rather than
+    * silently dropped (round-14 ADVICE: the drop leaked its inbound
+    * mass with no runtime signal), and its retained mass is
+    * REDISTRIBUTED: each iteration adds the classic dangling term —
+    * D = Σ rank over zero-out-degree nodes, every node receives
+    * d·(D div N) alongside its in-neighbor shares — so Σ rank_nano
+    * stays ≈ 10⁹ (minus integral-floor dust) on ANY directed graph.
+    * The dangling relation rides as a broadcast one-row aggregate
+    * (lazy — no driver action per iteration), and the whole mechanism
+    * is planned only when a one-time bounded probe finds sinks at all:
+    * sink-free graphs keep the exact round-14 dataflow and plan.
+    *
+    * A node with no IN-edges is NOT dropped either: the per-iteration
+    * aggregate only emits in-neighbors, so the node set left-joins back
+    * in and sourceless nodes keep their teleport base (0.15·10⁹ div N)
+    * — the fill join runs only when `fillSourceless` (or
+    * `includeSinks`, whose sinks may also lack in-edges) requires it;
+    * symmetrized callers pass false because every node then has
+    * in-edges and the join would be a per-row no-op costing one extra
+    * stage per iteration.
+    *
+    * Long loops (round-14 VERDICT #2). With caller-supplied `iters` the
+    * naive loop grows ONE plan tree linearly — the lineage blow-up
+    * SURVEY §4.3 documents and the AP loop solves. Past
+    * `checkpointEvery` iterations the loop truncates lineage with an
+    * eager `localCheckpoint` at that cadence (and persists the
+    * loop-invariant degE/nodes relations once, releasing them at the
+    * end), so plan depth is bounded by the cadence regardless of
+    * `iters`. `tolNano > 0` adds an integer-exact convergence stop:
+    * at each checkpoint boundary one bounded action computes
+    * max |Δrank_nano| since the previous boundary and the loop exits
+    * early once it is ≤ `tolNano` — exact arithmetic means the test is
+    * deterministic, no float-tolerance ambiguity. The oracled
+    * graph_pagerank key (iters = 8 = cadence, tol 0) plans zero
+    * checkpoints and zero probes: its declarative 8-stage tree — and
+    * its bit-identical DuckDB replay — is unchanged. */
   private[graft] def pagerankEdges(edges: DataFrame, iters: Int,
-      fillSourceless: Boolean = true): DataFrame = {
+      fillSourceless: Boolean = true,
+      includeSinks: Boolean = false,
+      checkpointEvery: Int = 8,
+      tolNano: Long = 0L): DataFrame = {
     require(iters > 0, s"pagerank: iters must be positive, got $iters")
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-    val degE = edges.join(deg, "u")
-    val nodes = deg.select(col("u").as("node"))
+    require(checkpointEvery > 0,
+      s"pagerank: checkpointEvery must be positive, got $checkpointEvery")
+    require(tolNano >= 0, s"pagerank: tolNano must be >= 0, got $tolNano")
+    val longLoop = iters > checkpointEvery
+    def pin(df: DataFrame): DataFrame =
+      if (longLoop) df.localCheckpoint(true) else df
+    val deg = pin(edges.groupBy("u").agg(count(lit(1)).as("d")))
+    val degE = pin(edges.join(deg, "u"))
+    val srcNodes = deg.select(col("u").as("node"))
+    // Sinks exist ⇔ some destination never sources an edge. One bounded
+    // probe (count of a left-anti join) decides whether the dangling
+    // machinery is planned at all — pure-source-set graphs (and every
+    // symmetrized graph) skip it entirely.
+    val sinks =
+      if (includeSinks)
+        pin(edges.select(col("v").as("node")).distinct()
+          .join(srcNodes, Seq("node"), "left_anti"))
+      else null
+    val haveSinks = includeSinks && sinks.limit(1).count() > 0
+    val nodes = pin(
+      if (haveSinks) srcNodes.unionByName(sinks) else srcNodes)
+    val fill = fillSourceless || haveSinks
     // N rides a broadcast one-row relation (the corpus-total discipline)
-    val nRel = deg.agg(count(lit(1)).as("cnt"))
+    val nRel = nodes.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(broadcast(nRel))
       .select(col("node"), expr("1000000000 div cnt").as("r"))
-    for (_ <- 1 to iters) {
+    var rAtBoundary = r
+    var prevCk: Option[DataFrame] = None
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
       val agg = degE.join(r.withColumnRenamed("node", "u"), "u")
         .select(col("v"), expr("r div d").as("share"))
         .groupBy("v")
         .agg(sum(col("share")).as("s"))
         .withColumnRenamed("v", "node")
-      r = (if (fillSourceless) nodes.join(agg, Seq("node"), "left") else agg)
+      val filled = (if (fill) nodes.join(agg, Seq("node"), "left") else agg)
         .crossJoin(broadcast(nRel))
-        .select(col("node"),
-          expr("(150000000 div cnt) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
+      r =
+        if (haveSinks) {
+          // dangling term: D div N extra inbound for every node, damped
+          // with the shares — Σ rank stays ≈ 10⁹ on any directed graph
+          val dRel = r.join(sinks, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+          filled.crossJoin(broadcast(dRel))
+            .select(col("node"),
+              expr("(150000000 div cnt) + (85 * (coalesce(s, CAST(0 AS BIGINT))" +
+                " + dmass div cnt)) div 100").as("r"))
+        } else filled
+          .select(col("node"),
+            expr("(150000000 div cnt) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
+      if (longLoop && i % checkpointEvery == 0 && i < iters) {
+        r = r.localCheckpoint(true)
+        if (tolNano > 0) {
+          val delta = r.join(
+            rAtBoundary.withColumnRenamed("r", "r_prev"), "node")
+            .agg(max(abs(col("r") - col("r_prev"))).as("d"))
+            .head().getLong(0)
+          converged = delta <= tolNano
+          rAtBoundary = r
+        }
+        // the superseded boundary checkpoint is read by nothing later —
+        // release it now (the componentsStars per-generation discipline)
+        prevCk.foreach(releaseCheckpoint)
+        prevCk = Some(r)
+      }
     }
-    r.select(col("node"), col("r").as("rank_nano"))
+    val out = r.select(col("node"), col("r").as("rank_nano"))
+    if (!longLoop) out
+    else {
+      // Checkpoint the final plan FIRST, then drop its inputs (the
+      // componentsStars discipline): once `outCk` is materialized the
+      // pinned loop invariants and the last boundary checkpoint are
+      // read by nothing, and the final checkpoint itself is registered
+      // for release at the NEXT pagerank call on this session (consume
+      // a result before calling again).
+      val spark = edges.sparkSession
+      releasePrevPagerank(spark)
+      val outCk = out.localCheckpoint(true)
+      prevCk.foreach(releaseCheckpoint)
+      Seq(deg, degE, nodes).foreach(releaseCheckpoint)
+      if (sinks != null) releaseCheckpoint(sinks)
+      recordPagerankCheckpoint(spark, outCk)
+      outCk
+    }
   }
+
+  /** Final checkpoint of the LAST long-loop pagerank run per session —
+    * the [[lastComponentsCheckpoint]] pattern verbatim (same contract:
+    * consume a result before the next call; same weak-key/weak-value
+    * reasoning, see that registry's scaladoc). */
+  private val lastPagerankCheckpoint =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]()
+
+  private def releasePrevPagerank(spark: SparkSession): Unit =
+    lastPagerankCheckpoint.synchronized {
+      Option(lastPagerankCheckpoint.remove(spark))
+    }.flatMap(r => Option(r.get)).foreach(releaseCheckpoint)
+
+  private def recordPagerankCheckpoint(spark: SparkSession, df: DataFrame): Unit =
+    lastPagerankCheckpoint.synchronized {
+      lastPagerankCheckpoint.put(spark, new java.lang.ref.WeakReference(df)); ()
+    }
 
   private val pagerankIters = 8
 

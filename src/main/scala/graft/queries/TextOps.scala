@@ -841,10 +841,17 @@ object TextOps extends QueryGroup {
       col("l_partkey").cast("long").as("a"),
       col("l_suppkey").cast("long").as("b")))
 
+  /** Shard-bit width of the pipeline_zorder key (and the default of the
+    * [[graft.Graft.zorderPlan]] facade). The oracle's shift is GENERATED
+    * from this constant (round-14 ADVICE: a hardcoded `z >> 26` would
+    * silently desync if this default moved — the Morton chain already
+    * shares its bit count via [[zInterleaveSql]]). */
+  private[graft] val zorderShardBits = 6
+
   /** The planner core on an (a, b) relation — the shape
     * [[graft.Graft.zorderPlan]] exposes on caller columns. */
   private[graft] def zorderPlanDims(rows: DataFrame,
-      shardBits: Int = 6): DataFrame = {
+      shardBits: Int = zorderShardBits): DataFrame = {
     require(shardBits > 0 && shardBits <= 32,
       s"zorderPlan: shardBits must be in 1..32, got $shardBits")
     val stats = rows.agg(
@@ -1170,7 +1177,7 @@ object TextOps extends QueryGroup {
          |    ((l_suppkey - lo_b) * 65535) // greatest(hi_b - lo_b, 1) AS qb
          |  FROM lineitem, s),
          |z AS (SELECT a, b, ${zInterleaveSql("qa", "qb")} AS z FROM q)
-         |SELECT z >> 26 AS z_shard, COUNT(*) AS n_rows,
+         |SELECT z >> ${32 - zorderShardBits} AS z_shard, COUNT(*) AS n_rows,
          |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
          |FROM z GROUP BY z_shard ORDER BY z_shard""".stripMargin,
     "text_unigram_logprob" ->

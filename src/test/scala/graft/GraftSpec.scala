@@ -189,6 +189,51 @@ class GraftSpec extends SparkSuite {
     assert(m(1L) > m(3L) && m(2L) > m(3L))
   }
 
+  test("pagerank ranks pure sinks and redistributes dangling mass (directed)") {
+    import spark.implicits._
+    // node 4 is a pure SINK (destination only): round-14's kernel
+    // dropped it from the node set and leaked its inbound mass every
+    // iteration; it must now be ranked, and the dangling term must keep
+    // the total inside the floor-dust envelope (round-14 ADVICE)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = rows(Graft.pagerank(e, "src", "dst", iters = 12, symmetrize = false))
+    assert(out.size == 4, s"sink missing from node set: $out")
+    val m = out.map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    val base = 150000000L / 4
+    // the sink receives a half-share from each of the three cycle nodes
+    // — well above the teleport base
+    assert(m(4L) > base, s"sink stuck at/below base: ${m(4L)}")
+    val mass = out.map(_(1).asInstanceOf[Long]).sum
+    assert(mass <= 1000000000L && mass >= 990000000L,
+      s"dangling mass leaked: total $mass")
+    // sink-free directed graphs take the exact no-dangling dataflow:
+    // the probe finds nothing and results are identical to round-14's
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val c = rows(Graft.pagerank(cyc, "src", "dst", iters = 4, symmetrize = false))
+    assert(c.size == 3 && c.forall(_(1).asInstanceOf[Long] == 333333333L))
+  }
+
+  test("pagerank long loop: bounded lineage at iters=64, integer early stop") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    // iters=64 with the default cadence (8) must complete quickly —
+    // without localCheckpoint truncation the 64-deep self-join tree
+    // stalls analysis/codegen long before execution (SURVEY §4.3)
+    val out = rows(Graft.pagerank(e, "src", "dst", iters = 64,
+      symmetrize = false).orderBy("node"))
+    assert(out.size == 3)
+    val mass = out.map(_(1).asInstanceOf[Long]).sum
+    assert(mass <= 1000000000L && mass >= 990000000L)
+    // integer-exact early stop: the integral iteration reaches a TRUE
+    // fixpoint (delta = 0 at a boundary), stops early, and returns the
+    // SAME ranks as the full fixed-iteration run
+    val stopped = rows(Graft.pagerank(e, "src", "dst", iters = 64,
+      symmetrize = false, tolNano = 1L).orderBy("node"))
+    assert(stopped == out,
+      "tolNano early stop diverged from the fixed-iteration fixpoint")
+  }
+
   test("zorderPlan fails loud when a dimension span would overflow") {
     import spark.implicits._
     def chain(t: Throwable): Seq[String] =
