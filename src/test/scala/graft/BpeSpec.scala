@@ -67,6 +67,86 @@ class BpeSpec extends SparkSuite {
     assert(t1.size === 6)
   }
 
+  // ---- round-15: batched training + the O(1)-plan fast kernel --------
+
+  test("batched trainer matches the pinned wide vocab (sf0.01 drift guard)") {
+    // the build-time pin: if the fixture or the batched trainer moves,
+    // this fails with the regeneration recipe rather than letting the
+    // text_bpe_wide oracle silently agree with a stale constant
+    val got = Bpe.trainBatched(Tables.documents(spark, sf01), 64, batch = 16)
+    assert(got === queries.TextOps.pinnedBpeWideVocab,
+      "pinnedBpeWideTable drifted — regenerate via " +
+        "Bpe.trainBatched(sf0.01 documents, 64, 16) and update TextOps: " +
+        got.map { case (l, r) => s"$l $r" }.mkString(";"))
+  }
+
+  test("batched trainer is deterministic; round-1 head equals the single-merge argmax") {
+    val d = Tables.documents(spark, sf001).limit(200)
+    val r1 = Bpe.trainBatchedRounds(d, 24, batch = 8)
+    val r2 = Bpe.trainBatchedRounds(d, 24, batch = 8)
+    assert(r1 === r2)
+    val t1 = r1.flatten
+    // the first batched pick is made from the same counts as the strict
+    // trainer's first argmax
+    assert(t1.head === Bpe.train(d, merges = 1).head)
+    // within each ACTUAL round (a round may select fewer than `batch`
+    // when later candidates conflict), picks are symbol-disjoint — the
+    // exactness argument: a merge only perturbs adjacencies involving
+    // its own symbols, so disjoint picks from one count are all still
+    // correct. A pick may itself be (g,g) — one symbol twice is one
+    // adjacency pattern; disjointness is ACROSS picks.
+    r1.foreach { round =>
+      val sets = round.map { case (l, r) => Set(l, r) }
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert((sets(i) & sets(j)).isEmpty,
+          s"round shares a symbol between picks: $round")
+    }
+  }
+
+  test("applyMergesFast is bit-identical to the replace chain (16 and 64-merge vocabs)") {
+    val d = Tables.documents(spark, sf001)
+    for (vocab <- Seq(queries.TextOps.pinnedBpeVocab,
+        queries.TextOps.pinnedBpeWideVocab)) {
+      val chain = Bpe.applyMerges(d, vocab).orderBy("doc_id").collect().toSeq
+      val fast = Bpe.applyMergesFast(d, vocab).orderBy("doc_id").collect().toSeq
+      assert(chain === fast, s"fast kernel diverged on a ${vocab.size}-merge table")
+    }
+  }
+
+  test("K=256 request: training exhausts the corpus, fast kernel matches an independent replay") {
+    val d = Tables.documents(spark, sf001)
+    val table = Bpe.trainBatched(d, 256, batch = 32)
+    // the fixture vocabulary fully merges before 256 (every distinct
+    // word becomes one token) — the early stop must fire, not loop
+    assert(table.size >= 64 && table.size < 256,
+      s"expected corpus exhaustion between 64 and 256 merges, got ${table.size}")
+    // independent per-word replay of the FULL table via
+    // java.lang.String.replace (left-to-right non-overlapping — the
+    // same contract Spark's replace implements, implemented by a
+    // different engine): the chain form can't execute at this K (the
+    // very reason the fast kernel exists), so this is the full-table
+    // equivalence check
+    def refCount(word: String): Int = {
+      var rep = word.map(c => s"($c)").mkString
+      table.foreach { case (l, r) => rep = rep.replace(s"($l)($r)", s"($l$r)") }
+      rep.count(_ == '(')
+    }
+    val lefts = table.map(_._1).toArray
+    val rights = table.map(_._2).toArray
+    val merged = table.map { case (l, r) => l + r }.toArray
+    val words = d.select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0).distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(Bpe.countTokens(w, lefts, rights, merged) === refCount(w),
+        s"fast kernel diverged from the String.replace replay on '$w'")
+    }
+    // and the distributed fast path runs the full table in ONE
+    // expression — the plan stays O(1) in K
+    val plan = Bpe.applyMergesFast(d, table).queryExecution.analyzed.toString
+    assert(plan.contains("bpe_count("))
+  }
+
   test("applied token count is bounded by [n_words, character count]") {
     val d = Tables.documents(spark, sf001).limit(100)
     val table = Bpe.train(d, merges = 8)
