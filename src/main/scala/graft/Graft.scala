@@ -417,6 +417,30 @@ object Graft {
         col(vecCol).as("embedding")),
       queryIds, poolK, topK)
 
+  /** FREE-TEXT hybrid retrieval with weighted RRF: `queries` is any
+    * (id, text, vector) relation — the text is tokenized at query time
+    * against the corpus, the vector is the caller-embedded query (the
+    * contract real retrieval stacks use), and the two ranked lists fuse
+    * as wLex/(60+r_lex) + wVec/(60+r_vec). Returns (q, rnk, d, score),
+    * topK rows per query. Kernel scaladoc:
+    * [[queries.Dedup.hybridRrfText]]. */
+  def hybridSearchText(spark: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, queryRel: DataFrame,
+      topK: Int = 10, poolK: Int = 20,
+      wLex: Double = 1.0, wVec: Double = 1.0,
+      docIdCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q", qTextCol: String = "qtext",
+      qVecCol: String = "qv"): DataFrame =
+    queries.Dedup.hybridRrfText(spark,
+      docs.select(col(docIdCol).cast("long").as("doc_id"),
+        col(textCol).as("text")),
+      embeddings.select(col(vecIdCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding")),
+      queryRel.select(col(qIdCol).cast("long").as("q"),
+        col(qTextCol).as("qtext"), col(qVecCol).as("qv")),
+      poolK, topK, wLex, wVec)
+
   /** Exact top-k cosine neighbors per vector via the broadcast-index
     * kernel — single-node-engine throughput while the index side fits an
     * executor; use [[similarTopKIvf]] beyond that. Returns

@@ -173,6 +173,50 @@ class GraftSpec extends SparkSuite {
       s"scores outside the RRF envelope: min ${scores.min} max ${scores.max}")
   }
 
+  test("hybridSearchText matches search_hybrid_text; query text retrieves its source doc") {
+    import spark.implicits._
+    val qrel = queries.Dedup.hybridTextQueries.toDF("id", "body_text", "v")
+      .join(myEmb.select(col("item_id").as("v"), col("vec").as("qvec")), Seq("v"))
+      .select(col("id"), col("body_text"), col("qvec"))
+    val facade = rows(Graft.hybridSearchText(spark, myDocs, myEmb, qrel,
+      wLex = queries.Dedup.hybridTextWLex, wVec = queries.Dedup.hybridTextWVec,
+      docIdCol = "document_id", textCol = "body",
+      vecIdCol = "item_id", vecCol = "vec",
+      qIdCol = "id", qTextCol = "body_text", qVecCol = "qvec")
+      .orderBy("q", "rnk"))
+    val key = rows(SparkEntry.queries("search_hybrid_text")(spark, sf001))
+    assert(facade == key)
+    // free text built from a corpus doc's opening words must retrieve —
+    // no self-exclusion in the text kernel; with the vector side
+    // anchored at vec_id 3 and the text taken verbatim from doc 3, the
+    // source doc should surface in the fused top-10
+    val doc3 = Tables.documents(spark, sf001)
+      .filter(col("doc_id") === 3L).select("text").head().getString(0)
+    val qtext = doc3.split("\\s+").take(6).mkString(" ")
+    val q2 = Seq((99L, qtext)).toDF("id", "body_text")
+      .join(myEmb.filter(col("item_id") === 3L)
+        .select(lit(99L).as("id"), col("vec").as("qvec")), Seq("id"))
+    val got = rows(Graft.hybridSearchText(spark, myDocs, myEmb, q2,
+      docIdCol = "document_id", textCol = "body",
+      vecIdCol = "item_id", vecCol = "vec",
+      qIdCol = "id", qTextCol = "body_text", qVecCol = "qvec"))
+    assert(got.exists(r => r(2).asInstanceOf[Long] == 3L),
+      s"source doc 3 missing from fused top-10: $got")
+    // a null query vector fails loud (the in-flow assert_true guard)
+    val qBad = Seq((7L, "spark")).toDF("id", "body_text")
+      .withColumn("qvec", lit(null).cast("array<float>"))
+    val ex = intercept[Exception] {
+      Graft.hybridSearchText(spark, myDocs, myEmb, qBad,
+        docIdCol = "document_id", textCol = "body",
+        vecIdCol = "item_id", vecCol = "vec",
+        qIdCol = "id", qTextCol = "body_text", qVecCol = "qvec").collect()
+    }
+    def chain2(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain2(ex).exists(m => m != null && m.contains("null vector")),
+      chain2(ex).mkString(" | "))
+  }
+
   test("pagerank keeps sourceless nodes at teleport base (directed input)") {
     import spark.implicits._
     // node 3 is never a destination: it must stay at the teleport base
