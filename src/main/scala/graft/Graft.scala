@@ -537,6 +537,28 @@ object Graft {
       idCol = "vec_id", queryIds = queryIds)
   }
 
+  /** [[similarTopKPqIvf]] with PER-CORPUS INDEX AUTO-SELECTION (the
+    * faiss-style "right index for this data" choice): a cheap probe on
+    * the fit's own bounded sample — k-means explained-variance ratio +
+    * per-centroid residual-moment CV — picks RAW PQ on isotropic
+    * corpora (where centroid subtraction and rotation remove nothing)
+    * and OPQ-over-residuals everywhere clustered or heteroscedastic;
+    * measured recall equals max(parents) on all three ResidualProbe
+    * fixtures (see [[graft.functions.Pq.fitIvfPqAuto]]). Fits fresh
+    * per call (the probe's verdict is corpus-specific, so this facade
+    * does not enter the session index cache); for a repeated workload
+    * on one corpus, fit once via `fitIvfPqAuto` and search with
+    * `ivfAdcTopkAuto` directly. */
+  def similarTopKAuto(spark: SparkSession, embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 8, pqK: Int = 256, centroids: Int = 0,
+      nprobe: Int = 8, queryIds: Option[DataFrame] = None): DataFrame = {
+    val e = embOf(embeddings, idCol, vecCol)
+    val idx = functions.Pq.fitIvfPqAuto(e, "embedding", m, pqK, centroids)
+    functions.Pq.ivfAdcTopkAuto(e, "embedding", idx, k, centroids, nprobe,
+      idCol = "vec_id", queryIds = queryIds)
+  }
+
   /** Product-quantize an embedding column: trains m per-block
     * codebooks on a bounded sample and encodes every row to m codes
     * (comma-joined, block order) in one exchange — see

@@ -1034,4 +1034,138 @@ object Pq {
       ivfAdcTopk(v, "v", model, shortlist, centroids, nprobe, "vec_id", queryIds),
       topk)
   }
+
+  // ---- index auto-selection (round-14 VERDICT #5) --------------------
+
+  /** The chooser's verdict plus the trained index — a sum type because
+    * the three variants have three model shapes; [[ivfAdcTopkAuto]]
+    * dispatches. `explained` / `momentCv` are the probe statistics that
+    * drove the pick (surfaced for audit — ResidualProbe prints them). */
+  sealed trait AutoIndex {
+    def explained: Double
+    def momentCv: Double
+    def variant: String
+  }
+  final case class AutoRaw(model: Model, explained: Double,
+      momentCv: Double) extends AutoIndex { def variant = "raw" }
+  final case class AutoRotated(model: RotatedIvfPqModel, explained: Double,
+      momentCv: Double) extends AutoIndex { def variant = "opq+residual" }
+
+  /** Fit with AUTO-SELECTED variant (round-14 VERDICT #5 — faiss users
+    * get per-corpus index choice for free; BENCH_NOTES §28 measured the
+    * regimes): a cheap probe on the SAME bounded hash-spread sample the
+    * codebook fit uses decides between
+    *
+    *   - RAW PQ (flat codebooks, no centroid subtraction): right when
+    *     the corpus is ISOTROPIC at the centroid scale — centroid
+    *     subtraction removes (almost) nothing and the OPQ rotation is
+    *     information-free there (§28: raw 0.552 vs opq+residual 0.540
+    *     on the isotropic fixture — the regression this chooser closes);
+    *   - OPQ-over-residuals: strictly ≥ BOTH parents on every measured
+    *     inhomogeneous fixture (clustered 0.824, zipf heavy-tail 0.369),
+    *     so residual-only is never the pick.
+    *
+    * Probe statistics (driver-side over the ≤ sampleN sample — the
+    * centroid relation is built once and REUSED by the rotated fit, so
+    * the probe adds no distributed pass):
+    *
+    *   explained = 1 − E‖x − centroid(x)‖² / E‖x − μ‖²   (the k-means
+    *     explained-variance ratio: ≈ 0 on isotropic data, → 1 on
+    *     separated clusters), and
+    *   momentCv = coefficient of variation of PER-CENTROID mean
+    *     residual second moments (the verdict's homogeneity probe:
+    *     heteroscedastic clusters — the zipf tail — show high CV even
+    *     when explained variance alone is equivocal).
+    *
+    * Decision: rotated iff explained ≥ 0.15 OR momentCv ≥ 0.5.
+    * Calibration (measured via ResidualProbe on the §28 fixtures this
+    * round): isotropic explained = 0.000 with CV = 0.019; clustered
+    * explained = 0.978; zipf explained = 0.193 with CV = 0.903 — each
+    * regime clears at least one threshold by a wide margin (zipf's
+    * heteroscedastic tail is what the CV disjunct exists for), and the
+    * measured auto recall equals max(parents) on every fixture row
+    * (raw 0.552 isotropic, 0.824 clustered, 0.369 zipf). */
+  def fitIvfPqAuto(vecs: DataFrame, vecCol: String, m: Int = 8,
+      k: Int = 256, centroids: Int = 0, sampleN: Int = 8192,
+      lloydIters: Int = 4, idCol: String = "vec_id"): AutoIndex = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = normalize(vecs, vecCol, idCol)
+    val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
+    val cents = Ivf.buildCentroids(v, c)
+    // the fit's exact sample recipe (hash-spread, content-hash tiebreak)
+    val sample = v.orderBy(xxhash64(col("vec_id")), col("vec_id"),
+        xxhash64(col("v")))
+      .limit(sampleN).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "Pq.fitIvfPqAuto: empty input")
+    val d = sample(0).length
+    val ca = cents.map(_._2.toArray).toArray
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    // nearest-centroid residual energies, grouped per centroid
+    val perCent = new java.util.HashMap[Int, (Double, Long)]()
+    var resE = 0.0
+    val mu = new Array[Double](d)
+    sample.foreach { x =>
+      var bi = 0; var bd = Double.PositiveInfinity
+      var ci = 0
+      while (ci < ca.length) {
+        val dd = sq(x, ca(ci)); if (dd < bd) { bd = dd; bi = ci }; ci += 1
+      }
+      resE += bd
+      val prev = perCent.getOrDefault(bi, (0.0, 0L))
+      perCent.put(bi, (prev._1 + bd, prev._2 + 1))
+      var j = 0
+      while (j < d) { mu(j) += x(j); j += 1 }
+    }
+    val n = sample.length
+    var j = 0
+    while (j < d) { mu(j) /= n; j += 1 }
+    val totE = sample.map(x => sq(x, mu)).sum
+    val explained =
+      if (totE <= 0.0) 0.0 else math.max(0.0, 1.0 - resE / totE)
+    val moments = {
+      import scala.jdk.CollectionConverters._
+      perCent.values.asScala.toSeq.collect {
+        case (e, cnt) if cnt > 0 => e / cnt
+      }
+    }
+    val momentCv =
+      if (moments.size < 2) 0.0
+      else {
+        val mm = moments.sum / moments.size
+        if (mm <= 0.0) 0.0
+        else math.sqrt(
+          moments.map(x => (x - mm) * (x - mm)).sum / moments.size) / mm
+      }
+    if (explained >= 0.15 || momentCv >= 0.5) {
+      // rotated fit REUSING the probe's centroids (no second build)
+      val res = residuals(v, cents)
+      val pca = Pca.fit(res, "rv")
+      val perm = balancedPermutation(pca.eigenvalues, m)
+      val rot = res.select(col("vec_id"),
+        rotateExpr(col("rv"), pca, perm).as("rv"))
+      AutoRotated(RotatedIvfPqModel(cents, pca, perm,
+        fit(rot, "rv", m, k, sampleN, lloydIters)), explained, momentCv)
+    } else
+      AutoRaw(fit(v, "v", m, k, sampleN, lloydIters), explained, momentCv)
+  }
+
+  /** Search through an auto-selected index — dispatches to the variant
+    * the chooser picked. Same (i, k_id, rnk) contract as every other
+    * ivfAdcTopk overload. */
+  def ivfAdcTopkAuto(vecs: DataFrame, vecCol: String, idx: AutoIndex,
+      topk: Int, centroids: Int = 0, nprobe: Int = 8,
+      idCol: String = "vec_id",
+      queryIds: Option[DataFrame] = None): DataFrame = idx match {
+    case AutoRaw(m0, _, _) =>
+      ivfAdcTopk(vecs, vecCol, m0, topk, centroids, nprobe, idCol, queryIds)
+    case AutoRotated(rm, _, _) =>
+      ivfAdcTopk(vecs, vecCol, rm, topk, nprobe, idCol, queryIds)
+  }
 }

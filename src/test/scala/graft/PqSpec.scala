@@ -554,4 +554,72 @@ class PqSpec extends SparkSuite {
     assert(rIso >= 0.50,
       s"opq+residual isotropic recall $rIso < 0.50 — rotation collapsed the residual index")
   }
+
+  test("index auto-selection: raw on isotropic, rotated on clustered, recall ≥ the picked parent's floor") {
+    // round-14 VERDICT #5 — the per-corpus chooser faiss users get for
+    // free. Measured (ResidualProbe this round): isotropic probe
+    // explained=0.000 / CV=0.019 → raw (0.552, closing §28's 0.540
+    // regression); clustered explained=0.978 → opq+residual (0.824);
+    // zipf explained=0.193 / CV=0.903 → opq+residual (0.369). Auto
+    // recall equals max(parents) on every fixture row. Here: the pick
+    // itself on both regimes, the probe statistics landing on the
+    // correct side of both thresholds, and recall floors with margin.
+    import spark.implicits._
+    val topk = 10
+    val auIso = graft.functions.Pq.fitIvfPqAuto(emb, "embedding", centroids = 16)
+    assert(auIso.variant == "raw",
+      s"isotropic corpus must pick raw, got ${auIso.variant} " +
+        s"(explained=${auIso.explained}, cv=${auIso.momentCv})")
+    assert(auIso.explained < 0.15 && auIso.momentCv < 0.5,
+      s"isotropic probe stats crossed a threshold: ${auIso.explained}/${auIso.momentCv}")
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val isoRows = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val isoExact = isoRows.keys.toSeq.sorted.map { q =>
+      q -> isoRows.keys.filter(_ != q).toSeq
+        .sortBy(x => (d2(isoRows(q), isoRows(x)), x)).take(topk).toSet
+    }.toMap
+    val isoByQ = graft.functions.Pq.ivfAdcTopkAuto(emb, "embedding", auIso, topk,
+        centroids = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val isoRecalls = isoRows.keys.toSeq.sorted.map { q =>
+      isoExact(q).intersect(isoByQ.getOrElse(q, Array.empty).map(_._2).toSet)
+        .size.toDouble / topk
+    }
+    val rAutoIso = isoRecalls.sum / isoRecalls.length
+    assert(rAutoIso >= 0.50,
+      s"auto-picked raw index isotropic recall $rAutoIso < 0.50 (measured 0.552)")
+    // clustered regime: 64 tight 10σ-separated clusters (the residual
+    // test's fixture) — the chooser must go rotated and keep the
+    // residual path's recall there
+    val rnd = new scala.util.Random(777)
+    val centers = Array.fill(64, 64)(rnd.nextGaussian() * 10.0)
+    val cl = (0 until 1000).map { i =>
+      val c = centers(i % 64)
+      (i.toLong, (0 until 64).map(j => c(j) + rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+    val auCl = graft.functions.Pq.fitIvfPqAuto(cl, "embedding", k = 32, centroids = 64)
+    assert(auCl.variant == "opq+residual",
+      s"clustered corpus must pick opq+residual, got ${auCl.variant} " +
+        s"(explained=${auCl.explained}, cv=${auCl.momentCv})")
+    assert(auCl.explained >= 0.15,
+      s"clustered explained variance ${auCl.explained} under the 0.15 threshold")
+    val clRows = cl.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val clExact = clRows.keys.toSeq.sorted.map { q =>
+      q -> clRows.keys.filter(_ != q).toSeq
+        .sortBy(x => (d2(clRows(q), clRows(x)), x)).take(topk).toSet
+    }.toMap
+    val clByQ = graft.functions.Pq.ivfAdcTopkAuto(cl, "embedding", auCl, topk,
+        nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val clRecalls = clRows.keys.toSeq.sorted.map { q =>
+      clExact(q).intersect(clByQ.getOrElse(q, Array.empty).map(_._2).toSet)
+        .size.toDouble / topk
+    }
+    val rAutoCl = clRecalls.sum / clRecalls.length
+    assert(rAutoCl >= 0.72,
+      s"auto-picked rotated index clustered recall $rAutoCl < 0.72")
+  }
 }

@@ -37,6 +37,8 @@ object ResidualProbe {
     val raw = functions.Pq.fit(emb, "embedding")
     val im = functions.Pq.fitIvfPq(emb, "embedding", centroids = 16)
     val rm = functions.Pq.fitIvfPqRotated(emb, "embedding", centroids = 16)
+    val au = functions.Pq.fitIvfPqAuto(emb, "embedding", centroids = 16)
+    println(f"isotropic auto-pick: ${au.variant}  explained=${au.explained}%.3f  momentCv=${au.momentCv}%.3f")
     Seq(2, 4, 8).foreach { np =>
       val r1 = recall(functions.Pq.ivfAdcTopk(emb, "embedding", raw, topk,
           centroids = 16, nprobe = np)
@@ -47,7 +49,10 @@ object ResidualProbe {
       val r3 = recall(functions.Pq.ivfAdcTopk(emb, "embedding", rm, topk,
           nprobe = np, idCol = "vec_id", queryIds = None)
         .collect().map(r => (r.getLong(0), r.getLong(1))))
-      println(f"isotropic nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f")
+      val r4 = recall(functions.Pq.ivfAdcTopkAuto(emb, "embedding", au, topk,
+          centroids = 16, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"isotropic nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f  auto=$r4%.3f")
     }
 
     // clustered regime — the data shape residual encoding exists for:
@@ -76,6 +81,8 @@ object ResidualProbe {
     val rawC = functions.Pq.fit(cl, "embedding")
     val imC = functions.Pq.fitIvfPq(cl, "embedding", centroids = 16)
     val rmC = functions.Pq.fitIvfPqRotated(cl, "embedding", centroids = 16)
+    val auC = functions.Pq.fitIvfPqAuto(cl, "embedding", centroids = 16)
+    println(f"clustered auto-pick: ${auC.variant}  explained=${auC.explained}%.3f  momentCv=${auC.momentCv}%.3f")
     Seq(2, 8).foreach { np =>
       val r1 = clRecall(functions.Pq.ivfAdcTopk(cl, "embedding", rawC, topk,
           centroids = 16, nprobe = np)
@@ -86,7 +93,10 @@ object ResidualProbe {
       val r3 = clRecall(functions.Pq.ivfAdcTopk(cl, "embedding", rmC, topk,
           nprobe = np, idCol = "vec_id", queryIds = None)
         .collect().map(r => (r.getLong(0), r.getLong(1))))
-      println(f"clustered nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f")
+      val r4 = clRecall(functions.Pq.ivfAdcTopkAuto(cl, "embedding", auC, topk,
+          centroids = 16, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"clustered nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f  auto=$r4%.3f")
     }
 
     // harder shapes: many clusters vs a small codebook (the faiss
@@ -158,6 +168,8 @@ object ResidualProbe {
       val rawZ = functions.Pq.fit(zdocs, "embedding")
       val imZ = functions.Pq.fitIvfPq(zdocs, "embedding", centroids = 16)
       val rmZ = functions.Pq.fitIvfPqRotated(zdocs, "embedding", centroids = 16)
+      val auZ = functions.Pq.fitIvfPqAuto(zdocs, "embedding", centroids = 16)
+      println(f"zipf auto-pick: ${auZ.variant}  explained=${auZ.explained}%.3f  momentCv=${auZ.momentCv}%.3f")
       Seq(4, 8).foreach { np =>
         val r1 = zRecall(functions.Pq.ivfAdcTopk(zdocs, "embedding", rawZ, topk,
             centroids = 16, nprobe = np)
@@ -168,7 +180,10 @@ object ResidualProbe {
         val r3 = zRecall(functions.Pq.ivfAdcTopk(zdocs, "embedding", rmZ, topk,
             nprobe = np, idCol = "vec_id", queryIds = None)
           .collect().map(r => (r.getLong(0), r.getLong(1))))
-        println(f"zipf nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f")
+        val r4 = zRecall(functions.Pq.ivfAdcTopkAuto(zdocs, "embedding", auZ, topk,
+            centroids = 16, nprobe = np)
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        println(f"zipf nprobe=$np%2d  raw=$r1%.3f  residual=$r2%.3f  opq+residual=$r3%.3f  auto=$r4%.3f")
       }
     }
 
