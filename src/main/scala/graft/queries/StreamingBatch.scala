@@ -96,6 +96,29 @@ object StreamingBatch extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Running per-user count with IDLE-GAP EVICTION — batch twin of
+    // Streams.runningCountsEvicting (round-14 VERDICT #8): a key idle
+    // longer than 60 min has its state evicted, so the count RESTARTS
+    // at the next event. In batch that is exactly a sessionized
+    // row_number: segment id = running sum of gap>60min flags, count =
+    // row_number within (user, segment). Scope of the equivalence: the
+    // streaming side restarts only once the WATERMARK passes the idle
+    // key's expiry, so streamed ≡ batch on replays whose watermark
+    // advances past each gap before the key returns (the replay test's
+    // fixture does; an arbitrary arrival order may evict later).
+    "stream_stateful_evict" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          sum(when(gapUs > lit(3600L * 1000000L), 1L).otherwise(0L)).over(w)
+            .as("sid"))
+        .select(col("event_id"), col("user_id"),
+          row_number().over(Window.partitionBy(col("user_id"), col("sid"))
+            .orderBy(col("ts"), col("event_id"))).cast("long").as("running_n"))
+        .orderBy("event_id")
+    }),
+
     // Stream-static enrichment: each event joined to its customer row —
     // in streaming the dim side is a broadcast static table re-read per
     // micro-batch (replay test in the streaming suite); semantics are the
@@ -169,6 +192,22 @@ object StreamingBatch extends QueryGroup {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS running_n
         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_stateful_evict" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flags AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL '60 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |seg AS (
+        |  SELECT event_id, user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags)
+        |SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS running_n
+        |FROM seg ORDER BY event_id""".stripMargin,
     "stream_enrich" ->
       """SELECT event_id, user_id, c_name, value
         |FROM events JOIN customer ON user_id = c_custkey

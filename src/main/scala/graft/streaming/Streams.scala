@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY §2.I — true Structured Streaming execution of the engine's
@@ -113,14 +113,51 @@ object Streams {
     * per user. Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass` — the API rejects
     * the default HDFS-backed store). */
-  def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+  def runningCounts(spark: SparkSession, events: DataFrame,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
+    // State TTL is a PROCESSING-TIME contract in the transformWithState
+    // API (TTLConfig expiry is wall-clock since last update), so the
+    // time mode follows the ttl option; the un-TTL'd form keeps
+    // TimeMode.None exactly as before. Operational note (measured): a
+    // TTL'd processor schedules a no-data maintenance batch after every
+    // batch — its cleanup has no data-completion point — so a drain
+    // trigger (AvailableNow) never terminates unless
+    // spark.sql.streaming.noDataMicroBatches.enabled=false; for
+    // DATA-DRIVEN deterministic eviction use [[runningCountsEvicting]].
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .transformWithState(new RunningCountProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(
+        new RunningCountProcessor(ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+        mode, OutputMode.Update())
+      .toDF("user_id", "event_id", "running_n")
+  }
+
+  /** Running per-user count with IDLE-KEY STATE EVICTION — the 100 TB
+    * stateful-stream concern is unbounded per-key state (every user
+    * ever seen holds a state-store row forever under
+    * [[runningCounts]]). This variant registers an EVENT-TIME timer at
+    * (last event ts + idleGap) per key; when the watermark passes it,
+    * the key's state is cleared and a tombstone row
+    * `(user_id, -1, final_n)` is emitted, so eviction is observable
+    * and a returning user restarts from 1. Event-time timers (not the
+    * TTLConfig wall clock) make eviction DATA-DRIVEN: deterministic
+    * under replay and independent of executor wall-clock — the form a
+    * reprocessing-safe pipeline needs. State per key: one Long count +
+    * one Long timer bookkeeping row, bounded by the ACTIVE key set. */
+  def runningCountsEvicting(spark: SparkSession, events: DataFrame,
+      idleGapMinutes: Int = 60, watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new EvictingCountProcessor(idleGapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Update())
       .toDF("user_id", "event_id", "running_n")
   }
 }
@@ -133,12 +170,12 @@ object Streams {
   * equivalence claim is scoped to ts-ordered replays: a row arriving in
   * a LATER batch than its timestamp peers still counts late (arbitrary
   * state has no watermark reordering). */
-class RunningCountProcessor
+class RunningCountProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
   @transient private var count: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, ttl)
 
   override def handleInputRows(
       userId: Long,
@@ -151,5 +188,60 @@ class RunningCountProcessor
     }
     count.update(n)
     out.iterator
+  }
+}
+
+/** [[Streams.runningCountsEvicting]]'s processor: per-key running count
+  * whose state is cleared by an event-time timer once the key has been
+  * idle past the gap. Two state rows per key — the count and the
+  * currently-registered timer's expiry (kept so a new event can
+  * `deleteTimer` the stale registration before arming the next one;
+  * otherwise an old timer would fire mid-activity and wipe a live
+  * count). Expired-timer handling emits the observable tombstone
+  * `(key, -1, final_n)` and clears BOTH rows — the state store holds
+  * nothing for idle keys, which is the whole point at 100 TB/day. Spark
+  * processes a batch's input rows before its expired timers, so the
+  * "watermark passed the expiry" decision never races a same-batch
+  * event: the event re-arms the timer first and the stale expiry is
+  * deleted. */
+class EvictingCountProcessor(idleGapMs: Long)
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+  @transient private var count: ValueState[Long] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var n = if (count.exists()) count.get() else 0L
+    var maxMs = Long.MinValue
+    val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ms, eventId) =>
+      n += 1
+      if (ms > maxMs) maxMs = ms
+      (userId, eventId, n)
+    }
+    count.update(n)
+    if (maxMs != Long.MinValue) {
+      val expiry = maxMs + idleGapMs
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(expiry)
+      armed.update(expiry)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      userId: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val finalN = if (count.exists()) count.get() else 0L
+    count.clear()
+    armed.clear()
+    Iterator.single((userId, -1L, finalN))
   }
 }

@@ -296,6 +296,132 @@ class StreamingSpec extends SparkSuite {
     assert(finals == batch)
   }
 
+  test("evicting running count: idle-key state is cleared by the event-time timer and counts restart") {
+    // Round-14 VERDICT #8 — the 100 TB stateful-stream concern is
+    // unbounded per-key state. Controlled replay (gap = 60 min,
+    // watermark delay = 10 min): user 1 is active at 10:00/10:01, then
+    // idle while user 2's 14:0x events advance the watermark far past
+    // user 1's 11:01 expiry (two extra advancing batches so the timer
+    // fires under either watermark-propagation convention BEFORE user
+    // 1 returns), then user 1 returns at 14:20 and must restart at 1.
+    // User 2 is the negative control: never idle past the gap within
+    // the run, so no tombstone and an unbroken 1,2,3.
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, t: String): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(id, Timestamp.valueOf(t), user, "click", 1.0, "{}")
+    val chunks = Seq(
+      Seq(ev(1, 1L, "2024-01-01 10:00:00"), ev(2, 1L, "2024-01-01 10:01:00")),
+      Seq(ev(3, 2L, "2024-01-01 14:00:00")),
+      Seq(ev(4, 2L, "2024-01-01 14:05:00")),
+      Seq(ev(5, 2L, "2024-01-01 14:10:00")),
+      Seq(ev(6, 1L, "2024-01-01 14:20:00")))
+    val flat = Files.createTempDirectory("graft-evict").toString
+    chunks.zipWithIndex.foreach { case (rs, idx) =>
+      val tmp = s"${Files.createTempDirectory("graft-evict-chunk")}/out"
+      spark.createDataFrame(java.util.Arrays.asList(rs: _*), Streams.eventsSchema)
+        .coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(f"$flat/chunk_$idx%03d.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + idx * 1000)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val got = try runToCompletion(
+      Streams.runningCountsEvicting(spark,
+        Streams.eventsStream(spark, flat), idleGapMinutes = 60),
+      "t_evict", "update")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val u1 = rows.filter(r => r._1 == 1L && r._2 >= 0).sortBy(_._2)
+    assert(u1 == Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 6L, 1L)),
+      s"user 1 must count 1,2 then RESTART at 1 after eviction; got $u1")
+    val tombs = rows.filter(_._2 == -1L)
+    assert(tombs == Seq((1L, -1L, 2L)),
+      s"exactly one eviction tombstone (user 1, final n=2) expected; got $tombs")
+    val u2 = rows.filter(r => r._1 == 2L).sortBy(_._2)
+    assert(u2 == Seq((2L, 3L, 1L), (2L, 4L, 2L), (2L, 5L, 3L)),
+      s"user 2 (never idle past the gap) must stay unbroken; got $u2")
+  }
+
+  test("running count with processing-time TTL keeps state within the TTL horizon") {
+    // The TTLConfig path (wall-clock expiry) — eviction TIMING is
+    // nondeterministic by nature, so the deterministic assertion is
+    // the other side of the contract: with a TTL far beyond the test's
+    // wall clock, per-key state must survive the whole replay and the
+    // counts must accumulate ACROSS micro-batches exactly like the
+    // untimed form. Drained with Trigger.AvailableNow (not
+    // processAllAvailable): a ProcessingTime-mode stateful query keeps
+    // scheduling no-data maintenance batches at the default trigger —
+    // TTL cleanup is wall-clock work with no data-completion point —
+    // so "process everything then stop" must be the TRIGGER's contract,
+    // not a wait on the sink. Tiny controlled chunks for the same
+    // reason: per-batch RocksDB TTL bookkeeping is the cost driver,
+    // and the semantics need only a handful of keys.
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, t: String): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(id, Timestamp.valueOf(t), user, "click", 1.0, "{}")
+    val chunks = Seq(
+      Seq(ev(1, 1L, "2024-01-01 10:00:00"), ev(2, 2L, "2024-01-01 10:01:00")),
+      Seq(ev(3, 1L, "2024-01-01 11:00:00")),
+      Seq(ev(4, 1L, "2024-01-01 12:00:00"), ev(5, 2L, "2024-01-01 12:01:00")))
+    val flat = Files.createTempDirectory("graft-ttl").toString
+    chunks.zipWithIndex.foreach { case (rs, idx) =>
+      val tmp = s"${Files.createTempDirectory("graft-ttl-chunk")}/out"
+      spark.createDataFrame(java.util.Arrays.asList(rs: _*), Streams.eventsSchema)
+        .coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(f"$flat/chunk_$idx%03d.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + idx * 1000)
+    }
+    // Measured hazard (this round): a TTL'd processor schedules a
+    // no-data maintenance batch after EVERY batch — wall-clock TTL
+    // work never reaches a data-completion point — so even
+    // Trigger.AvailableNow never terminates (observed epoch 1193 on 5
+    // rows before the 300 s timeout). noDataMicroBatches=false is the
+    // knob: batches then run only for data, AvailableNow drains and
+    // stops, and expired values are still filtered on read.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(ndKey, "false")
+    val got = try {
+      val q = Streams.runningCounts(spark, Streams.eventsStream(spark, flat),
+          ttl = Some(java.time.Duration.ofHours(24)))
+        .writeStream.outputMode("update").format("memory").queryName("t_state_ttl")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000), "AvailableNow drain did not finish in 300 s")
+      spark.table("t_state_ttl")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
+      }
+    }
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2).toSeq
+    assert(rows == Seq((1L, 1L, 1L), (2L, 2L, 1L), (1L, 3L, 2L),
+        (1L, 4L, 3L), (2L, 5L, 2L)),
+      s"TTL'd state must accumulate across batches within the horizon; got $rows")
+  }
+
   test("foreachBatch sink: per-batch overwrite is idempotent under retry") {
     // The exactly-once sink recipe when the target is a plain file store:
     // each micro-batch writes mode=overwrite into its own batchId-keyed
