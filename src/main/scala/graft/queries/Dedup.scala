@@ -1438,6 +1438,23 @@ object Dedup extends QueryGroup {
     "graph_pagerank" -> ((s, dir) =>
       pagerankNano(Tables.lineitem(s, dir)).orderBy("node")),
 
+    // Triangle counting over the part co-purchase graph — the third
+    // graph-analytics key (kernel scaladoc on [[triangleCounts]]):
+    // parts are linked when one order contains both (per-order pair
+    // generation is bounded by order width, the banded-join
+    // discipline), and each node reports how many triangles it belongs
+    // to. Exact and deterministic → fully oracled: DuckDB re-derives
+    // the same edges, the same degree orientation, and the same
+    // three-join closure independently.
+    "graph_triangles" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      triangleCounts(edges).orderBy("node")
+    }),
+
     // MinHash-LSH candidate pairs — the scale path: band-bucket join
     // instead of the all-pairs shingle join. 8 bands × 4 rows; a band's
     // 4 minhashes collapse to one xxhash64 bucket key (collisions only
@@ -1623,6 +1640,25 @@ object Dedup extends QueryGroup {
         .orderBy("i", "rnk")
     }),
 
+    // ANN search through the AUTO-SELECTED index (round-14 VERDICT #5,
+    // [[graft.functions.Pq.fitIvfPqAuto]]): a sample probe — k-means
+    // explained-variance ratio + per-centroid residual-moment CV —
+    // picks raw PQ on isotropic corpora and OPQ-over-residuals on
+    // clustered/heteroscedastic ones; measured recall equals
+    // max(parents) on all three ResidualProbe fixtures (this fixture
+    // is isotropic, so the pick here is raw — closing BENCH_NOTES
+    // §28's 0.540-vs-0.552 regression). D3-exempt like its parents;
+    // PqSpec pins the pick on both regimes, the probe-stat thresholds,
+    // and recall floors.
+    "simsearch_pq_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = graft.functions.Pq.fitIvfPqAuto(emb, "embedding", centroids = 16)
+      graft.functions.Pq.ivfAdcTopkAuto(emb, "embedding", idx, topk = 5,
+          centroids = 16, nprobe = 8, idCol = "vec_id", queryIds = None)
+        .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
+        .orderBy("i", "rnk")
+    }),
+
     // Blocked entity-resolution matcher (round 12) over part names:
     // same-first-token blocking + Levenshtein ≤ 3 — the classic ER
     // blocking-then-matching pipeline ([[blockedEditPairs]]). Oracled
@@ -1636,6 +1672,40 @@ object Dedup extends QueryGroup {
           maxEdits = 3)
         .orderBy("key_a", "key_b"))
   )
+
+  /** Distributed triangle counting with DEGREE-ORDERED ORIENTATION
+    * (Schank & Wagner 2005; the Suri–Vassilvitskii MapReduce
+    * discipline): each undirected edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, making the edge
+    * relation acyclic with every out-neighborhood bounded by O(√m)
+    * regardless of skew — a celebrity node of degree d contributes
+    * wedges only through its LOW-degree neighbors' short out-lists,
+    * never d² of its own, which is what makes the plan survive a
+    * power-law graph at corpus scale. Wedges (ordered pairs of one
+    * apex's out-edges) close against the oriented edge between the
+    * legs; exactly one of the two leg orders matches the orientation,
+    * so each triangle counts exactly once with no post-dedup pass.
+    * Three equi-joins on node keys — no cartesian anywhere. Input:
+    * distinct undirected edges with u < v. Returns (node, tri_n) for
+    * every node in at least one triangle. */
+  private[graft] def triangleCounts(edges0: DataFrame): DataFrame = {
+    val deg = edges0.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val e = edges0
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    val tri = e.as("e1").join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_n"))
+  }
 
   /** Blocked edit-distance matcher — entity resolution's
     * blocking-then-matching shape, decomposed for corpus-scale string
@@ -1881,6 +1951,36 @@ object Dedup extends QueryGroup {
     // The FULL 8-iteration integral fixpoint unrolled as generated
     // CTEs — same constants as the Spark loop by construction.
     "graph_pagerank" -> pagerankSql(pagerankIters),
+
+    // Independent re-derivation of the degree-oriented triangle count:
+    // same co-purchase edges, same (degree, id) orientation, same
+    // wedge-close joins.
+    "graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |              THEN u ELSE v END AS src,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |              THEN v ELSE u END AS dst
+        |  FROM edges JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM o e1
+        |  JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+        |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT node, COUNT(*) AS tri_n FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b AS node FROM tri
+        |  UNION ALL SELECT c AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     // Rerank recall is 1.0 on these fixtures (asserted in SketchSpec:
     // every true j ≥ 0.2 pair is band-caught), so the exact-Jaccard SQL
