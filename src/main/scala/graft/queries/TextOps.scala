@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, QueryGroup, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -281,6 +281,34 @@ object TextOps extends QueryGroup {
       tokens(s, dir)
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy("term")),
+
+    // Corpus heavy hitters — the production TWO-PASS pipeline over the
+    // Misra–Gries sketch ([[graft.functions.MisraGries]]): pass 1 is
+    // ONE aggregate row (total count + the ≤ k-entry candidate summary;
+    // shuffle is k rows per partition, never the vocabulary), pass 2
+    // re-counts the ≤ k candidates exactly (broadcast isin filter) and
+    // keeps those with exact count STRICTLY above N/(k+1) — the MG
+    // guarantee says every such key is in the candidate set, so the
+    // result equals the full-groupBy answer DETERMINISTICALLY (sketch
+    // tie noise only adds candidates the exact filter discards), which
+    // is what lets an approximate-sketch pipeline carry a DuckDB
+    // oracle. k = 28 is pinned BELOW the fixture's 31-term vocabulary
+    // so the eviction path actually runs under the oracle; at 100 TB
+    // the same two jobs find frequent tokens without ever shuffling the
+    // hapax tail.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val k = 28
+      val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
+      val t = tokens(s, dir).select("term")
+      val probe = t.agg(count(lit(1)).as("n_total"), mg(col("term")).as("cand"))
+        .head()
+      val nTotal = probe.getLong(0)
+      val cand = probe.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      t.filter(col("term").isin(cand: _*))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .filter(col("n") * (k + 1) > nTotal)
+        .orderBy("term")
+    }),
 
     // tf·idf per (doc, term); idf = ln((N+1)/(df+1)) + 1. The corpus
     // doc count rides a broadcast 1-row aggregate (round 11, the
@@ -1084,6 +1112,17 @@ object TextOps extends QueryGroup {
       """SELECT term, COUNT(*) AS n
         |FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
         |GROUP BY term ORDER BY term""".stripMargin,
+    // Independent re-derivation of the heavy-hitter set: the exact
+    // full groupBy filtered at the same strict N/(k+1) threshold —
+    // the MG candidate pass is an optimization the oracle need not
+    // replay (candidates ⊇ passers by the sketch guarantee).
+    "text_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT term FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)),
+        |tot AS (SELECT COUNT(*) AS n_total FROM t),
+        |c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term)
+        |SELECT term, n FROM c, tot WHERE n * 29 > n_total
+        |ORDER BY term""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf

@@ -244,6 +244,50 @@ class SketchSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("Misra-Gries summary: coverage + two-sided bound on a Zipf stream, any partitioning") {
+    // The sketch contract ([[graft.functions.MisraGries]] — Misra &
+    // Gries 1982; merge rule per Agarwal et al. 2013): on N draws with
+    // k counters, every stored estimate is within [true − N/(k+1),
+    // true], so every key with true count > N/(k+1) is present. The
+    // fixture vocabulary is near-uniform, so the bound is exercised
+    // here on a synthetic Zipf(s=1) stream over 500 keys — real skew,
+    // heavy head, hapax tail — under BOTH a single-partition and a
+    // 32-partition layout: candidates may differ (tie noise is
+    // arrival-order-dependent), the guarantee may not.
+    import spark.implicits._
+    val k = 32
+    val n = 20000
+    val rnd = new scala.util.Random(4242)
+    val keys = 500
+    val harmonic = (1 to keys).map(1.0 / _).sum
+    val cum = (1 to keys).map(1.0 / _ / harmonic).scanLeft(0.0)(_ + _).tail
+    val draws = Seq.fill(n) {
+      val u = rnd.nextDouble()
+      s"key${cum.indexWhere(u <= _)}"
+    }
+    val truth = draws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    for (parts <- Seq(1, 32)) {
+      val est = draws.toDF("term").repartition(parts)
+        .agg(mg(col("term")).as("cand"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= k, s"parts=$parts: summary size ${est.size} > k=$k")
+      val slack = n.toDouble / (k + 1)
+      truth.foreach { case (t, c) =>
+        if (c > slack)
+          assert(est.contains(t),
+            s"parts=$parts: frequent key $t (count $c > N/(k+1)=$slack) missing")
+      }
+      est.foreach { case (t, e) =>
+        val c = truth(t)
+        assert(e <= c && e >= c - slack,
+          s"parts=$parts: estimate $e for $t outside [${c - slack}, $c]")
+      }
+    }
+  }
+
   test("approx quantiles land between exact quantiles at ±5 rank points") {
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
