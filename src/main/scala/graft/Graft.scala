@@ -224,6 +224,45 @@ object Graft {
       checkpointEvery = checkpointEvery, tolNano = tolNano)
   }
 
+  /** Per-node triangle counts of an undirected graph (see
+    * [[graft.queries.Dedup.triangleCounts]]): edges are canonicalized
+    * (u < v, distinct, self-loops dropped), then counted via
+    * degree-ordered orientation — every out-neighborhood bounded by
+    * O(√m) under any skew, three equi-joins, no cartesian. Returns
+    * (node, tri_n) for nodes in ≥ 1 triangle. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    queries.Dedup.triangleCounts(e)
+  }
+
+  /** Exact heavy hitters of a string column via the Misra–Gries
+    * two-pass pipeline (see [[graft.functions.MisraGries]] and the
+    * text_heavy_hitters key): a k-counter sketch pass finds ≤ k
+    * candidates (shuffle k rows per partition, never the full
+    * cardinality), an exact recount filters them strictly above
+    * N/(k+1) — the returned (term, n) rows are EXACTLY the keys whose
+    * true count exceeds N/(k+1), with exact counts, regardless of
+    * sketch tie noise. */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int = 64): DataFrame = {
+    val mg = udaf(new functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val t = items.select(col(itemCol).as("term"))
+    val probe = t.agg(count(lit(1)).as("n_total"), mg(col("term")).as("cand"))
+      .head()
+    val nTotal = probe.getLong(0)
+    val cand = probe.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    if (cand.isEmpty) t.limit(0)
+      .select(col("term"), lit(0L).as("n"))
+    else t.filter(col("term").isin(cand: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") * (k + 1) > nTotal)
+  }
+
   /** Pairs of same-`key` rows within a time window — (id_a, id_b) with
     * ts(id_b) ∈ (ts(id_a), ts(id_a) + window] — via the BANDED range
     * join (hour-bucket-style equi bands): per-task work is bounded by

@@ -157,6 +157,40 @@ class GraftSpec extends SparkSuite {
     assert(facade.map(_(1).asInstanceOf[Long]).max > base * 2)
   }
 
+  test("triangles matches graph_triangles on caller columns; handles dirty edges") {
+    val li = Tables.lineitem(spark, sf001)
+    val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // raw pair relation WITHOUT canonicalization — both orders, dups,
+    // self-loops; the facade must normalize before counting
+    val raw = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+    val facade = rows(Graft.triangles(raw, "x", "y").orderBy("node"))
+    val key = rows(SparkEntry.queries("graph_triangles")(spark, sf001))
+    assert(facade == key, "facade != graph_triangles on the same graph")
+    // K4 ground truth: every node of a 4-clique is in C(3,2)=3 triangles
+    import spark.implicits._
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+      .toDF("x", "y")
+    val got = rows(Graft.triangles(k4, "x", "y").orderBy("node"))
+    assert(got == Seq(Seq(1L, 3L), Seq(2L, 3L), Seq(3L, 3L), Seq(4L, 3L)),
+      s"K4 per-node triangle counts wrong: $got")
+  }
+
+  test("heavyHitters matches text_heavy_hitters and the exact groupBy answer") {
+    val t = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val facade = rows(Graft.heavyHitters(t, "term", k = 28).orderBy("term"))
+    val key = rows(SparkEntry.queries("text_heavy_hitters")(spark, sf001))
+    assert(facade == key, "facade != text_heavy_hitters at the pinned k")
+    // the deterministic contract: exactly the keys with true count
+    // strictly above N/(k+1), independent of sketch tie noise
+    val n = t.count()
+    val exact = rows(t.groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 29 > n).orderBy("term"))
+    assert(facade == exact, "heavy-hitter set != exact groupBy answer")
+  }
+
   test("hybridSearch matches search_hybrid_rrf on caller columns") {
     val facade = rows(Graft.hybridSearch(spark, myDocs, myEmb,
       Seq(3L, 47L, 102L), docIdCol = "document_id", textCol = "body",
