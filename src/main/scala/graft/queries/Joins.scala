@@ -34,6 +34,55 @@ object Joins extends QueryGroup {
       .select("o_orderkey", "prev_orderkey")
   }
 
+  /** NEAREST as-of join (pandas merge_asof direction='nearest'):
+    * each probe row matches the build row minimizing |t_build − t_probe|
+    * within its key. Completes the as-of family — join_asof/
+    * join_asof_event are the backward form; forward is nearest's
+    * degenerate case when pbid is null. Same union-tag single-window
+    * algorithm, ONE shuffle for BOTH directions: the union sorts once
+    * on (t, tag, bid) and the backward candidate rides a
+    * (unbounded-preceding, -1) frame while the forward one rides
+    * (+1, unbounded-following) over the SAME sort — Spark plans the
+    * two frames without a second exchange. Distances compare as exact
+    * integer microseconds (UTC session pins the epoch, and a
+    * difference cancels any fixed offset). Ties: backward wins
+    * (same-instant builds sort before the probe, so Δ=0 is a backward
+    * match); equal-t build ties break max-bid backward / min-bid
+    * forward (the frame edge rows under ascending bid — D6). Input:
+    * probe (key, t: timestamp, event_id), build (key, t, bid). Output
+    * (event_id, key, o_orderkey, d_us); both null when the key has no
+    * build rows (D4). */
+  private[graft] def asofNearest(probe: org.apache.spark.sql.DataFrame,
+      build: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = probe.withColumn("tag", lit(1))
+      .withColumn("bid", lit(null).cast("long"))
+      .withColumn("bt", lit(null).cast("timestamp"))
+      .select("key", "t", "event_id", "tag", "bid", "bt")
+    val b = build.select(col("key"), col("t").cast("timestamp").as("t"),
+      lit(null).cast("long").as("event_id"), lit(0).as("tag"),
+      col("bid"), col("t").cast("timestamp").as("bt"))
+    val wPrev = Window.partitionBy("key")
+      .orderBy(col("t"), col("tag"), col("bid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("key")
+      .orderBy(col("t"), col("tag"), col("bid"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val u = p.unionByName(b)
+      .withColumn("pbid", last(col("bid"), ignoreNulls = true).over(wPrev))
+      .withColumn("pbt", last(col("bt"), ignoreNulls = true).over(wPrev))
+      .withColumn("nbid", first(col("bid"), ignoreNulls = true).over(wNext))
+      .withColumn("nbt", first(col("bt"), ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 1)
+    val takePrev = col("nbid").isNull ||
+      (col("pbid").isNotNull &&
+        (unix_micros(col("t")) - unix_micros(col("pbt")) <=
+          unix_micros(col("nbt")) - unix_micros(col("t"))))
+    u.select(col("event_id"), col("key"),
+      when(takePrev, col("pbid")).otherwise(col("nbid")).as("o_orderkey"),
+      when(takePrev, unix_micros(col("t")) - unix_micros(col("pbt")))
+        .otherwise(unix_micros(col("nbt")) - unix_micros(col("t"))).as("d_us"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "join_inner_equi" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -210,6 +259,21 @@ object Joins extends QueryGroup {
     // one shuffle, linear, mixed timestamp-vs-date comparison handled by
     // Spark's timestamp promotion. Probe rows carry a null bid, so
     // last(bid, ignoreNulls) skips earlier probes in the same partition.
+    // NEAREST as-of (kernel scaladoc on [[asofNearest]]): each event
+    // matched to the customer's temporally closest order in either
+    // direction; backward wins exact-distance ties.
+    "join_asof_nearest" -> ((s, dir) =>
+      asofNearest(
+          Tables.events(s, dir)
+            .select(col("user_id").as("key"), col("ts").as("t"), col("event_id")),
+          Tables.orders(s, dir)
+            .select(col("o_custkey").as("key"),
+              col("o_orderdate").cast("timestamp").as("t"),
+              col("o_orderkey").as("bid")))
+        .select(col("event_id"), col("key").as("user_id"),
+          col("o_orderkey"), col("d_us"))
+        .orderBy("event_id")),
+
     "join_asof_event" -> ((s, dir) =>
       asofInclusive(
           Tables.events(s, dir)
@@ -356,6 +420,22 @@ object Joins extends QueryGroup {
         |  ON b.o_custkey = e.user_id AND b.o_orderdate <= e.ts
         |QUALIFY row_number() OVER (PARTITION BY e.event_id
         |  ORDER BY b.o_orderdate DESC NULLS LAST, b.o_orderkey DESC NULLS LAST) = 1
+        |ORDER BY e.event_id""".stripMargin,
+    // Independent naive form of the nearest as-of: join ALL the key's
+    // build rows and rank by (|distance|, backward-first, max-bid
+    // backward / min-bid forward) — the kernel's frame-edge tie rules
+    // spelled out as one ORDER BY.
+    "join_asof_nearest" ->
+      """SELECT e.event_id, e.user_id, b.o_orderkey,
+        |  ABS(epoch_us(CAST(b.o_orderdate AS TIMESTAMP))
+        |      - epoch_us(CAST(e.ts AS TIMESTAMP))) AS d_us
+        |FROM events e LEFT JOIN orders b ON b.o_custkey = e.user_id
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |  ORDER BY ABS(epoch_us(CAST(b.o_orderdate AS TIMESTAMP))
+        |             - epoch_us(CAST(e.ts AS TIMESTAMP))) ASC NULLS LAST,
+        |    CASE WHEN b.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+        |    CASE WHEN b.o_orderdate <= e.ts THEN -b.o_orderkey
+        |         ELSE b.o_orderkey END ASC) = 1
         |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -206,6 +206,15 @@ class PlanSpec extends SparkSuite {
       s"dedup_embedding still plans an all-pairs join operator:\n$p")
   }
 
+  test("graph_triangles plans equi-joins only — no cartesian, no BNLJ") {
+    // The degree-ordered orientation exists so the wedge-close runs as
+    // hash equi-joins bounded by O(√m) out-lists; a cartesian or BNLJ
+    // anywhere would mean the decomposition regressed to all-pairs.
+    val p = planOf("graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"graph_triangles plans an all-pairs join operator:\n$p")
+  }
+
   test("bucket-aligned warm cache eliminates the window exchange") {
     // Tables.warm with a bucket column must make the cached relation
     // report its HashPartitioning so a window partitioned on the same
