@@ -210,7 +210,9 @@ object Graft {
     * integral-floor dust) on any input. Long loops are safe at any
     * `iters`: past `checkpointEvery` iterations lineage truncates at
     * that cadence, and `tolNano > 0` adds an integer-exact early stop
-    * (max |Δrank_nano| ≤ tolNano, checked at checkpoint boundaries).
+    * (max |Δrank_nano| ≤ tolNano, checked at checkpoint boundaries —
+    * so it requires iters > checkpointEvery; an uncheckable tolNano
+    * fails loud instead of being silently inert).
     * Returns (node, rank_nano). Kernel scaladoc:
     * [[queries.Dedup.pagerankEdges]]. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -247,21 +249,11 @@ object Graft {
     * cardinality), an exact recount filters them strictly above
     * N/(k+1) — the returned (term, n) rows are EXACTLY the keys whose
     * true count exceeds N/(k+1), with exact counts, regardless of
-    * sketch tie noise. */
-  def heavyHitters(items: DataFrame, itemCol: String, k: Int = 64): DataFrame = {
-    val mg = udaf(new functions.MisraGries(k),
-      org.apache.spark.sql.Encoders.STRING)
-    val t = items.select(col(itemCol).as("term"))
-    val probe = t.agg(count(lit(1)).as("n_total"), mg(col("term")).as("cand"))
-      .head()
-    val nTotal = probe.getLong(0)
-    val cand = probe.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
-    if (cand.isEmpty) t.limit(0)
-      .select(col("term"), lit(0L).as("n"))
-    else t.filter(col("term").isin(cand: _*))
-      .groupBy("term").agg(count(lit(1)).as("n"))
-      .filter(col("n") * (k + 1) > nTotal)
-  }
+    * sketch tie noise. Null items are ignored (SQL aggregate
+    * semantics) but still count toward N. Delegates to the
+    * text_heavy_hitters key's kernel. */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int = 64): DataFrame =
+    queries.TextOps.heavyHittersPipeline(items, itemCol, k)
 
   /** Pairs of same-`key` rows within a time window — (id_a, id_b) with
     * ts(id_b) ∈ (ts(id_a), ts(id_a) + window] — via the BANDED range
@@ -413,11 +405,25 @@ object Graft {
     * [[queries.TextOps.zorderExecDims]]. */
   def zorderRewrite(rows: DataFrame, colA: String, colB: String,
       outDir: String,
-      shardBits: Int = queries.TextOps.zorderShardBits): DataFrame =
+      shardBits: Int = queries.TextOps.zorderShardBits): DataFrame = {
+    // fail loud on reserved working-column collisions: `a`/`b` are
+    // overwritten here and zorderAssign adds `z`/`z_shard` — a caller
+    // payload column with one of those names would be silently
+    // clobbered IN THE WRITTEN FILES otherwise (review round 15)
+    // `z`/`z_shard` are unconditionally reserved (zorderAssign emits
+    // them even when a curve key carries the name); `a`/`b` only when
+    // they are NOT the curve keys themselves (then the cast copy is
+    // the documented behavior)
+    val reserved = (Set("a", "b") -- Set(colA, colB)) ++ Set("z", "z_shard")
+    val clash = rows.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"zorderRewrite: input columns ${clash.mkString(", ")} collide with " +
+        "reserved working columns (a, b, z, z_shard) - rename them first")
     queries.TextOps.zorderExecDims(
       rows.withColumn("a", col(colA).cast("long"))
         .withColumn("b", col(colB).cast("long")),
       outDir, shardBits)
+  }
 
   // ---- similarity search over embeddings -----------------------------
 

@@ -173,7 +173,12 @@ object Bpe {
           while (i < cand.length && n < want) {
             val (l, r) = (cand(i).getString(0), cand(i).getString(1))
             if (!used(l) && !used(r)) {
-              picked += ((l, r)); used += l; used += r; n += 1
+              // the merged OUTPUT symbol is reserved too (review round
+              // 15): a later same-round pick reading l+r as its own l
+              // or r would merge occurrences the earlier pick CREATES
+              // after counting — e.g. picks (a,bc) then (abc,x) — so
+              // its count would no longer be true within the round
+              picked += ((l, r)); used += l; used += r; used += l + r; n += 1
             }
             i += 1
           }

@@ -36,6 +36,10 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[(Stri
   def zero: Map[String, Long] = Map.empty
 
   def reduce(buf: Map[String, Long], term: String): Map[String, Long] = {
+    // SQL-aggregate null semantics: a null item contributes nothing
+    // (ScalaAggregator passes nulls through; a null Map key would NPE
+    // later in finish's key sort — review round 15)
+    if (term == null) return buf
     val cur = buf.getOrElse(term, 0L)
     if (cur > 0L || buf.size < k) buf.updated(term, cur + 1L)
     else buf.flatMap { case (t, c) =>

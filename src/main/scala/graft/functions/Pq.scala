@@ -857,6 +857,17 @@ object Pq {
     val v = normalize(vecs, vecCol, idCol)
     val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
     val cents = Ivf.buildCentroids(v, c)
+    fitRotatedFrom(v, cents, m, k, sampleN, lloydIters)
+  }
+
+  /** The rotated-residual fit TAIL shared by [[fitIvfPqRotated]] and
+    * [[fitIvfPqAuto]] (one recipe, two entry points — review round 15:
+    * a duplicated tail would let the auto-picked index silently drift
+    * from the directly-fit one): residuals against the GIVEN centroids,
+    * PCA on the residual distribution, eigenvalue-balanced block
+    * permutation, rotated codebook fit. */
+  private def fitRotatedFrom(v: DataFrame, cents: Seq[(Long, Seq[Double])],
+      m: Int, k: Int, sampleN: Int, lloydIters: Int): RotatedIvfPqModel = {
     val res = residuals(v, cents)
     val pca = Pca.fit(res, "rv")
     val perm = balancedPermutation(pca.eigenvalues, m)
@@ -1143,16 +1154,12 @@ object Pq {
         else math.sqrt(
           moments.map(x => (x - mm) * (x - mm)).sum / moments.size) / mm
       }
-    if (explained >= 0.15 || momentCv >= 0.5) {
-      // rotated fit REUSING the probe's centroids (no second build)
-      val res = residuals(v, cents)
-      val pca = Pca.fit(res, "rv")
-      val perm = balancedPermutation(pca.eigenvalues, m)
-      val rot = res.select(col("vec_id"),
-        rotateExpr(col("rv"), pca, perm).as("rv"))
-      AutoRotated(RotatedIvfPqModel(cents, pca, perm,
-        fit(rot, "rv", m, k, sampleN, lloydIters)), explained, momentCv)
-    } else
+    if (explained >= 0.15 || momentCv >= 0.5)
+      // rotated fit REUSING the probe's centroids (no second build) —
+      // the same tail fitIvfPqRotated runs, via the shared helper
+      AutoRotated(fitRotatedFrom(v, cents, m, k, sampleN, lloydIters),
+        explained, momentCv)
+    else
       AutoRaw(fit(v, "v", m, k, sampleN, lloydIters), explained, momentCv)
   }
 

@@ -636,6 +636,12 @@ object Dedup extends QueryGroup {
     (3L, "hash join filter scan", 102L))
   private[graft] val hybridTextWLex = 1.0
   private[graft] val hybridTextWVec = 0.7
+  // per-list candidate pool and fused top-k of BOTH hybrid keys
+  // (search_hybrid_rrf / search_hybrid_text) — shared with the
+  // generated oracle SQL (the zorderShardBits discipline: one
+  // constant, no silent desync — review round 15)
+  private[graft] val hybridTextPoolK = 20
+  private[graft] val hybridTextTopK = 10
 
   /** 32-minhash signature per doc as 32 COLUMNS of one codegen'd hash
     * aggregate: min(xxhash64(h, seed)) for seed 0..31 over the shingle
@@ -1105,6 +1111,13 @@ object Dedup extends QueryGroup {
     require(checkpointEvery > 0,
       s"pagerank: checkpointEvery must be positive, got $checkpointEvery")
     require(tolNano >= 0, s"pagerank: tolNano must be >= 0, got $tolNano")
+    // convergence is only observable at checkpoint boundaries (multiples
+    // of checkpointEvery strictly inside the loop) — a tolNano with no
+    // boundary to check at would be silently inert (review round 15)
+    require(tolNano == 0L || iters > checkpointEvery,
+      s"pagerank: tolNano=$tolNano can never fire with iters=$iters <= " +
+        s"checkpointEvery=$checkpointEvery - lower checkpointEvery below " +
+        "iters (boundaries are its multiples) or drop tolNano")
     val longLoop = iters > checkpointEvery
     def pin(df: DataFrame): DataFrame =
       if (longLoop) df.localCheckpoint(true) else df
@@ -1547,7 +1560,8 @@ object Dedup extends QueryGroup {
     // scaladoc on [[hybridRrf]]).
     "search_hybrid_rrf" -> ((s, dir) =>
       hybridRrf(s, Tables.documents(s, dir), Tables.embeddings(s, dir),
-        hybridQueryIds, poolK = 20, topK = 10).orderBy("q", "rnk")),
+        hybridQueryIds, poolK = hybridTextPoolK, topK = hybridTextTopK)
+        .orderBy("q", "rnk")),
 
     // FREE-TEXT hybrid retrieval with weighted RRF (kernel scaladoc on
     // [[hybridRrfText]]): pinned query strings tokenized at query time,
@@ -1561,7 +1575,7 @@ object Dedup extends QueryGroup {
           Seq("vid"), "left")
         .select(col("q"), col("qtext"), col("qv"))
       hybridRrfText(s, Tables.documents(s, dir), Tables.embeddings(s, dir),
-        qrel, poolK = 20, topK = 10,
+        qrel, poolK = hybridTextPoolK, topK = hybridTextTopK,
         wLex = hybridTextWLex, wVec = hybridTextWVec)
         .orderBy("q", "rnk")
     }),
@@ -2051,7 +2065,7 @@ object Dedup extends QueryGroup {
          |      FROM tt a JOIN tt b ON a.t = b.t AND a.doc_id <> b.doc_id
          |      WHERE a.doc_id IN ($hybridIdsSql)
          |      GROUP BY a.doc_id, b.doc_id))
-         |  WHERE rnk_lex <= 20),
+         |  WHERE rnk_lex <= $hybridTextPoolK),
          |$normedSql,
          |vec AS (
          |  SELECT q, d, rnk_vec FROM (
@@ -2061,7 +2075,7 @@ object Dedup extends QueryGroup {
          |        round(${cosSql("a.v", "b.v", "a.nrm", "b.nrm")}, 4) AS cos
          |      FROM n a JOIN n b ON a.vec_id <> b.vec_id
          |      WHERE a.vec_id IN ($hybridIdsSql)))
-         |  WHERE rnk_vec <= 20),
+         |  WHERE rnk_vec <= $hybridTextPoolK),
          |f AS (
          |  SELECT COALESCE(lex.q, vec.q) AS q, COALESCE(lex.d, vec.d) AS d,
          |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + rnk_lex), CAST(0 AS DOUBLE))
@@ -2072,7 +2086,7 @@ object Dedup extends QueryGroup {
          |  SELECT q, d, score,
          |    CAST(row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS BIGINT) AS rnk
          |  FROM f)
-         |WHERE rnk <= 10
+         |WHERE rnk <= $hybridTextTopK
          |ORDER BY q, rnk""".stripMargin,
 
     // The free-text weighted-RRF variant, re-derived independently: the
@@ -2102,7 +2116,7 @@ object Dedup extends QueryGroup {
          |      SELECT qt.q AS q, tt.doc_id AS d, COUNT(*) AS ovl
          |      FROM qt JOIN tt ON qt.t = tt.t
          |      GROUP BY qt.q, tt.doc_id))
-         |  WHERE rnk_lex <= 20),
+         |  WHERE rnk_lex <= $hybridTextPoolK),
          |$normedSql,
          |qn AS (
          |  SELECT qq.q AS q, n.v AS qv, n.nrm AS qn
@@ -2114,7 +2128,7 @@ object Dedup extends QueryGroup {
          |      SELECT qn.q AS q, b.vec_id AS d,
          |        round(${cosSql("qn.qv", "b.v", "qn.qn", "b.nrm")}, 4) AS cos
          |      FROM n b CROSS JOIN qn))
-         |  WHERE rnk_vec <= 20),
+         |  WHERE rnk_vec <= $hybridTextPoolK),
          |f AS (
          |  SELECT COALESCE(lex.q, vec.q) AS q, COALESCE(lex.d, vec.d) AS d,
          |    round(COALESCE(CAST($hybridTextWLex AS DOUBLE) / (60 + rnk_lex), CAST(0 AS DOUBLE))
@@ -2125,7 +2139,7 @@ object Dedup extends QueryGroup {
          |  SELECT q, d, score,
          |    CAST(row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS BIGINT) AS rnk
          |  FROM f)
-         |WHERE rnk <= 10
+         |WHERE rnk <= $hybridTextTopK
          |ORDER BY q, rnk""".stripMargin
   )
 

@@ -282,33 +282,13 @@ object TextOps extends QueryGroup {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy("term")),
 
-    // Corpus heavy hitters — the production TWO-PASS pipeline over the
-    // Misra–Gries sketch ([[graft.functions.MisraGries]]): pass 1 is
-    // ONE aggregate row (total count + the ≤ k-entry candidate summary;
-    // shuffle is k rows per partition, never the vocabulary), pass 2
-    // re-counts the ≤ k candidates exactly (broadcast isin filter) and
-    // keeps those with exact count STRICTLY above N/(k+1) — the MG
-    // guarantee says every such key is in the candidate set, so the
-    // result equals the full-groupBy answer DETERMINISTICALLY (sketch
-    // tie noise only adds candidates the exact filter discards), which
-    // is what lets an approximate-sketch pipeline carry a DuckDB
-    // oracle. k = 28 is pinned BELOW the fixture's 31-term vocabulary
-    // so the eviction path actually runs under the oracle; at 100 TB
-    // the same two jobs find frequent tokens without ever shuffling the
-    // hapax tail.
-    "text_heavy_hitters" -> ((s, dir) => {
-      val k = 28
-      val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
-      val t = tokens(s, dir).select("term")
-      val probe = t.agg(count(lit(1)).as("n_total"), mg(col("term")).as("cand"))
-        .head()
-      val nTotal = probe.getLong(0)
-      val cand = probe.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
-      t.filter(col("term").isin(cand: _*))
-        .groupBy("term").agg(count(lit(1)).as("n"))
-        .filter(col("n") * (k + 1) > nTotal)
-        .orderBy("term")
-    }),
+    // Corpus heavy hitters — the production two-pass pipeline over the
+    // Misra–Gries sketch (kernel scaladoc on [[heavyHittersPipeline]];
+    // at 100 TB the two jobs find frequent tokens without ever
+    // shuffling the hapax tail).
+    "text_heavy_hitters" -> ((s, dir) =>
+      heavyHittersPipeline(tokens(s, dir), "term", heavyHitterK)
+        .orderBy("term")),
 
     // tf·idf per (doc, term); idf = ln((N+1)/(df+1)) + 1. The corpus
     // doc count rides a broadcast 1-row aggregate (round 11, the
@@ -784,6 +764,41 @@ object TextOps extends QueryGroup {
   /** Merge count of the text_bpe_train key (small enough that the
     * per-iteration jobs stay cheap in Verify; the kernel itself takes
     * any K). */
+  /** Counter budget of the text_heavy_hitters key — pinned BELOW the
+    * fixture's 31-term vocabulary so the MG eviction path actually runs
+    * under the oracle; the oracle SQL generates its threshold from this
+    * same constant (the zorderShardBits discipline — one source, no
+    * silent desync). */
+  private[graft] val heavyHitterK = 28
+
+  /** The heavy-hitter TWO-PASS pipeline shared by the
+    * text_heavy_hitters key and [[graft.Graft.heavyHitters]] (one
+    * kernel, two bindings — the facade-delegates discipline): pass 1 is
+    * ONE aggregate row (total count + the ≤ k-entry Misra–Gries
+    * summary; shuffle k rows per partition, never the cardinality),
+    * pass 2 re-counts the ≤ k candidates exactly (broadcast isin) and
+    * keeps those with exact count STRICTLY above N/(k+1). The MG
+    * guarantee makes candidates ⊇ passers, so the result equals the
+    * full-groupBy answer deterministically — sketch tie noise only adds
+    * candidates the exact filter discards. Null items are ignored by
+    * the sketch and can never pass the exact filter; they DO count
+    * toward N (which only tightens the threshold the survivors must
+    * clear). Returns (term, n) unordered. */
+  private[graft] def heavyHittersPipeline(items: DataFrame, itemCol: String,
+      k: Int): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
+    val t = items.select(col(itemCol).as("term"))
+    val probe = t.agg(count(lit(1)).as("n_total"), mg(col("term")).as("cand"))
+      .head()
+    val nTotal = probe.getLong(0)
+    val cand = probe.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    if (cand.isEmpty)
+      t.limit(0).select(col("term"), lit(0L).as("n"))
+    else t.filter(col("term").isin(cand: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") * (k + 1) > nTotal)
+  }
+
   private val bpeMerges = 16
 
   /** BPE merge tables per fixture scale, "l r" per merge in rank
@@ -1115,13 +1130,14 @@ object TextOps extends QueryGroup {
     // Independent re-derivation of the heavy-hitter set: the exact
     // full groupBy filtered at the same strict N/(k+1) threshold —
     // the MG candidate pass is an optimization the oracle need not
-    // replay (candidates ⊇ passers by the sketch guarantee).
+    // replay (candidates ⊇ passers by the sketch guarantee). The
+    // threshold multiplier is GENERATED from the key's own k constant.
     "text_heavy_hitters" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT term FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)),
         |tot AS (SELECT COUNT(*) AS n_total FROM t),
         |c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term)
-        |SELECT term, n FROM c, tot WHERE n * 29 > n_total
+        |SELECT term, n FROM c, tot WHERE n * ${heavyHitterK + 1} > n_total
         |ORDER BY term""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (

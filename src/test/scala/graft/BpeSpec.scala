@@ -90,16 +90,19 @@ class BpeSpec extends SparkSuite {
     // trainer's first argmax
     assert(t1.head === Bpe.train(d, merges = 1).head)
     // within each ACTUAL round (a round may select fewer than `batch`
-    // when later candidates conflict), picks are symbol-disjoint — the
-    // exactness argument: a merge only perturbs adjacencies involving
-    // its own symbols, so disjoint picks from one count are all still
-    // correct. A pick may itself be (g,g) — one symbol twice is one
-    // adjacency pattern; disjointness is ACROSS picks.
+    // when later candidates conflict), picks are symbol-disjoint
+    // INCLUDING each pick's merged OUTPUT (review round 15): the
+    // exactness argument needs a later pick to neither consume a symbol
+    // an earlier pick consumes ({l, r}) nor one it CREATES (l+r) —
+    // e.g. picks (a,bc) then (abc,x) would merge occurrences that were
+    // never counted. A pick may itself be (g,g) — one symbol twice is
+    // one adjacency pattern; disjointness is ACROSS picks.
     r1.foreach { round =>
       val sets = round.map { case (l, r) => Set(l, r) }
+      val touched = round.map { case (l, r) => Set(l, r, l + r) }
       for (i <- sets.indices; j <- sets.indices if i < j)
-        assert((sets(i) & sets(j)).isEmpty,
-          s"round shares a symbol between picks: $round")
+        assert((touched(i) & sets(j)).isEmpty,
+          s"round pick $j consumes a symbol pick $i touches: $round")
     }
   }
 

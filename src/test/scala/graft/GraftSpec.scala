@@ -310,6 +310,10 @@ class GraftSpec extends SparkSuite {
       symmetrize = false, tolNano = 1L).orderBy("node"))
     assert(stopped == out,
       "tolNano early stop diverged from the fixed-iteration fixpoint")
+    // a tolNano with no checkpoint boundary to check at must fail loud,
+    // not sit silently inert (review round 15)
+    assertThrows[IllegalArgumentException](
+      Graft.pagerank(e, "src", "dst", iters = 8, tolNano = 1L))
   }
 
   test("zorderPlan fails loud when a dimension span would overflow") {
