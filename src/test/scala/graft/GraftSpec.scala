@@ -157,6 +157,17 @@ class GraftSpec extends SparkSuite {
     assert(facade.map(_(1).asInstanceOf[Long]).max > base * 2)
   }
 
+  test("similarTopKAuto matches simsearch_pq_auto on caller columns") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val facade = rows(Graft.similarTopKAuto(spark, emb, k = 5,
+        idCol = "id", vecCol = "vec", centroids = 16)
+      .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
+      .orderBy("i", "rnk"))
+    val key = rows(SparkEntry.queries("simsearch_pq_auto")(spark, sf001))
+    assert(facade == key, "facade != simsearch_pq_auto on renamed columns")
+  }
+
   test("triangles matches graph_triangles on caller columns; handles dirty edges") {
     val li = Tables.lineitem(spark, sf001)
     val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
