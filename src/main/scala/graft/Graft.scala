@@ -255,6 +255,26 @@ object Graft {
   def heavyHitters(items: DataFrame, itemCol: String, k: Int = 64): DataFrame =
     queries.TextOps.heavyHittersPipeline(items, itemCol, k)
 
+  /** NEAREST as-of join on caller columns (pandas
+    * `merge_asof(direction='nearest')`; kernel scaladoc on
+    * [[queries.Joins.asofNearest]]): each probe row matches the build
+    * row minimizing |t_build − t_probe| within its key — one shuffle
+    * serves both directions, exact integer-microsecond distance
+    * compare, backward wins ties. Returns (probe_id, key, build_id,
+    * d_us); build_id/d_us null when the key has no build rows. */
+  def asofNearest(probe: DataFrame, probeKeyCol: String, probeTsCol: String,
+      probeIdCol: String, build: DataFrame, buildKeyCol: String,
+      buildTsCol: String, buildIdCol: String): DataFrame =
+    queries.Joins.asofNearest(
+        probe.select(col(probeKeyCol).as("key"),
+          col(probeTsCol).cast("timestamp").as("t"),
+          col(probeIdCol).cast("long").as("event_id")),
+        build.select(col(buildKeyCol).as("key"),
+          col(buildTsCol).cast("timestamp").as("t"),
+          col(buildIdCol).cast("long").as("bid")))
+      .select(col("event_id").as("probe_id"), col("key"),
+        col("matched_id").as("build_id"), col("d_us"))
+
   /** Pairs of same-`key` rows within a time window — (id_a, id_b) with
     * ts(id_b) ∈ (ts(id_a), ts(id_a) + window] — via the BANDED range
     * join (hour-bucket-style equi bands): per-task work is bounded by

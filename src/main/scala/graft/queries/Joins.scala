@@ -50,7 +50,7 @@ object Joins extends QueryGroup {
     * match); equal-t build ties break max-bid backward / min-bid
     * forward (the frame edge rows under ascending bid — D6). Input:
     * probe (key, t: timestamp, event_id), build (key, t, bid). Output
-    * (event_id, key, o_orderkey, d_us); both null when the key has no
+    * (event_id, key, matched_id, d_us); both null when the key has no
     * build rows (D4). */
   private[graft] def asofNearest(probe: org.apache.spark.sql.DataFrame,
       build: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -78,7 +78,7 @@ object Joins extends QueryGroup {
         (unix_micros(col("t")) - unix_micros(col("pbt")) <=
           unix_micros(col("nbt")) - unix_micros(col("t"))))
     u.select(col("event_id"), col("key"),
-      when(takePrev, col("pbid")).otherwise(col("nbid")).as("o_orderkey"),
+      when(takePrev, col("pbid")).otherwise(col("nbid")).as("matched_id"),
       when(takePrev, unix_micros(col("t")) - unix_micros(col("pbt")))
         .otherwise(unix_micros(col("nbt")) - unix_micros(col("t"))).as("d_us"))
   }
@@ -271,7 +271,7 @@ object Joins extends QueryGroup {
               col("o_orderdate").cast("timestamp").as("t"),
               col("o_orderkey").as("bid")))
         .select(col("event_id"), col("key").as("user_id"),
-          col("o_orderkey"), col("d_us"))
+          col("matched_id").as("o_orderkey"), col("d_us"))
         .orderBy("event_id")),
 
     "join_asof_event" -> ((s, dir) =>

@@ -157,6 +157,17 @@ class GraftSpec extends SparkSuite {
     assert(facade.map(_(1).asInstanceOf[Long]).max > base * 2)
   }
 
+  test("asofNearest matches join_asof_nearest on caller columns") {
+    val facade = rows(Graft.asofNearest(
+        Tables.events(spark, sf001), "user_id", "ts", "event_id",
+        Tables.orders(spark, sf001), "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("probe_id").as("event_id"), col("key").as("user_id"),
+        col("build_id").as("o_orderkey"), col("d_us"))
+      .orderBy("event_id"))
+    val key = rows(SparkEntry.queries("join_asof_nearest")(spark, sf001))
+    assert(facade == key, "facade != join_asof_nearest on caller columns")
+  }
+
   test("similarTopKAuto matches simsearch_pq_auto on caller columns") {
     val emb = Tables.embeddings(spark, sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
