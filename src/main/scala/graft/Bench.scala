@@ -39,15 +39,26 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** The nine BASELINE.md pins (seconds), keyed by bench row — the ONE
+    * in-code copy (round-15 ADVICE: the retry pass and the headline list
+    * each inlined them). BenchPinsSpec parses BASELINE.md's pinned table
+    * and fails loud if these values ever desync from the committed
+    * record (the zorderShardBits one-constant discipline). ap_full_n500
+    * maps to the `ap_damped_iterate` NumPy row — the full-AP-loop pin. */
+  private[graft] val baselinePins = Map(
+    "agg_groupby" -> 0.084,     // TPC-H Q1 shape
+    "topk_global" -> 0.065,     // 3-table join + top-k
+    "topk_per_group" -> 0.150,  // window top-3/suppkey
+    "stream_tumbling" -> 0.024, // 1-h tumbling windows
+    "simsearch_topk" -> 0.358,  // brute-force cosine knn
+    "join_asof" -> 0.102,       // DuckDB native ASOF JOIN
+    "dedup_minhash" -> 0.440,   // DuckDB exact shingle-jaccard
+    "dedup_cluster" -> 0.892,   // DuckDB recursive-CTE components
+    "ap_full_n500" -> 0.190)    // NumPy full AP loop, N=500
+
   private val headline = Seq(
-    "agg_groupby",      // BASELINE: 0.084 s (TPC-H Q1 shape)
-    "topk_global",      // BASELINE: 0.065 s (3-table join + top-k)
-    "topk_per_group",   // BASELINE: 0.150 s (window top-3/suppkey)
-    "stream_tumbling",  // BASELINE: 0.024 s (1-h tumbling windows)
-    "simsearch_topk",   // BASELINE: 0.358 s (brute-force cosine knn)
-    "join_asof",        // BASELINE: 0.102 s (DuckDB native ASOF JOIN)
-    "dedup_minhash",    // BASELINE: 0.440 s (DuckDB exact shingle-jaccard)
-    "dedup_cluster")    // BASELINE: 0.892 s (DuckDB recursive-CTE components)
+    "agg_groupby", "topk_global", "topk_per_group", "stream_tumbling",
+    "simsearch_topk", "join_asof", "dedup_minhash", "dedup_cluster")
 
   /** One width's full measurement pass: session at local[threads], warm
     * the buffer-pool layouts, 2 consecutive reps per query + the
@@ -607,14 +618,8 @@ object Bench {
     // spans a fourth oscillation phase for exactly the rows at risk of a
     // throttled-window draw. One retry only; the gate's shared wait
     // budget bounds total wall regardless.
-    val pins = Map(
-      "agg_groupby" -> 0.084, "topk_global" -> 0.065,
-      "topk_per_group" -> 0.150, "stream_tumbling" -> 0.024,
-      "simsearch_topk" -> 0.358, "join_asof" -> 0.102,
-      "dedup_minhash" -> 0.440, "dedup_cluster" -> 0.892,
-      "ap_full_n500" -> 0.190)
     val weak = results.collect {
-      case (k, v) if pins.get(k).exists(p => v > 1.9 * p) => k }.toSeq
+      case (k, v) if baselinePins.get(k).exists(p => v > 1.9 * p) => k }.toSeq
     if (weak.nonEmpty) {
       System.err.println(
         s"retry pass: pinned rows above 1.9x after top-up: ${weak.mkString(",")}")

@@ -406,15 +406,33 @@ object Graft {
     * WRITTEN files — (part, out_shard, n_out_files, n_docs, tot_bytes,
     * first_doc, last_doc), with n_out_files counted via
     * input_file_name() (= 1 when the rewrite held its contract) and
-    * tot_bytes recomputed from the read-back payload. Kernel scaladoc:
-    * [[queries.TextOps.compactExecDocs]]. */
+    * tot_bytes recomputed from the read-back payload. Caller columns
+    * beyond the three named ones all ride along into the written files
+    * (round-15 ADVICE — a rewrite that silently dropped payload columns
+    * would lose data); the named columns land as doc_id/part/text.
+    * Kernel scaladoc: [[queries.TextOps.compactExecDocs]]. */
   def compactionRewrite(docs: DataFrame, idCol: String, textCol: String,
       partCol: String, outDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): DataFrame =
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    // fail loud on reserved working-column collisions (the zorderRewrite
+    // discipline): doc_id/part/text are the rename targets — reserved
+    // only when NOT the named columns themselves — and n_bytes/cum/
+    // out_shard are added by compactAssign, so a payload column with any
+    // of those names would be clobbered or duplicated in the files
+    val reserved = (Set("doc_id", "part", "text") --
+      Set(idCol, textCol, partCol)) ++ Set("n_bytes", "cum", "out_shard")
+    val clash = docs.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"compactionRewrite: input columns ${clash.mkString(", ")} collide " +
+        "with reserved working columns (doc_id, part, text, n_bytes, cum, " +
+        "out_shard) - rename them first")
+    val rest = docs.columns
+      .filterNot(c => c == idCol || c == textCol || c == partCol).map(col)
     queries.TextOps.compactExecDocs(
-      docs.select(col(idCol).cast("long").as("doc_id"),
-        col(partCol).as("part"), col(textCol).as("text")),
+      docs.select(Seq(col(idCol).cast("long").as("doc_id"),
+        col(partCol).as("part"), col(textCol).as("text")) ++ rest: _*),
       outDir, targetBytes)
+  }
 
   /** EXECUTE a z-order plan: physically rewrite `rows` as parquet under
     * `outDir`, one file per z-shard, rows within each file sorted by

@@ -1193,8 +1193,13 @@ object Dedup extends QueryGroup {
       // for release at the NEXT pagerank call on this session (consume
       // a result before calling again).
       val spark = edges.sparkSession
-      releasePrevPagerank(spark)
       val outCk = out.localCheckpoint(true)
+      // Release the PREVIOUS call's final checkpoint only AFTER the new
+      // output is materialized (round-15 ADVICE): if the caller fed the
+      // previous pagerank result (or a plan derived from it) back in as
+      // this call's edges, releasing first would unpersist blocks this
+      // run's input checkpoints were themselves built from mid-query.
+      releasePrevPagerank(spark)
       prevCk.foreach(releaseCheckpoint)
       Seq(deg, degE, nodes).foreach(releaseCheckpoint)
       if (sinks != null) releaseCheckpoint(sinks)

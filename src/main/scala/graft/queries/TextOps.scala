@@ -941,11 +941,14 @@ object TextOps extends QueryGroup {
   private[graft] def compactExecDocs(docs: DataFrame, outDir: String,
       targetBytes: Long = 16384): DataFrame = {
     val spark = docs.sparkSession
+    // every caller column BEYOND (doc_id, part, text) rides along into
+    // the written files (round-15 ADVICE: dropping them silently loses
+    // data from a rewrite a user treats as Delta-OPTIMIZE-style); only
+    // the working columns n_bytes/cum are stripped before the write
     compactAssign(
-      docs.select(col("doc_id"), col("part"),
-        octet_length(col("text")).cast("long").as("n_bytes"), col("text")),
+      docs.withColumn("n_bytes", octet_length(col("text")).cast("long")),
       targetBytes)
-      .select(col("doc_id"), col("text"), col("part"), col("out_shard"))
+      .drop("n_bytes", "cum")
       .repartition(col("part"), col("out_shard"))
       .write.mode("overwrite").partitionBy("part", "out_shard")
       .parquet(outDir)
@@ -1060,7 +1063,14 @@ object TextOps extends QueryGroup {
     zorderAssign(rows, shardBits)
       .drop("lo_a", "hi_a", "lo_b", "hi_b")
       .repartition(col("z_shard"))
-      .sortWithinPartitions(col("z"))
+      // z_shard leads the sort so the plan's ordering syntactically
+      // satisfies the partitioned writer's [z_shard] requirement —
+      // otherwise Spark plans its OWN sort on z_shard alone, and that
+      // sort's stability under spill is not guaranteed, silently
+      // degrading the documented within-file z clustering at scale
+      // (round-15 ADVICE). z_shard is a z prefix, so per-file order is
+      // unchanged; LayoutExecSpec pins within-file z monotonicity.
+      .sortWithinPartitions(col("z_shard"), col("z"))
       .write.mode("overwrite").partitionBy("z_shard")
       .parquet(outDir)
     spark.read.parquet(outDir)

@@ -48,6 +48,18 @@ class LayoutExecSpec extends SparkSuite {
     // row-count round trip
     assert(back.count() == li.count())
 
+    // rows WITHIN each written file are sorted by the full Morton code
+    // (round-15 ADVICE: without z_shard leading the explicit sort, the
+    // writer plans its OWN z_shard sort whose stability under spill is
+    // not guaranteed — this pins the documented within-file clustering
+    // on the files themselves)
+    val zByFile = back.withColumn("__file", input_file_name())
+      .select(col("__file"), col("z")).collect()
+      .groupBy(_.getString(0)).values
+    assert(zByFile.forall { rs =>
+      val zs = rs.map(_.getLong(1)).toSeq; zs == zs.sorted },
+      "a written z-order file is not sorted by z")
+
     // a z_shard predicate prunes at the DIRECTORY level: the scan's
     // PartitionFilters carry it (no file outside the shard is listed)
     val pruned = back.filter(col("z_shard") === 3)
@@ -109,12 +121,30 @@ class LayoutExecSpec extends SparkSuite {
   test("rewrite facades match the exec keys on caller columns") {
     val myDocs = Tables.documents(spark, sf001)
       .select(col("doc_id").as("document_id"),
-        (col("doc_id") % 4).as("bucket"), col("text").as("body"))
+        (col("doc_id") % 4).as("bucket"), col("text").as("body"),
+        (col("doc_id") * 7 + 1).as("payload"))
     val facade = rows(Graft.compactionRewrite(myDocs, "document_id", "body",
       "bucket", tmp + "/compact_facade", targetBytes = 16384)
       .orderBy("part", "out_shard"))
     val key = rows(SparkEntry.queries("pipeline_compact_exec")(spark, sf001))
     assert(facade == key)
+    // payload columns beyond the three named ones land IN the written
+    // files with their values intact (round-15 ADVICE: the rewrite
+    // dropped them before — data loss for a user treating this as a
+    // Delta-OPTIMIZE-style full rewrite)
+    val cBack = spark.read.parquet(tmp + "/compact_facade")
+    assert(cBack.columns.contains("payload"),
+      "compaction rewrite dropped a caller payload column")
+    val cSrc = myDocs.select(col("document_id").as("doc_id"), col("payload"))
+    val cGot = cBack.select(col("doc_id"), col("payload"))
+    assert(cGot.exceptAll(cSrc).isEmpty && cSrc.exceptAll(cGot).isEmpty,
+      "compaction rewrite altered payload values")
+    // reserved working-column collisions fail loud, not silently clobber
+    val boom = intercept[IllegalArgumentException] {
+      Graft.compactionRewrite(myDocs.withColumnRenamed("payload", "cum"),
+        "document_id", "body", "bucket", tmp + "/compact_clash")
+    }
+    assert(boom.getMessage.contains("cum"))
 
     val li = Tables.lineitem(spark, sf001)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
