@@ -305,6 +305,32 @@ object Graft {
         docsOf(train, idCol, textCol), docsOf(eval, idCol, textCol), n)
       .select(col("doc_id").as("id"), col("n_contaminated_grams"))
 
+  /** [[decontaminate]] with a bloom prefilter — identical output at a
+    * CONSTANT broadcast size (a 128 KiB filter instead of the exact
+    * gram set), for eval corpora past the exact path's broadcast cap:
+    * the bloom's no-false-negative guarantee means the exact verify on
+    * the sketch-positive grams sees every true hit. Kernel scaladoc:
+    * [[queries.Matching.decontaminateBloom]]. */
+  def decontaminateBloom(spark: SparkSession, train: DataFrame,
+      eval: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5): DataFrame =
+    queries.Matching.decontaminateBloom(spark,
+        docsOf(train, idCol, textCol), docsOf(eval, idCol, textCol), n)
+      .select(col("doc_id").as("id"), col("n_contaminated_grams"))
+
+  /** Exact fuzzy self-join: every pair of rows whose `strCol` values are
+    * within `tau` (1 or 2) Levenshtein edits, WITHOUT the all-pairs
+    * product — deletion-neighborhood candidates (SymSpell/FastSS,
+    * guaranteed recall by pigeonhole) + a codegen'd edit-distance
+    * verify. The fuzzy-KEY join under entity resolution: typo'd
+    * identifiers, OCR'd names, near-identical SKUs. Returns
+    * (id_a, id_b, lev) with id_a < id_b. Kernel scaladoc:
+    * [[queries.Matching.fuzzyPairs]]. */
+  def fuzzyMatches(df: DataFrame, idCol: String, strCol: String,
+      tau: Int = 1): DataFrame =
+    queries.Matching.fuzzyPairs(
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")), tau)
+
   /** Representative selection after near-dup clustering — the step that
     * actually shrinks the corpus: per cluster of the Jaccard ≥
     * `threshold` graph, keep the doc with the highest quality

@@ -19,6 +19,7 @@ object SparkEntry {
     _root_.graft.queries.StreamingBatch,
     _root_.graft.queries.ApQueries,
     _root_.graft.queries.Dedup,
+    _root_.graft.queries.Matching,
     _root_.graft.queries.TextOps,
     _root_.graft.queries.Profile,
     _root_.graft.queries.UdfSurface

@@ -1117,22 +1117,29 @@ object TextOps extends QueryGroup {
         round(sum(dec(col("surp"))).cast("double") / count(lit(1)), 4).as("avg_nll"))
   }
 
+  /** The decontamination ground truth — shared verbatim by
+    * pipeline_decontaminate and [[Matching]]'s bloom-prefiltered twin
+    * (pipeline_decontaminate_bloom): the bloom pass is an exactness-
+    * preserving optimization (no false negatives → the exact verify
+    * sees every true hit), so BOTH keys pin against the one SQL. */
+  private[graft] val decontaminateOracleSql: String =
+    """WITH g5 AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+      |       UNNEST(range(1, len(ws) - 3)) AS t(i)
+      |  WHERE len(ws) >= 5),
+      |eg AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 20 = 0),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM g5
+      |  WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM eg)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      |LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def oracles: Seq[(String, String)] = Seq(
-    "pipeline_decontaminate" ->
-      """WITH g5 AS (
-        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
-        |       UNNEST(range(1, len(ws) - 3)) AS t(i)
-        |  WHERE len(ws) >= 5),
-        |eg AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 20 = 0),
-        |hits AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM g5
-        |  WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM eg)
-        |  GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
-        |LEFT JOIN hits h ON h.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_decontaminate" -> decontaminateOracleSql,
     "text_tokenize" ->
       """SELECT term, COUNT(*) AS n
         |FROM documents, UNNEST(string_split(text, ' ')) AS t(term)

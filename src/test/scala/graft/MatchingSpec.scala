@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.{Bloom, BloomFilterAgg}
+import org.apache.spark.sql.functions._
+
+/** The approximate-matching family (queries/Matching.scala): the
+  * deletion-neighborhood fuzzy join's exactness against brute force
+  * (both taus, all edit kinds), and the bloom filter's two structural
+  * guarantees — zero false negatives (what makes the prefilter-verify
+  * pipelines exact) and a bounded false-positive rate (what makes them
+  * cheap). The oracled keys pin fixture behavior; this spec pins the
+  * algorithm on adversarial inputs the fixtures don't contain.
+  */
+class MatchingSpec extends SparkSuite {
+
+  // substitutions, inserts, deletes, transposition (lev 2), repeated
+  // chars, prefix/suffix edits, a short string, and far-apart controls
+  private val words = Seq(
+    1L -> "kitten", 2L -> "sitten", 3L -> "kittens", 4L -> "kiten",
+    5L -> "mitten", 6L -> "sitting", 7L -> "ab", 8L -> "ba",
+    9L -> "abba", 10L -> "baba", 11L -> "zzzzzz", 12L -> "kettle",
+    13L -> "aab", 14L -> "aba", 15L -> "x", 16L -> "xy")
+
+  private def bruteForce(tau: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- words; (ib, sb) <- words
+      if ia < ib && lev(sa, sb) <= tau
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+  }
+
+  private def engine(tau: Int): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    Graft.fuzzyMatches(words.toDF("wid", "w"), "wid", "w", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("fuzzy join tau=1 equals brute force (subs, inserts, deletes)") {
+    assert(engine(1) == bruteForce(1))
+  }
+
+  test("fuzzy join tau=2 equals brute force (incl. transpositions)") {
+    assert(engine(2) == bruteForce(2))
+  }
+
+  test("fuzzy join verify is load-bearing: shared variants at lev 2 are cut at tau=1") {
+    // "ab" and "ba" share deletion variants ("a", "b") but lev = 2 —
+    // a candidate-only join would emit them; tau=1 must not
+    val got = engine(1)
+    assert(!got.exists(p => p._1 == 7L && p._2 == 8L),
+      "tau=1 emitted a lev-2 pair: the levenshtein verify is missing")
+    assert(bruteForce(2).contains((7L, 8L, 2L)), "fixture broke: ab/ba should be lev 2")
+  }
+
+  test("bloom filter: zero false negatives, FPR within 3x of the (1-e^-kn/m)^k bound") {
+    import spark.implicits._
+    val mBits = 1 << 14
+    val k = 5
+    val members = (0L until 2000L).map(i => s"member-$i").toDF("s")
+      .select(xxhash64(col("s")).as("h1"),
+        xxhash64(col("s"), lit(Bloom.H2Salt)).as("h2"))
+    val bloomUdaf = udaf(new BloomFilterAgg(mBits, k))
+    val bw = members.repartition(7) // partial buffers force real merges
+      .agg(bloomUdaf(col("h1"), col("h2")).as("bw"))
+    def probe(df: org.apache.spark.sql.DataFrame): Long =
+      df.crossJoin(broadcast(bw))
+        .filter(expr(Bloom.mightContainSql("bw", "h1", "h2", mBits, k)))
+        .count()
+    assert(probe(members) == 2000L, "a built key probed negative: false negative")
+    val strangers = (0L until 20000L).map(i => s"stranger-$i").toDF("s")
+      .select(xxhash64(col("s")).as("h1"),
+        xxhash64(col("s"), lit(Bloom.H2Salt)).as("h2"))
+    val fp = probe(strangers)
+    val bound = math.pow(1 - math.exp(-k * 2000.0 / mBits), k) // ≈ 0.022
+    assert(fp <= 3 * bound * 20000,
+      s"FPR ${fp / 20000.0} exceeds 3x the theoretical ${bound}")
+  }
+
+  test("bloom merge is partition-order free: filters agree at any parallelism") {
+    import spark.implicits._
+    val keys = (0L until 500L).map(i => s"k$i").toDF("s")
+      .select(xxhash64(col("s")).as("h1"),
+        xxhash64(col("s"), lit(Bloom.H2Salt)).as("h2"))
+    val agg = udaf(new BloomFilterAgg(1 << 12, 4))
+    val a = keys.repartition(1).agg(agg(col("h1"), col("h2"))).head.getSeq[Long](0)
+    val b = keys.repartition(13).agg(agg(col("h1"), col("h2"))).head.getSeq[Long](0)
+    assert(a == b, "bloom words differ under re-partitioned aggregation")
+  }
+
+  test("bloom decontamination facade equals the exact facade on the fixture") {
+    val docs = Tables.documents(spark, sf001)
+    val isEval = col("doc_id") % 20 === 0
+    val exact = Graft.decontaminate(spark, docs.filter(!isEval), docs.filter(isEval))
+    val bloom = Graft.decontaminateBloom(spark, docs.filter(!isEval), docs.filter(isEval))
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "bloom-prefiltered decontamination diverged from the exact pipeline")
+  }
+}
