@@ -331,6 +331,44 @@ object Graft {
     queries.Matching.fuzzyPairs(
       df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")), tau)
 
+  /** Dataset-mixture resampling (the data-mixing step after curation):
+    * downsample each `bucketCol` group so the output hits the EXACT
+    * `shares` target proportions (permyriad, summing to 10000), sized
+    * to the largest total the bottleneck bucket allows. Deterministic —
+    * integer-hash ranking, no RNG state. Returns (id, bucket). Kernel
+    * scaladoc: [[queries.TextOps.mixtureResample]]. */
+  def mixtureResample(spark: SparkSession, df: DataFrame, idCol: String,
+      bucketCol: String, shares: Seq[(String, Long)]): DataFrame =
+    queries.TextOps.mixtureResample(spark,
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(bucketCol).as("lang")), shares)
+      .select(col("doc_id").as("id"), col("lang").as("bucket"))
+
+  /** Weighted random sample of `k` rows without replacement, inclusion
+    * probability proportional to `weightCol` — the Efraimidis–Spirakis
+    * 2006 exponential-race scheme: every row draws a deterministic
+    * uniform u from xxhash64(id, seed) and ranks by u^(1/w); the global
+    * top-k IS a w-weighted sample. Distributed as one
+    * TakeOrderedAndProject (per-partition top-k, k-row merge on the
+    * driver — the topk_global shape), no shuffle of the corpus. Floats
+    * rank the race, so this is the SUITE-tested sibling of the
+    * integer-exact oracled key (sample_weighted's systematic design) —
+    * MatchingSpec pins inclusion frequency ∝ weight across seeds.
+    * Non-positive weights fail loud (the assert_true discipline). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val wd = col(weightCol).cast("double")
+    val guard = assert_true(wd > 0.0,
+      lit(s"weightedSample: $weightCol must be strictly positive"))
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 52))
+      .cast("double") + lit(0.5)) / lit((1L << 52).toDouble)
+    df.withColumn("__es_key", when(guard.isNull, pow(u, lit(1.0) / wd)))
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Representative selection after near-dup clustering — the step that
     * actually shrinks the corpus: per cluster of the Jaccard ≥
     * `threshold` graph, keep the doc with the highest quality

@@ -18,6 +18,11 @@ object Profile extends QueryGroup {
 
   private val profiled = Seq("l_quantity", "l_extendedprice", "l_discount")
 
+  /** Target picks per (priority, shard) stratum of the systematic
+    * weighted sample — the oracle's step divisor is GENERATED from this
+    * (one-constant discipline). */
+  private val weightedK = 5
+
   /** One-pass profile of 2-decimal numeric columns: per column — row
     * count, exact distinct count, min/max, exact sum (integer cents).
     * All columns profile in a SINGLE scan: one aggregate with every
@@ -64,6 +69,31 @@ object Profile extends QueryGroup {
         .filter(pmod(col("event_id"), lit(100)) < col("pct"))
         .select(col("event_id"), col("event_type"), col("user_id"))
         .orderBy("event_id")
+    }),
+
+    // Weighted sampling, integer-exact: systematic (cumulative-weight)
+    // selection — a row is kept when its weight interval [cum−w, cum)
+    // crosses a multiple of step = total/k, so inclusion probability is
+    // proportional to weight and rows heavier than step are ALWAYS kept
+    // (the certainty-inclusion property survey samplers rely on). All
+    // arithmetic is exact integer cents — no transcendental sampling
+    // keys whose cross-engine ulp could flip a rank (the
+    // Efraimidis–Spirakis float form lives behind Graft.weightedSample
+    // with a statistical suite test instead). Scale: the domain
+    // partitions FIRST — per (priority, hash-shard) strata, one keyed
+    // window each, no global running sum (the compactPlan discipline);
+    // stratified systematic sampling is itself a valid weighted design.
+    "sample_weighted" -> ((s, dir) => {
+      val strata = Window.partitionBy("o_orderpriority", "shard")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          pmod(col("o_orderkey"), lit(8)).as("shard"),
+          cents(col("o_totalprice")).as("w_cents"))
+        .withColumn("cum", sum(col("w_cents")).over(strata.orderBy("o_orderkey")))
+        .withColumn("step", expr(s"sum(w_cents) OVER (PARTITION BY o_orderpriority, shard) div $weightedK"))
+        .filter(expr("(cum div step) > ((cum - w_cents) div step)"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("shard"), col("w_cents"))
+        .orderBy("o_orderkey")
     }),
 
     // CDC / SCD-2 versioning: each customer's orders become validity
@@ -230,6 +260,21 @@ object Profile extends QueryGroup {
         |  USING (event_type)
         |WHERE event_id % 100 < pct
         |ORDER BY event_id""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_orderpriority, o_orderkey % 8 AS shard,
+         |    ${Det.centsSql("o_totalprice")} AS w_cents
+         |  FROM orders),
+         |c AS (
+         |  SELECT *,
+         |    SUM(w_cents) OVER (PARTITION BY o_orderpriority, shard
+         |                       ORDER BY o_orderkey) AS cum,
+         |    SUM(w_cents) OVER (PARTITION BY o_orderpriority, shard) AS tot
+         |  FROM b)
+         |SELECT o_orderkey, o_orderpriority, shard, w_cents
+         |FROM c
+         |WHERE (cum // (tot // $weightedK)) > ((cum - w_cents) // (tot // $weightedK))
+         |ORDER BY o_orderkey""".stripMargin,
     "cdc_scd2" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,

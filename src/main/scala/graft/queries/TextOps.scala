@@ -486,6 +486,24 @@ object TextOps extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Dataset-mixture resampling — the data-mixing step a pre-training
+    // pipeline applies AFTER curation (DoReMi/Pile-style source
+    // weights): downsample each language bucket so the output hits the
+    // EXACT target proportions, sized to the largest total the
+    // bottleneck bucket allows (T = min over buckets of n_l/share_l;
+    // a bucket with no rows honestly zeroes the mixture via the LEFT
+    // join). Per-bucket selection is deterministic: rank by a
+    // multiplicative integer hash of doc_id (Knuth 2654435761, exact in
+    // both engines) with doc_id tie-break (D6), keep the first
+    // T·share_l. Scale: counts are one keyed agg, quotas ride a
+    // broadcast 6-row relation, selection is one per-bucket window —
+    // every shuffle keyed on the bucket.
+    "pipeline_mixture" -> ((s, dir) =>
+      mixtureResample(s,
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        mixtureShares)
+        .orderBy("doc_id")),
+
     // Quality scoring: token stats + stopword ratio + length flags.
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "in", "to")
@@ -1117,6 +1135,58 @@ object TextOps extends QueryGroup {
         round(sum(dec(col("surp"))).cast("double") / count(lit(1)), 4).as("avg_nll"))
   }
 
+  /** Dataset-mixture resampling on a (doc_id, lang) relation — the ONE
+    * kernel behind pipeline_mixture and [[graft.Graft.mixtureResample]]:
+    * downsample each bucket so the output hits the EXACT `shares`
+    * proportions (permyriad), sized to the largest total the bottleneck
+    * bucket allows (T = min over buckets of n_l·10000/share_l; an
+    * absent bucket honestly zeroes the mixture via the LEFT join).
+    * Selection is deterministic: rank by a multiplicative integer hash
+    * (Knuth 2654435761; the id is mod-reduced FIRST so the product
+    * stays inside a long at ANY id — ANSI mode errors on wrap) with
+    * doc_id tie-break (D6), keep the first T·share_l per bucket.
+    * Scale: counts are one keyed agg riding back as a broadcast
+    * |buckets|-row relation, selection is one per-bucket window —
+    * every shuffle keyed on the bucket. */
+  private[graft] def mixtureResample(s: SparkSession, d: DataFrame,
+      shares: Seq[(String, Long)]): DataFrame = {
+    import s.implicits._
+    require(shares.nonEmpty && shares.map(_._2).sum == 10000L,
+      s"mixtureResample: shares must sum to 10000 permyriad, got ${shares.map(_._2).sum}")
+    val sh = shares.toDF("lang", "share_pm")
+    // shares is the PRESERVED side (an absent bucket must zero the
+    // mixture), so the broadcast hint goes on the aggregated counts —
+    // the build side of a left-outer broadcast join
+    val counts = sh
+      .join(broadcast(d.groupBy("lang").agg(count(lit(1)).as("n_l"))),
+        Seq("lang"), "left")
+      .withColumn("n_l", coalesce(col("n_l"), lit(0L)))
+    val t = counts.agg(min(expr("n_l * 10000 div share_pm")).as("t"))
+    val quota = counts.crossJoin(broadcast(t))
+      .select(col("lang"), expr("t * share_pm div 10000").as("k_l"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    d.withColumn("h", expr(mixtureHashSql("doc_id")))
+      .join(broadcast(quota), "lang")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("k_l"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** The deterministic rank hash of [[mixtureResample]] — identical SQL
+    * on the Spark side and in the oracle (GENERATED from this, so the
+    * two can't drift). Both engines' `%` is sign-following and both
+    * products stay inside a long (id mod-reduced first). */
+  private[graft] def mixtureHashSql(id: String): String =
+    s"(($id % 2147483648) * 2654435761) % 1048576"
+
+  /** Target mixture proportions (permyriad, summing to 10000) for
+    * pipeline_mixture — the oracle's VALUES relation is GENERATED from
+    * this (one-constant discipline). English-heavy with equal tails,
+    * deliberately far from the corpus's organic distribution so the
+    * resampling is visibly load-bearing at every SF. */
+  private[graft] val mixtureShares: Seq[(String, Long)] = Seq(
+    ("en", 4000L), ("de", 1500L), ("es", 1500L), ("fr", 1500L), ("zh", 1500L))
+
   /** The decontamination ground truth — shared verbatim by
     * pipeline_decontaminate and [[Matching]]'s bloom-prefiltered twin
     * (pipeline_decontaminate_bloom): the bloom pass is an exactness-
@@ -1140,6 +1210,26 @@ object TextOps extends QueryGroup {
 
   def oracles: Seq[(String, String)] = Seq(
     "pipeline_decontaminate" -> decontaminateOracleSql,
+    "pipeline_mixture" -> {
+      val values = mixtureShares
+        .map { case (l, s) => s"('$l', CAST($s AS BIGINT))" }.mkString(", ")
+      s"""WITH sh AS (SELECT * FROM (VALUES $values) s(lang, share_pm)),
+         |c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+         |j AS (
+         |  SELECT sh.lang, sh.share_pm, CAST(COALESCE(c.n_l, 0) AS BIGINT) AS n_l
+         |  FROM sh LEFT JOIN c USING (lang)),
+         |t AS (SELECT MIN(n_l * 10000 // share_pm) AS t FROM j),
+         |q AS (SELECT lang, (SELECT t FROM t) * share_pm // 10000 AS k_l FROM j),
+         |r AS (
+         |  SELECT doc_id, lang, ${mixtureHashSql("doc_id")} AS h
+         |  FROM documents)
+         |SELECT doc_id, lang FROM (
+         |  SELECT r.doc_id, r.lang, q.k_l,
+         |    ROW_NUMBER() OVER (PARTITION BY r.lang ORDER BY r.h, r.doc_id) AS rn
+         |  FROM r JOIN q USING (lang)) x
+         |WHERE rn <= k_l
+         |ORDER BY doc_id""".stripMargin
+    },
     "text_tokenize" ->
       """SELECT term, COUNT(*) AS n
         |FROM documents, UNNEST(string_split(text, ' ')) AS t(term)

@@ -94,6 +94,69 @@ class MatchingSpec extends SparkSuite {
     assert(a == b, "bloom words differ under re-partitioned aggregation")
   }
 
+  test("weightedSample: inclusion frequency tracks weight across seeds (ES race)") {
+    import spark.implicits._
+    // 400 independent races in ONE job: explode seeds, per-seed argmax
+    // of the ES key u^(1/w) — k=1 inclusion probability is w/Σw exactly
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 4.0))
+    val raced = (0L until 400L).flatMap(s => rows.map { case (i, w) => (s, i, w) })
+      .toDF("seed", "id", "w")
+      .withColumn("u", (pmod(xxhash64(col("id"), col("seed")), lit(1L << 52))
+        .cast("double") + lit(0.5)) / lit((1L << 52).toDouble))
+      .withColumn("key", pow(col("u"), lit(1.0) / col("w")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seed")
+          .orderBy(col("key").desc, col("id"))))
+      .filter(col("rn") === 1)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (c1, c2, c4) = (raced.getOrElse(1L, 0L), raced.getOrElse(2L, 0L),
+      raced.getOrElse(3L, 0L))
+    // expectations 57/114/229 of 400; generous bands — this pins the
+    // proportionality LAW, not a seed-specific draw
+    assert(c4 > c2 && c2 > c1, s"weight ordering violated: $c1/$c2/$c4")
+    assert(c4.toDouble / c1 > 2.2 && c4.toDouble / c1 < 8.0,
+      s"4:1 weight ratio should show ~4x inclusion, got $c4:$c1")
+    // the facade draws the same race: k=1 equals this job's seed-42 pick
+    val pick = Graft.weightedSample(
+      rows.toDF("id", "w"), "id", "w", k = 1, seed = 42L)
+      .select("id").head.getLong(0)
+    val expect = rows.map { case (i, w) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        i, org.apache.spark.sql.types.LongType, 42L)
+      val u = (java.lang.Math.floorMod(h, 1L << 52) + 0.5) / (1L << 52).toDouble
+      (math.pow(u, 1.0 / w), -i)
+    }.zip(rows.map(_._1)).maxBy(_._1)._2
+    assert(pick == expect, "facade race diverged from the reference draw")
+  }
+
+  test("weightedSample fails loud on non-positive weights") {
+    import spark.implicits._
+    val boom = intercept[Exception] {
+      Graft.weightedSample(Seq((1L, 0.0)).toDF("id", "w"), "id", "w", 1).collect()
+    }
+    assert(boom.getMessage.contains("strictly positive"))
+  }
+
+  test("mixtureResample facade: exact target proportions, bottleneck-sized") {
+    val docs = Tables.documents(spark, sf001)
+    val shares = graft.queries.TextOps.mixtureShares
+    val out = Graft.mixtureResample(spark, docs, "doc_id", "lang", shares)
+    val got = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = shares.map { case (l, s) => n.getOrElse(l, 0L) * 10000L / s }.min
+    shares.foreach { case (l, s) =>
+      assert(got.getOrElse(l, 0L) == t * s / 10000L,
+        s"bucket $l: got ${got.getOrElse(l, 0L)}, want ${t * s / 10000L}")
+    }
+    // an absent bucket zeroes the whole mixture (the honest edge)
+    val zero = Graft.mixtureResample(spark, docs, "doc_id", "lang",
+      Seq(("en", 5000L), ("??", 5000L)))
+    assert(zero.count() == 0L)
+  }
+
   test("bloom decontamination facade equals the exact facade on the fixture") {
     val docs = Tables.documents(spark, sf001)
     val isEval = col("doc_id") % 20 === 0
