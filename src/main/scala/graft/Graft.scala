@@ -242,6 +242,25 @@ object Graft {
     queries.Dedup.triangleCounts(e)
   }
 
+  /** k-core of an undirected graph (see
+    * [[graft.queries.Dedup.kcoreNodes]]): the maximal subgraph where
+    * every node keeps ≥ k neighbors, by iterative peeling to an exact
+    * fixpoint (per-round checkpoint release, loud failure instead of a
+    * truncated — superset — answer past `maxRounds`). Edges are
+    * symmetrized and self-loops dropped. Returns (node, deg) with
+    * IN-CORE degrees. */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    queries.Dedup.kcoreNodes(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        .distinct(),
+      k, maxRounds)
+  }
+
   /** Exact heavy hitters of a string column via the Misra–Gries
     * two-pass pipeline (see [[graft.functions.MisraGries]] and the
     * text_heavy_hitters key): a k-counter sketch pass finds ≤ k

@@ -1253,6 +1253,106 @@ object Dedup extends QueryGroup {
        |SELECT node, r AS rank_nano FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik sequential algorithm's distributed round form):
+    * repeatedly drop every node with degree < k until the remaining
+    * graph is a fixpoint — the maximal subgraph where every node keeps
+    * ≥ k neighbors, the standard density filter before community/
+    * influence analysis. Input: SYMMETRIZED (u, v) edges (both
+    * directions present), so out-degree per u IS the degree. Each round
+    * is one keyed degree aggregate + two semi-join-shaped equi-joins on
+    * the survivor set; the new edge set localCheckpoints eagerly and
+    * the superseded generation releases immediately (the
+    * componentsStars discipline), so plan depth and storage stay O(1)
+    * in rounds. Convergence is exact — successive survivor counts
+    * equal — and a truncated peel NEVER ships: maxRounds overrun fails
+    * loud (a partial peel is a superset of the core, i.e. a wrong
+    * answer). Rounds are bounded by the peel depth (≤ longest
+    * degeneracy cascade, ≤ |V| worst case on a path — raise maxRounds
+    * for adversarial chains). Returns (node, deg) of the k-core with
+    * IN-CORE degrees. */
+  private[graft] def kcoreNodes(edges: DataFrame, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"kcore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kcore: maxRounds must be >= 1, got $maxRounds")
+    var e = edges.localCheckpoint(true)
+    var nPrev = -1L // node count after the previous round (none yet)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      r += 1
+      val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+        .localCheckpoint(true)
+      val nKeep = keep.count()
+      if (nKeep == nPrev) {
+        converged = true
+        releaseCheckpoint(keep)
+      } else {
+        nPrev = nKeep
+        val e2 = e.join(keep, "u")
+          .join(keep.withColumnRenamed("u", "v"), "v")
+          .select("u", "v")
+          .localCheckpoint(true)
+        releaseCheckpoint(e)
+        releaseCheckpoint(keep)
+        e = e2
+      }
+    }
+    if (!converged) {
+      releaseCheckpoint(e)
+      throw new IllegalStateException(
+        s"kcore: no fixpoint within $maxRounds rounds - a truncated peel " +
+          "would ship a SUPERSET of the core; raise maxRounds")
+    }
+    // materialize the result, then drop the loop's final edge checkpoint
+    // (the pagerank outCk discipline: release inputs only after the
+    // output is readable without them)
+    val out = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .localCheckpoint(true)
+    releaseCheckpoint(e)
+    out
+  }
+
+  /** The graph_kcore fixture graph: the thinned supplier↔part bipartite
+    * graph (only l_quantity ≤ 2 lineitems), sparse enough that k=3
+    * peeling cascades for several rounds at every SF instead of
+    * converging trivially. */
+  private[graft] val kcoreK = 3
+  private val kcoreOracleRounds = 8
+
+  /** The graph_kcore oracle: unroll `rounds` peel rounds as generated
+    * CTEs. Peeling is monotone with a unique fixpoint, so any unroll ≥
+    * the fixture's rounds-to-fixpoint (measured ≤ 3 at sf ≤ 0.1; 8 is
+    * headroom) equals the Spark loop's exact-convergence result —
+    * extra rounds are no-ops. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // each round references the previous CTE exactly ONCE (per-endpoint
+    // degrees via window counts, then filter both ends) — a
+    // survivors-join form references e(i-1) three times per level, and
+    // an engine that inlines CTEs expands that 3^rounds-fold (measured:
+    // DuckDB planning hung on the 8-round unroll)
+    val its = (1 to rounds).map { i =>
+      s"""e$i AS (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS du,
+         |                 COUNT(*) OVER (PARTITION BY v) AS dv
+         |    FROM e${i - 1}) t
+         |  WHERE du >= $k AND dv >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+       |  FROM lineitem WHERE l_quantity <= 2),
+       |e0 AS (
+       |  SELECT sk AS u, pk + 1000000 AS v FROM p
+       |  UNION ALL
+       |  SELECT pk + 1000000 AS u, sk AS v FROM p),
+       |$its
+       |SELECT u AS node, COUNT(*) AS deg FROM e$rounds
+       |GROUP BY u ORDER BY node""".stripMargin
+  }
+
   /** Distributed regime: alternate large-star/small-star until the edge
     * set is a fixpoint — at which point every component is a star rooted
     * at its min id and the edge set IS the (node → component) map for
@@ -1471,6 +1571,21 @@ object Dedup extends QueryGroup {
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       triangleCounts(edges).orderBy("node")
+    }),
+
+    // k-core of the thinned supplier↔part graph — the fourth
+    // graph-analytics key (kernel scaladoc on [[kcoreNodes]]): iterative
+    // peeling to an EXACT fixpoint with per-round checkpoint release.
+    // Deterministic → fully oracled: the unrolled-CTE oracle re-derives
+    // the same graph and peels past the fixpoint (extra rounds are
+    // no-ops on a monotone peel).
+    "graph_kcore" -> ((s, dir) => {
+      val p = Tables.lineitem(s, dir).filter(col("l_quantity") <= 2)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = p.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))
+        .unionByName(p.select((col("pk") + 1000000L).as("u"), col("sk").as("v")))
+      kcoreNodes(edges, kcoreK).orderBy("node")
     }),
 
     // MinHash-LSH candidate pairs — the scale path: band-bucket join
@@ -1970,6 +2085,7 @@ object Dedup extends QueryGroup {
     // The FULL 8-iteration integral fixpoint unrolled as generated
     // CTEs — same constants as the Spark loop by construction.
     "graph_pagerank" -> pagerankSql(pagerankIters),
+    "graph_kcore" -> kcoreSql(kcoreK, kcoreOracleRounds),
 
     // Independent re-derivation of the degree-oriented triangle count:
     // same co-purchase edges, same (degree, id) orientation, same

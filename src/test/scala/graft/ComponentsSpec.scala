@@ -142,6 +142,31 @@ class ComponentsSpec extends SparkSuite {
     }
   }
 
+  test("kcore: clique survives, tails and under-k structures peel, cascades converge") {
+    import spark.implicits._
+    // K4 (1-4) + pendant chain 4-5-6: the 3-core is exactly the clique
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core3 = Graft.kcore(e, "a", "b", k = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(core3 == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // 2-core: the chain peels off over TWO cascading rounds (6 exposes 5)
+    val core2 = Graft.kcore(e, "a", "b", k = 2)
+      .select("node").collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L))
+    // a 10-cycle is its own 2-core; a 10-path peels to empty from both
+    // ends (a ~n/2-round cascade — the convergence loop, not one pass)
+    val cyc = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("a", "b")
+    assert(Graft.kcore(cyc, "a", "b", 2).count() == 10L)
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Graft.kcore(path, "a", "b", 2).count() == 0L)
+    // a truncated peel must FAIL, not ship a superset of the core
+    val boom = intercept[IllegalStateException] {
+      Graft.kcore(path, "a", "b", 2, maxRounds = 2).count()
+    }
+    assert(boom.getMessage.contains("fixpoint"))
+  }
+
   test("union-find regime routes by the edge cap (stars ≡ local above it)") {
     import spark.implicits._
     // Same chain through the public entry with the ids NON-integral
