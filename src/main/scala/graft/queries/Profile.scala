@@ -221,6 +221,31 @@ object Profile extends QueryGroup {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Robust outlier detection: per event_type, flag values more than
+    // 3 scaled-MAD units from the median — the median/MAD pair shrugs
+    // off the very outliers a mean/stddev z-score would absorb (50%
+    // breakdown point vs 0), the standard robust gate before training
+    // on telemetry-like values. Two keyed exact-percentile aggregates
+    // (median, then median of |v − m|), the 5-row stats relation rides
+    // back as a broadcast, and the gate is a map-only filter — at 100 TB
+    // the same shape swaps percentile for approx_percentile and nothing
+    // else moves. Both engines interpolate percentiles identically
+    // (Spark percentile ≡ DuckDB quantile_cont) and the score is the
+    // identical IEEE expression tree (D2, rounded to 4).
+    "anomaly_mad" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("m"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - m), 0.5)").as("mad"), first(col("m")).as("m"))
+      ev.join(broadcast(mad), "event_type")
+        .filter(abs(col("value") - col("m")) > lit(3.0) * lit(1.4826) * col("mad"))
+        .select(col("event_id"), col("event_type"), r6(col("value")).as("value"),
+          r4(abs(col("value") - col("m")) / (lit(1.4826) * col("mad"))).as("mad_score"))
+        .orderBy("event_id")
+    }),
+
     // Selective-dimension join — the shape Spark's runtime bloom filter
     // optimizes: the filtered orders side builds a bloom filter that is
     // pushed into the lineitem scan, cutting the probe-side shuffle to
@@ -259,6 +284,20 @@ object Profile extends QueryGroup {
         |             ('signup', 50), ('purchase', 100)) r(event_type, pct)
         |  USING (event_type)
         |WHERE event_id % 100 < pct
+        |ORDER BY event_id""".stripMargin,
+    "anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - med.m), 0.5) AS mad, MIN(med.m) AS m
+        |  FROM events e JOIN med USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT event_id, e.event_type, ROUND(value, 6) AS value,
+        |  ROUND(abs(value - m) / (CAST(1.4826 AS DOUBLE) * mad), 4) AS mad_score
+        |FROM events e JOIN mad USING (event_type)
+        |WHERE abs(value - m) > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
         |ORDER BY event_id""".stripMargin,
     "sample_weighted" ->
       s"""WITH b AS (

@@ -325,6 +325,48 @@ object Windows extends QueryGroup {
           coalesce(col("n"), lit(0L)).as("n"),
           last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
         .orderBy("user_id", "day")
+    }),
+
+    // Time-series gap fill, linear flavor: the same dense per-user
+    // calendar, but missing days INTERPOLATE between the bracketing
+    // observations instead of carrying the last one — the resample→
+    // interpolate step under rate/level series where a step function
+    // lies. Two windows per user (last-obs back, first-obs forward,
+    // carrying the observation DAY alongside its value), then one
+    // closed-form lerp; values stay exact integer cents until the final
+    // projection, whose double math is the identical expression tree in
+    // both engines (D2). Days outside the first..last observation span
+    // are honestly null. Scale: keyed on user_id throughout, calendar
+    // explode bounded by each user's own span.
+    "ts_interpolate" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"))
+      val cal = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val back = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          last(col("vc"), ignoreNulls = true).over(back).as("pv"),
+          last(when(col("vc").isNotNull, col("day")), ignoreNulls = true)
+            .over(back).as("pd"),
+          first(col("vc"), ignoreNulls = true).over(fwd).as("nv"),
+          first(when(col("vc").isNotNull, col("day")), ignoreNulls = true)
+            .over(fwd).as("nd"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          round(when(col("pv").isNull || col("nv").isNull, lit(null))
+            .when(col("pd") === col("nd"), col("pv").cast("double") / 100.0)
+            .otherwise((col("pv").cast("double")
+              + (col("nv") - col("pv")).cast("double")
+                * datediff(col("day"), col("pd")).cast("double")
+                / datediff(col("nd"), col("pd")).cast("double")) / 100.0),
+            4).as("interp_value"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -346,6 +388,40 @@ object Windows extends QueryGroup {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
          |ORDER BY c.user_id, day""".stripMargin,
+    "ts_interpolate" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         |    CAST(SUM(${Det.centsSql("value")}) AS BIGINT) AS vc
+         |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         |cal AS (
+         |  SELECT user_id, CAST(d AS DATE) AS day
+         |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         |        FROM daily GROUP BY user_id) s,
+         |       UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d)),
+         |br AS (
+         |  SELECT c.user_id, c.day, COALESCE(n, 0) AS n,
+         |    last_value(vc IGNORE NULLS) OVER wb AS pv,
+         |    last_value(CASE WHEN vc IS NOT NULL THEN c.day END IGNORE NULLS)
+         |      OVER wb AS pd,
+         |    first_value(vc IGNORE NULLS) OVER wf AS nv,
+         |    first_value(CASE WHEN vc IS NOT NULL THEN c.day END IGNORE NULLS)
+         |      OVER wf AS nd
+         |  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+         |  WINDOW
+         |    wb AS (PARTITION BY c.user_id ORDER BY c.day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY c.user_id ORDER BY c.day
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+         |  ROUND(CASE
+         |    WHEN pv IS NULL OR nv IS NULL THEN NULL
+         |    WHEN pd = nd THEN CAST(pv AS DOUBLE) / 100.0
+         |    ELSE (CAST(pv AS DOUBLE)
+         |      + CAST(nv - pv AS DOUBLE)
+         |        * CAST(datediff('day', pd, day) AS DOUBLE)
+         |        / CAST(datediff('day', pd, nd) AS DOUBLE)) / 100.0
+         |  END, 4) AS interp_value
+         |FROM br ORDER BY user_id, day""".stripMargin,
     "win_sessionize" ->
       """WITH brk AS (
         |  SELECT event_id, user_id, ts,
