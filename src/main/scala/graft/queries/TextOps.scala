@@ -128,8 +128,7 @@ object TextOps extends QueryGroup {
     * length vs remaining bytes). The oracle re-derives (channels,
     * sample_rate, n_samples) from the generative formula independently,
     * so any LE-walk or chunk-offset bug hash-mismatches. */
-  private[graft] def decodeWav(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
+  private[graft] def wavFramed(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     def hp(c: Column): Column = lpad(hex(pmod(c.cast("long"), lit(256L))), 2, "0")
     def hle16(c: Column): Column = concat(hp(c), hp(shiftright(c.cast("long"), 8)))
@@ -154,6 +153,11 @@ object TextOps extends QueryGroup {
     repeatToCover(docs, 236)
       .withColumn("need", dataSize.cast("int"))
       .select(col("doc_id"), payload.as("payload"))
+  }
+
+  private[graft] def decodeWav(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    wavFramed(docs)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
@@ -227,6 +231,87 @@ object TextOps extends QueryGroup {
         }
       }
       .toDF("doc_id", "width", "height", "n_pix", "px_sum", "format")
+  }
+
+  /** Nearest-neighbor 2× downsample over the DECODED [[pngFramed]]
+    * pixels — the resize step of a multimodal ingest (thumbnail /
+    * vision-encoder pre-resize), run where it belongs: inside the same
+    * batched per-partition pass as the decode, so full-resolution
+    * pixels never hit a shuffle. Output px_sum is the byte sum of the
+    * RESIZED image (pixels at even (x, y)); the oracle re-derives it
+    * from the generative text formula with the same index arithmetic —
+    * a value-level certificate of decode + resample, not a dims
+    * check. */
+  private[graft] def resizePng(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    pngFramed(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (w, h, px) = MmCodec.parsePng(bytes, id)
+            val ow = (w + 1) / 2
+            val oh = (h + 1) / 2
+            var sum = 0L
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                var c = 0
+                while (c < 3) {
+                  sum += px((2 * y * w + 2 * x) * 3 + c) & 0xff
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, ow.toLong, oh.toLong, ow.toLong * oh * 3, sum, "png-rgb8-nn2")
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pix", "px_sum", "format")
+  }
+
+  /** Sample-level energy of the [[decodeWav]] PCM payload: parse the
+    * RIFF header (same checks), then walk the 16-bit little-endian
+    * SIGNED samples and sum their squares — the value-level certificate
+    * the count-level mm_decode_wav key can't give (a byte-order or
+    * sign-extension bug changes the energy, not the counts). The
+    * fixture's ASCII payload never sets the sign bit, so the signed
+    * branch is pinned separately in GraftSpec with crafted bytes. */
+  private[graft] def wavEnergy(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    wavFramed(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, b) => wavEnergyOf(id, b) }
+        }
+      }
+      .toDF("doc_id", "n_vals", "energy")
+  }
+
+  /** One payload's (doc_id, n_vals, energy) — split out so GraftSpec
+    * can drive the signed-sample branch with crafted bytes. */
+  private[graft] def wavEnergyOf(id: Long, b: Array[Byte]): (Long, Long, Long) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def tag(i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $id: bad RIFF/WAVE magic")
+    require(tag(36) == "data", s"doc $id: missing data chunk")
+    val dsz = b.length - 44
+    val nVals = dsz / 2
+    var energy = 0L
+    var i = 0
+    while (i < nVals) {
+      var v = u8(44 + 2 * i) | (u8(45 + 2 * i) << 8)
+      if (v >= 0x8000) v -= 0x10000 // 16-bit two's complement
+      energy += v.toLong * v
+      i += 1
+    }
+    (id, nVals.toLong, energy)
   }
 
   /** JPEG frame of a (doc_id, text) relation: same generative pixel
@@ -606,6 +691,19 @@ object TextOps extends QueryGroup {
     // certified, not just length-checked.
     "mm_decode_png" -> ((s, dir) =>
       decodePng(s, Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Resize INSIDE the decode pass (kernel scaladoc on [[resizePng]]):
+    // nearest-neighbor 2× downsample of the decoded PNG pixels, sum
+    // certified value-level by the oracle's own index arithmetic over
+    // the generative formula.
+    "mm_resize" -> ((s, dir) =>
+      resizePng(s, Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Sample-level PCM energy (kernel scaladoc on [[wavEnergy]]): the
+    // value-level certificate of the 16-bit LE sample walk that
+    // mm_decode_wav's header/count checks can't give.
+    "mm_audio_energy" -> ((s, dir) =>
+      wavEnergy(s, Tables.documents(s, dir)).orderBy("doc_id")),
 
     // The first LOSSY compressed format through the decode stage (the
     // JDK's own baseline-JPEG codec; kernel scaladoc on
@@ -1385,6 +1483,64 @@ object TextOps extends QueryGroup {
         |  CAST(px.need AS BIGINT) AS n_pix,
         |  CAST(sums.s AS BIGINT) AS px_sum, 'png-rgb8' AS format
         |FROM px JOIN sums USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // The resized-image sum, re-derived with the oracle's OWN index
+    // arithmetic (i enumerates output bytes; channel = i%3, output
+    // column = (i/3)%ow, output row = (i/3)/ow; source byte sits at
+    // ((2·row)·w + 2·col)·3 + channel) over the generative text bytes —
+    // decode AND resample value-certified.
+    "mm_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 11 + 4 AS BIGINT) AS w,
+        |    CAST(doc_id % 5 + 3 AS BIGINT) AS h,
+        |    CASE WHEN length(text) > 0 THEN text ELSE ' ' END AS bt
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh,
+        |    substr(repeat(bt, CAST(floor(294 / length(bt)) AS INT) + 1),
+        |           1, CAST(w * h * 3 AS INT)) AS p
+        |  FROM base),
+        |sums AS (
+        |  SELECT doc_id,
+        |    SUM(ord(substr(p,
+        |      CAST((((t.i // 3) // ow) * 2 * w + ((t.i // 3) % ow) * 2) * 3
+        |           + t.i % 3 + 1 AS INT), 1))) AS s
+        |  FROM px, UNNEST(range(0, ow * oh * 3)) AS t(i)
+        |  GROUP BY doc_id)
+        |SELECT px.doc_id, px.ow AS width, px.oh AS height,
+        |  CAST(px.ow * px.oh * 3 AS BIGINT) AS n_pix,
+        |  CAST(sums.s AS BIGINT) AS px_sum, 'png-rgb8-nn2' AS format
+        |FROM px JOIN sums USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // PCM sample energy from the generative formula: v = lo + 256·hi
+    // over consecutive payload byte pairs, sign-extended as 16-bit
+    // two's complement (the fixture's ASCII bytes never set the sign
+    // bit — GraftSpec drives that branch with crafted bytes).
+    "mm_audio_energy" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 2 + 1) * 2 * (doc_id % 50 + 10) AS BIGINT) AS dsz,
+        |    CASE WHEN length(text) > 0 THEN text ELSE ' ' END AS bt
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, dsz,
+        |    substr(repeat(bt, CAST(floor(236 / length(bt)) AS INT) + 1),
+        |           1, CAST(dsz AS INT)) AS p
+        |  FROM base),
+        |vals AS (
+        |  SELECT doc_id,
+        |    ord(substr(p, CAST(2 * t.i + 1 AS INT), 1))
+        |      + 256 * ord(substr(p, CAST(2 * t.i + 2 AS INT), 1)) AS v
+        |  FROM d, UNNEST(range(0, dsz // 2)) AS t(i)),
+        |s AS (
+        |  SELECT doc_id,
+        |    SUM(CAST((CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+        |      * (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS BIGINT)) AS energy
+        |  FROM vals GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.dsz // 2 AS BIGINT) AS n_vals,
+        |  CAST(s.energy AS BIGINT) AS energy
+        |FROM d JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "text_quality_rep" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
