@@ -61,6 +61,24 @@ class PlanSpec extends SparkSuite {
       s"aggregate still pays a hash exchange over the bucketed cache:\n$p")
   }
 
+  test("join_fuzzy_symdel plans equi-joins on the variant signature — no cartesian, no BNLJ") {
+    val p = planOf("join_fuzzy_symdel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join degenerated to a product:\n$p")
+    // the candidate join is keyed on the 8-byte hashed signature
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no hash-keyed candidate join:\n$p")
+  }
+
+  test("bloom decontamination broadcasts the one-row filter; gram verify is an equi-join") {
+    val df = SparkEntry.queries("pipeline_decontaminate_bloom")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // the 128 KiB filter relation rides a broadcast (a 1-row build side —
+    // BNLJ with one row IS the broadcast idiom for a columnless join)
+    assert(p.contains("Broadcast"), s"bloom filter not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bloom plan:\n$p")
+  }
+
   test("dedup_cluster edge kernel is one join-free linear pipeline") {
     // the bucket-pair jaccard kernel (round 6): per-doc set size comes
     // from a window on the existing doc_id clustering and pairs from
