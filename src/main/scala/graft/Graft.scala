@@ -350,6 +350,21 @@ object Graft {
     queries.Matching.fuzzyPairs(
       df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")), tau)
 
+  /** BM25 lexical ranking of free-text queries against a document
+    * corpus (Robertson & Zaragoza 2009, Lucene idf form) — top `topK`
+    * docs per query with scores. Order-proof: per-term contributions
+    * round to 6 places and sum as exact DECIMAL, so ranks cannot flip
+    * on float addition order. `queries`: (qid, qtext) pairs. Kernel
+    * scaladoc: [[queries.Dedup.bm25]]. */
+  def bm25Search(spark: SparkSession, docs: DataFrame, queries0: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "q", qtextCol: String = "qtext",
+      topK: Int = 10): DataFrame =
+    queries.Dedup.bm25(spark,
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      queries0.select(col(qidCol).cast("long").as("q"), col(qtextCol).as("qtext")),
+      topK)
+
   /** Dataset-mixture resampling (the data-mixing step after curation):
     * downsample each `bucketCol` group so the output hits the EXACT
     * `shares` target proportions (permyriad, summing to 10000), sized

@@ -625,6 +625,59 @@ object Dedup extends QueryGroup {
       .select(col("q"), col("rnk").cast("long").as("rnk"), col("d"), col("score"))
   }
 
+  /** BM25 lexical ranking (Robertson & Zaragoza 2009; the Lucene
+    * `(N − df + 0.5)/(df + 0.5) + 1` idf form so scores stay positive):
+    * score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    * The retrieval scorer proper, completing the search family beside
+    * the RRF fusion keys (whose lexical leg is plain term overlap).
+    * Scale: tf/df/dl are three keyed aggregates over the token explode,
+    * the query terms broadcast, the (nd, avgdl) corpus stats ride a
+    * broadcast 1-row aggregate (the corpus-total discipline), and the
+    * per-query ranking is one bounded window. D2 order-proofing: each
+    * term's contribution rounds to 6 places and sums EXACTLY as
+    * DECIMAL(18,6) (the unigramSurprisal discipline), so the rank —
+    * taken on the exact decimal sum, ties by doc id — cannot flip on
+    * float addition order in either engine; the displayed score is one
+    * final double cast, round 4. */
+  private[graft] def bm25(s: SparkSession, docs: DataFrame,
+      queryRel: DataFrame, topK: Int,
+      k1: Double = bm25K1, b: Double = bm25B): DataFrame = {
+    require(topK > 0, s"bm25: topK must be positive, got $topK")
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+    val qterms = queryRel.select(col("q"),
+      explode(array_distinct(split(lower(col("qtext")), "[^a-z]+"))).as("t"))
+      .filter(length(col("t")) > 0)
+    val term = broadcast(qterms)
+      .join(tf, "t").join(df, "t").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot").cast("double") / col("nd").cast("double"))
+      .withColumn("idf", log(
+        (col("nd").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", graft.Det.dec(round(
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))),
+        6)))
+    term.groupBy("q", "doc_id").agg(sum(col("contrib")).as("sc"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q").orderBy(desc("sc"), asc("doc_id"))))
+      .filter(col("rnk") <= topK)
+      .select(col("q"), col("rnk").cast("long").as("rnk"),
+        col("doc_id").as("d"), round(col("sc").cast("double"), 4).as("score"))
+  }
+
+  private[graft] val bm25K1 = 1.2
+  private[graft] val bm25B = 0.75
+  private[graft] val bm25TopK = 10
+
   /** The search_hybrid_text pinned queries — free-text strings over the
     * fixture vocabulary, each paired with the vec_id whose embedding
     * plays the caller-embedded query vector (ids present at every
@@ -1700,6 +1753,17 @@ object Dedup extends QueryGroup {
         .orderBy("q", "rnk")
     }),
 
+    // BM25 lexical ranking over the pinned free-text queries (kernel
+    // scaladoc on [[bm25]]) — the retrieval scorer proper, order-proof
+    // via per-term DECIMAL(18,6) contributions so the rank can't flip
+    // on float addition order in either engine.
+    "search_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qrel = hybridTextQueries.map { case (q, t, _) => (q, t) }
+        .toDF("q", "qtext")
+      bm25(s, Tables.documents(s, dir), qrel, bm25TopK).orderBy("q", "rnk")
+    }),
+
     // IVF-bucketed ANN — the scale path: assign every vector to its
     // nearest of 16 seed centroids, then each query probes only its
     // nprobe nearest centroid buckets. Seeds are deterministic greedy
@@ -2215,6 +2279,55 @@ object Dedup extends QueryGroup {
     // the SAME Scala constants the key uses (hybridTextQueries /
     // hybridTextWLex / hybridTextWVec), the rest re-states the
     // pipeline in raw SQL. No self-exclusion on either side (free text
+    // The BM25 oracle — every double constant is INTERPOLATED from the
+    // Scala-computed value (k1+1, 1−b round-trip through toString), so
+    // both engines evaluate bit-identical literals; contributions round
+    // to 6 and sum as exact DECIMAL(18,6), the rank reads the exact sum.
+    "search_bm25" -> {
+      val k1p1 = bm25K1 + 1.0
+      val oneMinusB = 1.0 - bm25B
+      s"""WITH qq(q, qtext) AS (VALUES ${hybridTextQueries.map {
+           case (q, t, _) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")}),
+         |toks AS (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+         |    FROM documents)
+         |  WHERE length(t) > 0),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+         |df AS (SELECT t, COUNT(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY t),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+         |qt AS (
+         |  SELECT q, t FROM (
+         |    SELECT q,
+         |      unnest(list_distinct(string_split_regex(lower(qtext), '[^a-z]+'))) AS t
+         |    FROM qq)
+         |  WHERE length(t) > 0),
+         |term AS (
+         |  SELECT qt.q AS q, tf.doc_id AS doc_id,
+         |    CAST(ROUND(
+         |      ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+         |           / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |         + CAST(1 AS DOUBLE))
+         |      * (CAST(tf AS DOUBLE) * CAST($k1p1 AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + CAST($bm25K1 AS DOUBLE)
+         |          * (CAST($oneMinusB AS DOUBLE)
+         |             + CAST($bm25B AS DOUBLE) * CAST(dl AS DOUBLE)
+         |               / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)))), 6)
+         |      AS DECIMAL(18,6)) AS contrib
+         |  FROM qt JOIN tf USING (t) JOIN df USING (t)
+         |    JOIN dl ON tf.doc_id = dl.doc_id, st),
+         |sc AS (SELECT q, doc_id, SUM(contrib) AS sc FROM term GROUP BY q, doc_id)
+         |SELECT q, rnk, d, score FROM (
+         |  SELECT q, doc_id AS d, ROUND(CAST(sc AS DOUBLE), 4) AS score,
+         |    CAST(row_number() OVER (PARTITION BY q ORDER BY sc DESC, doc_id)
+         |      AS BIGINT) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= $bm25TopK
+         |ORDER BY q, rnk""".stripMargin
+    },
     // has no corpus identity).
     "search_hybrid_text" ->
       s"""WITH qq(q, qtext, vid) AS (VALUES $hybridTextValuesSql),

@@ -229,6 +229,36 @@ class GraftSpec extends SparkSuite {
       s"scores outside the RRF envelope: min ${scores.min} max ${scores.max}")
   }
 
+  test("bm25Search matches search_bm25 on caller columns; BM25 ranking laws hold") {
+    import spark.implicits._
+    val qrel = queries.Dedup.hybridTextQueries.map { case (q, t, _) => (q, t) }
+      .toDF("qid", "question")
+    val facade = rows(Graft.bm25Search(spark, myDocs, qrel,
+      idCol = "document_id", textCol = "body",
+      qidCol = "qid", qtextCol = "question")
+      .orderBy("q", "rnk"))
+    val key = rows(SparkEntry.queries("search_bm25")(spark, sf001))
+    assert(facade == key)
+    // ranking laws on a corpus where they're provable (the fixture's
+    // near-uniform vocabulary flattens idf, so source-prefix retrieval
+    // is not a law there): a doc matching BOTH query terms — one of
+    // them rare — must outrank a long doc spamming only the common
+    // term (tf saturation + length norm + idf), and a doc matching
+    // neither scores nothing
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, ("apple " * 20).trim),
+      (3L, "dog cat fish")).toDF("document_id", "body")
+    val q2 = Seq((42L, "apple banana")).toDF("qid", "question")
+    val got = rows(Graft.bm25Search(spark, corpus, q2,
+      idCol = "document_id", textCol = "body",
+      qidCol = "qid", qtextCol = "question").orderBy("rnk"))
+    assert(got.map(_(2)) == Seq(1L, 2L),
+      s"expected [both-terms doc, spam doc], no zero-match doc: $got")
+    assert(got.head(3).asInstanceOf[Double] > got(1)(3).asInstanceOf[Double],
+      s"rare-term match should outscore common-term spam: $got")
+  }
+
   test("hybridSearchText matches search_hybrid_text; query text retrieves its source doc") {
     import spark.implicits._
     val qrel = queries.Dedup.hybridTextQueries.toDF("id", "body_text", "v")
