@@ -37,6 +37,27 @@ object Aggregates extends QueryGroup {
         .agg(count(lit(1)).as("cnt"), sumd2(col("o_totalprice")).as("total"))
         .orderBy("bucket")),
 
+    // Equi-DEPTH histogram (the optimizer-statistics companion to
+    // agg_histogram's equi-width buckets): ntile(8) over the exact
+    // money order — deterministic because the ORDER BY is a total
+    // order (cents, then the unique key; D6) and both engines size SQL
+    // ntile buckets identically (first N mod k buckets one row
+    // larger). The global ntile window is ONE partition at fixture
+    // scale — honest: the 100 TB form computes approximate bucket
+    // BOUNDARIES first (agg_approx_quantile is that mergeable sketch)
+    // and assigns buckets map-side with no global sort.
+    "agg_histogram_eqdepth" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pc"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("pc"))
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("pc")).as("lo_cents"), max(col("pc")).as("hi_cents"))
+        .orderBy("bucket")
+    }),
+
     // Ungrouped global aggregate (single output row).
     "agg_global" -> ((s, dir) =>
       Tables.lineitem(s, dir).agg(
@@ -313,6 +334,14 @@ object Aggregates extends QueryGroup {
       s"""SELECT CAST(LEAST(FLOOR(o_totalprice / CAST(60000 AS DOUBLE)), 9) AS BIGINT) AS bucket,
         |  COUNT(*) AS cnt, ${Det.sumd2Sql("o_totalprice")} AS total
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_histogram_eqdepth" ->
+      s"""WITH r AS (
+         |  SELECT o_orderkey, ${Det.centsSql("o_totalprice")} AS pc FROM orders),
+         |b AS (
+         |  SELECT pc, ntile(8) OVER (ORDER BY pc, o_orderkey) AS bucket FROM r)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+         |  MIN(pc) AS lo_cents, MAX(pc) AS hi_cents
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_global" ->
       s"""SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  ${Det.sumd2Sql("l_extendedprice")} AS sum_price,

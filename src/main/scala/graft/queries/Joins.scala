@@ -173,6 +173,31 @@ object Joins extends QueryGroup {
         .orderBy("k1", "k2")
     }),
 
+    // Per-group Pareto skyline (Börzsönyi et al. 2001's skyline
+    // operator): each supplier's non-dominated lineitems under
+    // (price, quantity) both minimized — the multi-criteria shortlist.
+    // ONE left-anti self-join: equi on the group key plus the strict-
+    // dominance band predicate, so the quadratic compare is keyed per
+    // supplier and bounded by group width, never a global product.
+    // Duplicate (price, qty) points don't dominate each other — both
+    // stay (the standard skyline tie semantics). Money compares as
+    // exact integer cents.
+    "skyline_pareto" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), graft.Det.cents(col("l_extendedprice")).as("price_cents"),
+        col("l_quantity").cast("long").as("quantity"))
+      val dom = li.select(col("l_suppkey").as("sk"),
+        col("price_cents").as("pc2"), col("quantity").as("qc2"))
+      li.join(dom,
+          col("l_suppkey") === col("sk") &&
+            col("pc2") <= col("price_cents") && col("qc2") <= col("quantity") &&
+            (col("pc2") < col("price_cents") || col("qc2") < col("quantity")),
+          "left_anti")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "price_cents")
+    }),
+
     // Equi + band predicate: lineitem shipped within 90 days of its order.
     "join_interval" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -382,6 +407,21 @@ object Joins extends QueryGroup {
         |       b.n_nationkey AS k2, b.n_name AS name2
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
         |ORDER BY k1, k2""".stripMargin,
+    "skyline_pareto" ->
+      s"""WITH l AS (
+         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+         |    ${graft.Det.centsSql("l_extendedprice")} AS price_cents,
+         |    CAST(l_quantity AS BIGINT) AS quantity
+         |  FROM lineitem)
+         |SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+         |  price_cents, quantity
+         |FROM l a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM l b
+         |  WHERE b.l_suppkey = a.l_suppkey
+         |    AND b.price_cents <= a.price_cents AND b.quantity <= a.quantity
+         |    AND (b.price_cents < a.price_cents OR b.quantity < a.quantity))
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, price_cents""".stripMargin,
     "join_interval" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, o_orderdate, l_shipdate
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
