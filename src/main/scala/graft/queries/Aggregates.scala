@@ -58,6 +58,31 @@ object Aggregates extends QueryGroup {
         .orderBy("bucket")
     }),
 
+    // Shannon entropy of each user's event-type distribution — the
+    // data-quality skew detector (0 = single-type user, ln 5 = uniform
+    // over the five types). Cross-engine float discipline: each
+    // −p·ln p term rounds to 6 places and sums as exact DECIMAL(18,6)
+    // (the BM25/unigramSurprisal order-proofing), one final double
+    // cast rounded to 4. Two keyed aggregates — linear at scale.
+    "agg_entropy" -> ((s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("user_id").agg(sum(col("c")).as("n"))
+      c.join(n, "user_id")
+        .withColumn("term", Det.dec(round(
+          -(col("c").cast("double") / col("n").cast("double"))
+            * log(col("c").cast("double") / col("n").cast("double")), 6)))
+        .groupBy("user_id")
+        // round the DECIMAL sum to 4 IN DECIMAL (exact half-up in both
+        // engines), THEN cast: rounding after the double cast hit a
+        // literal half boundary at sf0.1 (sum ...56245 → Spark's
+        // BigDecimal half-up and DuckDB's multiply-then-std::round saw
+        // opposite sides of the binary midpoint)
+        .agg(round(sum(col("term")), 4).cast("double").as("entropy"),
+          count(lit(1)).as("n_types"))
+        .orderBy("user_id")
+    }),
+
     // Ungrouped global aggregate (single output row).
     "agg_global" -> ((s, dir) =>
       Tables.lineitem(s, dir).agg(
@@ -334,6 +359,21 @@ object Aggregates extends QueryGroup {
       s"""SELECT CAST(LEAST(FLOOR(o_totalprice / CAST(60000 AS DOUBLE)), 9) AS BIGINT) AS bucket,
         |  COUNT(*) AS cnt, ${Det.sumd2Sql("o_totalprice")} AS total
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY user_id),
+        |t AS (
+        |  SELECT c.user_id,
+        |    CAST(ROUND(
+        |      (-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+        |        * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM c JOIN n USING (user_id))
+        |SELECT user_id, CAST(ROUND(SUM(term), 4) AS DOUBLE) AS entropy,
+        |  COUNT(*) AS n_types
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_histogram_eqdepth" ->
       s"""WITH r AS (
          |  SELECT o_orderkey, ${Det.centsSql("o_totalprice")} AS pc FROM orders),

@@ -670,8 +670,11 @@ object Dedup extends QueryGroup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q").orderBy(desc("sc"), asc("doc_id"))))
       .filter(col("rnk") <= topK)
+      // round the DECIMAL sum IN DECIMAL, then cast (the agg_entropy
+      // lesson: rounding after the cast sits one binary ulp from a
+      // decimal half boundary and the engines can disagree there)
       .select(col("q"), col("rnk").cast("long").as("rnk"),
-        col("doc_id").as("d"), round(col("sc").cast("double"), 4).as("score"))
+        col("doc_id").as("d"), round(col("sc"), 4).cast("double").as("score"))
   }
 
   private[graft] val bm25K1 = 1.2
@@ -2321,7 +2324,7 @@ object Dedup extends QueryGroup {
          |    JOIN dl ON tf.doc_id = dl.doc_id, st),
          |sc AS (SELECT q, doc_id, SUM(contrib) AS sc FROM term GROUP BY q, doc_id)
          |SELECT q, rnk, d, score FROM (
-         |  SELECT q, doc_id AS d, ROUND(CAST(sc AS DOUBLE), 4) AS score,
+         |  SELECT q, doc_id AS d, CAST(ROUND(sc, 4) AS DOUBLE) AS score,
          |    CAST(row_number() OVER (PARTITION BY q ORDER BY sc DESC, doc_id)
          |      AS BIGINT) AS rnk
          |  FROM sc)

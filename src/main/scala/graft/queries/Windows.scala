@@ -327,6 +327,26 @@ object Windows extends QueryGroup {
         .orderBy("user_id", "day")
     }),
 
+    // Gaps-and-islands streaks: each user's longest run of CONSECUTIVE
+    // active days plus how many distinct runs they have — the
+    // engagement-streak analytic. The island key is the classic
+    // day − row_number() trick (consecutive days share it); entirely
+    // integer arithmetic (days since a fixed anchor), two keyed
+    // aggregates after one per-user window — linear at any scale.
+    "win_streak" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      uw.withColumn("island",
+          datediff(col("day"), to_date(lit("2024-01-01")))
+            - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // Time-series gap fill, linear flavor: the same dense per-user
     // calendar, but missing days INTERPOLATE between the bracketing
     // observations instead of carrying the last one — the resample→
@@ -388,6 +408,18 @@ object Windows extends QueryGroup {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
          |ORDER BY c.user_id, day""".stripMargin,
+    "win_streak" ->
+      """WITH uw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '2024-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM uw),
+        |runs AS (
+        |  SELECT user_id, island, COUNT(*) AS len
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_interpolate" ->
       s"""WITH daily AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
