@@ -167,6 +167,36 @@ class ComponentsSpec extends SparkSuite {
     assert(boom.getMessage.contains("fixpoint"))
   }
 
+  test("kcore equals a local reference peel on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 1 to 6) {
+      val n = 6 + rnd.nextInt(12)
+      val edges = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      val k = 2 + rnd.nextInt(2)
+      // reference: simultaneous-drop peel over local adjacency sets
+      var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (u, vs) if vs.size < k => u }.toSet
+        changed = drop.nonEmpty
+        adj = (adj -- drop).map { case (u, vs) => u -> (vs -- drop) }
+      }
+      val want = adj.map { case (u, vs) => (u, vs.size.toLong) }
+        .toSeq.sortBy(_._1)
+      if (edges.nonEmpty) {
+        val got = Graft.kcore(edges.toDF("a", "b"), "a", "b", k)
+          .orderBy("node").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want, s"trial $trial n=$n k=$k edges=$edges")
+      }
+    }
+  }
+
   test("union-find regime routes by the edge cap (stars ≡ local above it)") {
     import spark.implicits._
     // Same chain through the public entry with the ids NON-integral
