@@ -261,6 +261,22 @@ object Graft {
       k, maxRounds)
   }
 
+  /** Deterministic random walks over an undirected graph (see
+    * [[graft.queries.Dedup.randomWalks]]): one `steps`-hop walk per
+    * node, hops chosen by an integer hash of (start, step, current) mod
+    * degree — random in distribution, exactly replayable on re-run (the
+    * DeepWalk/node2vec training-sequence build). Node ids must be
+    * non-negative (the hash arithmetic's sign contract — enforced
+    * loud). Returns (start, step, node). */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int = 6): DataFrame = {
+    val guard = assert_true(col(srcCol) >= 0 && col(dstCol) >= 0,
+      lit("randomWalks: node ids must be non-negative"))
+    val e = edges.filter(when(guard.isNull, col(srcCol) =!= col(dstCol)))
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    queries.Dedup.randomWalks(queries.Dedup.symmetrized(e), steps)
+  }
+
   /** Exact heavy hitters of a string column via the Misra–Gries
     * two-pass pipeline (see [[graft.functions.MisraGries]] and the
     * text_heavy_hitters key): a k-counter sketch pass finds ≤ k

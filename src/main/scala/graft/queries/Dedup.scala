@@ -681,6 +681,44 @@ object Dedup extends QueryGroup {
   private[graft] val bm25B = 0.75
   private[graft] val bm25TopK = 10
 
+  /** Hops per walk of the graph_random_walk key — the oracle's unroll
+    * depth is GENERATED from this. */
+  private[graft] val walkSteps = 6
+
+  /** The graph_random_walk oracle: same co-purchase edges, same
+    * adjacency ranks (row_number over (u, v)), and every hop replayed
+    * from [[walkHashSql]] as one CTE per step — each referencing its
+    * predecessor exactly ONCE (the kcore CTE-inlining lesson; `adj` is
+    * re-referenced per step, but it's a leaf, so inlining it costs a
+    * constant factor, not an exponential one). */
+  private def walkSql(steps: Int): String = {
+    val hops = (1 to steps).map { i =>
+      s"""f$i AS (
+         |  SELECT f.start AS start, CAST($i AS BIGINT) AS step, a.v AS cur
+         |  FROM f${i - 1} f JOIN adj a ON f.cur = a.u
+         |  WHERE a.rn = ${walkHashSql("f.start", i, "f.cur")} % a.deg + 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(i => s"SELECT * FROM f$i").mkString("\nUNION ALL\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |adj AS (
+       |  SELECT u, v,
+       |    row_number() OVER (PARTITION BY u ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY u) AS deg
+       |  FROM (SELECT DISTINCT u, v FROM e)),
+       |f0 AS (
+       |  SELECT u AS start, CAST(0 AS BIGINT) AS step, u AS cur
+       |  FROM (SELECT DISTINCT u FROM adj)),
+       |$hops
+       |SELECT start, step, cur AS node FROM (
+       |$unions
+       |) w ORDER BY start, step""".stripMargin
+  }
+
   /** The search_hybrid_text pinned queries — free-text strings over the
     * fixture vocabulary, each paired with the vec_id whose embedding
     * plays the caller-embedded query vector (ids present at every
@@ -1115,6 +1153,56 @@ object Dedup extends QueryGroup {
       struct(col("u"), col("v")),
       struct(col("v").as("u"), col("u").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** Deterministic random walks (the DeepWalk/node2vec data-generation
+    * stage, Perozzi et al. 2014): one `steps`-hop walk per node over a
+    * SYMMETRIZED edge relation, the next hop chosen by an integer hash
+    * of (start, step, current) mod the current node's degree — so the
+    * walk is "random" in distribution but exactly replayable by any
+    * engine, which is what makes the key ORACLE-ABLE (and what a
+    * production pipeline wants anyway: re-runs must emit identical
+    * training sequences). Adjacency is built once — per-node neighbor
+    * ranks and degree via two windows — and localCheckpointed so the
+    * `steps` joins reuse it instead of recomputing the windows per hop;
+    * the output materializes before the adjacency checkpoint releases
+    * (the pagerank outCk discipline). Each hop is one equi-join of the
+    * |nodes|-row frontier against adjacency on the current node,
+    * filtered to the hash-ranked neighbor — every shuffle keyed,
+    * nothing quadratic; at 100 TB this is the standard distributed
+    * walk-table build. Walk hash terms are mod-reduced BEFORE the
+    * multiply (ANSI overflow discipline) and the oracle's formula is
+    * GENERATED from [[walkHashSql]]. Returns (start, step, node),
+    * step 0 = the start itself. */
+  private[graft] def randomWalks(edges: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"randomWalks: steps in 1..64, got $steps")
+    val adj = edges.distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy("v")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("u")))
+      .localCheckpoint(true)
+    var frontier = adj.select(col("u").as("start")).distinct()
+      .withColumn("step", lit(0L)).withColumn("cur", col("start"))
+    var out = frontier
+    for (t <- 1 to steps) {
+      frontier = frontier
+        .join(adj, col("cur") === col("u"))
+        .filter(col("rn") === expr(s"${walkHashSql("start", t, "cur")} % deg + 1"))
+        .select(col("start"), lit(t.toLong).as("step"), col("v").as("cur"))
+      out = out.unionByName(frontier)
+    }
+    val outCk = out.select(col("start"), col("step"), col("cur").as("node"))
+      .localCheckpoint(true)
+    releaseCheckpoint(adj)
+    outCk
+  }
+
+  /** The hop-choice hash of [[randomWalks]] — identical SQL on the
+    * Spark side and in the oracle (GENERATED from this). Terms
+    * mod-reduce to 2²⁰ before multiplying by the mixing constants, so
+    * the sum stays ≤ ~2⁴⁰ (ANSI-safe at any id); all inputs
+    * non-negative, so plain `%` agrees across engines. */
+  private[graft] def walkHashSql(start: String, t: Int, cur: String): String =
+    s"((($start % 1048576) * 69069 + $t * 12345 + ($cur % 1048576) * 31337))"
 
   /** The iteration core on a (u, v) edge relation — the shape
     * [[graft.Graft.pagerank]] exposes on caller columns.
@@ -1756,6 +1844,20 @@ object Dedup extends QueryGroup {
         .orderBy("q", "rnk")
     }),
 
+    // Deterministic random walks over the part co-purchase graph — the
+    // fifth graph key (kernel scaladoc on [[randomWalks]]): one 6-hop
+    // hash-replayable walk per node, the DeepWalk training-sequence
+    // build. Fully oracled: DuckDB re-derives the same adjacency ranks
+    // and replays every hop choice from the shared hash formula.
+    "graph_random_walk" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      randomWalks(symmetrized(edges), walkSteps).orderBy("start", "step")
+    }),
+
     // BM25 lexical ranking over the pinned free-text queries (kernel
     // scaladoc on [[bm25]]) — the retrieval scorer proper, order-proof
     // via per-term DECIMAL(18,6) contributions so the rank can't flip
@@ -2153,6 +2255,7 @@ object Dedup extends QueryGroup {
     // CTEs — same constants as the Spark loop by construction.
     "graph_pagerank" -> pagerankSql(pagerankIters),
     "graph_kcore" -> kcoreSql(kcoreK, kcoreOracleRounds),
+    "graph_random_walk" -> walkSql(walkSteps),
 
     // Independent re-derivation of the degree-oriented triangle count:
     // same co-purchase edges, same (degree, id) orientation, same

@@ -197,6 +197,40 @@ class ComponentsSpec extends SparkSuite {
     }
   }
 
+  test("random walks: valid paths, one full walk per node, replay-identical") {
+    import spark.implicits._
+    // triangle 1-2-3 + pendant 3-4: every node has a neighbor, so no
+    // walk can die; 4's only move is back to 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val steps = 5
+    val w = Graft.randomWalks(e, "a", "b", steps)
+      .orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w.length == 4 * (steps + 1), s"expected full walks: ${w.length}")
+    // every hop traverses a real edge
+    val und = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    w.groupBy(_._1).values.foreach { walk =>
+      val path = walk.sortBy(_._2).map(_._3)
+      assert(path.head == walk.head._1, "walk must start at its node")
+      path.sliding(2).foreach { case Array(x, y) =>
+        assert(und((x, y)), s"hop $x->$y is not an edge") }
+    }
+    // exact replay: a second run emits identical rows
+    val w2 = Graft.randomWalks(e, "a", "b", steps)
+      .orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w.toSeq == w2.toSeq, "walks are not replay-deterministic")
+    // negative ids fail loud (the hash sign contract)
+    val boom = intercept[Exception] {
+      Graft.randomWalks(Seq((-1L, 2L)).toDF("a", "b"), "a", "b", 2).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(boom).exists(_.contains("non-negative")))
+  }
+
   test("union-find regime routes by the edge cap (stars ≡ local above it)") {
     import spark.implicits._
     // Same chain through the public entry with the ids NON-integral
