@@ -589,6 +589,14 @@ object TextOps extends QueryGroup {
         mixtureShares)
         .orderBy("doc_id")),
 
+    // Rendezvous sharding of the corpus (kernel scaladoc on
+    // [[rendezvousAssign]]) — the consistent shard map a growing lake
+    // re-derives without reshuffling the world.
+    "pipeline_shard_hrw" -> ((s, dir) =>
+      rendezvousAssign(Tables.documents(s, dir).select(col("doc_id")),
+        hrwShards)
+        .orderBy("doc_id")),
+
     // Quality scoring: token stats + stopword ratio + length flags.
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "in", "to")
@@ -1277,6 +1285,38 @@ object TextOps extends QueryGroup {
   private[graft] def mixtureHashSql(id: String): String =
     s"(($id % 2147483648) * 2654435761) % 1048576"
 
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998, the consistent-assignment primitive behind cache rings and
+    * shard maps: each key goes to the shard whose (key, shard) hash
+    * scores highest, so GROWING the shard count moves ONLY the keys the
+    * new shard wins (≈ 1/(S+1) of them) while a plain `id % S` reshuffles
+    * nearly everything. Pure per-row compute: explode the S candidate
+    * shards, rank by (score desc, shard) — the tie-break makes rare hash
+    * collisions deterministic (D6) — keep rank 1. The hash mod-reduces
+    * terms before multiplying (ANSI-safe) and the oracle GENERATES from
+    * the same SQL string. MatchingSpec pins the minimal-movement law.
+    * Returns (doc_id, shard). */
+  private[graft] def rendezvousAssign(d: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 4096,
+      s"rendezvousAssign: shards in 1..4096, got $shards")
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("shard"))
+    d.select(col("doc_id"),
+        explode(sequence(lit(0L), lit(shards - 1L))).as("shard"))
+      .withColumn("score", expr(hrwHashSql("doc_id", "shard")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("shard"))
+  }
+
+  /** The rendezvous score hash — identical SQL on the Spark side and in
+    * the oracle (GENERATED from this); terms mod-reduce to 2²⁰ before
+    * the multiply, inputs non-negative, prime modulus spreads ties. */
+  private[graft] def hrwHashSql(id: String, shard: String): String =
+    s"((($id % 1048576) * 69069 + $shard * 40503) % 104729)"
+
+  private[graft] val hrwShards = 8
+
   /** Target mixture proportions (permyriad, summing to 10000) for
     * pipeline_mixture — the oracle's VALUES relation is GENERATED from
     * this (one-constant discipline). English-heavy with equal tails,
@@ -1308,6 +1348,19 @@ object TextOps extends QueryGroup {
 
   def oracles: Seq[(String, String)] = Seq(
     "pipeline_decontaminate" -> decontaminateOracleSql,
+    "pipeline_shard_hrw" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, t.s AS shard,
+         |    ${hrwHashSql("doc_id", "t.s")} AS score
+         |  FROM documents, UNNEST(range(0, $hrwShards)) AS t(s)),
+         |r AS (
+         |  SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, shard) AS rnk
+         |  FROM c)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard
+         |FROM r WHERE rnk = 1
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_mixture" -> {
       val values = mixtureShares
         .map { case (l, s) => s"('$l', CAST($s AS BIGINT))" }.mkString(", ")

@@ -157,6 +157,26 @@ class MatchingSpec extends SparkSuite {
     assert(zero.count() == 0L)
   }
 
+  test("rendezvous sharding: growing the ring moves only the new shard's winners") {
+    import spark.implicits._
+    val ids = (0L until 3000L).toDF("doc_id")
+    def assign(s: Int): Map[Long, Long] =
+      graft.queries.TextOps.rendezvousAssign(ids, s).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a8 = assign(8)
+    val a9 = assign(9)
+    assert(a8.size == 3000 && a9.size == 3000, "every key must get a shard")
+    val moved = a8.keys.filter(k => a8(k) != a9(k)).toSeq
+    // the HRW law: a key moves ONLY because the new shard outscored its
+    // old winner — every moved key must land on shard 8
+    assert(moved.forall(k => a9(k) == 8L),
+      s"a key moved to an OLD shard: ${moved.filter(k => a9(k) != 8L).take(5)}")
+    // and the moved fraction is ~1/9 (a plain id % S remap moves ~8/9)
+    assert(moved.size < 3000 * 2 / 9,
+      s"moved ${moved.size} of 3000 - not minimal movement")
+    assert(moved.nonEmpty, "the new shard should win something")
+  }
+
   test("bloom decontamination facade equals the exact facade on the fixture") {
     val docs = Tables.documents(spark, sf001)
     val isEval = col("doc_id") % 20 === 0
