@@ -408,6 +408,12 @@ object Graft {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long = 42L): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")
+    // fail loud on the reserved working column (the compactionRewrite
+    // discipline): a caller __es_key would be silently clobbered by the
+    // withColumn below and then dropped from the output
+    require(!df.columns.contains("__es_key"),
+      "weightedSample: input column __es_key collides with the reserved " +
+        "ranking column - rename it first")
     val wd = col(weightCol).cast("double")
     val guard = assert_true(wd > 0.0,
       lit(s"weightedSample: $weightCol must be strictly positive"))

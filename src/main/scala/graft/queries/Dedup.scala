@@ -1470,7 +1470,11 @@ object Dedup extends QueryGroup {
     * CTEs. Peeling is monotone with a unique fixpoint, so any unroll ≥
     * the fixture's rounds-to-fixpoint (measured ≤ 3 at sf ≤ 0.1; 8 is
     * headroom) equals the Spark loop's exact-convergence result —
-    * extra rounds are no-ops. */
+    * extra rounds are no-ops. A fixpoint assertion in the final WHERE
+    * (round-16 ADVICE) makes the headroom self-checking: if a future
+    * fixture needs more than `rounds` peels the oracle ERRORS naming
+    * the unroll depth instead of silently returning a superset that
+    * fails parity with no hint. */
   private def kcoreSql(k: Int, rounds: Int): String = {
     // each round references the previous CTE exactly ONCE (per-endpoint
     // degrees via window counts, then filter both ends) — a
@@ -1494,6 +1498,11 @@ object Dedup extends QueryGroup {
        |  SELECT pk + 1000000 AS u, sk AS v FROM p),
        |$its
        |SELECT u AS node, COUNT(*) AS deg FROM e$rounds
+       |WHERE CASE
+       |  WHEN (SELECT COUNT(*) FROM e$rounds) = (SELECT COUNT(*) FROM e${rounds - 1})
+       |  THEN TRUE
+       |  ELSE error('kcore oracle: unroll depth $rounds did not reach the peel fixpoint - raise kcoreOracleRounds')
+       |END
        |GROUP BY u ORDER BY node""".stripMargin
   }
 

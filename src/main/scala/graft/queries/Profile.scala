@@ -90,7 +90,12 @@ object Profile extends QueryGroup {
           pmod(col("o_orderkey"), lit(8)).as("shard"),
           cents(col("o_totalprice")).as("w_cents"))
         .withColumn("cum", sum(col("w_cents")).over(strata.orderBy("o_orderkey")))
-        .withColumn("step", expr(s"sum(w_cents) OVER (PARTITION BY o_orderpriority, shard) div $weightedK"))
+        // greatest(step, 1): a degenerate stratum whose total weight is
+        // below k cents would otherwise yield step = 0 and an ANSI
+        // division-by-zero whose message names neither the stratum nor
+        // the cause; step 1 keeps every row of such a stratum (the
+        // certainty-inclusion limit). Mirrored in the oracle SQL.
+        .withColumn("step", expr(s"greatest(sum(w_cents) OVER (PARTITION BY o_orderpriority, shard) div $weightedK, 1)"))
         .filter(expr("(cum div step) > ((cum - w_cents) div step)"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("shard"), col("w_cents"))
         .orderBy("o_orderkey")
@@ -312,7 +317,7 @@ object Profile extends QueryGroup {
          |  FROM b)
          |SELECT o_orderkey, o_orderpriority, shard, w_cents
          |FROM c
-         |WHERE (cum // (tot // $weightedK)) > ((cum - w_cents) // (tot // $weightedK))
+         |WHERE (cum // GREATEST(tot // $weightedK, 1)) > ((cum - w_cents) // GREATEST(tot // $weightedK, 1))
          |ORDER BY o_orderkey""".stripMargin,
     "cdc_scd2" ->
       """SELECT o_custkey, o_orderkey,

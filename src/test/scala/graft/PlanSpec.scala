@@ -459,4 +459,16 @@ class PlanSpec extends SparkSuite {
         s"per-level vecs exchanges are not reused:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
   }
+
+  test("rendezvous shard assignment is exchange-free (per-row argmax, no window)") {
+    // round-16 VERDICT #2: the explode×S + per-key window form shuffled
+    // S·N rows; the argmax form must plan ZERO exchanges — the
+    // assignment is pure per-row compute
+    import spark.implicits._
+    val ids = (0L until 100L).toDF("doc_id")
+    val p = graft.queries.TextOps.rendezvousAssign(ids, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"exchange crept into rendezvousAssign:\n$p")
+    assert(!p.contains("Window"), s"window crept into rendezvousAssign:\n$p")
+  }
 }
