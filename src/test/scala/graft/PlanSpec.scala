@@ -460,6 +460,20 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
   }
 
+  test("equi-depth scale form plans no window and one data exchange (bucket agg)") {
+    // round-16 VERDICT #1: the scale form must never sort or window the
+    // full table — boundaries reduce through the mergeable sketch, the
+    // assignment is a map against the broadcast 1-row boundary relation,
+    // and the only hashpartitioning exchange is the 8-group bucket agg
+    val p = planOf("agg_histogram_eqdepth_scale")
+    assert(!p.contains("Window"), s"window crept into the scale form:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(!_.contains("ReusedExchange"))
+    assert(exchanges <= 1, s"$exchanges hash exchanges (expected ≤ 1):\n$p")
+    assert(p.contains("Broadcast"), s"boundary relation must broadcast:\n$p")
+  }
+
   test("rendezvous shard assignment is exchange-free (per-row argmax, no window)") {
     // round-16 VERDICT #2: the explode×S + per-key window form shuffled
     // S·N rows; the argmax form must plan ZERO exchanges — the

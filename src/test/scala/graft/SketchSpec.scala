@@ -611,4 +611,28 @@ class SketchSpec extends SparkSuite {
     val recall = exact.count(approx).toDouble / exact.size
     assert(recall >= 0.8, s"refined two-level IVF recall@5 = $recall at c=600")
   }
+
+  test("boundary-assigned equi-depth buckets match exact ntile within the tie-run bound") {
+    // round-16 VERDICT #1: the scale form (sketch boundaries + map-side
+    // assignment) must agree with the exact single-partition ntile up
+    // to boundary ties — at full sketch accuracy the boundaries ARE the
+    // exact rank-⌈i·n/8⌉ values, so bucket sizes can deviate from n/8
+    // only where a duplicate value's run spans a boundary.
+    val exact = SparkEntry.queries("agg_histogram_eqdepth")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scale = SparkEntry.queries("agg_histogram_eqdepth_scale")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(scale.values.sum == n, "scale form must partition every row")
+    assert(scale.keySet.subsetOf((1L to 8L).toSet), s"bucket ids: ${scale.keySet}")
+    // the largest tie run of the bucketing value bounds the deviation
+    val maxTie = Tables.orders(spark, sf001)
+      .groupBy(Det.cents(col("o_totalprice"))).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    (1L to 8L).foreach { b =>
+      val d = math.abs(scale.getOrElse(b, 0L) - exact.getOrElse(b, 0L))
+      assert(d <= maxTie,
+        s"bucket $b deviates by $d from exact ntile (tie bound $maxTie)")
+    }
+  }
 }
