@@ -277,6 +277,25 @@ object Graft {
     queries.Dedup.randomWalks(queries.Dedup.symmetrized(e), steps)
   }
 
+  /** BIASED (node2vec p/q) deterministic walks (see
+    * [[graft.queries.Dedup.node2vecWalks]]): the next hop is drawn
+    * with integer weights by the candidate's relation to the PREVIOUS
+    * node — `wReturn` for backtracking (1/p), `wNear` for the previous
+    * node's neighbors (BFS pull), `wFar` for everything else (DFS
+    * pull) — still hash-replayable, so re-runs emit identical training
+    * sequences. Weights must be non-negative with at least one
+    * positive; node ids non-negative (enforced loud). Defaults are the
+    * oracled key's (1, 2, 4) ≙ p=2, q=1/2. Returns (start, step, node). */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int = 6, wReturn: Int = 1, wNear: Int = 2, wFar: Int = 4): DataFrame = {
+    val guard = assert_true(col(srcCol) >= 0 && col(dstCol) >= 0,
+      lit("node2vecWalks: node ids must be non-negative"))
+    val e = edges.filter(when(guard.isNull, col(srcCol) =!= col(dstCol)))
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    queries.Dedup.node2vecWalks(queries.Dedup.symmetrized(e), steps,
+      wReturn, wNear, wFar)
+  }
+
   /** Exact heavy hitters of a string column via the Misra–Gries
     * two-pass pipeline (see [[graft.functions.MisraGries]] and the
     * text_heavy_hitters key): a k-counter sketch pass finds ≤ k

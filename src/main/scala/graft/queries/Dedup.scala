@@ -719,6 +719,64 @@ object Dedup extends QueryGroup {
        |) w ORDER BY start, step""".stripMargin
   }
 
+  /** The graph_node2vec_walk oracle: the walkSql graph and f0/f1, then
+    * every biased hop replayed as TWO CTEs — a candidate expansion
+    * (adjacency join + N(prev) LEFT probe + the CASE weight) and the
+    * cumulative-interval draw (two windows over the per-start
+    * candidate rows, winner where r = h % Σw lands). Each level
+    * references its predecessor exactly ONCE (kcore lesson); `adj` is
+    * re-referenced per level but is a leaf. The zero-total fallback arm
+    * is mirrored verbatim even though the pinned positive weights never
+    * fire it — the predicate strings must not drift. */
+  private def n2vSql(steps: Int, wr: Int, wn: Int, wf: Int): String = {
+    val hops = (2 to steps).map { i =>
+      s"""c$i AS (
+         |  SELECT f.start AS start, f.cur AS cur, a.v AS x, a.rn AS rn, a.deg AS deg,
+         |    CASE WHEN a.v = f.prev THEN CAST($wr AS BIGINT)
+         |         WHEN p.pv IS NOT NULL THEN CAST($wn AS BIGINT)
+         |         ELSE CAST($wf AS BIGINT) END AS w
+         |  FROM f${i - 1} f
+         |  JOIN adj a ON f.cur = a.u
+         |  LEFT JOIN (SELECT u AS pu, v AS pv FROM adj) p
+         |    ON p.pu = f.prev AND p.pv = a.v),
+         |f$i AS (
+         |  SELECT start, CAST($i AS BIGINT) AS step, cur AS prev, x AS cur
+         |  FROM (
+         |    SELECT start, cur, x, rn, deg, w,
+         |      CAST(SUM(w) OVER (PARTITION BY start ORDER BY rn) AS BIGINT) AS cw,
+         |      CAST(SUM(w) OVER (PARTITION BY start) AS BIGINT) AS tw,
+         |      ${walkHashSql("start", i, "cur")} AS h
+         |    FROM c$i) t
+         |  WHERE ((h % GREATEST(tw, 1)) >= cw - w AND (h % GREATEST(tw, 1)) < cw)
+         |     OR (tw = 0 AND rn = h % deg + 1))""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(i => s"SELECT start, step, cur FROM f$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |adj AS (
+       |  SELECT u, v,
+       |    row_number() OVER (PARTITION BY u ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY u) AS deg
+       |  FROM (SELECT DISTINCT u, v FROM e)),
+       |f0 AS (
+       |  SELECT u AS start, CAST(0 AS BIGINT) AS step, u AS prev, u AS cur
+       |  FROM (SELECT DISTINCT u FROM adj)),
+       |f1 AS (
+       |  SELECT f.start AS start, CAST(1 AS BIGINT) AS step,
+       |    f.cur AS prev, a.v AS cur
+       |  FROM f0 f JOIN adj a ON f.cur = a.u
+       |  WHERE a.rn = ${walkHashSql("f.start", 1, "f.cur")} % a.deg + 1),
+       |$hops
+       |SELECT start, step, cur AS node FROM (
+       |$unions
+       |) w ORDER BY start, step""".stripMargin
+  }
+
   /** The search_hybrid_text pinned queries — free-text strings over the
     * fixture vocabulary, each paired with the vec_id whose embedding
     * plays the caller-embedded query vector (ids present at every
@@ -1183,18 +1241,119 @@ object Dedup extends QueryGroup {
     var frontier = adj.select(col("u").as("start")).distinct()
       .withColumn("step", lit(0L)).withColumn("cur", col("start"))
     var out = frontier
+    // the pagerank checkpoint cadence (round-16 VERDICT #4): without it
+    // a 64-step caller's last frontier chains 64 joins of lineage and
+    // pays 64-deep Catalyst re-analysis per downstream branch; cutting
+    // every 8 hops bounds every union branch's plan depth at 8 joins.
+    // Interim checkpoints stay referenced by the later branches, so
+    // they release only after the output materializes (outCk below).
+    val interim = scala.collection.mutable.Buffer.empty[DataFrame]
     for (t <- 1 to steps) {
       frontier = frontier
         .join(adj, col("cur") === col("u"))
         .filter(col("rn") === expr(s"${walkHashSql("start", t, "cur")} % deg + 1"))
         .select(col("start"), lit(t.toLong).as("step"), col("v").as("cur"))
+      if (t % walkCheckpointEvery == 0 && t < steps) {
+        frontier = frontier.localCheckpoint(true)
+        interim += frontier
+      }
       out = out.unionByName(frontier)
     }
     val outCk = out.select(col("start"), col("step"), col("cur").as("node"))
       .localCheckpoint(true)
     releaseCheckpoint(adj)
+    interim.foreach(releaseCheckpoint)
     outCk
   }
+
+  /** Checkpoint cadence for the walk frontier — 8 hops ≈ the pagerank
+    * per-round discipline; the oracled graph_random_walk key runs
+    * steps=6 and never triggers it, so its plan is unchanged. */
+  private[graft] val walkCheckpointEvery = 8
+
+  /** BIASED (node2vec, Grover & Leskovec 2016) walks — the p/q
+    * second-order extension of [[randomWalks]]: the next hop is drawn
+    * with INTEGER weights by where the candidate x stands relative to
+    * the previous node — `wReturn` when x = prev (1/p), `wNear` when
+    * x ∈ N(prev) (distance 1), `wFar` otherwise (1/q) — so the walk
+    * interpolates BFS (high wNear) and DFS (high wFar) exploration.
+    * The draw stays hash-replayable and hence ORACLE-ABLE: candidates
+    * rank by the adjacency rn, weights cumulate per frontier row (one
+    * window keyed by start — each start has exactly ONE frontier row
+    * per step), and the winner is the interval containing
+    * r = hash(start, t, cur) % Σw. All-zero-weight rows (possible only
+    * when a zero weight is configured, e.g. wReturn=0 on a pendant
+    * whose sole candidate is prev) fall back to the uniform rule —
+    * guarded as `h % greatest(Σw, 1)` because Spark's boolean AND does
+    * not short-circuit per row and `h % 0` is an ANSI runtime error.
+    * Hop 1 has no second-order context and uses the uniform rule.
+    * Per hop: two keyed equi-joins (adjacency expand + N(prev) probe)
+    * and one keyed window — linear, nothing quadratic; frontier
+    * checkpoints on the [[walkCheckpointEvery]] cadence. Hop 1 of a
+    * pendant-free graph never needs the fallback; ComponentsSpec pins
+    * the p→∞ (no backtracking) and q→∞ (locality) laws plus the
+    * fallback. Returns (start, step, node), step 0 = the start. */
+  private[graft] def node2vecWalks(edges: DataFrame, steps: Int,
+      wReturn: Int, wNear: Int, wFar: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"node2vecWalks: steps in 1..64, got $steps")
+    require(wReturn >= 0 && wNear >= 0 && wFar >= 0 &&
+      (wReturn max wNear max wFar) > 0,
+      "node2vecWalks: weights must be non-negative, at least one positive")
+    val adj = edges.distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy("v")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("u")))
+      .localCheckpoint(true)
+    val prevAdj = adj.select(col("u").as("pu"), col("v").as("pv"))
+    val start0 = adj.select(col("u").as("start")).distinct()
+      .withColumn("step", lit(0L))
+      .withColumn("prev", col("start")).withColumn("cur", col("start"))
+    var frontier = start0
+      .join(adj, col("cur") === col("u"))
+      .filter(col("rn") === expr(s"${walkHashSql("start", 1, "cur")} % deg + 1"))
+      .select(col("start"), lit(1L).as("step"),
+        col("cur").as("prev"), col("v").as("cur"))
+    var out = start0.select(col("start"), col("step"), col("cur"))
+      .unionByName(frontier.select(col("start"), col("step"), col("cur")))
+    val interim = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (t <- 2 to steps) {
+      val scored = frontier
+        .join(adj, col("cur") === col("u"))
+        .join(prevAdj, col("pu") === col("prev") && col("pv") === col("v"), "left")
+        .withColumn("w", when(col("v") === col("prev"), lit(wReturn.toLong))
+          .when(col("pv").isNotNull, lit(wNear.toLong))
+          .otherwise(lit(wFar.toLong)))
+        .withColumn("cw", sum(col("w")).over(
+          Window.partitionBy("start").orderBy("rn")))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy("start")))
+        .withColumn("h", expr(walkHashSql("start", t, "cur")))
+        .withColumn("r", col("h") % greatest(col("tw"), lit(1L)))
+      frontier = scored.filter(
+        (col("r") >= col("cw") - col("w") && col("r") < col("cw")) ||
+          (col("tw") === 0L && col("rn") === col("h") % col("deg") + 1L))
+        .select(col("start"), lit(t.toLong).as("step"),
+          col("cur").as("prev"), col("v").as("cur"))
+      if (t % walkCheckpointEvery == 0 && t < steps) {
+        frontier = frontier.localCheckpoint(true)
+        interim += frontier
+      }
+      out = out.unionByName(frontier.select(col("start"), col("step"), col("cur")))
+    }
+    val outCk = out.select(col("start"), col("step"), col("cur").as("node"))
+      .localCheckpoint(true)
+    releaseCheckpoint(adj)
+    interim.foreach(releaseCheckpoint)
+    outCk
+  }
+
+  /** graph_node2vec_walk's pinned parameters — weights (1, 2, 4) are
+    * p=2, q=1/2 scaled to integers (mild DFS bias); the oracle
+    * GENERATES from these, and they are strictly positive so the
+    * zero-total fallback never fires on the oracled path. */
+  private[graft] val n2vSteps = 6
+  private[graft] val n2vWReturn = 1
+  private[graft] val n2vWNear = 2
+  private[graft] val n2vWFar = 4
 
   /** The hop-choice hash of [[randomWalks]] — identical SQL on the
     * Spark side and in the oracle (GENERATED from this). Terms
@@ -1867,6 +2026,20 @@ object Dedup extends QueryGroup {
       randomWalks(symmetrized(edges), walkSteps).orderBy("start", "step")
     }),
 
+    // BIASED node2vec walks over the same co-purchase graph — the
+    // p/q second-order companion to graph_random_walk (kernel scaladoc
+    // on [[node2vecWalks]]): integer weights (1, 2, 4) ≙ p=2, q=1/2,
+    // the draw replayable from the same hash, hence fully oracled.
+    "graph_node2vec_walk" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      node2vecWalks(symmetrized(edges), n2vSteps,
+        n2vWReturn, n2vWNear, n2vWFar).orderBy("start", "step")
+    }),
+
     // BM25 lexical ranking over the pinned free-text queries (kernel
     // scaladoc on [[bm25]]) — the retrieval scorer proper, order-proof
     // via per-term DECIMAL(18,6) contributions so the rank can't flip
@@ -2265,6 +2438,7 @@ object Dedup extends QueryGroup {
     "graph_pagerank" -> pagerankSql(pagerankIters),
     "graph_kcore" -> kcoreSql(kcoreK, kcoreOracleRounds),
     "graph_random_walk" -> walkSql(walkSteps),
+    "graph_node2vec_walk" -> n2vSql(n2vSteps, n2vWReturn, n2vWNear, n2vWFar),
 
     // Independent re-derivation of the degree-oriented triangle count:
     // same co-purchase edges, same (degree, id) orientation, same

@@ -231,6 +231,83 @@ class ComponentsSpec extends SparkSuite {
     assert(chain(boom).exists(_.contains("non-negative")))
   }
 
+  test("random walks at steps=64: cadence checkpoints bound the plan depth") {
+    import spark.implicits._
+    // round-16 VERDICT #4: without the 8-hop checkpoint cadence the
+    // 64th frontier chains 64 joins of lineage and each union branch
+    // re-analyzes the whole chain. The walk must complete, stay valid,
+    // and every branch's analyzed plan must stay shallow (the deepest
+    // join chain since the last checkpoint is ≤ 8 hops).
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val steps = 64
+    val w = Graft.randomWalks(e, "a", "b", steps)
+    // bounded analysis: the output reads a materialized checkpoint, so
+    // its analyzed plan is a leaf — the cadence did its job if this
+    // returns promptly with a full, edge-valid walk set
+    val rows = w.orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 4 * (steps + 1), s"expected full walks: ${rows.length}")
+    val und = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    rows.groupBy(_._1).values.foreach { walk =>
+      val path = walk.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Array(x, y) =>
+        assert(und((x, y)), s"hop $x->$y is not an edge") }
+    }
+    // the returned plan must be checkpoint-backed (a leaf RDD scan),
+    // not a 64-deep union of join chains
+    val analyzed = w.queryExecution.analyzed.toString
+    assert(!analyzed.contains("Join"),
+      s"output plan still carries the join lineage:\n$analyzed")
+  }
+
+  test("node2vec walks: p→∞ forbids backtracking, q→∞ keeps walks local, zero-total falls back") {
+    import spark.implicits._
+    // law 1 — wReturn=0 on a cycle: every hop's candidates are
+    // {prev, other}; only `other` has positive weight, so no walk may
+    // ever backtrack (p→∞ in node2vec terms)
+    val c6 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 6L))
+      .toDF("a", "b")
+    val w1 = Graft.node2vecWalks(c6, "a", "b", steps = 8,
+      wReturn = 0, wNear = 1, wFar = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w1.length == 6 * 9, s"full walks expected: ${w1.length}")
+    w1.groupBy(_._1).values.foreach { walk =>
+      val path = walk.sortBy(_._2).map(_._3)
+      path.sliding(3).foreach { case Array(x, y, z) =>
+        assert(x != z, s"walk backtracked $x->$y->$z with wReturn=0")
+      case _ => ()
+      }
+    }
+    // law 2 — wFar=0 on triangle{1,2,3}+pendant 3-4: from any triangle
+    // position the pendant is at distance 2 from prev, so its weight is
+    // zero and a triangle-started walk never reaches node 4 (q→∞)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val w2 = Graft.node2vecWalks(tri, "a", "b", steps = 8,
+      wReturn = 1, wNear = 1, wFar = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    w2.filter(r => r._1 <= 3L).foreach { case (s0, t, x) =>
+      assert(x != 4L, s"walk from $s0 leaked to the pendant at step $t")
+    }
+    // fallback — wReturn=0 on a single edge: the pendant's only
+    // candidate is prev with weight 0 (Σw = 0), so the uniform rule
+    // must take over instead of erroring or killing the walk
+    val p2 = Seq((1L, 2L)).toDF("a", "b")
+    val w3 = Graft.node2vecWalks(p2, "a", "b", steps = 4,
+      wReturn = 0, wNear = 1, wFar = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w3.length == 2 * 5, s"fallback must keep walks alive: ${w3.length}")
+    w3.foreach { case (s0, t, x) =>
+      assert(x == (if (t % 2 == 0) s0 else 3L - s0),
+        s"P2 walk must oscillate: start=$s0 step=$t node=$x")
+    }
+    // replay identity on the biased kernel
+    val w1b = Graft.node2vecWalks(c6, "a", "b", steps = 8,
+      wReturn = 0, wNear = 1, wFar = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w1.sorted.toSeq == w1b.sorted.toSeq, "biased walks must replay")
+  }
+
   test("union-find regime routes by the edge cap (stars ≡ local above it)") {
     import spark.implicits._
     // Same chain through the public entry with the ids NON-integral
