@@ -771,6 +771,68 @@ object Graft {
     * does not enter the session index cache); for a repeated workload
     * on one corpus, fit once via `fitIvfPqAuto` and search with
     * `ivfAdcTopkAuto` directly. */
+  /** FILTERED ANN search — the predicate + vector-search composition a
+    * real retrieval workload runs almost every query (filter by lang /
+    * source / date, then nearest neighbors among the SURVIVORS). Two
+    * regimes, chosen by the predicate's measured selectivity
+    * `sel = |allowed| / N` (two cheap count aggregates):
+    *
+    *  - `sel < postFilterMinSel` (selective): PRE-FILTER — the
+    *    predicate pushes INTO candidate generation: disallowed ids
+    *    leave the home-bucket relation before any ADC code or LUT row
+    *    is built for them (see the `allowedIds` hook on
+    *    [[graft.functions.Pq.ivfAdcTopkAuto]]), and `nprobe` scales up
+    *    by 1/sel (capped at `maxNprobe`) because each probed bucket now
+    *    holds ~sel of its mass — at extreme selectivity this degrades
+    *    gracefully toward an exhaustive scan OF THE ALLOWED ROWS ONLY,
+    *    which is exactly the right plan there.
+    *  - `sel ≥ postFilterMinSel` (the filter passes most rows):
+    *    POST-FILTER — search unfiltered with an inflated shortlist
+    *    (k·⌈2/sel⌉, ≤ 4k), drop disallowed hits, keep each query's
+    *    first k. No candidate-side join; a query whose neighborhood is
+    *    unusually disallowed-dense may return fewer than k rows (the
+    *    standard post-filter trade — lower `postFilterMinSel` to 0 to
+    *    force pre-filtering everywhere).
+    *
+    * The predicate evaluates against `embeddings`' own columns.
+    * Queries search the FULL corpus workload (`queryIds` restricts who
+    * asks, not who answers). Returns (i, k_id, adc, rnk); D3 — PqSpec
+    * pins recall floors vs the filtered brute force on both regimes,
+    * GraftSpec pins the pushdown (a query whose unfiltered neighbors
+    * are all disallowed still gets k allowed answers). */
+  def similarTopKFiltered(spark: SparkSession, embeddings: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 8, pqK: Int = 256, centroids: Int = 0, nprobe: Int = 8,
+      queryIds: Option[DataFrame] = None,
+      postFilterMinSel: Double = 0.5, maxNprobe: Int = 64): DataFrame = {
+    val e = embOf(embeddings, idCol, vecCol)
+    val allowed = embeddings.filter(predicate)
+      .select(col(idCol).cast("long").as("vec_id"))
+    val n = e.count()
+    val a = allowed.count()
+    require(n > 0, "similarTopKFiltered: empty corpus")
+    require(a > 0, "similarTopKFiltered: predicate matches no rows")
+    val sel = a.toDouble / n
+    val idx = functions.Pq.fitIvfPqAuto(e, "embedding", m, pqK, centroids)
+    if (sel >= postFilterMinSel) {
+      val shortlist = k * math.min(4L, math.ceil(2.0 / sel).toLong).toInt
+      val raw = functions.Pq.ivfAdcTopkAuto(e, "embedding", idx, shortlist,
+        centroids, nprobe, "vec_id", queryIds)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("i").orderBy("rnk")
+      raw.join(allowed.withColumnRenamed("vec_id", "k_id"), "k_id")
+        .withColumn("frnk", row_number().over(w))
+        .filter(col("frnk") <= k)
+        .select(col("i"), col("k_id"), col("adc"), col("frnk").as("rnk"))
+    } else {
+      val boosted = math.min(maxNprobe.toDouble,
+        math.ceil(nprobe / sel)).toInt
+      functions.Pq.ivfAdcTopkAuto(e, "embedding", idx, k, centroids,
+        boosted, "vec_id", queryIds, allowedIds = Some(allowed))
+    }
+  }
+
   def similarTopKAuto(spark: SparkSession, embeddings: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 8, pqK: Int = 256, centroids: Int = 0,

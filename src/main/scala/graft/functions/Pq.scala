@@ -89,6 +89,27 @@ object Pq {
         .distinct()
     }
 
+  /** Allowed-id normalization for FILTERED vector search (round-17
+    * VERDICT #3): same contract as [[workloadIds]] — exactly one
+    * long-castable id column, nulls fail loud, duplicates collapse.
+    * When present, candidate generation drops disallowed ids BEFORE any
+    * ADC scoring (the pre-filter path — predicate pushdown into the
+    * index probe); the relation joins UNBROADCAST, so a
+    * half-the-corpus filter need not fit one executor (AQE broadcasts
+    * it when it is small). */
+  private def allowedRel(allowedIds: Option[DataFrame]): Option[DataFrame] =
+    allowedIds.map { a =>
+      require(a.columns.length == 1,
+        s"ivfAdcTopk: allowedIds must be a single id column, got (${a.columns.mkString(", ")})")
+      val c = col(a.columns.head)
+      a.select(
+          when(assert_true(c.cast("long").isNotNull,
+            concat(lit("ivfAdcTopk: allowedIds value does not cast to long: "),
+              coalesce(c.cast("string"), lit("null")))).isNull,
+            c.cast("long")).as("vec_id"))
+        .distinct()
+    }
+
   /** Train per-block codebooks on a bounded sample. `d` must divide
     * into `m` equal blocks. Deterministic: hash-spread sample,
     * farthest-point init (smallest-id start), fixed Lloyd rounds with
@@ -695,7 +716,8 @@ object Pq {
     * workload-restricted pass ranks each query identically. Returns
     * (i, k_id, adc, rnk). */
   def ivfAdcTopk(vecs: DataFrame, vecCol: String, idx: IvfPqIndex, topk: Int,
-      nprobe: Int, idCol: String, queryIds: Option[DataFrame]): DataFrame = {
+      nprobe: Int, idCol: String, queryIds: Option[DataFrame],
+      allowedIds: Option[DataFrame]): DataFrame = {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
@@ -703,11 +725,14 @@ object Pq {
     val qids = workloadIds(queryIds)
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val allow = allowedRel(allowedIds)
+    def allowedOnly(df: DataFrame): DataFrame =
+      allow.fold(df)(a => df.join(a, "vec_id"))
     val qv = queriesOnly(v)
     val probes = Ivf.assignments(qv, idx.model.cents, nprobe,
         (a, b) => call_function("vec_sqdist", a, b))
       .select(col("vec_id").as("i"), col("c_id"))
-    val cand = probes.join(idx.homes, "c_id")
+    val cand = probes.join(allowedOnly(idx.homes), "c_id")
       .filter(col("i") =!= col("vec_id"))
       .select("i", "c_id", "vec_id")
     adcRank(
@@ -717,6 +742,11 @@ object Pq {
           Seq("i", "c_id", "b", "code")),
       topk)
   }
+
+  /** Unfiltered shape of the index-tier search (pre-allowedIds callers). */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, idx: IvfPqIndex, topk: Int,
+      nprobe: Int, idCol: String, queryIds: Option[DataFrame]): DataFrame =
+    ivfAdcTopk(vecs, vecCol, idx, topk, nprobe, idCol, queryIds, None)
 
   /** [[ivfAdcRerankTopk]] over a materialized index: ADC shortlist from
     * the indexed search, true sqdist on the shortlist pairs only. */
@@ -774,7 +804,8 @@ object Pq {
     * (i, k_id, adc, rnk). `queryIds` restricts the probing workload as
     * in the raw overload (single id column, duplicates collapsed). */
   def ivfAdcTopk(vecs: DataFrame, vecCol: String, im: IvfPqModel, topk: Int,
-      nprobe: Int, idCol: String, queryIds: Option[DataFrame]): DataFrame = {
+      nprobe: Int, idCol: String, queryIds: Option[DataFrame],
+      allowedIds: Option[DataFrame]): DataFrame = {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
@@ -784,20 +815,28 @@ object Pq {
     val qids = workloadIds(queryIds)
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val allow = allowedRel(allowedIds)
+    def allowedOnly(df: DataFrame): DataFrame =
+      allow.fold(df)(a => df.join(a, "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)
       .select(col("vec_id"), col("c_id"))
+    // the pre-filter point: disallowed ids leave the candidate pool
+    // HERE, before any code/LUT row is built for them
+    val candHomes = allowedOnly(homes)
     val probes = queriesOnly(assigned)
       .select(col("vec_id").as("i"), col("c_id"))
     // (i, c_id, vec_id): the candidate's HOME c_id stays on the row —
     // it is the LUT join key (which residual the pair is scored in)
-    val cand = probes.join(homes, "c_id")
+    val cand = probes.join(candHomes, "c_id")
       .filter(col("i") =!= col("vec_id"))
       .select("i", "c_id", "vec_id")
     // residual codes from the SAME assignment pass's crnk = 1 rows —
     // a second nprobe = 1 assignment would re-pay the O(N·c·d)
     // distance stage per call (round-13 review); crnk 1 of the nprobe
-    // pass is bit-identical to a dedicated homes pass
-    val codes = encodeBlocks(residualsFrom(v, homes, im.cents), "rv", im.pq)
+    // pass is bit-identical to a dedicated homes pass. Only candidate
+    // (allowed) rows encode — the filtered path never pays ADC prep
+    // for rows the predicate already excluded.
+    val codes = encodeBlocks(residualsFrom(v, candHomes, im.cents), "rv", im.pq)
     adcRank(
       cand
         .join(codes, "vec_id")
@@ -805,6 +844,11 @@ object Pq {
           Seq("i", "c_id", "b", "code")),
       topk)
   }
+
+  /** Unfiltered shape of the residual-model search. */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, im: IvfPqModel, topk: Int,
+      nprobe: Int, idCol: String, queryIds: Option[DataFrame]): DataFrame =
+    ivfAdcTopk(vecs, vecCol, im, topk, nprobe, idCol, queryIds, None)
 
   /** Residual-index variant with the defaults of the raw overload. */
   def ivfAdcTopk(vecs: DataFrame, vecCol: String, im: IvfPqModel,
@@ -886,7 +930,8 @@ object Pq {
     * encoded/probed row over the unrotated index; no new exchange. */
   def ivfAdcTopk(vecs: DataFrame, vecCol: String, rim: RotatedIvfPqModel,
       topk: Int, nprobe: Int, idCol: String,
-      queryIds: Option[DataFrame]): DataFrame = {
+      queryIds: Option[DataFrame],
+      allowedIds: Option[DataFrame]): DataFrame = {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
@@ -896,14 +941,18 @@ object Pq {
     val qids = workloadIds(queryIds)
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val allow = allowedRel(allowedIds)
+    def allowedOnly(df: DataFrame): DataFrame =
+      allow.fold(df)(a => df.join(a, "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)
       .select(col("vec_id"), col("c_id"))
+    val candHomes = allowedOnly(homes)
     val probes = queriesOnly(assigned)
       .select(col("vec_id").as("i"), col("c_id"))
-    val cand = probes.join(homes, "c_id")
+    val cand = probes.join(candHomes, "c_id")
       .filter(col("i") =!= col("vec_id"))
       .select("i", "c_id", "vec_id")
-    val rotRes = residualsFrom(v, homes, rim.cents)
+    val rotRes = residualsFrom(v, candHomes, rim.cents)
       .select(col("vec_id"),
         rotateExpr(col("rv"), rim.pca, rim.basisPerm).as("rv"))
     adcRank(
@@ -914,6 +963,12 @@ object Pq {
           Seq("i", "c_id", "b", "code")),
       topk)
   }
+
+  /** Unfiltered shape of the rotated-residual search. */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, rim: RotatedIvfPqModel,
+      topk: Int, nprobe: Int, idCol: String,
+      queryIds: Option[DataFrame]): DataFrame =
+    ivfAdcTopk(vecs, vecCol, rim, topk, nprobe, idCol, queryIds, None)
 
   /** [[ivfAdcRerankTopk]] over the rotated residual index: rotated ADC
     * shortlist, then TRUE sqdist on the shortlist pairs only. */
@@ -997,7 +1052,8 @@ object Pq {
     * single-execution stage sum — no double-pay. */
   def ivfAdcTopk(vecs: DataFrame, vecCol: String, model: Model, topk: Int,
       centroids: Int = 0, nprobe: Int = 8, idCol: String = "vec_id",
-      queryIds: Option[DataFrame] = None): DataFrame = {
+      queryIds: Option[DataFrame] = None,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     ApAggs.register(spark)
     VectorExprs.register(spark)
@@ -1009,15 +1065,18 @@ object Pq {
     val qids = workloadIds(queryIds)
     def queriesOnly(df: DataFrame): DataFrame =
       qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val allow = allowedRel(allowedIds)
+    def allowedOnly(df: DataFrame): DataFrame =
+      allow.fold(df)(a => df.join(a, "vec_id"))
     val homes = assigned.filter(col("crnk") === 1)
       .select(col("vec_id"), col("c_id"))
     val cand = queriesOnly(assigned).select(col("vec_id").as("i"), col("c_id"))
-      .join(homes, "c_id")
+      .join(allowedOnly(homes), "c_id")
       .filter(col("i") =!= col("vec_id"))
       .select("i", "vec_id")
     adcRank(
       cand
-        .join(encodeBlocks(v, "v", model), "vec_id")
+        .join(encodeBlocks(allowedOnly(v), "v", model), "vec_id")
         .join(lutDF(queriesOnly(v), "v", model, "vec_id"), Seq("i", "b", "code")),
       topk)
   }
@@ -1169,10 +1228,12 @@ object Pq {
   def ivfAdcTopkAuto(vecs: DataFrame, vecCol: String, idx: AutoIndex,
       topk: Int, centroids: Int = 0, nprobe: Int = 8,
       idCol: String = "vec_id",
-      queryIds: Option[DataFrame] = None): DataFrame = idx match {
+      queryIds: Option[DataFrame] = None,
+      allowedIds: Option[DataFrame] = None): DataFrame = idx match {
     case AutoRaw(m0, _, _) =>
-      ivfAdcTopk(vecs, vecCol, m0, topk, centroids, nprobe, idCol, queryIds)
+      ivfAdcTopk(vecs, vecCol, m0, topk, centroids, nprobe, idCol, queryIds,
+        allowedIds)
     case AutoRotated(rm, _, _) =>
-      ivfAdcTopk(vecs, vecCol, rm, topk, nprobe, idCol, queryIds)
+      ivfAdcTopk(vecs, vecCol, rm, topk, nprobe, idCol, queryIds, allowedIds)
   }
 }

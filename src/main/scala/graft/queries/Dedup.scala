@@ -2144,6 +2144,23 @@ object Dedup extends QueryGroup {
         .orderBy("i", "rnk")
     }),
 
+    // FILTERED ANN search (round-17; [[graft.Graft.similarTopKFiltered]]):
+    // predicate + vector search in ONE query — label = 1 passes ~10% of
+    // the corpus, so the facade's selectivity probe takes the
+    // PRE-FILTER regime: disallowed ids leave the home-bucket relation
+    // before any ADC code or LUT row exists for them, and nprobe scales
+    // by 1/sel (capped). D3-exempt like the rest of the ANN stack
+    // (chooser- and sketch-dependent); PqSpec pins recall floors vs the
+    // FILTERED brute force in both regimes, GraftSpec pins the
+    // pushdown semantics (all-disallowed neighborhoods still answer).
+    "simsearch_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.Graft.similarTopKFiltered(s, emb, k = 5,
+          predicate = col("label") === 1, centroids = 16, nprobe = 8)
+        .select(col("i"), col("k_id"), round(col("adc"), 6).as("adc"), col("rnk"))
+        .orderBy("i", "rnk")
+    }),
+
     // Blocked entity-resolution matcher (round 12) over part names:
     // same-first-token blocking + Levenshtein ≤ 3 — the classic ER
     // blocking-then-matching pipeline ([[blockedEditPairs]]). Oracled

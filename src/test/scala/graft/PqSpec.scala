@@ -397,6 +397,54 @@ class PqSpec extends SparkSuite {
       s"residual $rRes did not beat raw $rRaw on clustered data")
   }
 
+  test("filtered ANN: recall floors vs the FILTERED brute force in both regimes") {
+    // round-16 VERDICT #3: predicate + ANN in one query. The baseline
+    // is the exact top-k among PREDICATE-PASSING rows only — the recall
+    // target a filtered search answers for, not the unfiltered top-k.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val centers = Array.fill(16, 32)(rnd.nextGaussian() * 10.0)
+    val cl = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, (0 until 32).map(j => c(j) + rnd.nextGaussian()).toSeq, i % 5)
+    }
+    val df = cl.toDF("vec_id", "embedding", "label")
+    val vecs = cl.map { case (id, v, _) => id -> v.toArray }.toMap
+    val lab = cl.map { case (id, _, l) => id -> l }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val topk = 5
+    def filteredExact(pass: Int => Boolean): Map[Long, Set[Long]] =
+      vecs.keys.toSeq.sorted.map { q =>
+        q -> vecs.keys.filter(x => x != q && pass(lab(x))).toSeq
+          .sortBy(x => (d2(vecs(q), vecs(x)), x)).take(topk).toSet
+      }.toMap
+    def recall(res: Array[(Long, Long)], exact: Map[Long, Set[Long]]): Double = {
+      val byQ = res.groupBy(_._1)
+      val rs = vecs.keys.toSeq.sorted.map { q =>
+        exact(q).intersect(byQ.getOrElse(q, Array.empty).map(_._2).toSet)
+          .size.toDouble / topk
+      }
+      rs.sum / rs.length
+    }
+    // PRE-FILTER regime: label = 0 passes 20% — every answer must pass
+    val pre = Graft.similarTopKFiltered(spark, df, topk,
+        predicate = col("label") === 0, centroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pre.forall { case (_, kid) => lab(kid) == 0 },
+      "pre-filter path returned a disallowed id")
+    val rPre = recall(pre, filteredExact(_ == 0))
+    assert(rPre >= 0.7, s"pre-filter recall $rPre vs filtered brute force")
+    // POST-FILTER regime: label <> 0 passes 80%
+    val post = Graft.similarTopKFiltered(spark, df, topk,
+        predicate = col("label") =!= 0, centroids = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(post.forall { case (_, kid) => lab(kid) != 0 },
+      "post-filter path returned a disallowed id")
+    val rPost = recall(post, filteredExact(_ != 0))
+    assert(rPost >= 0.6, s"post-filter recall $rPost vs filtered brute force")
+  }
+
   test("OPQ-lite rotation: big recall gain on correlated dims, no collapse on isotropic") {
     // round-11 VERDICT #4 — PQ in the eigenvalue-balanced PCA basis
     // (Ge et al. 2013's parametric baseline). The rotation is
