@@ -150,8 +150,68 @@ object StreamingBatch extends QueryGroup {
           col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
         .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
         .orderBy("purchase_id", "click_id")
+    }),
+
+    // STREAMING UPSERT in its batch form (round-17; the streaming
+    // execution — foreachBatch MERGE into a versioned parquet target
+    // with a batchId high-water mark — is [[graft.streaming.Streams
+    // .upsertSink]], replay-tested in StreamingSpec): two sequential
+    // micro-batches of CDC changes applied through [[graft.Graft
+    // .merge]]. The batches deliberately INTERFERE so the oracle proves
+    // ORDER, not just set union: batch 2 re-updates half of batch 1's
+    // updated keys (last write wins), deletes half of batch 1's
+    // inserts, and inserts fresh keys — the final state is
+    // merge(merge(target, b1), b2), which DuckDB replays as two
+    // full-outer CTE levels.
+    "stream_upsert" -> ((s, dir) => {
+      val m1 = graft.Graft.merge(upsertTarget(s, dir), upsertBatch1(s, dir),
+        "o_orderkey")
+      graft.Graft.merge(m1, upsertBatch2(s, dir), "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("tc").as("o_total_cents"))
+        .orderBy("o_orderkey")
     })
   )
+
+  /** stream_upsert's seed target and two change batches — shared with
+    * the StreamingSpec replay test (one-constant discipline: the true
+    * streaming run must upsert EXACTLY these relations). */
+  private[graft] def upsertTarget(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      cents(col("o_totalprice")).as("tc"))
+
+  private[graft] def upsertBatch1(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        (cents(col("o_totalprice")) + 1000L).as("tc"))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("long").as("o_custkey"), lit(null).cast("long").as("tc")))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select((-(col("o_orderkey") + lit(1L))).as("o_orderkey"),
+          lit("I").as("op"), col("o_custkey"), cents(col("o_totalprice")).as("tc")))
+  }
+
+  private[graft] def upsertBatch2(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir)
+    // re-update half of batch 1's U keys: %20 == 3 ⊂ %10 == 3
+    o.filter(pmod(col("o_orderkey"), lit(20)) === 3)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        (cents(col("o_totalprice")) + 2000L).as("tc"))
+      // delete half of batch 1's inserts: -(k+1) for k %20 == 0
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select((-(col("o_orderkey") + lit(1L))).as("o_orderkey"),
+          lit("D").as("op"),
+          lit(null).cast("long").as("o_custkey"), lit(null).cast("long").as("tc")))
+      // fresh inserts at a key range neither batch touched
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+        .select((-(col("o_orderkey") + lit(2L))).as("o_orderkey"),
+          lit("I").as("op"), col("o_custkey"), cents(col("o_totalprice")).as("tc")))
+  }
 
   def oracles: Seq[(String, String)] = Seq(
     "stream_tumbling" ->
@@ -219,6 +279,47 @@ object StreamingBatch extends QueryGroup {
         |  ON c.user_id = p.user_id
         |  AND CAST(c.ts AS TIMESTAMP) BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         |                                  AND CAST(p.ts AS TIMESTAMP)
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // two MERGE levels replayed independently — order-proving: b2
+    // re-updates half of b1's keys, deletes half of b1's inserts
+    "stream_upsert" ->
+      s"""WITH t0 AS (
+         |  SELECT o_orderkey, o_custkey, ${Det.centsSql("o_totalprice")} AS tc
+         |  FROM orders),
+         |b1 AS (
+         |  SELECT o_orderkey, 'U' AS op, o_custkey,
+         |    ${Det.centsSql("o_totalprice")} + 1000 AS tc
+         |  FROM orders WHERE o_orderkey % 10 = 3
+         |  UNION ALL
+         |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 7
+         |  UNION ALL
+         |  SELECT -(o_orderkey + 1), 'I', o_custkey, ${Det.centsSql("o_totalprice")}
+         |  FROM orders WHERE o_orderkey % 10 = 0),
+         |b2 AS (
+         |  SELECT o_orderkey, 'U' AS op, o_custkey,
+         |    ${Det.centsSql("o_totalprice")} + 2000 AS tc
+         |  FROM orders WHERE o_orderkey % 20 = 3
+         |  UNION ALL
+         |  SELECT -(o_orderkey + 1), 'D', NULL, NULL
+         |  FROM orders WHERE o_orderkey % 20 = 0
+         |  UNION ALL
+         |  SELECT -(o_orderkey + 2), 'I', o_custkey, ${Det.centsSql("o_totalprice")}
+         |  FROM orders WHERE o_orderkey % 10 = 5),
+         |m1 AS (
+         |  SELECT COALESCE(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+         |    CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE t.o_custkey END AS o_custkey,
+         |    CASE WHEN c.op IS NOT NULL THEN c.tc ELSE t.tc END AS tc
+         |  FROM t0 t FULL OUTER JOIN b1 c ON t.o_orderkey = c.o_orderkey
+         |  WHERE COALESCE(c.op, '') <> 'D'
+         |    AND NOT (COALESCE(c.op, '') = 'U' AND t.o_orderkey IS NULL)),
+         |m2 AS (
+         |  SELECT COALESCE(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+         |    CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE t.o_custkey END AS o_custkey,
+         |    CASE WHEN c.op IS NOT NULL THEN c.tc ELSE t.tc END AS tc
+         |  FROM m1 t FULL OUTER JOIN b2 c ON t.o_orderkey = c.o_orderkey
+         |  WHERE COALESCE(c.op, '') <> 'D'
+         |    AND NOT (COALESCE(c.op, '') = 'U' AND t.o_orderkey IS NULL))
+         |SELECT o_orderkey, o_custkey, tc AS o_total_cents
+         |FROM m2 ORDER BY o_orderkey""".stripMargin
   )
 }

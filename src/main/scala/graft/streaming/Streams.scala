@@ -160,6 +160,92 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Update())
       .toDF("user_id", "event_id", "running_n")
   }
+
+  // ---- streaming upsert sink (round-16 VERDICT #6) ---------------------
+
+  /** STREAMING UPSERT SINK — the foreachBatch + MERGE composition every
+    * lakehouse CDC pipeline runs: each micro-batch of change rows
+    * ([[graft.Graft.merge]]'s contract — key, op ∈ U/I/D, full target
+    * payload) merges into a VERSIONED parquet target and commits a new
+    * snapshot. Exactly-once under micro-batch re-delivery holds through
+    * TWO independent layers:
+    *
+    *  1. a batchId HIGH-WATER MARK (the Delta transaction-id
+    *     discipline): `_commits/<id>` markers record applied batches; a
+    *     replayed or stale id SKIPS without touching data;
+    *  2. the merge itself is IDEMPOTENT for identical re-delivery
+    *     (U/I set values, D deletes — re-applying the same change-set
+    *     is a no-op), so even a crash BETWEEN the snapshot write and
+    *     the marker commit re-applies harmlessly on restart (the
+    *     snapshot directory is overwritten, then the marker lands).
+    *
+    * Each apply reads the last committed snapshot, merges one shuffle
+    * on the key, writes `snap=<batchId>`, then commits the marker —
+    * no driver-resident state, snapshots are immutable once committed
+    * (compaction/vacuum of superseded snapshots is an offline concern,
+    * exactly as in Delta). Seed the target first with
+    * [[initUpsertTarget]]; read it with [[readUpsertTarget]]. */
+  def upsertSink(changes: DataFrame, targetDir: String, keyCol: String,
+      opCol: String = "op"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyUpsertBatch(batch.toDF(), batchId, targetDir, keyCol, opCol); ()
+    }
+
+  /** One upsert transaction (the [[upsertSink]] body, callable directly
+    * for batch backfills and the replay suite): skip if `batchId` is at
+    * or below the high-water mark, else merge into the last committed
+    * snapshot, write `snap=<batchId>` (overwrite — a crashed retry
+    * rewrites the same bytes), and commit the marker LAST. Returns true
+    * when the batch applied, false when the mark skipped it. */
+  def applyUpsertBatch(batch: DataFrame, batchId: Long, targetDir: String,
+      keyCol: String, opCol: String = "op"): Boolean = {
+    val spark = batch.sparkSession
+    val committed = committedIds(spark, targetDir)
+    require(committed.nonEmpty,
+      s"upsert target $targetDir is not initialized - call initUpsertTarget first")
+    if (batchId <= committed.max) false
+    else {
+      val target = spark.read.parquet(s"$targetDir/snap=${committed.max}")
+      graft.Graft.merge(target, batch, keyCol, opCol)
+        .write.mode("overwrite").parquet(s"$targetDir/snap=$batchId")
+      commitMarker(spark, targetDir, batchId)
+      true
+    }
+  }
+
+  /** Seed the versioned upsert target: the initial relation becomes
+    * snapshot −1 (streaming batchIds start at 0). */
+  def initUpsertTarget(initial: DataFrame, targetDir: String): Unit = {
+    initial.write.mode("overwrite").parquet(s"$targetDir/snap=-1")
+    commitMarker(initial.sparkSession, targetDir, -1L)
+  }
+
+  /** The last committed snapshot of an upsert target. */
+  def readUpsertTarget(spark: SparkSession, targetDir: String): DataFrame = {
+    val ids = committedIds(spark, targetDir)
+    require(ids.nonEmpty, s"upsert target $targetDir has no committed snapshot")
+    spark.read.parquet(s"$targetDir/snap=${ids.max}")
+  }
+
+  private def commitMarker(spark: SparkSession, targetDir: String,
+      batchId: Long): Unit = {
+    val fs = fsOf(spark, targetDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$targetDir/_commits/$batchId"), true)
+    out.close()
+  }
+
+  private def committedIds(spark: SparkSession, targetDir: String): Seq[Long] = {
+    val fs = fsOf(spark, targetDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$targetDir/_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
+  }
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 }
 
 /** Per-user running count as a [[StatefulProcessor]]: one ValueState[Long]

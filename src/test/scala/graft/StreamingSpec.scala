@@ -458,6 +458,55 @@ class StreamingSpec extends SparkSuite {
       "sink event ids != source event ids")
   }
 
+  test("streaming upsert sink: foreachBatch MERGE matches the oracled key; replays don't double-apply") {
+    import graft.queries.StreamingBatch
+    // seed the versioned target, stage the two change batches as two
+    // ordered source files (one micro-batch each)
+    val targetDir = Files.createTempDirectory("graft-upsert-target").toString
+    Streams.initUpsertTarget(StreamingBatch.upsertTarget(spark, sf001), targetDir)
+    val srcDir = Files.createTempDirectory("graft-upsert-src").toString
+    val batches = Seq(StreamingBatch.upsertBatch1(spark, sf001),
+      StreamingBatch.upsertBatch2(spark, sf001))
+    batches.zipWithIndex.foreach { case (b, idx) =>
+      val tmp = s"${Files.createTempDirectory("graft-upsert-chunk")}/out"
+      b.coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(f"$srcDir/chunk_$idx%03d.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + idx * 1000)
+    }
+    val changes = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streams.upsertSink(changes, targetDir, "o_orderkey")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-upsert-ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    def snapshot(): Seq[(Long, Long, Long)] =
+      Streams.readUpsertTarget(spark, targetDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = snapshot()
+    val want = SparkEntry.queries("stream_upsert")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"streamed upsert diverged from the oracled key " +
+      s"(got ${got.size} rows, want ${want.size})")
+    // layer 1 — the high-water mark: a re-delivered batchId skips
+    assert(!Streams.applyUpsertBatch(batches.head, 0L, targetDir, "o_orderkey"),
+      "replayed batchId 0 was not skipped by the high-water mark")
+    assert(snapshot() == want, "skipped replay still changed the target")
+    // layer 2 — merge idempotency through a simulated crash BETWEEN the
+    // snapshot write and the marker commit: drop batch 1's marker and
+    // re-apply the identical batch; the re-merge must land the same bytes
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/_commits/1"), false)
+    assert(Streams.applyUpsertBatch(batches(1), 1L, targetDir, "o_orderkey"),
+      "crash-retry did not re-apply")
+    assert(snapshot() == want, "crash-retry re-apply changed the final state")
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
