@@ -359,6 +359,19 @@ object Graft {
         docsOf(train, idCol, textCol), docsOf(eval, idCol, textCol), n)
       .select(col("doc_id").as("id"), col("n_contaminated_grams"))
 
+  /** SUBSTRING-level dedup statistics — per document, how many word
+    * `k`-gram positions are shared with ANY other document and the
+    * longest such span in words (see
+    * [[graft.queries.Dedup.sharedSpanStats]]; Lee et al. 2022's
+    * repeated-span concern that doc-level and shingle-set dedup both
+    * miss). Docs shorter than `k` words report zeros. Returns
+    * (id, n_shared_grams, longest_shared_words). */
+  def sharedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame =
+    queries.Dedup.sharedSpanStats(docsOf(docs, idCol, textCol), k)
+      .select(col("doc_id").as("id"),
+        col("n_shared_grams"), col("longest_shared_words"))
+
   /** [[decontaminate]] with a bloom prefilter — identical output at a
     * CONSTANT broadcast size (a 128 KiB filter instead of the exact
     * gram set), for eval corpora past the exact path's broadcast cap:

@@ -1758,6 +1758,49 @@ object Dedup extends QueryGroup {
     labels.select(col("u").as("id"), col("lbl").as("component"))
   }
 
+  /** SUBSTRING-level dedup statistics (round-17; the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * concern: doc-level and shingle-SET dedup both miss long spans
+    * copied BETWEEN otherwise-distinct documents): per document, the
+    * count of word-`k`-gram positions whose gram text occurs in at
+    * least one OTHER document, and the longest such consecutive run
+    * expressed in WORDS (run + k − 1 — a run of r adjacent shared
+    * k-grams is one shared span of r+k−1 words). Everything is keyed —
+    * grams bucket by their text (the decontaminate discipline: exact
+    * strings, no cross-engine hash), the shared set is a gram-keyed
+    * distinct-doc count, membership is one semi-shaped join, and the
+    * run detection is the gaps-and-islands window per document — never
+    * all-pairs, nothing quadratic in documents. Docs shorter than `k`
+    * words (no grams) report zeros via the LEFT join.
+    * Returns (doc_id, n_shared_grams, longest_shared_words). */
+  private[graft] def sharedSpanStats(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"sharedSpanStats: k in 2..64, got $k")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
+        .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"), col("g"))
+    val shared = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val sp = grams.join(shared, "g").select("doc_id", "i")
+    val runs = sp
+      .withColumn("isl", col("i") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
+    val agg = runs.groupBy("doc_id").agg(
+      sum(col("run")).as("ns"), max(col("run")).as("mr"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("mr") + lit((k - 1).toLong), lit(0L)).as("longest_shared_words"))
+  }
+
+  private[graft] val substringGramK = 8
+
   def queries: Seq[(String, Q)] = Seq(
     // Exact duplicate texts: first doc_id wins, copy count kept.
     "dedup_exact" -> ((s, dir) =>
@@ -1765,6 +1808,14 @@ object Dedup extends QueryGroup {
         .groupBy("text")
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    // Cross-document repeated-span detection (kernel scaladoc on
+    // [[sharedSpanStats]]): per doc, shared-8-gram position count and
+    // the longest shared span in words — 45 of the 500 sf0.001 docs
+    // carry a shared span, so the key is load-bearing at every SF.
+    "dedup_substring" -> ((s, dir) =>
+      sharedSpanStats(Tables.documents(s, dir), substringGramK)
         .orderBy("doc_id")),
 
     // Exact dedup by content digest — at 100 TB you group by a 128-bit
@@ -2400,6 +2451,34 @@ object Dedup extends QueryGroup {
     "dedup_exact_hash" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS digest, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // independent re-derivation of sharedSpanStats: unnest+slice grams,
+    // shared = distinct-doc count ≥ 2, gaps-and-islands runs per doc
+    "dedup_substring" -> {
+      val k = substringGramK
+      s"""WITH g AS (
+         |  SELECT doc_id, i, array_to_string(ws[i:i+${k - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+         |       UNNEST(range(1, len(ws) - ${k - 2})) AS t(i)
+         |  WHERE len(ws) >= $k),
+         |sh AS (
+         |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+         |  GROUP BY g HAVING COUNT(*) >= 2),
+         |sp AS (SELECT doc_id, i FROM g WHERE g IN (SELECT g FROM sh)),
+         |runs AS (
+         |  SELECT doc_id, isl, COUNT(*) AS run FROM (
+         |    SELECT doc_id, i,
+         |      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |    FROM sp) GROUP BY doc_id, isl),
+         |a AS (
+         |  SELECT doc_id, CAST(SUM(run) AS BIGINT) AS ns,
+         |    CAST(MAX(run) AS BIGINT) AS mr
+         |  FROM runs GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(a.ns, 0) AS n_shared_grams,
+         |  COALESCE(a.mr + ${k - 1}, 0) AS longest_shared_words
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "dedup_jaccard" ->
       s"""WITH $shingleSql,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

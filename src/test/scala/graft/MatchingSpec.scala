@@ -157,6 +157,40 @@ class MatchingSpec extends SparkSuite {
     assert(zero.count() == 0L)
   }
 
+  test("substring dedup: crafted corpus with known shared spans") {
+    import spark.implicits._
+    // doc 1 and doc 2 share exactly the 10-word span "a b … j": with
+    // k = 8 that is 3 adjacent shared gram positions in each doc
+    // (longest = 3 + 7 = 10 words); doc 3 has one gram, unshared; doc 4
+    // is 7 words — below k, zero by the LEFT join; doc 5 repeats a
+    // gram WITHIN itself only — within-doc repetition is NOT shared
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y a b c d e f g h i j z"),
+      (3L, "p q r s t u v w"),
+      (4L, "s1 s2 s3 s4 s5 s6 s7"),
+      (5L, "m n o pp qq rr ss tt m n o pp qq rr ss tt")
+    ).toDF("doc_id", "text")
+    val got = Graft.sharedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 10L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((3L, 10L)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L)), s"doc 4: ${got(4L)}")
+    assert(got(5L) == ((0L, 0L)), s"doc 5 (within-doc repeat): ${got(5L)}")
+    // two DISJOINT shared runs in one doc: count sums, longest takes max
+    val docs2 = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 mid b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 zz"),
+      (3L, "yy b1 b2 b3 b4 b5 b6 b7 b8 b9")
+    ).toDF("doc_id", "text")
+    val got2 = Graft.sharedSpans(docs2, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: run of 1 (the a-gram) + run of 2 (b-grams at 10, 11) —
+    // 3 shared positions, longest span 2 + 7 = 9 words
+    assert(got2(1L) == ((3L, 9L)), s"doc 1 disjoint runs: ${got2(1L)}")
+  }
+
   test("rendezvous sharding: growing the ring moves only the new shard's winners") {
     import spark.implicits._
     val ids = (0L until 3000L).toDF("doc_id")
