@@ -166,6 +166,41 @@ object Graft {
     queries.Dedup.simhashPairs(spark, docsOf(docs, idCol, textCol))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
 
+  /** Perceptual dHash of a PNG binary column (see
+    * [[graft.queries.TextOps.phashes]]; Krawetz 2013) — 64
+    * gradient-sign bits as four 16-bit bands, computed in a batched
+    * per-partition pass (pixels never shuffle; the hash is 32 bytes per
+    * image regardless of resolution). Returns (id, b0, b1, b2, b3). */
+  def imagePhash(df: DataFrame, idCol: String, pngCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(pngCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (w, h, px) = queries.MmCodec.parsePng(bytes, id)
+            val b = queries.TextOps.dhashOf(w, h, px)
+            (id, b(0), b(1), b(2), b(3))
+          }
+        }
+      }
+      .toDF("id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Image near-dup pairs within dHash hamming ≤ `maxHamming` (≤ 3 —
+    * the 4-band pigeonhole radius; see
+    * [[graft.queries.TextOps.phashPairsFrom]]): exact pair set via the
+    * band-equality bucket join, no all-pairs product. The visual
+    * companion to [[nearDupPairsSimhash]] — catches re-encoded or
+    * resampled image copies a byte digest misses. Returns
+    * (id_a, id_b, hamming). */
+  def imageNearDups(df: DataFrame, idCol: String, pngCol: String,
+      maxHamming: Int = 3): DataFrame =
+    queries.TextOps.phashPairsFrom(
+        imagePhash(df, idCol, pngCol).withColumnRenamed("id", "doc_id"),
+        maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+
   /** Near-dup clusters: connected components of the exact-Jaccard pair
     * graph; every doc labeled with its component's smallest id (keep one
     * doc per component to dedup). Returns (id, component). */
@@ -259,6 +294,26 @@ object Graft {
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
         .distinct(),
       k, maxRounds)
+  }
+
+  /** Link prediction over an undirected graph (see
+    * [[graft.queries.Dedup.linkPredict]]): non-adjacent node pairs
+    * scored by common-neighbor count and the resource-allocation index
+    * Σ 1/deg(z) in exact integer micro-units, wedges routed only
+    * through intermediates at or below the `degFraction` degree
+    * quantile (hubs are near-zero RA evidence and the quadratic wedge
+    * risk). Edges are canonicalized (self-loops dropped, u < v,
+    * distinct). Returns (u, v, cn, ra_micro) for pairs with ≥ 2 common
+    * capped neighbors. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      degFraction: Double = queries.Dedup.LinkPredictDegFraction): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    queries.Dedup.linkPredict(e, degFraction)
   }
 
   /** Deterministic random walks over an undirected graph (see
@@ -371,6 +426,36 @@ object Graft {
     queries.Dedup.sharedSpanStats(docsOf(docs, idCol, textCol), k)
       .select(col("doc_id").as("id"),
         col("n_shared_grams"), col("longest_shared_words"))
+
+  /** DIRECTED containment pairs (see
+    * [[graft.queries.Dedup.containmentPairs]]; Broder 1997's
+    * containment coefficient) — the asymmetric near-dup report Jaccard
+    * misses: a short document copied wholesale into a longer one.
+    * Shingles above the `dfCap` document frequency leave the
+    * vocabulary (boilerplate, not evidence — and the skew bound).
+    * Returns (contained, container, containment) for every directed
+    * pair with containment ≥ tau over the pruned 3-word shingle sets. */
+  def containmentReport(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tau: Double = queries.Dedup.ContainmentTau,
+      dfCap: Int = queries.Dedup.ContainmentDfCap): DataFrame =
+    queries.Dedup.containmentPairs(
+        queries.Dedup.hashedShingleSetPlan(spark, docsOf(docs, idCol, textCol)),
+        tau, dfCap)
+      .select(col("doc_contained").as("contained"),
+        col("doc_container").as("container"), col("containment"))
+
+  /** Population-stability-index drift per group (see
+    * [[graft.queries.Profile.driftPsi]]): each group's value
+    * distribution scored against the global population over
+    * equi-depth quartile bins — Σ (p−q)·ln(p/q), Laplace-smoothed,
+    * the standard distribution-shift gate between pipeline snapshots
+    * (> 0.25 ≈ significant shift). Values integerize to cents before
+    * binning. Returns (group, n, psi). */
+  def driftPsi(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    queries.Profile.driftPsi(df.select(col(groupCol).as("event_type"),
+        Det.cents(col(valueCol)).as("pc")))
+      .select(col("event_type").as("group"), col("n"), col("psi"))
 
   /** [[decontaminate]] with a bloom prefilter — identical output at a
     * CONSTANT broadcast size (a 128 KiB filter instead of the exact

@@ -348,6 +348,54 @@ object Dedup extends QueryGroup {
     pairs.withColumn("jaccard",
       round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
 
+  /** Containment vocabulary prune: shingles in more than this many
+    * documents are dropped from BOTH sets before containment is
+    * measured. Unlike Jaccard's hot-shingle decomposition, containment
+    * has no symmetric hot-dominated sweep (the contained endpoint can be
+    * tiny while the container is arbitrary), so the skew guard is the
+    * one contamination detectors actually use: ubiquitous n-grams are
+    * boilerplate, not evidence of copying, and leave the vocabulary
+    * (Brown et al. 2020's GPT-3 appendix drops high-df collision grams
+    * for exactly this reason). Every surviving bucket is ≤ cap docs, so
+    * the bucket-pair explode is bounded at any corpus scale. */
+  private[graft] val ContainmentDfCap: Int = 256
+
+  /** Containment report threshold: C(A→B) = |Sh(A)∩Sh(B)| / |Sh(A)| —
+    * the fraction of A's (pruned) shingle set found in B. */
+  private[graft] val ContainmentTau: Double = 0.6
+
+  /** DIRECTED containment pairs — the asymmetric companion to Jaccard
+    * dedup (Broder 1997's containment coefficient): Jaccard misses a
+    * small document copied wholesale into a much larger one (the
+    * union in its denominator swamps the intersection), which is the
+    * shape both contamination checks and quote/boilerplate attribution
+    * look for. For every candidate pair sharing a below-cap shingle,
+    * emit BOTH directions (doc_contained, doc_container, containment)
+    * where containment ≥ tau.
+    *
+    * Input `sh0`: the distinct (doc_id, shingle) relation (hashed or
+    * string identity — values depend only on set membership). Plan: one
+    * shingle-keyed window prunes df > dfCap, one doc-keyed window
+    * recomputes set sizes on the PRUNED vocabulary (the denominator must
+    * not count dropped shingles), then the bucket-grouped pair stage —
+    * three keyed exchanges, buckets bounded by dfCap, never all-pairs. */
+  private[graft] def containmentPairs(sh0: DataFrame,
+      tau: Double = ContainmentTau, dfCap: Int = ContainmentDfCap): DataFrame = {
+    val pruned = sh0.select("doc_id", "shingle")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val pairs = bucketPairCounts(pruned)
+    pairs.select(col("doc_a").as("doc_contained"),
+        col("doc_b").as("doc_container"),
+        round(col("inter").cast("double") / col("na"), 4).as("containment"))
+      .unionByName(pairs.select(col("doc_b").as("doc_contained"),
+        col("doc_a").as("doc_container"),
+        round(col("inter").cast("double") / col("nb"), 4).as("containment")))
+      .filter(col("containment") >= tau)
+  }
+
   /** Document-frequency cap for the exact-Jaccard skew guard: a shingle
     * appearing in more than this many documents makes the bucket-pair
     * explode quadratic in its df (round-8 VERDICT #2: a stopword trigram
@@ -1861,6 +1909,21 @@ object Dedup extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // DIRECTED containment pairs (Broder 1997's containment
+    // coefficient) — the asymmetric report Jaccard structurally misses:
+    // a short document copied wholesale into a much larger one scores
+    // inter/(na+nb−inter) ≈ na/nb → fails any Jaccard threshold, while
+    // its containment inter/na is 1.0. The kernel prunes ubiquitous
+    // shingles (df > cap — boilerplate, not evidence) instead of
+    // decomposing around them: that is both the contamination-detector
+    // semantic AND the skew bound (every bucket ≤ cap docs). Reads the
+    // session's warmed hashed-shingle relation; values depend only on
+    // set membership, so the string-shingle oracle re-derives them
+    // exactly (the dedup_jaccard hashed-identity argument).
+    "dedup_containment" -> ((s, dir) =>
+      containmentPairs(shingleSet(s, dir).select("doc_id", "shingle"))
+        .orderBy("doc_contained", "doc_container")),
+
     // Near-dup CLUSTERS: connected components of the jaccard ≥ 0.2 pair
     // graph, every document labeled with the smallest doc_id reachable
     // from it (singletons label themselves) — the canonicalization step a
@@ -1949,6 +2012,24 @@ object Dedup extends QueryGroup {
       val edges = p.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))
         .unionByName(p.select((col("pk") + 1000000L).as("u"), col("sk").as("v")))
       kcoreNodes(edges, kcoreK).orderBy("node")
+    }),
+
+    // Link prediction over the part co-purchase graph — the sixth
+    // graph-analytics key (kernel scaladoc on [[linkPredict]]): score
+    // non-adjacent part pairs by common-neighbor count and the
+    // resource-allocation index Σ 1/deg(z), wedges routed only through
+    // low-degree intermediates (the p05 degree cap — hubs are near-zero
+    // RA evidence and the quadratic wedge risk). Exact integer
+    // micro-unit scores + a sketch-exact percentile cap → fully
+    // oracled: DuckDB re-derives the same edges, the same cap, the
+    // same wedges, the same anti-join and sums.
+    "graph_link_predict" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      linkPredict(edges).orderBy("u", "v")
     }),
 
     // MinHash-LSH candidate pairs — the scale path: band-bucket join
@@ -2260,6 +2341,61 @@ object Dedup extends QueryGroup {
       .groupBy("node").agg(count(lit(1)).as("tri_n"))
   }
 
+  /** Link-prediction intermediate cap: wedges route only through nodes
+    * whose degree is at or below this degree-distribution quantile.
+    * Resource-allocation scoring (1/deg z) makes high-degree
+    * intermediates near-zero evidence anyway (a hub connecting two
+    * nodes says nothing about their affinity — Zhou, Lü & Zhang 2009),
+    * and excluding them is what BOUNDS the wedge stage: Σ_z deg(z)² over
+    * hubs is the quadratic blowup every production link predictor
+    * suppresses (recommender "people also bought" pipelines cap
+    * fan-out the same way). Quantile-relative, not absolute, so the
+    * kept intermediate set tracks the graph's own scale: ~1 node in 20
+    * qualifies at any corpus size, and the per-z pair explode is
+    * bounded by the low quantile of the degree distribution. */
+  private[graft] val LinkPredictDegFraction: Double = 0.05
+
+  /** RA scores are exact integer micro-units: 1000000 div deg(z) —
+    * integer division floors identically in both engines, so the
+    * per-wedge terms and their sums are bit-exact cross-engine (no
+    * transcendental Adamic–Adar log whose ulp could flip a value). */
+  private[graft] val LinkPredictRaMicro: Int = 1000000
+
+  /** Link prediction over an undirected graph (edges0: u < v, distinct):
+    * for every non-adjacent pair reachable through ≥ 2 common LOW-DEGREE
+    * neighbors, the common-neighbor count and the resource-allocation
+    * index Σ_z 1/deg(z) in exact micro-units (Liben-Nowell & Kleinberg
+    * 2003; Zhou et al. 2009's RA variant). Plan: degree relation → the
+    * p05 degree cap from the mergeable percentile sketch (exact at
+    * fixture accuracy, the agg_histogram_eqdepth_scale discipline) →
+    * wedges through capped intermediates only (two z-keyed equi-joins,
+    * per-z explode bounded by the cap) → anti-join against the edge set
+    * → one keyed aggregate. Never all-pairs; nothing grows with a hub's
+    * degree. */
+  private[graft] def linkPredict(edges0: DataFrame,
+      degFraction: Double = LinkPredictDegFraction): DataFrame = {
+    val und = edges0.select(col("u"), col("v"))
+      .unionByName(edges0.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val cap = deg.agg(percentile_approx(col("d"), lit(degFraction),
+      lit(1000000)).as("cap"))
+    val lowz = deg.crossJoin(broadcast(cap))
+      .filter(col("d") <= col("cap"))
+      .select(col("u").as("z"), col("d"))
+    val wed = und.select(col("u").as("z"), col("v").as("wu"))
+      .join(lowz, "z")
+      .join(und.select(col("u").as("z"), col("v").as("wv")), "z")
+      .filter(col("wu") < col("wv"))
+    wed
+      .join(edges0.select(col("u").as("wu"), col("v").as("wv")),
+        Seq("wu", "wv"), "left_anti")
+      .groupBy("wu", "wv")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"$LinkPredictRaMicro div d")).as("ra_micro"))
+      .filter(col("cn") >= 2)
+      .select(col("wu").as("u"), col("wv").as("v"), col("cn"), col("ra_micro"))
+  }
+
   /** Blocked edit-distance matcher — entity resolution's
     * blocking-then-matching shape, decomposed for corpus-scale string
     * DUPLICATION (the fixture has 64 distinct names across 2000 parts;
@@ -2512,6 +2648,59 @@ object Dedup extends QueryGroup {
          |  JOIN sz nb ON nb.doc_id = doc_b)
          |WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Independent containment re-derivation on STRING shingles: same
+    // df prune, same pruned-set sizes, same directed division — one
+    // constant source for cap and tau.
+    "dedup_containment" ->
+      s"""WITH $shingleSql,
+         |pr AS (
+         |  SELECT doc_id, shingle FROM sh
+         |  WHERE shingle IN (
+         |    SELECT shingle FROM sh GROUP BY shingle
+         |    HAVING COUNT(*) <= $ContainmentDfCap)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM pr GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |d AS (
+         |  SELECT doc_a AS doc_contained, doc_b AS doc_container,
+         |    ROUND(CAST(inter AS DOUBLE) / na.n, 4) AS containment
+         |  FROM pairs JOIN sz na ON na.doc_id = doc_a
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, ROUND(CAST(inter AS DOUBLE) / nb.n, 4)
+         |  FROM pairs JOIN sz nb ON nb.doc_id = doc_b)
+         |SELECT doc_contained, doc_container, containment FROM d
+         |WHERE containment >= $ContainmentTau
+         |ORDER BY doc_contained, doc_container""".stripMargin,
+
+    // Link prediction replayed end to end: same co-purchase edges, same
+    // p05 cap (quantile_disc ≡ full-accuracy percentile_approx, the
+    // eqdepth_scale convention), same capped wedges, anti-join, and
+    // integer-micro RA sums.
+    "graph_link_predict" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |edges AS (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+         |deg AS (SELECT u AS n, COUNT(*) AS d FROM und GROUP BY u),
+         |cap AS (
+         |  SELECT quantile_disc(d, CAST($LinkPredictDegFraction AS DOUBLE)) AS c
+         |  FROM deg),
+         |wed AS (
+         |  SELECT a.v AS wu, b.v AS wv, dz.d
+         |  FROM und a
+         |  JOIN deg dz ON dz.n = a.u AND dz.d <= (SELECT c FROM cap)
+         |  JOIN und b ON b.u = a.u AND a.v < b.v)
+         |SELECT wu AS u, wv AS v, COUNT(*) AS cn,
+         |  CAST(SUM($LinkPredictRaMicro // d) AS BIGINT) AS ra_micro
+         |FROM wed
+         |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = wu AND e.v = wv)
+         |GROUP BY wu, wv HAVING COUNT(*) >= 2
+         |ORDER BY u, v""".stripMargin,
+
     // Per-customer order chains walked to their minimum — the same
     // min-label fixpoint the large-star/small-star rounds compute.
     "graph_components" ->

@@ -23,6 +23,56 @@ object Profile extends QueryGroup {
     * (one-constant discipline). */
   private val weightedK = 5
 
+  /** PSI bin boundaries: global quartiles — exact binary doubles so the
+    * Scala toString round-trips into the oracle SQL bit-identically. */
+  private[graft] val psiFractions: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
+  /** Bin count (= Laplace smoothing denominator offset). */
+  private[graft] val psiBuckets: Int = psiFractions.size + 1
+
+  /** Sketch accuracy ≥ the fixture events row count at every tested SF
+    * (100 k at sf0.1) — the percentile sketch is EXACT there, so the key
+    * stays oracle-able; at 100 TB the same plan runs it approximate
+    * (the agg_histogram_eqdepth_scale discipline). */
+  private[graft] val psiSketchAccuracy: Int = 1000000
+
+  /** Population-stability-index drift per group — the data-quality
+    * gate a training pipeline runs between snapshots ("did this
+    * source's value distribution move?"; PSI is the standard credit-
+    * scoring drift score, Σ (p−q)·ln(p/q) over bins; > 0.25 is the
+    * conventional "significant shift"). Here each `event_type`'s value
+    * distribution is scored against the GLOBAL distribution over
+    * equi-depth quartile bins. `r`: (event_type, pc) with pc integral
+    * cents. Plan: one sketch aggregate for the 3 global boundaries
+    * (map-side partials), one broadcast map-only bin assignment feeding
+    * ONE keyed (type, bucket) count — the only N-sized stages — then the
+    * |types|×4-row reshape (scaffold join + window sums + the
+    * entropy-key decimal-sum discipline: ln terms round to 6, sum as
+    * exact DECIMAL, final round-4 in decimal). Zero-count bins stay in
+    * via Laplace (c+1)/(n+B) smoothing, so PSI is total and finite. */
+  private[graft] def driftPsi(r: DataFrame): DataFrame = {
+    val b = r.agg(percentile_approx(col("pc"),
+      array(psiFractions.map(lit): _*), lit(psiSketchAccuracy)).as("bs"))
+    val counts = r.crossJoin(broadcast(b))
+      .withColumn("bucket",
+        (size(filter(col("bs"), x => x < col("pc"))) + 1).cast("long"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+    val scaffold = r.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(1L), lit(psiBuckets.toLong))).as("bucket"))
+    val w = scaffold.join(counts, Seq("event_type", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("n_t", sum(col("c")).over(Window.partitionBy("event_type")))
+      .withColumn("n_b", sum(col("c")).over(Window.partitionBy("bucket")))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy()))
+    val pt = (col("c") + 1).cast("double") / (col("n_t") + psiBuckets).cast("double")
+    val pr = (col("n_b") + 1).cast("double") / (col("nn") + psiBuckets).cast("double")
+    w.withColumn("term", dec(round((pt - pr) * log(pt / pr), 6)))
+      .groupBy("event_type")
+      .agg(max(col("n_t")).as("n"),
+        round(sum(col("term")), 4).cast("double").as("psi"))
+  }
+
   /** One-pass profile of 2-decimal numeric columns: per column — row
     * count, exact distinct count, min/max, exact sum (integer cents).
     * All columns profile in a SINGLE scan: one aggregate with every
@@ -251,6 +301,16 @@ object Profile extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Distribution drift per event_type vs the global population
+    // (kernel scaladoc on [[driftPsi]]): PSI over global-quartile bins,
+    // Laplace-smoothed, decimal-exact term sums. The single-partition
+    // window in the reshape runs on |types|×4 rows — the N-sized work
+    // is one sketch agg + one keyed count, both map-side-combining.
+    "profile_drift_psi" -> ((s, dir) =>
+      driftPsi(Tables.events(s, dir)
+          .select(col("event_type"), cents(col("value")).as("pc")))
+        .orderBy("event_type")),
+
     // Selective-dimension join — the shape Spark's runtime bloom filter
     // optimizes: the filtered orders side builds a bloom filter that is
     // pushed into the lineitem scan, cutting the probe-side shuffle to
@@ -304,6 +364,46 @@ object Profile extends QueryGroup {
         |FROM events e JOIN mad USING (event_type)
         |WHERE abs(value - m) > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
         |ORDER BY event_id""".stripMargin,
+    // PSI replayed end to end: same quartile boundaries (quantile_disc ≡
+    // full-accuracy percentile_approx), same bin-assignment formula,
+    // same Laplace smoothing and decimal-sum rounding.
+    "profile_drift_psi" -> {
+      val fr = psiFractions.map(f => s"CAST($f AS DOUBLE)").mkString(", ")
+      val bk = (1 to psiBuckets).mkString(", ")
+      s"""WITH r AS (
+         |  SELECT event_type, ${Det.centsSql("value")} AS pc FROM events),
+         |b AS (SELECT quantile_disc(pc, [$fr]) AS bs FROM r),
+         |a AS (
+         |  SELECT event_type,
+         |    1 + len(list_filter(bs, x -> x < pc)) AS bucket FROM r, b),
+         |c0 AS (
+         |  SELECT event_type, bucket, COUNT(*) AS c
+         |  FROM a GROUP BY event_type, bucket),
+         |sc AS (
+         |  SELECT t.event_type, g.bucket
+         |  FROM (SELECT DISTINCT event_type FROM r) t
+         |  CROSS JOIN (SELECT UNNEST([$bk]) AS bucket) g),
+         |f AS (
+         |  SELECT sc.event_type, sc.bucket, COALESCE(c0.c, 0) AS c
+         |  FROM sc LEFT JOIN c0
+         |    ON c0.event_type = sc.event_type AND c0.bucket = sc.bucket),
+         |w AS (
+         |  SELECT event_type, c,
+         |    SUM(c) OVER (PARTITION BY event_type) AS n_t,
+         |    SUM(c) OVER (PARTITION BY bucket) AS n_b,
+         |    SUM(c) OVER () AS nn
+         |  FROM f),
+         |t AS (
+         |  SELECT event_type, n_t,
+         |    ROUND((CAST(c + 1 AS DOUBLE) / CAST(n_t + $psiBuckets AS DOUBLE)
+         |         - CAST(n_b + 1 AS DOUBLE) / CAST(nn + $psiBuckets AS DOUBLE))
+         |      * ln((CAST(c + 1 AS DOUBLE) / CAST(n_t + $psiBuckets AS DOUBLE))
+         |          / (CAST(n_b + 1 AS DOUBLE) / CAST(nn + $psiBuckets AS DOUBLE))), 6) AS term
+         |  FROM w)
+         |SELECT event_type, CAST(MAX(n_t) AS BIGINT) AS n,
+         |  CAST(ROUND(SUM(CAST(term AS DECIMAL(18,6))), 4) AS DOUBLE) AS psi
+         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "sample_weighted" ->
       s"""WITH b AS (
          |  SELECT o_orderkey, o_orderpriority, o_orderkey % 8 AS shard,

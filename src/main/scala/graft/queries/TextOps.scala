@@ -273,6 +273,103 @@ object TextOps extends QueryGroup {
       .toDF("doc_id", "width", "height", "n_pix", "px_sum", "format")
   }
 
+  /** Perceptual dHash of the DECODED [[pngFramed]] image (the
+    * difference hash image-dedup pipelines bucket on — Krawetz 2013's
+    * dHash: gradient signs survive resize/re-encode, unlike byte
+    * digests): NN-resample the pixels to a 9×8 grayscale grid
+    * (integer-exact: src row = r·h div 8, col = c·w div 9, gray =
+    * (R+G+B) div 3), then one bit per adjacent-column comparison —
+    * 64 bits emitted as FOUR 16-bit band values (b0..b3, two grid rows
+    * each), the simhash band layout, so the near-dup join is a plain
+    * band-equality bucket join and no engine ever assembles a signed
+    * 64-bit value (bit 63 via shift is wrap-prone in cross-engine SQL).
+    * Runs inside the same batched per-partition pass as the decode —
+    * full-resolution pixels never shuffle; the hash is 4 ints per
+    * image no matter the source resolution (THE reason phash dedup
+    * scales: the pair stage sees 32 bytes/image, not pixels). Fully
+    * ORACLED: the oracle re-derives every gray cell and bit from the
+    * generative text formula (the mm_decode_png value-certificate
+    * discipline), so a resample/threshold/packing bug hash-mismatches. */
+  private[graft] def phashes(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    pngFramed(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (w, h, px) = MmCodec.parsePng(bytes, id)
+            val b = dhashOf(w, h, px)
+            (id, b(0), b(1), b(2), b(3))
+          }
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** One image's dHash as 4×16-bit band values — split out so the
+    * facade can hash caller-supplied PNG columns and GraftSpec can pin
+    * crafted pixel grids. */
+  private[graft] def dhashOf(w: Int, h: Int, px: Array[Byte]): Array[Long] = {
+    val gray = Array.tabulate(8, 9) { (r, c) =>
+      val base = ((r * h / 8) * w + (c * w / 9)) * 3
+      ((px(base) & 0xff) + (px(base + 1) & 0xff) + (px(base + 2) & 0xff)) / 3
+    }
+    val bands = Array.fill(4)(0L)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (gray(r)(c) > gray(r)(c + 1))
+          bands(r / 2) |= 1L << ((r % 2) * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bands
+  }
+
+  /** Image near-dup pairs from [[phashes]] — banded hamming join, the
+    * dedup_simhash discipline on the visual fingerprint: two hashes
+    * within hamming ≤ 3 agree EXACTLY on ≥ 1 of the 4 16-bit bands
+    * (pigeonhole), so the band-equality bucket join finds every such
+    * pair without any all-pairs product. Candidates carry both hash
+    * sides; hamming is Σ bit_count(xor) over the four band pairs —
+    * exact, so the result equals the brute-force pair set. At 100 TB a
+    * degenerate band (e.g. the all-zero gradient of flat-color images)
+    * makes a hot bucket — same remedy as dedup_simhash's scaladoc:
+    * df-cap the bucket key and sweep the capped residue exactly. */
+  private[graft] def phashPairs(s: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    phashPairsFrom(phashes(s, docs), maxHamming)
+
+  /** The banded hamming join alone, over any (doc_id, b0..b3) hash
+    * relation — shared by the fixture key and the PNG-column facade. */
+  private[graft] def phashPairsFrom(ph: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"phashPairs: hamming cap $maxHamming breaks the 4-band pigeonhole " +
+        "guarantee (> 3 differing bits can touch all 4 bands); add bands " +
+        "or post-verify a wider radius explicitly")
+    val banded = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+      col("b3"), posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+         bit_count(col("a1").bitwiseXOR(col("c1"))) +
+         bit_count(col("a2").bitwiseXOR(col("c2"))) +
+         bit_count(col("a3").bitwiseXOR(col("c3")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+  }
+
   /** Sample-level energy of the [[decodeWav]] PCM payload: parse the
     * RIFF header (same checks), then walk the 16-bit little-endian
     * SIGNED samples and sum their squares — the value-level certificate
@@ -712,6 +809,20 @@ object TextOps extends QueryGroup {
     // mm_decode_wav's header/count checks can't give.
     "mm_audio_energy" -> ((s, dir) =>
       wavEnergy(s, Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Perceptual dHash over the decoded PNG pixels (kernel scaladoc on
+    // [[phashes]]): 64 gradient-sign bits as 4×16-bit bands, computed
+    // inside the decode pass. Oracled value-level from the generative
+    // pixel formula.
+    "mm_phash" -> ((s, dir) =>
+      phashes(s, Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Image near-dup pairs via the banded phash join (kernel scaladoc
+    // on [[phashPairs]]): exact hamming ≤ 3 pair set by pigeonhole —
+    // the visual companion to dedup_simhash, finding re-encoded /
+    // resampled image copies a byte digest misses.
+    "dedup_image_phash" -> ((s, dir) =>
+      phashPairs(s, Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
     // The first LOSSY compressed format through the decode stage (the
     // JDK's own baseline-JPEG codec; kernel scaladoc on
@@ -1349,7 +1460,62 @@ object TextOps extends QueryGroup {
       |LEFT JOIN hits h ON h.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The dHash re-derivation shared by the mm_phash and
+    * dedup_image_phash oracles: every gray cell and gradient bit from
+    * the generative pixel formula (ASCII ⇒ ord = byte; the
+    * mm_decode_png discipline), band values as Σ bit·2^pos. */
+  private val phashSql =
+    """base AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 11 + 4 AS BIGINT) AS w,
+      |    CAST(doc_id % 5 + 3 AS BIGINT) AS h,
+      |    CASE WHEN length(text) > 0 THEN text ELSE ' ' END AS bt
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    substr(repeat(bt, CAST(floor(294 / length(bt)) AS INT) + 1),
+      |           1, CAST(w * h * 3 AS INT)) AS p
+      |  FROM base),
+      |g AS (
+      |  SELECT doc_id, r.i AS r, c.i AS c,
+      |    (ord(substr(p, CAST((r.i * h // 8 * w + c.i * w // 9) * 3 + 1 AS INT), 1))
+      |   + ord(substr(p, CAST((r.i * h // 8 * w + c.i * w // 9) * 3 + 2 AS INT), 1))
+      |   + ord(substr(p, CAST((r.i * h // 8 * w + c.i * w // 9) * 3 + 3 AS INT), 1))) // 3 AS gray
+      |  FROM px, UNNEST(range(0, 8)) AS r(i), UNNEST(range(0, 9)) AS c(i)),
+      |bits AS (
+      |  SELECT l.doc_id, l.r, l.c,
+      |    CASE WHEN l.gray > n.gray THEN 1 ELSE 0 END AS bit
+      |  FROM g l JOIN g n ON n.doc_id = l.doc_id AND n.r = l.r AND n.c = l.c + 1
+      |  WHERE l.c < 8),
+      |bandv AS (
+      |  SELECT doc_id, r // 2 AS band,
+      |    CAST(SUM(bit * CAST(power(2, (r % 2) * 8 + c) AS BIGINT)) AS BIGINT) AS v
+      |  FROM bits GROUP BY doc_id, r // 2),
+      |ph AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN v END) AS b0,
+      |    MAX(CASE WHEN band = 1 THEN v END) AS b1,
+      |    MAX(CASE WHEN band = 2 THEN v END) AS b2,
+      |    MAX(CASE WHEN band = 3 THEN v END) AS b3
+      |  FROM bandv GROUP BY doc_id)""".stripMargin
+
   def oracles: Seq[(String, String)] = Seq(
+    "mm_phash" ->
+      s"""WITH $phashSql
+         |SELECT doc_id, b0, b1, b2, b3 FROM ph ORDER BY doc_id""".stripMargin,
+
+    // The banded join is exact by pigeonhole, so the oracle states the
+    // SEMANTIC directly: all pairs (no bucket pre-filter — fixture
+    // scale affords the quadratic form) within hamming ≤ 3.
+    "dedup_image_phash" ->
+      s"""WITH $phashSql,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "pipeline_decontaminate" -> decontaminateOracleSql,
     "pipeline_shard_hrw" ->
       s"""WITH c AS (

@@ -308,6 +308,38 @@ class ComponentsSpec extends SparkSuite {
     assert(w1.sorted.toSeq == w1b.sorted.toSeq, "biased walks must replay")
   }
 
+  test("link prediction: known CN/RA values; hub intermediates are suppressed by the degree cap") {
+    import spark.implicits._
+    // square 1-2, 1-3, 2-4, 3-4 (every degree 2): the two diagonals are
+    // the only candidates, each via two intermediates of degree 2 →
+    // cn = 2, ra = 2·(1000000 div 2) = 1000000.
+    val square = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    def predict(edges: Seq[(Long, Long)], frac: Double = 0.05) =
+      Graft.linkPredict(edges.toDF("s", "d"), "s", "d", frac)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    assert(predict(square) ==
+      Map((2L, 3L) -> ((2L, 1000000L)), (1L, 4L) -> ((2L, 1000000L))))
+    // add a disjoint double-star: hubs 100 and 101 each joined to the
+    // same 20 spokes. Degrees: 24 nodes at 2, hubs at 20 → the p05 cap
+    // lands on 2 and EXCLUDES the hubs: none of the 190 spoke pairs may
+    // appear (their only common neighbors are hubs — hub co-citation is
+    // not affinity evidence), while the hub PAIR itself is predicted
+    // through the 20 degree-2 spokes (cn = 20, ra = 20·500000).
+    val spokes = (200L until 220L).flatMap(s => Seq((100L, s), (101L, s)))
+    val got = predict(square ++ spokes)
+    assert(got == Map(
+      (2L, 3L) -> ((2L, 1000000L)), (1L, 4L) -> ((2L, 1000000L)),
+      (100L, 101L) -> ((20L, 10000000L))), s"hub suppression broke: $got")
+    // lifting the cap (degFraction = 1.0 keeps every intermediate)
+    // admits the hub-mediated spoke pairs: 190 of them, each cn = 2
+    // via the two degree-20 hubs → ra = 2·(1000000 div 20) = 100000.
+    val all = predict(square ++ spokes, frac = 1.0)
+    assert(all.size == 3 + 190, s"expected 193 pairs, got ${all.size}")
+    assert(all((200L, 201L)) == ((2L, 100000L)))
+  }
+
   test("union-find regime routes by the edge cap (stars ≡ local above it)") {
     import spark.implicits._
     // Same chain through the public entry with the ids NON-integral

@@ -1101,4 +1101,70 @@ class GraftSpec extends SparkSuite {
     }
     assert(boom.getMessage.contains("matches no rows"))
   }
+
+  test("image phash: crafted gradients, banded join ≡ brute force, facade parity") {
+    import spark.implicits._
+    // crafted 9×8 image, one byte-triple per grid cell (no resampling
+    // ambiguity): column brightness DESCENDS left→right, so every
+    // adjacent-column gradient bit is 1 → each 16-bit band is 0xFFFF
+    val desc = Array.tabulate(9 * 8 * 3)(i => ((8 - (i / 3) % 9) * 20).toByte)
+    // ascending brightness → every bit 0
+    val asc = Array.tabulate(9 * 8 * 3)(i => (((i / 3) % 9) * 20).toByte)
+    val d = queries.TextOps.dhashOf(9, 8, desc)
+    val a = queries.TextOps.dhashOf(9, 8, asc)
+    assert(d.toSeq == Seq(65535L, 65535L, 65535L, 65535L), s"desc: ${d.toSeq}")
+    assert(a.toSeq == Seq(0L, 0L, 0L, 0L), s"asc: ${a.toSeq}")
+    // banded join finds exactly the brute-force hamming ≤ 3 pair set
+    val ph = queries.TextOps.phashes(spark, Tables.documents(spark, sf001))
+      .collect().map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))))
+    val brute = (for {
+      (ia, ha) <- ph; (ib, hb) <- ph if ia < ib
+      hd = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if hd <= 3
+    } yield (ia, ib, hd.toLong)).toSet
+    val banded = SparkEntry.queries("dedup_image_phash")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should carry image near-dups")
+    // facade over a real PNG binary column reproduces the fixture keys
+    val payloads = queries.TextOps.pngFramed(
+      Tables.documents(spark, sf001).select(col("doc_id"), col("text")))
+    val facade = rows(Graft.imageNearDups(payloads, "doc_id", "payload")
+      .orderBy("id_a", "id_b"))
+    val key = rows(SparkEntry.queries("dedup_image_phash")(spark, sf001))
+    assert(facade == key)
+    // widening hamming past the 4-band pigeonhole radius fails loud
+    val boom = intercept[IllegalArgumentException] {
+      queries.TextOps.phashPairsFrom(
+        queries.TextOps.phashes(spark, Tables.documents(spark, sf001)), 4)
+    }
+    assert(boom.getMessage.contains("pigeonhole"))
+  }
+
+  test("driftPsi: identical groups score ~0, a shifted group crosses the 0.25 gate") {
+    import spark.implicits._
+    // g1 and g2 carry the SAME values 1..400 (they are most of the
+    // population, so the global quartiles are theirs); g3 sits entirely
+    // above the global q3 → all its mass lands in bucket 4 and PSI
+    // must clear the conventional 0.25 "significant shift" gate.
+    val rowsIn =
+      (1 to 400).flatMap(i => Seq(("g1", i.toDouble), ("g2", i.toDouble))) ++
+        (1 to 50).map(i => ("g3", 10000.0 + i))
+    val got = Graft.driftPsi(rowsIn.toDF("src", "amount"), "src", "amount")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("g1")._1 == 400L && got("g3")._1 == 50L, s"group sizes: $got")
+    // identical-to-each-other groups score identically and near zero
+    // (not exactly zero: both deviate slightly from the g3-tinted
+    // global mix, and Laplace smoothing adds mass)
+    assert(got("g1")._2 == got("g2")._2, s"equal groups must tie: $got")
+    assert(got("g1")._2 < 0.05, s"undrifted group scored ${got("g1")._2}")
+    assert(got("g3")._2 > 0.25, s"shifted group scored only ${got("g3")._2}")
+    // facade parity with the oracled key on renamed fixture columns
+    val facade = rows(Graft.driftPsi(
+      Tables.events(spark, sf001).select(col("event_type").as("src"),
+        col("value").as("amount")), "src", "amount").orderBy("group"))
+    val key = rows(SparkEntry.queries("profile_drift_psi")(spark, sf001))
+    assert(facade == key)
+  }
 }

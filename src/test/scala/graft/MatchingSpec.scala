@@ -191,6 +191,33 @@ class MatchingSpec extends SparkSuite {
     assert(got2(1L) == ((3L, 9L)), s"doc 1 disjoint runs: ${got2(1L)}")
   }
 
+  test("containment: asymmetric pairs Jaccard misses; df prune recomputes denominators") {
+    import spark.implicits._
+    // single-letter words → 3-gram shingles are letter triples:
+    //   d1 "a b c d"             → {abc, bcd}                       (2)
+    //   d2 "a b c d e f g h i j" → {abc, bcd, cde, …, hij}          (8)
+    //   d3 "a b c x y z"         → {abc, bcx, cxy, xyz}             (4)
+    // d1 ⊂ d2: containment(1→2) = 2/2 = 1.0 while Jaccard(1,2) =
+    // 2/8 = 0.25 — the asymmetric copy Jaccard's union swamps.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c x y z")).toDF("doc_id", "text")
+    def report(tau: Double, dfCap: Int): Map[(Long, Long), Double] =
+      Graft.containmentReport(spark, docs, tau = tau, dfCap = dfCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(report(0.6, 256) == Map((1L, 2L) -> 1.0),
+      "tau=0.6 should report exactly the wholesale copy")
+    // c(1→3) = |{abc}| / 2 = 0.5 joins at tau=0.5
+    assert(report(0.5, 256) == Map((1L, 2L) -> 1.0, (1L, 3L) -> 0.5))
+    // df prune law: abc appears in all 3 docs; dfCap=2 drops it from
+    // the VOCABULARY, so d1's set shrinks to {bcd} and c(1→2) must be
+    // 1/1 = 1.0 (a stale pre-prune denominator would say 1/2 = 0.5),
+    // while the abc-only (1,3) overlap disappears entirely.
+    assert(report(0.5, 2) == Map((1L, 2L) -> 1.0),
+      "pruned denominator must count only surviving shingles")
+  }
+
   test("rendezvous sharding: growing the ring moves only the new shard's winners") {
     import spark.implicits._
     val ids = (0L until 3000L).toDF("doc_id")
