@@ -296,6 +296,23 @@ object Graft {
       k, maxRounds)
   }
 
+  /** Bounded-radius multi-source BFS over an undirected graph (see
+    * [[graft.queries.Dedup.bfsDistances]]): exact minimum hop distance
+    * from any seed for every node within `maxDist` hops — the
+    * hops-to-nearest-X feature builder. Edges are symmetrized and
+    * self-loops dropped. Returns (node, dist). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDist: Int = 6): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    queries.Dedup.bfsDistances(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+        .distinct(),
+      seeds.select(col(seedCol).cast("long").as("node")), maxDist)
+  }
+
   /** Link prediction over an undirected graph (see
     * [[graft.queries.Dedup.linkPredict]]): non-adjacent node pairs
     * scored by common-neighbor count and the resource-allocation index

@@ -2014,6 +2014,24 @@ object Dedup extends QueryGroup {
       kcoreNodes(edges, kcoreK).orderBy("node")
     }),
 
+    // Bounded-radius multi-source BFS over the thinned supplier↔part
+    // graph — the seventh graph key (kernel scaladoc on
+    // [[bfsDistances]]): exact hop distance to the nearest seed
+    // supplier (suppkey % 10 == 0) within 6 hops. Deterministic →
+    // fully oracled: the DuckDB recursive walk re-derives the same
+    // graph and min-hop distances with a dist < 6 cutoff (UNION
+    // set-semantics bounds the recursion at |nodes|×7 rows).
+    "graph_bfs_distance" -> ((s, dir) => {
+      val p = Tables.lineitem(s, dir).filter(col("l_quantity") <= 2)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = p.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))
+        .unionByName(p.select((col("pk") + 1000000L).as("u"), col("sk").as("v")))
+      val seeds = edges.select(col("u").as("node")).distinct()
+        .filter(col("node") < 1000000L && col("node") % 10 === 0)
+      bfsDistances(edges, seeds, bfsMaxDist).orderBy("node")
+    }),
+
     // Link prediction over the part co-purchase graph — the sixth
     // graph-analytics key (kernel scaladoc on [[linkPredict]]): score
     // non-adjacent part pairs by common-neighbor count and the
@@ -2339,6 +2357,51 @@ object Dedup extends QueryGroup {
       .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_n"))
+  }
+
+  /** BFS radius for the graph_bfs_distance key — one constant feeding
+    * the Spark loop bound and the oracle's recursion cutoff. */
+  private[graft] val bfsMaxDist: Int = 6
+
+  /** Bounded-radius multi-source BFS: exact minimum hop distance from
+    * ANY seed, for every node within `maxDist` hops — the
+    * "hops-to-nearest-X" feature builder (distance to a flagged
+    * account in fraud graphs, to a seed page in crawl frontiers), and
+    * the distance companion to connected components (whose min-label
+    * stars deliberately destroy path length). Per round: the frontier
+    * (nodes first reached last round) takes ONE keyed equi-join to its
+    * neighbors and ONE anti-join against the settled set; both the
+    * settled relation and the frontier are eager-localCheckpointed and
+    * the previous round's released (the kcore discipline), so lineage
+    * stays one round deep at any radius and no task ever sees more
+    * than frontier×degree rows. Frontier exhaustion short-circuits
+    * before the radius. */
+  private[graft] def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxDist: Int = bfsMaxDist): DataFrame = {
+    require(maxDist >= 0, s"bfsDistances: negative radius $maxDist")
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = settled.select("node").localCheckpoint(true)
+    var d = 0L
+    var live = frontier.count() > 0
+    while (live && d < maxDist) {
+      d += 1
+      val nxt = frontier.join(edges, frontier("node") === edges("u"))
+        .select(col("v").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      val s2 = settled.unionByName(nxt).localCheckpoint(true)
+      val f2 = nxt.select("node").localCheckpoint(true)
+      live = f2.count() > 0
+      releaseCheckpoint(settled)
+      releaseCheckpoint(frontier)
+      releaseCheckpoint(nxt)
+      settled = s2
+      frontier = f2
+    }
+    releaseCheckpoint(frontier)
+    settled
   }
 
   /** Link-prediction intermediate cap: wedges route only through nodes
@@ -2673,6 +2736,27 @@ object Dedup extends QueryGroup {
          |SELECT doc_contained, doc_container, containment FROM d
          |WHERE containment >= $ContainmentTau
          |ORDER BY doc_contained, doc_container""".stripMargin,
+
+    // Min-hop distances re-derived by a recursive walk with the same
+    // radius cutoff; UNION set-semantics keeps the recursion bounded.
+    "graph_bfs_distance" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+         |  FROM lineitem WHERE l_quantity <= 2),
+         |edges AS (
+         |  SELECT sk AS u, pk + 1000000 AS v FROM p
+         |  UNION ALL
+         |  SELECT pk + 1000000, sk FROM p),
+         |seeds AS (
+         |  SELECT DISTINCT u AS node FROM edges
+         |  WHERE u < 1000000 AND u % 10 = 0),
+         |walk(node, dist) AS (
+         |  SELECT node, 0 FROM seeds
+         |  UNION
+         |  SELECT e.v, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.node
+         |  WHERE w.dist < $bfsMaxDist)
+         |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     // Link prediction replayed end to end: same co-purchase edges, same
     // p05 cap (quantile_disc ≡ full-accuracy percentile_approx, the

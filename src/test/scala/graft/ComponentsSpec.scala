@@ -308,6 +308,25 @@ class ComponentsSpec extends SparkSuite {
     assert(w1.sorted.toSeq == w1b.sorted.toSeq, "biased walks must replay")
   }
 
+  test("bfs distances: chain radius cutoff, multi-seed minimum, disconnected stays out") {
+    import spark.implicits._
+    // chain 1-2-…-10 plus the isolated edge 100-101
+    val chain = (1L until 10L).map(i => (i, i + 1)) :+ ((100L, 101L))
+    def bfs(seeds: Seq[Long], r: Int): Map[Long, Long] =
+      Graft.bfsDistances(chain.toDF("s", "d"), "s", "d",
+          seeds.toDF("n"), "n", maxDist = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // seed 1, radius 6: nodes 1..7 at 0..6; 8..10 beyond; 100/101 out
+    assert(bfs(Seq(1L), 6) == (1L to 7L).map(n => n -> (n - 1)).toMap)
+    // two seeds: every node takes the NEARER one (min, not first-found)
+    val two = bfs(Seq(1L, 10L), 6)
+    assert(two(5L) == 4L && two(6L) == 4L && two(10L) == 0L, s"$two")
+    // radius 0 = seeds only; unknown seed ids settle themselves only
+    assert(bfs(Seq(3L), 0) == Map(3L -> 0L))
+    // frontier exhaustion short-circuits below the radius bound
+    assert(bfs(Seq(100L), 6) == Map(100L -> 0L, 101L -> 1L))
+  }
+
   test("link prediction: known CN/RA values; hub intermediates are suppressed by the degree cap") {
     import spark.implicits._
     // square 1-2, 1-3, 2-4, 3-4 (every degree 2): the two diagonals are

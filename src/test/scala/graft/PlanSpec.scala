@@ -474,6 +474,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Broadcast"), s"boundary relation must broadcast:\n$p")
   }
 
+  test("link prediction wedges are equi-joins; no cartesian, anti-join present") {
+    // the wedge stage must be two z-keyed equi-joins + one anti-join —
+    // the only nested-loop allowed is the broadcast of the 1-row degree
+    // cap (the eqdepth_scale boundary discipline)
+    val p = planOf("graph_link_predict")
+    assert(!p.contains("CartesianProduct"), s"cartesian in link predict:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (only the 1-row cap may):\n$p")
+    assert(p.contains("LeftAnti"), s"edge anti-join missing:\n$p")
+  }
+
+  test("containment pairs never plan a cartesian (bucket-grouped pair stage)") {
+    val p = planOf("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"containment must stay bucket-grouped:\n$p")
+  }
+
+  test("image phash pair join is a banded equi-join, no cartesian") {
+    val p = planOf("dedup_image_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"phash pairs must bucket on bands:\n$p")
+  }
+
   test("rendezvous shard assignment is exchange-free (per-row argmax, no window)") {
     // round-16 VERDICT #2: the explode×S + per-key window form shuffled
     // S·N rows; the argmax form must plan ZERO exchanges — the
