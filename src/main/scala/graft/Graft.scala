@@ -166,6 +166,27 @@ object Graft {
     queries.Dedup.simhashPairs(spark, docsOf(docs, idCol, textCol))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
 
+  /** Semantic dedup of an embedding column — the SemDeDup step (see
+    * [[graft.queries.Dedup]] `dedup_semantic`; Abbas et al. 2023):
+    * connected components over the exact cosine ≥ `threshold` pair
+    * graph (block-pair decomposition, no all-pairs product), each
+    * vector labeled with its cluster and flagged keep iff it is the
+    * cluster's smallest id — filter on `keep` to shrink the corpus.
+    * At 100 TB swap the pair stage for IVF bucket co-membership
+    * ([[similarTopKAuto]]'s index family) with the same downstream.
+    * Returns (id, cluster, keep). */
+  def semanticDedup(spark: SparkSession, embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.4): DataFrame =
+    queries.Dedup.connectedComponents(
+        embeddings.select(col(idCol).cast("long").as("id")),
+        queries.Dedup.embeddingPairsOf(spark,
+            embeddings.select(col(idCol).cast("long").as("vec_id"),
+              col(vecCol).as("embedding")), threshold)
+          .select("id_a", "id_b"))
+      .select(col("id"), col("component").as("cluster"),
+        (col("id") === col("component")).as("keep"))
+
   /** Perceptual dHash of a PNG binary column (see
     * [[graft.queries.TextOps.phashes]]; Krawetz 2013) — 64
     * gradient-sign bits as four 16-bit bands, computed in a batched

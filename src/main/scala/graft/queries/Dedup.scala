@@ -2094,27 +2094,30 @@ object Dedup extends QueryGroup {
     // Same-block pairs keep va<vb; cross-block pairs are emitted once
     // with least/greatest ids (cosine is symmetric). The subquadratic
     // path for this operator is dedup_embedding_ann below.
-    "dedup_embedding" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val B = 16
-      val pairsBlk = (for (bi <- 0 until B; bj <- bi until B) yield (bi, bj))
-        .toDF("bi", "bj")
-      val n = normed(s, Tables.embeddings(s, dir)).withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
-      val a = n.select(col("vec_id").as("va_id"), col("v").as("va"),
-        col("nrm").as("na"), col("blk").as("bi"))
-      val b = n.select(col("vec_id").as("vb_id"), col("v").as("vb"),
-        col("nrm").as("nb"), col("blk").as("bj"))
-      a.join(broadcast(pairsBlk), "bi")
-        .join(b, "bj")
-        .filter(col("bi") =!= col("bj") || col("va_id") < col("vb_id"))
-        .withColumn("cos", cosine("va", "vb", "na", "nb"))
-        .filter(col("cos") >= 0.4)
-        .select(least(col("va_id"), col("vb_id")).as("id_a"),
-          greatest(col("va_id"), col("vb_id")).as("id_b"),
+    "dedup_embedding" -> ((s, dir) =>
+      embeddingPairs(s, dir)
+        .select(col("id_a"), col("id_b"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
+
+    // SEMANTIC dedup — the SemDeDup step (Abbas et al. 2023: cluster
+    // semantically-near embeddings, keep ONE representative per
+    // cluster): connected components over the exact cosine ≥ 0.4 pair
+    // graph, every vector labeled with its cluster's smallest vec_id
+    // and flagged keep iff it IS that representative (D6 tie: smallest
+    // id). The pair stage is the oracled dedup_embedding relation (the
+    // block-pair decomposition, no BNLJ); the components solve is the
+    // two-regime kernel every dedup cluster key shares; at 100 TB the
+    // candidate stage swaps to IVF bucket co-membership
+    // (dedup_embedding_ann) with this same downstream. Fully oracled:
+    // DuckDB re-derives pairs and walks min-labels recursively.
+    "dedup_semantic" -> ((s, dir) =>
+      connectedComponents(
+          Tables.embeddings(s, dir).select(col("vec_id").as("id")),
+          embeddingPairs(s, dir).select("id_a", "id_b"))
+        .select(col("id").as("vec_id"), col("component").as("cluster"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy("vec_id")),
 
     // Approximate embedding near-dup — the 100 TB path: IVF bucket
     // co-membership generates candidates (O(Σ bucket²), never N²), exact
@@ -2362,6 +2365,41 @@ object Dedup extends QueryGroup {
   /** BFS radius for the graph_bfs_distance key — one constant feeding
     * the Spark loop bound and the oracle's recursion cutoff. */
   private[graft] val bfsMaxDist: Int = 6
+
+  /** Exact embedding near-dup pairs (cosine ≥ 0.4, id_a < id_b, with
+    * the unrounded cos carried) via the block-pair decomposition: B=16
+    * id-hash blocks, the B·(B+1)/2 block-pair relation broadcasts, and
+    * every vector pair meets in exactly one block pair — equi-joins
+    * only, no BNLJ/cartesian (PlanSpec-pinned), each task bounded by a
+    * block-pair's rows. Shared by dedup_embedding (the pair report) and
+    * dedup_semantic (components + representative selection over the
+    * same graph). */
+  private[graft] def embeddingPairs(s: SparkSession, dir: String): DataFrame =
+    embeddingPairsOf(s, Tables.embeddings(s, dir))
+
+  /** [[embeddingPairs]] over a caller (vec_id, embedding) relation with
+    * a parameterized threshold — the facade entry. */
+  private[graft] def embeddingPairsOf(s: SparkSession, emb: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val B = 16
+    val pairsBlk = (for (bi <- 0 until B; bj <- bi until B) yield (bi, bj))
+      .toDF("bi", "bj")
+    val n = normed(s, emb)
+      .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+    val a = n.select(col("vec_id").as("va_id"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("bi"))
+    val b = n.select(col("vec_id").as("vb_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("bj"))
+    a.join(broadcast(pairsBlk), "bi")
+      .join(b, "bj")
+      .filter(col("bi") =!= col("bj") || col("va_id") < col("vb_id"))
+      .withColumn("cos", cosine("va", "vb", "na", "nb"))
+      .filter(col("cos") >= threshold)
+      .select(least(col("va_id"), col("vb_id")).as("id_a"),
+        greatest(col("va_id"), col("vb_id")).as("id_b"), col("cos"))
+  }
 
   /** Bounded-radius multi-source BFS: exact minimum hop distance from
     * ANY seed, for every node within `maxDist` hops — the
@@ -2878,6 +2916,25 @@ object Dedup extends QueryGroup {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup replayed: the same exact pair graph, min-labels walked
+    // to the fixpoint recursively (the graph_components oracle shape),
+    // keep = "I am my cluster's smallest id".
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $normedSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |walk(u, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r)
+         |SELECT u AS vec_id, MIN(r) AS cluster, u = MIN(r) AS keep
+         |FROM walk GROUP BY u ORDER BY vec_id""".stripMargin,
     "simsearch_topk" ->
       s"""WITH $normedSql
          |SELECT i, k, rnk, round(cos, 4) + 0.0 AS cos FROM (

@@ -1142,6 +1142,34 @@ class GraftSpec extends SparkSuite {
     assert(boom.getMessage.contains("pigeonhole"))
   }
 
+  test("semanticDedup: exact + near dupes cluster to one representative; opposites stay") {
+    import spark.implicits._
+    // ids 0-2: the same vector; id 3: a 0.99+-cosine neighbor; id 10:
+    // orthogonal; id 11: the exact OPPOSITE (cos −1 — a similarity-vs-
+    // distance sign bug would merge it)
+    val base = Seq(1f, 0f, 0f, 0f)
+    val near = Seq(0.995f, 0.0999f, 0f, 0f)
+    val vecs = Seq(
+      (0L, base), (1L, base), (2L, base), (3L, near),
+      (10L, Seq(0f, 1f, 0f, 0f)), (11L, Seq(-1f, 0f, 0f, 0f))
+    ).toDF("item", "vec")
+    val got = Graft.semanticDedup(spark, vecs, "item", "vec", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(i => got(i)._1 == 0L),
+      s"near-dup cluster broke: $got")
+    assert(got(0L)._2 && !got(1L)._2 && !got(2L)._2 && !got(3L)._2,
+      s"exactly the smallest id keeps: $got")
+    assert(got(10L) == ((10L, true)) && got(11L) == ((11L, true)),
+      s"orthogonal/opposite vectors must stay: $got")
+    // fixture parity: the facade path reproduces the oracled key
+    val facade = rows(Graft.semanticDedup(spark,
+      Tables.embeddings(spark, sf001).select(col("vec_id").as("item"),
+        col("embedding").as("vec")), "item", "vec").orderBy("id"))
+    val key = rows(SparkEntry.queries("dedup_semantic")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("driftPsi: identical groups score ~0, a shifted group crosses the 0.25 gate") {
     import spark.implicits._
     // g1 and g2 carry the SAME values 1..400 (they are most of the
