@@ -317,6 +317,22 @@ object Graft {
       k, maxRounds)
   }
 
+  /** Hierarchy flattening by pointer doubling (see
+    * [[graft.queries.Dedup.hierFlatten]]; Wyllie's list ranking): every
+    * node of a parent-pointer forest resolves to its root and depth in
+    * ⌈log₂ depth⌉ keyed joins — org charts, bill-of-materials,
+    * reply-thread trees, at any depth a recursive CTE would walk
+    * sequentially. Roots may point to themselves or carry a NULL
+    * parent (normalized internally). Fails loud on cycles or depth
+    * over 2^maxRounds. Returns (node, root, depth). */
+  def hierFlatten(df: DataFrame, nodeCol: String, parentCol: String,
+      maxRounds: Int = queries.Dedup.hierDoublingRounds): DataFrame =
+    queries.Dedup.hierFlatten(
+      df.select(col(nodeCol).cast("long").as("node"),
+        coalesce(col(parentCol).cast("long"), col(nodeCol).cast("long"))
+          .as("parent")),
+      maxRounds)
+
   /** Bounded-radius multi-source BFS over an undirected graph (see
     * [[graft.queries.Dedup.bfsDistances]]): exact minimum hop distance
     * from any seed for every node within `maxDist` hops — the

@@ -2014,6 +2014,25 @@ object Dedup extends QueryGroup {
       kcoreNodes(edges, kcoreK).orderBy("node")
     }),
 
+    // Hierarchy flattening by pointer doubling (kernel scaladoc on
+    // [[hierFlatten]]): each customer's orders chained by orderkey
+    // succession (the components fixture's graph, READ AS a
+    // parent-pointer forest — chain heads root themselves), every
+    // order resolved to its chain root + depth in log rounds.
+    // Deterministic → fully oracled: the DuckDB recursive walk climbs
+    // parents one hop per level and terminates on the root fixpoint.
+    "hier_flatten" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val parents = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev"))
+        .select(col("o_orderkey").as("node"),
+          coalesce(col("prev"), col("o_orderkey")).as("parent"))
+      hierFlatten(parents)
+        .select(col("node").as("o_orderkey"), col("root"), col("depth"))
+        .orderBy("o_orderkey")
+    }),
+
     // Bounded-radius multi-source BFS over the thinned supplier↔part
     // graph — the seventh graph key (kernel scaladoc on
     // [[bfsDistances]]): exact hop distance to the nearest seed
@@ -2365,6 +2384,58 @@ object Dedup extends QueryGroup {
   /** BFS radius for the graph_bfs_distance key — one constant feeding
     * the Spark loop bound and the oracle's recursion cutoff. */
   private[graft] val bfsMaxDist: Int = 6
+
+  /** Pointer-doubling rounds for [[hierFlatten]]: resolves any
+    * hierarchy of depth ≤ 2^rounds (256 at the default 8 — org charts
+    * and bill-of-materials trees are nowhere near; raise for
+    * pathological chains: the cost is LOGARITHMIC, one keyed join per
+    * round). */
+  private[graft] val hierDoublingRounds: Int = 8
+
+  /** Hierarchy flattening by POINTER DOUBLING (Wyllie 1979's list
+    * ranking — the classic PRAM kernel, and exactly what a recursive
+    * CTE engine does per-row that Spark must do per-ROUND): every node
+    * of a parent-pointer forest (roots point to themselves) gets its
+    * root and its depth in ⌈log₂ depth⌉ keyed self-joins, NOT depth
+    * sequential hops — the difference between 8 rounds and 256 for a
+    * deep chain, which at 100 TB is the difference between a job and a
+    * day. State (node, anc, d): each round replaces anc by anc's
+    * current ancestor and adds the hop counts; roots are fixpoints, so
+    * resolved rows ride along unchanged. Per-round eager checkpoint +
+    * release (the kcore discipline). Fails LOUD — bounded probe — if
+    * any pointer hasn't reached a root after the rounds (depth over
+    * 2^rounds, or a parent CYCLE, which no truncated answer should
+    * silently absorb). Returns (node, root, depth). */
+  private[graft] def hierFlatten(parents: DataFrame,
+      maxRounds: Int = hierDoublingRounds): DataFrame = {
+    require(maxRounds >= 1, s"hierFlatten: maxRounds $maxRounds < 1")
+    var st = parents.select(col("node"), col("parent").as("anc"),
+        when(col("parent") === col("node"), lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < maxRounds) {
+      r += 1
+      val up = st.select(col("node").as("anc"), col("anc").as("anc2"),
+        col("d").as("d2"))
+      val st2 = st.join(up, "anc")
+        .select(col("node"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"))
+        .localCheckpoint(true)
+      releaseCheckpoint(st)
+      st = st2
+    }
+    val roots = parents.filter(col("parent") === col("node"))
+      .select(col("node").as("anc"))
+    val probe = st.join(roots, Seq("anc"), "left_anti").limit(1).collect()
+    if (probe.nonEmpty) {
+      releaseCheckpoint(st)
+      throw new IllegalStateException(
+        s"hierFlatten: node ${probe(0).getAs[Any]("node")} did not reach a root in " +
+          s"$maxRounds doubling rounds (depth > ${1L << maxRounds} or a " +
+          "parent cycle) - raise maxRounds or break the cycle")
+    }
+    st.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+  }
 
   /** Exact embedding near-dup pairs (cosine ≥ 0.4, id_a < id_b, with
     * the unrounded cos carried) via the block-pair decomposition: B=16
@@ -2774,6 +2845,30 @@ object Dedup extends QueryGroup {
          |SELECT doc_contained, doc_container, containment FROM d
          |WHERE containment >= $ContainmentTau
          |ORDER BY doc_contained, doc_container""".stripMargin,
+
+    // Parent pointers climbed one hop per recursion level, terminating
+    // on the root fixpoint — each node's single terminal row carries
+    // (root, depth); the doubling kernel must land on the same rows.
+    "hier_flatten" ->
+      """WITH RECURSIVE ch AS (
+        |  SELECT o_orderkey,
+        |    lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderkey) AS prev
+        |  FROM orders),
+        |par AS (
+        |  SELECT o_orderkey AS node,
+        |    COALESCE(prev, o_orderkey) AS parent FROM ch),
+        |walk(node, anc, d) AS (
+        |  SELECT node, parent,
+        |    CASE WHEN parent = node THEN 0 ELSE 1 END FROM par
+        |  UNION ALL
+        |  SELECT w.node, p.parent, w.d + 1
+        |  FROM walk w JOIN par p ON p.node = w.anc
+        |  WHERE w.anc <> p.parent)
+        |SELECT w.node AS o_orderkey, w.anc AS root, CAST(w.d AS BIGINT) AS depth
+        |FROM walk w JOIN par p ON p.node = w.anc
+        |WHERE p.parent = w.anc
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Min-hop distances re-derived by a recursive walk with the same
     // radius cutoff; UNION set-semantics keeps the recursion bounded.

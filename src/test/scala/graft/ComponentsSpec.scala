@@ -308,6 +308,31 @@ class ComponentsSpec extends SparkSuite {
     assert(w1.sorted.toSeq == w1b.sorted.toSeq, "biased walks must replay")
   }
 
+  test("hier flatten: forest roots/depths exact, NULL-parent roots, cycles fail loud") {
+    import spark.implicits._
+    // chain 1→…→5 (parent = previous), tree rooted at 10 with a branch,
+    // and a NULL-parent root 30 with one child
+    val forest = Seq(
+      (1L, Some(1L)), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(3L)),
+      (5L, Some(4L)),
+      (10L, Some(10L)), (11L, Some(10L)), (12L, Some(10L)), (13L, Some(11L)),
+      (30L, None), (31L, Some(30L))
+    ).toDF("n", "p")
+    val got = Graft.hierFlatten(forest, "n", "p")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert((1L to 5L).forall(k => got(k) == ((1L, k - 1))), s"chain: $got")
+    assert(got(10L) == ((10L, 0L)) && got(11L) == ((10L, 1L)) &&
+      got(12L) == ((10L, 1L)) && got(13L) == ((10L, 2L)), s"tree: $got")
+    assert(got(30L) == ((30L, 0L)) && got(31L) == ((30L, 1L)),
+      s"null-parent root: $got")
+    // a parent cycle must fail loud, never ship a truncated depth
+    val cyc = Seq((20L, 21L), (21L, 20L)).toDF("n", "p")
+    val boom = intercept[IllegalStateException] {
+      Graft.hierFlatten(cyc, "n", "p").collect()
+    }
+    assert(boom.getMessage.contains("cycle"))
+  }
+
   test("bfs distances: chain radius cutoff, multi-seed minimum, disconnected stays out") {
     import spark.implicits._
     // chain 1-2-…-10 plus the isolated edge 100-101
