@@ -194,18 +194,10 @@ object Graft {
     * image regardless of resolution). Returns (id, b0, b1, b2, b3). */
   def imagePhash(df: DataFrame, idCol: String, pngCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(pngCol).as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(64).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) =>
-            val (w, h, px) = queries.MmCodec.parsePng(bytes, id)
-            val b = queries.TextOps.dhashOf(w, h, px)
-            (id, b(0), b(1), b(2), b(3))
-          }
-        }
-      }
-      .toDF("id", "b0", "b1", "b2", "b3")
+    queries.TextOps.phashOfPayloads(
+        df.select(col(idCol).cast("long").as("doc_id"), col(pngCol).as("payload"))
+          .as[(Long, Array[Byte])])
+      .withColumnRenamed("doc_id", "id")
   }
 
   /** Image near-dup pairs within dHash hamming ≤ `maxHamming` (≤ 3 —

@@ -2409,11 +2409,35 @@ object Dedup extends QueryGroup {
   private[graft] def hierFlatten(parents: DataFrame,
       maxRounds: Int = hierDoublingRounds): DataFrame = {
     require(maxRounds >= 1, s"hierFlatten: maxRounds $maxRounds < 1")
+    // Malformed-forest guards, both LOUD (bounded probes on the input
+    // relation — a broken extract must never ship silent row loss):
+    //  - a DANGLING parent id (no node row) would make the inner
+    //    doubling join drop the child's state row unseen;
+    //  - a DUPLICATE node id fans out multiplicatively through the
+    //    self-joins (k^rounds rows) and duplicates the output.
+    val dangling = parents.select(col("parent").as("node"))
+      .join(parents.select("node"), Seq("node"), "left_anti")
+      .limit(1).collect()
+    require(dangling.isEmpty,
+      s"hierFlatten: parent id ${dangling.headOption.map(_.get(0)).orNull} " +
+        "has no node row (dangling pointer) - every parent must be a node")
+    val dup = parents.groupBy("node").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"hierFlatten: node id ${dup.headOption.map(_.get(0)).orNull} appears " +
+        "more than once - a forest assigns one parent per node")
+    val roots = parents.filter(col("parent") === col("node"))
+      .select(col("node").as("anc"))
     var st = parents.select(col("node"), col("parent").as("anc"),
         when(col("parent") === col("node"), lit(0L)).otherwise(lit(1L)).as("d"))
       .localCheckpoint(true)
     var r = 0
-    while (r < maxRounds) {
+    // short-circuit once every pointer sits on a root (the bfsDistances
+    // frontier-exhaustion discipline) — a depth-3 chart resolves in 2
+    // rounds, not maxRounds
+    var unresolved = st.join(roots, Seq("anc"), "left_anti")
+      .limit(1).collect()
+    while (unresolved.nonEmpty && r < maxRounds) {
       r += 1
       val up = st.select(col("node").as("anc"), col("anc").as("anc2"),
         col("d").as("d2"))
@@ -2423,16 +2447,14 @@ object Dedup extends QueryGroup {
         .localCheckpoint(true)
       releaseCheckpoint(st)
       st = st2
+      unresolved = st.join(roots, Seq("anc"), "left_anti").limit(1).collect()
     }
-    val roots = parents.filter(col("parent") === col("node"))
-      .select(col("node").as("anc"))
-    val probe = st.join(roots, Seq("anc"), "left_anti").limit(1).collect()
-    if (probe.nonEmpty) {
+    if (unresolved.nonEmpty) {
       releaseCheckpoint(st)
       throw new IllegalStateException(
-        s"hierFlatten: node ${probe(0).getAs[Any]("node")} did not reach a root in " +
-          s"$maxRounds doubling rounds (depth > ${1L << maxRounds} or a " +
-          "parent cycle) - raise maxRounds or break the cycle")
+        s"hierFlatten: node ${unresolved(0).getAs[Any]("node")} did not reach " +
+          s"a root in $maxRounds doubling rounds (depth > ${1L << maxRounds} " +
+          "or a parent cycle) - raise maxRounds or break the cycle")
     }
     st.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }

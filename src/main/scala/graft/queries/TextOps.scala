@@ -292,9 +292,16 @@ object TextOps extends QueryGroup {
     * discipline), so a resample/threshold/packing bug hash-mismatches. */
   private[graft] def phashes(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    pngFramed(docs)
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
+    phashOfPayloads(pngFramed(docs).as[(Long, Array[Byte])])
+  }
+
+  /** The batched decode+hash pass over (id, png bytes) — ONE home for
+    * the batch size and band layout, shared by the fixture key and the
+    * caller-column facade (`Graft.imagePhash`). */
+  private[graft] def phashOfPayloads(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             val (w, h, px) = MmCodec.parsePng(bytes, id)

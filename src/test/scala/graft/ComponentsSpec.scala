@@ -331,6 +331,18 @@ class ComponentsSpec extends SparkSuite {
       Graft.hierFlatten(cyc, "n", "p").collect()
     }
     assert(boom.getMessage.contains("cycle"))
+    // a dangling parent (no node row) would silently DROP the child's
+    // state row through the inner doubling join — guarded loud instead
+    val boomD = intercept[IllegalArgumentException] {
+      Graft.hierFlatten(Seq((5L, 99L)).toDF("n", "p"), "n", "p")
+    }
+    assert(boomD.getMessage.contains("dangling"))
+    // duplicate node rows would fan out k^rounds through the self-joins
+    val boomU = intercept[IllegalArgumentException] {
+      Graft.hierFlatten(Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("n", "p"),
+        "n", "p")
+    }
+    assert(boomU.getMessage.contains("more than once"))
   }
 
   test("bfs distances: chain radius cutoff, multi-seed minimum, disconnected stays out") {
