@@ -159,6 +159,22 @@ object Graft {
     queries.Dedup.minhashPairs(spark, docsOf(docs, idCol, textCol))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
 
+  /** Incremental near-dup pairs (see
+    * [[graft.queries.Dedup.jaccardPairsIncremental]]): every exact
+    * Jaccard ≥ `threshold` pair with at least one endpoint among
+    * `incrementIds` — the daily-batch dedup shape, where history×history
+    * never re-pairs and values stay full-corpus exact. Returns
+    * (id_a, id_b, jaccard). */
+  def nearDupPairsIncremental(spark: SparkSession, docs: DataFrame,
+      incrementIds: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", incIdCol: String = "doc_id",
+      threshold: Double = 0.2): DataFrame =
+    queries.Dedup.jaccardPairsIncremental(
+        queries.Dedup.hashedShinglePlan(spark, docsOf(docs, idCol, textCol)),
+        incrementIds.select(col(incIdCol).cast("long").as("doc_id")),
+        threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
+
   /** SimHash near-dup pairs within hamming distance ≤ 3 — provably
     * exact for that radius via 4×16-bit band pigeonhole, no N² join. */
   def nearDupPairsSimhash(spark: SparkSession, docs: DataFrame,

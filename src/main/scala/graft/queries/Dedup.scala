@@ -348,6 +348,46 @@ object Dedup extends QueryGroup {
     pairs.withColumn("jaccard",
       round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
 
+  /** INCREMENTAL exact-Jaccard pairs: every pair with at least one
+    * endpoint in the increment, at full-corpus exactness — the daily-
+    * batch dedup production actually runs ("dedup today's crawl against
+    * the corpus") where re-pairing history×history would redo
+    * yesterday's work. Pair generation joins the INCREMENT's shingle
+    * rows against the whole corpus's — O(|inc|·df) bucket work instead
+    * of O(N·df); history×history pairs never form. Jaccard values use
+    * FULL set sizes, so emitted pairs are byte-identical to the batch
+    * kernel's rows for the same pairs (the suite pins result ≡
+    * dedup_jaccard restricted to increment-touching pairs). Inc–inc
+    * pairs arrive in both orientations from the join; the
+    * (ia < ib OR ib ∉ inc) filter keeps exactly one. The same
+    * hot-shingle df cap as the batch kernel applies when a bucket is
+    * skew-risky ([[jaccardPairsHashedCapped]]); this plan composes with
+    * it unchanged. `shAll`: (doc_id, shingle, n); `incIds`: (doc_id). */
+  private[graft] def jaccardPairsIncremental(shAll: DataFrame,
+      incIds: DataFrame, threshold: Double): DataFrame = {
+    val inc = incIds.select(col("doc_id")).distinct()
+    val shInc = shAll.join(inc, Seq("doc_id"), "left_semi")
+    val flagged = shAll
+      .join(inc.withColumn("incb", lit(true)), Seq("doc_id"), "left")
+      .withColumn("incb", coalesce(col("incb"), lit(false)))
+    val sz = shAll.groupBy("doc_id").agg(max(col("n")).as("n"))
+    val pairs = shInc.select(col("doc_id").as("ia"), col("shingle"))
+      .join(flagged.select(col("doc_id").as("ib"), col("shingle"),
+        col("incb")), "shingle")
+      .filter(col("ia") =!= col("ib"))
+      .filter(col("ia") < col("ib") || !col("incb"))
+      .groupBy(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Containment vocabulary prune: shingles in more than this many
     * documents are dropped from BOTH sets before containment is
     * measured. Unlike Jaccard's hot-shingle decomposition, containment
@@ -1909,6 +1949,20 @@ object Dedup extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental dedup (kernel scaladoc on [[jaccardPairsIncremental]]):
+    // the doc_id % 5 == 0 slice plays today's batch; every emitted pair
+    // touches it, history×history never pairs, values are full-corpus
+    // exact. The oracle is the BATCH pair SQL filtered to
+    // increment-touching pairs — parity proves the incremental plan
+    // loses nothing and invents nothing.
+    "dedup_incremental" -> ((s, dir) => {
+      val sh = shingleSet(s, dir)
+      jaccardPairsIncremental(sh,
+          sh.select("doc_id").distinct().filter(col("doc_id") % 5 === 0),
+          0.2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // DIRECTED containment pairs (Broder 1997's containment
     // coefficient) — the asymmetric report Jaccard structurally misses:
     // a short document copied wholesale into a much larger one scores
@@ -2842,6 +2896,24 @@ object Dedup extends QueryGroup {
          |  JOIN sz nb ON nb.doc_id = doc_b)
          |WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // The batch exact-Jaccard relation restricted to increment-touching
+    // pairs — the incremental plan must reproduce it byte-exactly.
+    "dedup_incremental" ->
+      s"""WITH $shingleSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+         |  FROM pairs
+         |  JOIN sz na ON na.doc_id = doc_a
+         |  JOIN sz nb ON nb.doc_id = doc_b)
+         |WHERE jaccard >= 0.2 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Independent containment re-derivation on STRING shingles: same
     // df prune, same pruned-set sizes, same directed division — one
     // constant source for cap and tau.

@@ -1142,6 +1142,24 @@ class GraftSpec extends SparkSuite {
     assert(boom.getMessage.contains("pigeonhole"))
   }
 
+  test("incremental dedup ≡ batch pairs restricted to increment-touching endpoints") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("dedup_jaccard")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }.toSet
+    val inc = SparkEntry.queries("dedup_incremental")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == batch, s"incremental ${inc.size} vs batch-filtered ${batch.size}")
+    assert(batch.nonEmpty, "fixture should carry increment-touching pairs")
+    // facade on renamed columns, explicit increment relation
+    val incIds = Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id").as("new_id"))
+    val facade = Graft.nearDupPairsIncremental(spark, myDocs, incIds,
+        "document_id", "body", "new_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(facade == batch)
+  }
+
   test("semanticDedup: exact + near dupes cluster to one representative; opposites stay") {
     import spark.implicits._
     // ids 0-2: the same vector; id 3: a 0.99+-cosine neighbor; id 10:
