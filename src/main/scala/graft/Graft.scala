@@ -182,6 +182,20 @@ object Graft {
     queries.Dedup.simhashPairs(spark, docsOf(docs, idCol, textCol))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
 
+  /** Lower weighted quartiles of an integer-valued column with an
+    * integer mass column (see
+    * [[graft.queries.Aggregates.weightedQuartiles]]) — the aggregate
+    * Spark has no builtin for (percentile_approx takes no weights):
+    * quartile q = smallest value whose cumulative mass reaches q/4 of
+    * the group total. Exact, interpolation-free, deterministic.
+    * Returns (group, total_w, wq1_cents, wmedian_cents, wq3_cents). */
+  def weightedQuartiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame =
+    queries.Aggregates.weightedQuartiles(
+        df.select(col(groupCol).as("g"), Det.cents(col(valueCol)).as("pc"),
+          col(weightCol).cast("long").as("w")))
+      .withColumnRenamed("g", "group")
+
   /** Semantic dedup of an embedding column — the SemDeDup step (see
     * [[graft.queries.Dedup]] `dedup_semantic`; Abbas et al. 2023):
     * connected components over the exact cosine ≥ `threshold` pair

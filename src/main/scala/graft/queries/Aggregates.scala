@@ -19,6 +19,26 @@ object Aggregates extends QueryGroup {
     * (one-constant discipline). */
   private[graft] val eqdepthFractions: Seq[Double] = (1 to 7).map(_ / 8.0)
 
+  /** Lower weighted quartiles over (g, pc, w) — integer value pc,
+    * integer mass w: cum = Σ w over pc' ≤ pc (RANGE-frame keyed window,
+    * ties collapse), quartile q = MIN pc with 4·cum ≥ q·total. Every
+    * comparison on longs — no interpolation, no float, identically
+    * derivable in any SQL engine. Shared by the fixture key and
+    * `Graft.weightedQuartiles`. */
+  private[graft] def weightedQuartiles(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    in.withColumn("cum", sum(col("w")).over(
+        Window.partitionBy("g").orderBy("pc")))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(
+        max(col("tot")).as("total_w"),
+        min(when(col("cum") * 4 >= col("tot"), col("pc"))).as("wq1_cents"),
+        min(when(col("cum") * 2 >= col("tot"), col("pc"))).as("wmedian_cents"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("pc"))).as("wq3_cents"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // TPC-H Q1 shape: filter + group + additive aggs, 6 groups.
     "agg_groupby" -> ((s, dir) => {
@@ -245,6 +265,28 @@ object Aggregates extends QueryGroup {
           round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
           round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
           round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
+        .orderBy("l_returnflag")),
+
+    // WEIGHTED quartiles — the aggregate Spark has no builtin for
+    // (percentile_approx takes no weights; percentile's frequency arg
+    // interpolates engine-specifically): per group, the lower weighted
+    // quartiles of price with quantity as mass — the corpus-statistics
+    // shape for importance-weighted data (token-weighted doc length,
+    // sampled-row reweighting). Integer-exact by construction: value in
+    // cents, cum = Σ weight over value' ≤ value (a RANGE-frame keyed
+    // window — ties collapse), quartile q = MIN value with 4·cum ≥
+    // q·total, every comparison on longs (4·cum stays well under 2⁶³
+    // at any realistic mass). Groups are low-cardinality here; at a
+    // high-cardinality group the same rule runs per key (keyed window),
+    // and the eqdepth_scale sketch-boundary form is the approximate
+    // escape hatch.
+    "agg_weighted_median" -> ((s, dir) =>
+      weightedQuartiles(Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"),
+            cents(col("l_extendedprice")).as("pc"),
+            col("l_quantity").cast("long").as("w")))
+        .select(col("g").as("l_returnflag"), col("total_w"),
+          col("wq1_cents"), col("wmedian_cents"), col("wq3_cents"))
         .orderBy("l_returnflag")),
 
     // PIVOT: per-user event counts spread into one column per event type.
@@ -477,6 +519,24 @@ object Aggregates extends QueryGroup {
         |  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2_pq,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Cumulative-mass windows re-derived with the identical RANGE frame
+    // and integer threshold rule — no interpolation anywhere.
+    "agg_weighted_median" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag, ${Det.centsSql("l_extendedprice")} AS pc,
+         |    CAST(l_quantity AS BIGINT) AS w
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT l_returnflag, pc,
+         |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+         |  FROM b)
+         |SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_w,
+         |  MIN(CASE WHEN cum * 4 >= tot THEN pc END) AS wq1_cents,
+         |  MIN(CASE WHEN cum * 2 >= tot THEN pc END) AS wmedian_cents,
+         |  MIN(CASE WHEN cum * 4 >= tot * 3 THEN pc END) AS wq3_cents
+         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_minmax_by" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey,

@@ -1142,6 +1142,32 @@ class GraftSpec extends SparkSuite {
     assert(boom.getMessage.contains("pigeonhole"))
   }
 
+  test("weightedQuartiles: mass moves the median where counts would not") {
+    import spark.implicits._
+    // unweighted median of {1, 2, 100} is 2; with mass 10 on the 100 the
+    // half-mass point lands on 100. Equal masses reduce to the lower
+    // median; a tie-run of equal values collapses through the RANGE frame.
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 100.0, 10L),
+      ("b", 5.0, 3L), ("b", 7.0, 3L),
+      ("c", 4.0, 2L), ("c", 4.0, 2L), ("c", 9.0, 1L)).toDF("g", "v", "m")
+    val got = Graft.weightedQuartiles(df, "g", "v", "m")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((12L, 100L * 100, 100L * 100, 100L * 100)),
+      s"mass must dominate count: $got")
+    assert(got("b") == ((6L, 500L, 500L, 700L)), s"equal masses: $got")
+    // c: cum(4.0)=4 of 5 → covers q1 (4·4≥5), median (2·4≥5), and q3
+    // (4·4≥15): all three quartiles sit on the tie run at 4.0
+    assert(got("c") == ((5L, 400L, 400L, 400L)), s"tie run: $got")
+    // fixture parity: facade ≡ the oracled key on renamed columns
+    val facade = rows(Graft.weightedQuartiles(
+      Tables.lineitem(spark, sf001).select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"), col("l_quantity").as("qty")),
+      "flag", "price", "qty").orderBy("group"))
+    val key = rows(SparkEntry.queries("agg_weighted_median")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("incremental dedup ≡ batch pairs restricted to increment-touching endpoints") {
     import spark.implicits._
     val batch = SparkEntry.queries("dedup_jaccard")(spark, sf001)
