@@ -196,6 +196,23 @@ object Graft {
           col(weightCol).cast("long").as("w")))
       .withColumnRenamed("g", "group")
 
+  /** Deterministic DBSCAN over an embedding column (see
+    * [[graft.queries.Dedup.dbscan]]; Ester et al. 1996): density
+    * clusters on the exact cosine ≥ `threshold` ε-graph — core points
+    * (≥ `minPts` neighbors, exclusive of self) merge into components,
+    * border points attach to their smallest adjacent core's cluster,
+    * sparse points are NOISE (cluster −1) — the call AP and
+    * plain components cannot make. Returns (id, cluster, role). */
+  def dbscan(spark: SparkSession, embeddings: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.4, minPts: Int = 2): DataFrame =
+    queries.Dedup.dbscan(
+      queries.Dedup.embeddingPairsOf(spark,
+          embeddings.select(col(idCol).cast("long").as("vec_id"),
+            col(vecCol).as("embedding")), threshold)
+        .select("id_a", "id_b"),
+      embeddings.select(col(idCol).cast("long").as("id")), minPts)
+
   /** Semantic dedup of an embedding column — the SemDeDup step (see
     * [[graft.queries.Dedup]] `dedup_semantic`; Abbas et al. 2023):
     * connected components over the exact cosine ≥ `threshold` pair

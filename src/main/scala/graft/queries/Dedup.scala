@@ -388,6 +388,47 @@ object Dedup extends QueryGroup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Deterministic DBSCAN (Ester et al. 1996) over a precomputed
+    * ε-neighbor pair graph — the density clusterer that finds
+    * arbitrary-shape clusters and calls sparse points NOISE, which
+    * neither AP (every point assigned) nor components-over-threshold
+    * (every pair merges) provides. `pairs`: unique undirected
+    * (id_a, id_b) ε-neighbor pairs; `nodes`: (id) universe. CORE =
+    * ≥ minPts neighbors (exclusive of self — stated because textbook
+    * minPts sometimes counts the point); clusters = connected
+    * components of the core-core subgraph (labels = min core id, D6);
+    * BORDER = non-core adjacent to ≥ 1 core, attached to the SMALLEST
+    * adjacent core label — classic DBSCAN leaves border assignment
+    * scan-order-dependent, this is its deterministic refinement;
+    * everything else NOISE (cluster −1). All stages are keyed
+    * joins/aggs over the pair relation — the expensive part is the
+    * ε-graph, which reuses whatever candidate generation fits the
+    * scale (exact block-pair here, IVF co-membership at 100 TB). */
+  private[graft] def dbscan(pairs: DataFrame, nodes: DataFrame,
+      minPts: Int): DataFrame = {
+    require(minPts >= 1, s"dbscan: minPts $minPts < 1")
+    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val core = und.groupBy("u").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minPts).select(col("u").as("id"))
+    val ccEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val comp = connectedComponents(core, ccEdges)
+    val border = und
+      .join(comp.select(col("id").as("v"), col("component")), "v")
+      .groupBy("u").agg(min(col("component")).as("bcomp"))
+      .join(core.withColumnRenamed("id", "u"), Seq("u"), "left_anti")
+    nodes.select(col("id"))
+      .join(comp.select(col("id"), col("component").as("ccomp")), Seq("id"), "left")
+      .join(border.select(col("u").as("id"), col("bcomp")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ccomp"), col("bcomp"), lit(-1L)).as("cluster"),
+        when(col("ccomp").isNotNull, lit("core"))
+          .when(col("bcomp").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"))
+  }
+
   /** Containment vocabulary prune: shingles in more than this many
     * documents are dropped from BOTH sets before containment is
     * measured. Unlike Jaccard's hot-shingle decomposition, containment
@@ -2173,6 +2214,18 @@ object Dedup extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
         .orderBy("id_a", "id_b")),
 
+    // Density clustering (kernel scaladoc on [[dbscan]]): DBSCAN over
+    // the exact cosine ≥ 0.4 ε-graph with minPts = 2 neighbors —
+    // 16 cores / borders / ~480 noise at sf0.01, so every role is
+    // load-bearing. Fully oracled: pairs + degree + recursive
+    // min-label over the core subgraph + min-label border attach.
+    "cluster_dbscan" -> ((s, dir) =>
+      dbscan(embeddingPairs(s, dir).select("id_a", "id_b"),
+          Tables.embeddings(s, dir).select(col("vec_id").as("id")),
+          minPts = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("role"))
+        .orderBy("vec_id")),
+
     // SEMANTIC dedup — the SemDeDup step (Abbas et al. 2023: cluster
     // semantically-near embeddings, keep ONE representative per
     // cluster): connected components over the exact cosine ≥ 0.4 pair
@@ -3105,6 +3158,44 @@ object Dedup extends QueryGroup {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    // DBSCAN replayed: same ε-pairs, same exclusive-of-self degree
+    // rule, recursive min-label over the core-core subgraph, min-label
+    // border attachment, noise = -1.
+    "cluster_dbscan" ->
+      s"""WITH RECURSIVE $normedSql,
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4),
+         |und AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |core AS (
+         |  SELECT u AS id FROM und GROUP BY u HAVING COUNT(*) >= 2),
+         |ce AS (
+         |  SELECT u, v FROM und
+         |  WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+         |walk(u, r) AS (
+         |  SELECT id, id FROM core
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN ce e ON e.u = w.r),
+         |comp AS (SELECT u AS id, MIN(r) AS component FROM walk GROUP BY u),
+         |bord AS (
+         |  SELECT und.u, MIN(c.component) AS bcomp
+         |  FROM und JOIN comp c ON c.id = und.v
+         |  WHERE und.u NOT IN (SELECT id FROM core)
+         |  GROUP BY und.u)
+         |SELECT e.vec_id,
+         |  CAST(COALESCE(c.component, b.bcomp, -1) AS BIGINT) AS cluster,
+         |  CASE WHEN c.component IS NOT NULL THEN 'core'
+         |       WHEN b.bcomp IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role
+         |FROM embeddings e
+         |LEFT JOIN comp c ON c.id = e.vec_id
+         |LEFT JOIN bord b ON b.u = e.vec_id
+         |ORDER BY vec_id""".stripMargin,
+
     // SemDeDup replayed: the same exact pair graph, min-labels walked
     // to the fixpoint recursively (the graph_components oracle shape),
     // keep = "I am my cluster's smallest id".

@@ -1186,6 +1186,38 @@ class GraftSpec extends SparkSuite {
     assert(facade == batch)
   }
 
+  test("dbscan: blob cores, chain center core with borders, sparse noise") {
+    import spark.implicits._
+    // blob 1-3: identical vectors → each has 2 neighbors → all CORE,
+    // one cluster labeled 1. Chain 10-11-12 at 18° steps (cos 18° ≈
+    // .951 ≥ .9, cos 36° ≈ .809 < .9): only the center 11 has 2
+    // neighbors → core alone in its cluster; 10 and 12 are BORDER
+    // attached to 11. 20 is orthogonal to everything → NOISE.
+    val c18 = (0.9510565f, 0.3090170f)
+    val c36 = (0.8090170f, 0.5877853f)
+    val vecs = Seq(
+      (1L, Seq(0f, 0f, 1f)), (2L, Seq(0f, 0f, 1f)), (3L, Seq(0f, 0f, 1f)),
+      (10L, Seq(1f, 0f, 0f)), (11L, Seq(c18._1, c18._2, 0f)),
+      (12L, Seq(c36._1, c36._2, 0f)),
+      (20L, Seq(0f, -1f, 0f))
+    ).toDF("item", "vec")
+    val got = Graft.dbscan(spark, vecs, "item", "vec",
+        threshold = 0.9, minPts = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(Seq(1L, 2L, 3L).forall(i => got(i) == ((1L, "core"))), s"$got")
+    assert(got(11L) == ((11L, "core")), s"chain center: $got")
+    assert(got(10L) == ((11L, "border")) && got(12L) == ((11L, "border")),
+      s"chain ends: $got")
+    assert(got(20L) == ((-1L, "noise")), s"sparse point: $got")
+    // fixture parity: facade ≡ the oracled key
+    val facade = rows(Graft.dbscan(spark,
+      Tables.embeddings(spark, sf001).select(col("vec_id").as("item"),
+        col("embedding").as("vec")), "item", "vec").orderBy("id"))
+    val key = rows(SparkEntry.queries("cluster_dbscan")(spark, sf001))
+    assert(facade == key)
+  }
+
   test("semanticDedup: exact + near dupes cluster to one representative; opposites stay") {
     import spark.implicits._
     // ids 0-2: the same vector; id 3: a 0.99+-cosine neighbor; id 10:
