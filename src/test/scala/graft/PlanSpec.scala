@@ -491,6 +491,17 @@ class PlanSpec extends SparkSuite {
       s"containment must stay bucket-grouped:\n$p")
   }
 
+  test("new pair-graph keys stay equi-join shaped (no cartesian anywhere)") {
+    // dbscan/semantic reuse the block-pair embedding kernel; incremental
+    // reuses the shingle bucket join — none may degrade to a product
+    Seq("cluster_dbscan", "dedup_semantic", "dedup_incremental",
+        "agg_weighted_median", "hier_flatten", "graph_bfs_distance")
+      .foreach { k =>
+        val p = planOf(k)
+        assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
+      }
+  }
+
   test("image phash pair join is a banded equi-join, no cartesian") {
     val p = planOf("dedup_image_phash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
