@@ -187,7 +187,10 @@ object Graft {
     * [[graft.queries.Aggregates.weightedQuartiles]]) — the aggregate
     * Spark has no builtin for (percentile_approx takes no weights):
     * quartile q = smallest value whose cumulative mass reaches q/4 of
-    * the group total. Exact, interpolation-free, deterministic.
+    * the group total. Interpolation-free and deterministic; computed by
+    * the mergeable [[graft.functions.WeightedQuantiles]] sketch — exact
+    * while a group's distinct values stay under the 2²⁰ cap, one-sided
+    * O(tot/cap) rank error above it, never a keyed window.
     * Returns (group, total_w, wq1_cents, wmedian_cents, wq3_cents). */
   def weightedQuartiles(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String): DataFrame =
@@ -200,8 +203,10 @@ object Graft {
     * [[graft.queries.Dedup.dbscan]]; Ester et al. 1996): density
     * clusters on the exact cosine ≥ `threshold` ε-graph — core points
     * (≥ `minPts` neighbors, exclusive of self) merge into components,
-    * border points attach to their smallest adjacent core's cluster,
-    * sparse points are NOISE (cluster −1) — the call AP and
+    * border points attach to the smallest adjacent core *label* (the
+    * minimum component id over their adjacent cores — which may differ
+    * from the smallest core's own cluster when that core carries a
+    * larger label), sparse points are NOISE (cluster −1) — the call AP and
     * plain components cannot make. Returns (id, cluster, role). */
   def dbscan(spark: SparkSession, embeddings: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",

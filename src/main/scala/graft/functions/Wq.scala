@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One (value, mass) input row for [[WeightedQuantiles]]. */
+case class WqIn(v: Long, w: Long)
+
+/** Lower weighted quartiles of a group: total mass plus the three
+  * quartile values under the integer rule `quartile q = MIN v with
+  * 4·cum(v) ≥ q·tot` (cum = mass at or below v). Field names match the
+  * agg_weighted_median output contract so the struct projects straight
+  * into the driver columns. */
+case class WqOut(total_w: Long, wq1_cents: Long, wmedian_cents: Long,
+    wq3_cents: Long)
+
+/** Mergeable weighted-quantile sketch as a typed [[Aggregator]] — the
+  * scale-safe replacement for the per-group RANGE-window cumulative sum
+  * (round-17 VERDICT #1: `sum(w) over (partition by g order by v)` puts
+  * a group's entire row set on one task; with a 5-value group key that
+  * is 5 near-global sorts at 100 TB).
+  *
+  * Buffer: a value→mass map of at most `cap` distinct values. Below the
+  * cap the sketch is EXACT — the map IS the grouped (value, Σmass)
+  * relation, and finish's sorted prefix scan reproduces the RANGE-frame
+  * cumulative sum bit-for-bit, so the integer quartile rule
+  * `q = MIN v with 4·cum ≥ q·tot` returns exactly what the window form
+  * returns. Every fixture SF sits under the default cap (max distinct
+  * cents per l_returnflag group: 1,962 @ sf0.001 / 20,029 @ sf0.01 /
+  * 198,250 @ sf0.1, measured — vs cap 2²⁰), so agg_weighted_median
+  * STAYS oracled against the window-derived DuckDB SQL while the plan
+  * is two ObjectHashAggregates around one exchange: map-side partials,
+  * sketch-sized shuffle rows, no window, no per-group sort.
+  *
+  * Above the cap (the 100 TB regime) compress() coalesces sorted runs
+  * of consecutive values whose combined mass stays ≤ 2·tot/cap,
+  * assigning each run's mass to its LOWEST value. Mass only ever moves
+  * down, so cum_sketch(v) ≥ cum_exact(v) pointwise and every reported
+  * quartile is ≤ the exact one (one-sided, like eqdepth_scale's
+  * ties-assign-low rule), with rank error bounded by the mass of the
+  * single run straddling the query point — O(tot/cap) per compression
+  * level. Totals are preserved exactly at any cap. Merging partials is
+  * map-sum + the same compress, so partial buffers combine associatively
+  * under any merge tree (the Agarwal et al. 2013 mergeability shape, as
+  * in [[MisraGries]]).
+  *
+  * Null inputs contribute nothing (SQL aggregate semantics); an
+  * all-null group finishes to null, matching what the window form's
+  * MIN(CASE...) would emit.
+  */
+class WeightedQuantiles(cap: Int)
+    extends Aggregator[WqIn, Map[Long, Long], WqOut] {
+  require(cap >= 8, s"WeightedQuantiles: cap must be >= 8, got $cap")
+
+  def zero: Map[Long, Long] = Map.empty
+
+  def reduce(buf: Map[Long, Long], in: WqIn): Map[Long, Long] = {
+    if (in == null) return buf
+    compress(buf.updated(in.v, buf.getOrElse(in.v, 0L) + in.w))
+  }
+
+  def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =
+    compress(y.foldLeft(x) { case (m, (v, w)) =>
+      m.updated(v, m.getOrElse(v, 0L) + w)
+    })
+
+  /** Greedy run-coalescing: walk values ascending, extend the current
+    * run while its mass stays ≤ max(1, 2·tot/cap), emit the run's mass
+    * at its lowest value. Runs already above the threshold stay atomic
+    * (never re-coalesced with neighbours), so repeated compressions do
+    * not compound a heavy bucket. Result size ≤ cap/2 light runs +
+    * the < cap/2 heavy ones. No-op below the cap — the exact regime. */
+  private def compress(m: Map[Long, Long]): Map[Long, Long] = {
+    if (m.size <= cap) return m
+    val es = m.toArray.sortBy(_._1)
+    var tot = 0L
+    es.foreach(tot += _._2)
+    val thr = math.max(1L, 2L * (tot / cap))
+    val out = Map.newBuilder[Long, Long]
+    var curV = es(0)._1
+    var curW = es(0)._2
+    var i = 1
+    while (i < es.length) {
+      val (v, w) = es(i)
+      if (curW + w <= thr) curW += w
+      else { out += curV -> curW; curV = v; curW = w }
+      i += 1
+    }
+    out += curV -> curW
+    out.result()
+  }
+
+  def finish(buf: Map[Long, Long]): WqOut = {
+    if (buf.isEmpty) return null
+    val es = buf.toArray.sortBy(_._1)
+    var tot = 0L
+    es.foreach(tot += _._2)
+    // q = MIN v with 4·cum ≥ q·tot — same longs-only rule as the oracle
+    var q1 = 0L; var q2 = 0L; var q3 = 0L
+    var found1 = false; var found2 = false; var found3 = false
+    var cum = 0L
+    var i = 0
+    while (i < es.length && !found3) {
+      cum += es(i)._2
+      if (!found1 && cum * 4 >= tot) { q1 = es(i)._1; found1 = true }
+      if (!found2 && cum * 2 >= tot) { q2 = es(i)._1; found2 = true }
+      if (!found3 && cum * 4 >= tot * 3) { q3 = es(i)._1; found3 = true }
+      i += 1
+    }
+    WqOut(tot, q1, q2, q3)
+  }
+
+  def bufferEncoder: Encoder[Map[Long, Long]] =
+    ExpressionEncoder[Map[Long, Long]]()
+  def outputEncoder: Encoder[WqOut] = Encoders.product[WqOut]
+}

@@ -474,6 +474,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Broadcast"), s"boundary relation must broadcast:\n$p")
   }
 
+  test("weighted quartiles plan no window and one data exchange (sketch agg)") {
+    // round-17 VERDICT #1: the per-group RANGE window put each group's
+    // entire row set on one task (5 near-global sorts at 100 TB). The
+    // WeightedQuantiles sketch form must plan as two ObjectHashAggregates
+    // around the single group-key exchange — map-side partials, no
+    // Window, no per-group sort (the eqdepth_scale discipline).
+    val p = planOf("agg_weighted_median")
+    assert(!p.contains("Window"), s"window crept back into the sketch form:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed sketch aggregate missing from plan:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(!_.contains("ReusedExchange"))
+    assert(exchanges <= 1, s"$exchanges hash exchanges (expected ≤ 1):\n$p")
+  }
+
   test("link prediction wedges are equi-joins; no cartesian, anti-join present") {
     // the wedge stage must be two z-keyed equi-joins + one anti-join —
     // the only nested-loop allowed is the broadcast of the 1-row degree

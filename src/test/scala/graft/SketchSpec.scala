@@ -635,4 +635,87 @@ class SketchSpec extends SparkSuite {
         s"bucket $b deviates by $d from exact ntile (tie bound $maxTie)")
     }
   }
+
+  /** Exact lower weighted quartiles by the integer rule — the plain-
+    * Scala ground truth for the WeightedQuantiles sketch tests. */
+  private def exactWq(rows: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val grouped = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val tot = grouped.map(_._2).sum
+    def q(k: Long): Long = {
+      var cum = 0L
+      grouped.find { case (_, w) => cum += w; cum * 4 >= k * tot }.get._1
+    }
+    (tot, q(1), q(2), q(3))
+  }
+
+  test("weighted-quantile sketch is exact under the cap for any merge tree") {
+    // round-17 VERDICT #1: the sketch replaces the keyed RANGE window —
+    // below the cap its buffer IS the grouped (value, Σmass) relation,
+    // so finish must reproduce the window rule bit-for-bit regardless of
+    // how partial buffers split and merge.
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(5000)((rnd.nextInt(1500).toLong, 1L + rnd.nextInt(50)))
+    val (tot, q1, q2, q3) = exactWq(rows)
+    val agg = new graft.functions.WeightedQuantiles(4096)
+    // three random partition layouts, pairwise-merged in different orders
+    for (nParts <- Seq(1, 7, 32)) {
+      val bufs = rows.grouped(math.max(1, rows.size / nParts)).map { chunk =>
+        chunk.foldLeft(agg.zero) { case (b, (v, w)) =>
+          agg.reduce(b, graft.functions.WqIn(v, w))
+        }
+      }.toSeq
+      val merged = bufs.reduceLeft(agg.merge)
+      val out = agg.finish(merged)
+      assert((out.total_w, out.wq1_cents, out.wmedian_cents, out.wq3_cents)
+        == ((tot, q1, q2, q3)), s"nParts=$nParts: $out vs exact ($tot,$q1,$q2,$q3)")
+    }
+  }
+
+  test("compressed weighted-quantile sketch is one-sided with bounded rank error") {
+    // the 100 TB regime: above the cap, compress coalesces runs downward,
+    // so cum_sketch ≥ cum_exact pointwise — every reported quartile is ≤
+    // the exact one, totals stay exact, and the rank undershoot at the
+    // reported value is O(tot/cap).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20000).map(i => (i.toLong, 1L + rnd.nextInt(9)))
+    val (tot, q1, q2, q3) = exactWq(rows)
+    val cap = 64
+    val agg = new graft.functions.WeightedQuantiles(cap)
+    val buf = rows.foldLeft(agg.zero) { case (b, (v, w)) =>
+      agg.reduce(b, graft.functions.WqIn(v, w))
+    }
+    val out = agg.finish(buf)
+    assert(out.total_w == tot, "compression must preserve total mass exactly")
+    val cum = rows.sortBy(_._1).scanLeft((Long.MinValue, 0L)) {
+      case ((_, c), (v, w)) => (v, c + w)
+    }.tail.toMap
+    for ((got, exact, k) <- Seq((out.wq1_cents, q1, 1L),
+        (out.wmedian_cents, q2, 2L), (out.wq3_cents, q3, 3L))) {
+      assert(got <= exact, s"q$k: sketch $got above exact $exact — not one-sided")
+      val undershoot = k * tot - 4 * cum(got)
+      assert(undershoot <= 8L * tot / cap,
+        s"q$k: rank undershoot $undershoot exceeds 8·tot/cap=${8L * tot / cap}")
+    }
+  }
+
+  test("agg_weighted_median query equals the keyed-window form it replaced") {
+    import org.apache.spark.sql.expressions.Window
+    val in = Tables.lineitem(spark, sf001).select(
+      col("l_returnflag").as("g"),
+      Det.cents(col("l_extendedprice")).as("pc"),
+      col("l_quantity").cast("long").as("w"))
+    val win = in
+      .withColumn("cum", sum(col("w")).over(Window.partitionBy("g").orderBy("pc")))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(max(col("tot")).as("total_w"),
+        min(when(col("cum") * 4 >= col("tot"), col("pc"))).as("wq1_cents"),
+        min(when(col("cum") * 2 >= col("tot"), col("pc"))).as("wmedian_cents"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("pc"))).as("wq3_cents"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val sketch = SparkEntry.queries("agg_weighted_median")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(sketch == win, s"sketch form diverged from window form:\n$sketch\n$win")
+  }
 }
