@@ -525,6 +525,18 @@ object Graft {
       .select(col("doc_id").as("id"),
         col("n_shared_grams"), col("longest_shared_words"))
 
+  /** Substring-dedup CUT — the corpus rewrite [[sharedSpans]] only
+    * reports (see [[graft.queries.Dedup.substringCut]]; Lee et al.
+    * 2022 §4): every word position covered by a cross-document-shared
+    * `k`-gram run is removed and the survivors rejoin left-to-right;
+    * within-doc repetition is untouched. Returns
+    * (id, cleaned_text, n_removed_spans, n_removed_words). */
+  def substringCut(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame =
+    queries.Dedup.substringCut(docsOf(docs, idCol, textCol), k)
+      .select(col("doc_id").as("id"), col("cleaned_text"),
+        col("n_removed_spans"), col("n_removed_words"))
+
   /** DIRECTED containment pairs (see
     * [[graft.queries.Dedup.containmentPairs]]; Broder 1997's
     * containment coefficient) — the asymmetric near-dup report Jaccard

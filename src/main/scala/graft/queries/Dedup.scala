@@ -1903,7 +1903,26 @@ object Dedup extends QueryGroup {
     * words (no grams) report zeros via the LEFT join.
     * Returns (doc_id, n_shared_grams, longest_shared_words). */
   private[graft] def sharedSpanStats(docs: DataFrame, k: Int): DataFrame = {
-    require(k >= 2 && k <= 64, s"sharedSpanStats: k in 2..64, got $k")
+    val runs = sharedGramRuns(docs, k)
+    val agg = runs.groupBy("doc_id").agg(
+      sum(col("run")).as("ns"), max(col("run")).as("mr"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("mr") + lit((k - 1).toLong), lit(0L)).as("longest_shared_words"))
+  }
+
+  /** Shared kernel of [[sharedSpanStats]] and [[substringCut]]: the
+    * maximal runs of cross-document-shared word-`k`-gram positions per
+    * document — (doc_id, s = first gram position, run = #adjacent
+    * shared positions). Grams bucket by their exact text, the shared
+    * set is a gram-keyed distinct-doc count ≥ 2 (within-doc repetition
+    * alone is NOT shared), membership is one semi-shaped join, and run
+    * detection is the gaps-and-islands window per document — never
+    * all-pairs, nothing quadratic in documents. */
+  private[graft] def sharedGramRuns(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"sharedGramRuns: k in 2..64, got $k")
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k)
@@ -1914,18 +1933,56 @@ object Dedup extends QueryGroup {
     val shared = grams.select("doc_id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("g")
-    val sp = grams.join(shared, "g").select("doc_id", "i")
-    val runs = sp
+    grams.join(shared, "g").select("doc_id", "i")
       .withColumn("isl", col("i") - row_number().over(
         Window.partitionBy("doc_id").orderBy("i")))
-      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
-    val agg = runs.groupBy("doc_id").agg(
-      sum(col("run")).as("ns"), max(col("run")).as("mr"))
-    docs.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+      .groupBy("doc_id", "isl")
+      .agg(min(col("i")).as("s"), count(lit(1)).as("run"))
+      .select("doc_id", "s", "run")
+  }
+
+  /** Substring-dedup CUT step (the corpus rewrite [[sharedSpanStats]]
+    * only reports; Lee et al. 2022 §4 removes the repeated spans from
+    * the training corpus): every word position covered by a
+    * cross-document-shared `k`-gram run is deleted and the survivors
+    * are rejoined left-to-right. Within-doc repetition is untouched
+    * (the shared set requires ≥ 2 distinct documents). Overlapping
+    * covered ranges from nearby runs collapse via the position-set
+    * distinct, so removed-word counts are exact coverage, not summed
+    * span lengths. Scale shape: the runs relation (one row per shared
+    * island — far smaller than the corpus) is localCheckpoint'd once
+    * and fans into both the span count and the coverage explode (≤ k
+    * positions per run row); the rebuild is word-granularity keyed by
+    * doc_id — linear in corpus size, never pairs. Docs with nothing
+    * shared rebuild to their (single-spaced) text unchanged; a doc cut
+    * to nothing emits the empty string.
+    * Returns (doc_id, cleaned_text, n_removed_spans, n_removed_words). */
+  private[graft] def substringCut(docs: DataFrame, k: Int): DataFrame = {
+    val runs = sharedGramRuns(docs, k).localCheckpoint()
+    val covered = runs
       .select(col("doc_id"),
-        coalesce(col("ns"), lit(0L)).as("n_shared_grams"),
-        coalesce(col("mr") + lit((k - 1).toLong), lit(0L)).as("longest_shared_words"))
+        explode(sequence(col("s"), col("s") + col("run") + lit((k - 2).toLong)))
+          .as("wpos"))
+      .distinct()
+    val words = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("wpos"), col("word"))
+    val rebuilt = words
+      .join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("wpos"), col("word")))),
+          _.getField("word"))).as("ct"))
+    val nSpans = runs.groupBy("doc_id").agg(count(lit(1)).as("nsp"))
+    val nWords = covered.groupBy("doc_id").agg(count(lit(1)).as("nrw"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(nSpans, Seq("doc_id"), "left")
+      .join(nWords, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ct"), lit("")).as("cleaned_text"),
+        coalesce(col("nsp"), lit(0L)).as("n_removed_spans"),
+        coalesce(col("nrw"), lit(0L)).as("n_removed_words"))
   }
 
   private[graft] val substringGramK = 8
@@ -1945,6 +2002,14 @@ object Dedup extends QueryGroup {
     // carry a shared span, so the key is load-bearing at every SF.
     "dedup_substring" -> ((s, dir) =>
       sharedSpanStats(Tables.documents(s, dir), substringGramK)
+        .orderBy("doc_id")),
+
+    // The CUT companion (kernel scaladoc on [[substringCut]]): emit the
+    // cleaned corpus with every cross-doc-shared 8-gram span removed —
+    // the step Lee et al. 2022's pipeline actually performs on the
+    // training data, where dedup_substring only measures.
+    "dedup_substring_cut" -> ((s, dir) =>
+      substringCut(Tables.documents(s, dir), substringGramK)
         .orderBy("doc_id")),
 
     // Exact dedup by content digest — at 100 TB you group by a 128-bit
@@ -2914,6 +2979,50 @@ object Dedup extends QueryGroup {
          |  COALESCE(a.ns, 0) AS n_shared_grams,
          |  COALESCE(a.mr + ${k - 1}, 0) AS longest_shared_words
          |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // independent re-derivation of substringCut: the same gram/shared/
+    // runs chain, then word coverage exploded per run (DISTINCT merges
+    // overlaps), an anti-join keeps the surviving words, and string_agg
+    // ordered by position rebuilds the cleaned text
+    "dedup_substring_cut" -> {
+      val k = substringGramK
+      s"""WITH g AS (
+         |  SELECT doc_id, i, array_to_string(ws[i:i+${k - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+         |       UNNEST(range(1, len(ws) - ${k - 2})) AS t(i)
+         |  WHERE len(ws) >= $k),
+         |sh AS (
+         |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+         |  GROUP BY g HAVING COUNT(*) >= 2),
+         |runs AS (
+         |  SELECT doc_id, MIN(i) AS s, MIN(i) + COUNT(*) + ${k - 2} AS e FROM (
+         |    SELECT doc_id, i,
+         |      i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |    FROM g WHERE g IN (SELECT g FROM sh)) GROUP BY doc_id, isl),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, s + d AS wpos
+         |  FROM runs, UNNEST(range(0, e - s + 1)) AS t(d)),
+         |w AS (
+         |  SELECT doc_id, i AS wpos, ws[i] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |       UNNEST(range(1, len(ws) + 1)) AS t(i)),
+         |kept AS (
+         |  SELECT w.doc_id, w.wpos, w.word FROM w
+         |  ANTI JOIN cov ON w.doc_id = cov.doc_id AND w.wpos = cov.wpos),
+         |r AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS ct
+         |  FROM kept GROUP BY doc_id),
+         |ns AS (SELECT doc_id, COUNT(*) AS nsp FROM runs GROUP BY doc_id),
+         |nw AS (SELECT doc_id, COUNT(*) AS nrw FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(r.ct, '') AS cleaned_text,
+         |  CAST(COALESCE(ns.nsp, 0) AS BIGINT) AS n_removed_spans,
+         |  CAST(COALESCE(nw.nrw, 0) AS BIGINT) AS n_removed_words
+         |FROM documents d
+         |LEFT JOIN r ON d.doc_id = r.doc_id
+         |LEFT JOIN ns ON d.doc_id = ns.doc_id
+         |LEFT JOIN nw ON d.doc_id = nw.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
     "dedup_jaccard" ->

@@ -191,6 +191,46 @@ class MatchingSpec extends SparkSuite {
     assert(got2(1L) == ((3L, 9L)), s"doc 1 disjoint runs: ${got2(1L)}")
   }
 
+  test("substring cut: removes cross-doc spans, keeps within-doc repeats") {
+    import spark.implicits._
+    // same crafted corpus as the stats test: docs 1/2 share the 10-word
+    // span "a b … j"; doc 5 repeats an 8-gram within itself only
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y a b c d e f g h i j z"),
+      (3L, "p q r s t u v w"),
+      (4L, "s1 s2 s3 s4 s5 s6 s7"),
+      (5L, "m n o pp qq rr ss tt m n o pp qq rr ss tt")
+    ).toDF("doc_id", "text")
+    val got = Graft.substringCut(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: words 1..10 cut, "k l" survives — one span, ten words
+    assert(got(1L) == (("k l", 1L, 10L)), s"doc 1: ${got(1L)}")
+    // doc 2: words 3..12 cut, "x y … z" survives
+    assert(got(2L) == (("x y z", 1L, 10L)), s"doc 2: ${got(2L)}")
+    // docs 3/4: nothing shared — text unchanged, zero removals
+    assert(got(3L) == (("p q r s t u v w", 0L, 0L)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == (("s1 s2 s3 s4 s5 s6 s7", 0L, 0L)), s"doc 4: ${got(4L)}")
+    // doc 5: within-doc repetition is NOT cut (Lee et al. cut is
+    // cross-document) — full text survives
+    assert(got(5L) == (("m n o pp qq rr ss tt m n o pp qq rr ss tt", 0L, 0L)),
+      s"doc 5: ${got(5L)}")
+    // a doc that is ENTIRELY one shared span cuts to the empty string,
+    // and overlapping coverage from nearby runs never double-counts
+    val docs2 = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 t9 a1 a2 a3 a4 a5 a6 a7 a8")
+    ).toDF("doc_id", "text")
+    val got2 = Graft.substringCut(docs2, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got2(1L) == (("", 1L, 8L)), s"doc 1 full cut: ${got2(1L)}")
+    // doc 2: the a-gram is shared (doc 1 has it) at positions 1 and 10;
+    // those two runs cover words 1..8 and 10..17 — "t9" survives
+    assert(got2(2L) == (("t9", 2L, 16L)), s"doc 2 two spans: ${got2(2L)}")
+  }
+
   test("containment: asymmetric pairs Jaccard misses; df prune recomputes denominators") {
     import spark.implicits._
     // single-letter words → 3-gram shingles are letter triples:
