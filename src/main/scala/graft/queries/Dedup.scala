@@ -455,18 +455,25 @@ object Dedup extends QueryGroup {
     * where containment ≥ tau.
     *
     * Input `sh0`: the distinct (doc_id, shingle) relation (hashed or
-    * string identity — values depend only on set membership). Plan: one
-    * shingle-keyed window prunes df > dfCap, one doc-keyed window
-    * recomputes set sizes on the PRUNED vocabulary (the denominator must
-    * not count dropped shingles), then the bucket-grouped pair stage —
-    * three keyed exchanges, buckets bounded by dfCap, never all-pairs. */
+    * string identity — values depend only on set membership). Plan: df
+    * via PARTIAL aggregation (a hot shingle reduces to one count row
+    * per task map-side — the per-shingle window this replaces colocated
+    * a df-10M boilerplate gram's full row set on one task just to drop
+    * it, round-17 VERDICT advisory #2), the above-cap list (boilerplate
+    * grams only — small by the same argument that makes them prunable)
+    * broadcast-anti-joins the vocabulary out so the corpus never
+    * shuffles for the prune, set sizes on the PRUNED vocabulary (the
+    * denominator must not count dropped shingles) reduce the same way,
+    * then the bucket-grouped pair stage — no Window anywhere, buckets
+    * bounded by dfCap, never all-pairs. */
   private[graft] def containmentPairs(sh0: DataFrame,
       tau: Double = ContainmentTau, dfCap: Int = ContainmentDfCap): DataFrame = {
-    val pruned = sh0.select("doc_id", "shingle")
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= dfCap)
-      .drop("df")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val base = sh0.select("doc_id", "shingle")
+    val hot = base.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val kept = base.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pruned = kept.join(sizes, "doc_id")
     val pairs = bucketPairCounts(pruned)
     pairs.select(col("doc_a").as("doc_contained"),
         col("doc_b").as("doc_container"),
