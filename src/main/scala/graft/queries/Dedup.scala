@@ -2588,23 +2588,30 @@ object Dedup extends QueryGroup {
   private[graft] def hierFlatten(parents: DataFrame,
       maxRounds: Int = hierDoublingRounds): DataFrame = {
     require(maxRounds >= 1, s"hierFlatten: maxRounds $maxRounds < 1")
-    // Malformed-forest guards, both LOUD (bounded probes on the input
-    // relation — a broken extract must never ship silent row loss):
+    // Malformed-forest guards, both LOUD (ONE bounded probe on the
+    // input relation — the hybridRrf single-union-probe discipline,
+    // round-17 VERDICT advisory #3; a broken extract must never ship
+    // silent row loss):
     //  - a DANGLING parent id (no node row) would make the inner
     //    doubling join drop the child's state row unseen;
     //  - a DUPLICATE node id fans out multiplicatively through the
     //    self-joins (k^rounds rows) and duplicates the output.
-    val dangling = parents.select(col("parent").as("node"))
-      .join(parents.select("node"), Seq("node"), "left_anti")
+    val bad = parents.select(col("parent").as("id"))
+      .join(parents.select(col("node").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit("dangling").as("kind"))
+      .unionByName(parents.groupBy(col("node").as("id"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("id"), lit("duplicate").as("kind")))
       .limit(1).collect()
-    require(dangling.isEmpty,
-      s"hierFlatten: parent id ${dangling.headOption.map(_.get(0)).orNull} " +
-        "has no node row (dangling pointer) - every parent must be a node")
-    val dup = parents.groupBy("node").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"hierFlatten: node id ${dup.headOption.map(_.get(0)).orNull} appears " +
-        "more than once - a forest assigns one parent per node")
+    bad.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        if (r.getString(1) == "dangling")
+          s"hierFlatten: parent id ${r.get(0)} has no node row (dangling " +
+            "pointer) - every parent must be a node"
+        else
+          s"hierFlatten: node id ${r.get(0)} appears more than once - a " +
+            "forest assigns one parent per node")
+    }
     val roots = parents.filter(col("parent") === col("node"))
       .select(col("node").as("anc"))
     var st = parents.select(col("node"), col("parent").as("anc"),

@@ -345,6 +345,41 @@ class ComponentsSpec extends SparkSuite {
     assert(boomU.getMessage.contains("more than once"))
   }
 
+  test("hier flatten malformed-forest guard is ONE probe action") {
+    // round-17 VERDICT advisory #3: the dangling-parent and duplicate-
+    // node probes were two separate driver actions per call; the
+    // hybridRrf single-union-probe discipline makes them one. Count SQL
+    // executions (robust under AQE, where one action spawns many jobs)
+    // on a duplicate-only input — the shape that forced the OLD code to
+    // run its empty dangling probe first, i.e. two executions.
+    import spark.implicits._
+    Thread.sleep(300) // let prior tests' listener events drain
+    val execs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet(); ()
+        case _ =>
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val boom = intercept[IllegalArgumentException] {
+        Graft.hierFlatten(Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("n", "p"),
+          "n", "p")
+      }
+      assert(boom.getMessage.contains("more than once"))
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline && execs.get() < 1)
+        Thread.sleep(50)
+      Thread.sleep(250) // let a stray second execution surface before asserting
+      assert(execs.get() == 1,
+        s"guard ran ${execs.get()} SQL executions - the dangling+duplicate " +
+          "probes must be one union job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bfs distances: chain radius cutoff, multi-seed minimum, disconnected stays out") {
     import spark.implicits._
     // chain 1-2-…-10 plus the isolated edge 100-101
