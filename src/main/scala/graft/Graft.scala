@@ -160,20 +160,27 @@ object Graft {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
 
   /** Incremental near-dup pairs (see
-    * [[graft.queries.Dedup.jaccardPairsIncremental]]): every exact
-    * Jaccard ≥ `threshold` pair with at least one endpoint among
+    * [[graft.queries.Dedup.jaccardPairsIncrementalCapped]]): every
+    * exact Jaccard ≥ `threshold` pair with at least one endpoint among
     * `incrementIds` — the daily-batch dedup shape, where history×history
-    * never re-pairs and values stay full-corpus exact. Returns
+    * never re-pairs and values stay full-corpus exact. The hot-shingle
+    * df cap engages automatically via the bounded probe. Returns
     * (id_a, id_b, jaccard). */
   def nearDupPairsIncremental(spark: SparkSession, docs: DataFrame,
       incrementIds: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", incIdCol: String = "doc_id",
-      threshold: Double = 0.2): DataFrame =
-    queries.Dedup.jaccardPairsIncremental(
-        queries.Dedup.hashedShinglePlan(spark, docsOf(docs, idCol, textCol)),
+      threshold: Double = 0.2): DataFrame = {
+    // probe-and-route like the batch production entry (nearDupPairs):
+    // on a balanced corpus the bounded probe finds nothing and the plan
+    // is the plain incremental kernel; past the df cap the cold /
+    // hot-correction / hot-dominated decomposition keeps the
+    // inc×corpus bucket join bounded (round-17 ADVICE #2)
+    val sh = queries.Dedup.hashedShinglePlan(spark, docsOf(docs, idCol, textCol))
+    queries.Dedup.jaccardPairsIncrementalCapped(sh,
         incrementIds.select(col(incIdCol).cast("long").as("doc_id")),
-        threshold)
+        threshold, queries.Dedup.hotShingleProbe(sh))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
+  }
 
   /** SimHash near-dup pairs within hamming distance ≤ 3 — provably
     * exact for that radius via 4×16-bit band pigeonhole, no N² join. */

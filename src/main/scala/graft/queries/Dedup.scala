@@ -359,19 +359,27 @@ object Dedup extends QueryGroup {
     * kernel's rows for the same pairs (the suite pins result ≡
     * dedup_jaccard restricted to increment-touching pairs). Inc–inc
     * pairs arrive in both orientations from the join; the
-    * (ia < ib OR ib ∉ inc) filter keeps exactly one. The same
-    * hot-shingle df cap as the batch kernel applies when a bucket is
-    * skew-risky ([[jaccardPairsHashedCapped]]); this plan composes with
-    * it unchanged. `shAll`: (doc_id, shingle, n); `incIds`: (doc_id). */
+    * (ia < ib OR ib ∉ inc) filter keeps exactly one. The hot-shingle
+    * skew guard is [[jaccardPairsIncrementalCapped]] — this uncapped
+    * form is that kernel's `hotIds = Nil` fast path (a hot shingle
+    * would otherwise explode the inc×corpus bucket join at
+    * |inc-rows-in-bucket|·df — round-17 ADVICE #2); production entries
+    * probe and route automatically. `shAll`: (doc_id, shingle, n);
+    * `incIds`: (doc_id). */
   private[graft] def jaccardPairsIncremental(shAll: DataFrame,
-      incIds: DataFrame, threshold: Double): DataFrame = {
-    val inc = incIds.select(col("doc_id")).distinct()
-    val shInc = shAll.join(inc, Seq("doc_id"), "left_semi")
-    val flagged = shAll
+      incIds: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsIncrementalCapped(shAll, incIds, threshold, Nil)
+
+  /** Increment-touching pair candidates with (partial, if `sh` is a
+    * cold subset) co-occurrence counts — the pair stage of the
+    * incremental kernel, split out like [[bucketPairCounts]] so the
+    * capped decomposition can correct a cold partial count. */
+  private def incPairCounts(sh: DataFrame, inc: DataFrame): DataFrame = {
+    val shInc = sh.join(inc, Seq("doc_id"), "left_semi")
+    val flagged = sh
       .join(inc.withColumn("incb", lit(true)), Seq("doc_id"), "left")
       .withColumn("incb", coalesce(col("incb"), lit(false)))
-    val sz = shAll.groupBy("doc_id").agg(max(col("n")).as("n"))
-    val pairs = shInc.select(col("doc_id").as("ia"), col("shingle"))
+    shInc.select(col("doc_id").as("ia"), col("shingle"))
       .join(flagged.select(col("doc_id").as("ib"), col("shingle"),
         col("incb")), "shingle")
       .filter(col("ia") =!= col("ib"))
@@ -379,13 +387,62 @@ object Dedup extends QueryGroup {
       .groupBy(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+  }
+
+  /** [[jaccardPairsIncremental]] with the batch kernel's hot-shingle
+    * decomposition ([[jaccardPairsHashedCapped]], ported): cold pairs
+    * from below-cap buckets (every bucket ≤ dfCap docs, so the
+    * inc×corpus join is bounded), the hot co-occurrence correction per
+    * candidate (|candidates| × hot-shingles-per-doc, never df²), and
+    * the hot-dominated sweep — a qualifying pair the cold stage cannot
+    * see shares only hot shingles, forcing BOTH endpoints past the
+    * h·(1+τ′) ≥ τ′·n bound, so the plain incremental kernel over that
+    * bounded sub-corpus (with the increment restricted to it) catches
+    * every such pair at full-set exactness. Rows are byte-identical to
+    * the uncapped kernel (DedupSkewSpec pins the equivalence with a
+    * forcing cap); pairs caught twice collapse via distinct(). */
+  private[graft] def jaccardPairsIncrementalCapped(shAll: DataFrame,
+      incIds: DataFrame, threshold: Double, hotIds: Seq[Long],
+      maxHd: Int = 4096): DataFrame = {
+    val inc = incIds.select(col("doc_id")).distinct()
+    val sz = shAll.groupBy("doc_id").agg(max(col("n")).as("n"))
+    def jac(pairs: DataFrame): DataFrame = pairs
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    if (hotIds.isEmpty) jac(incPairCounts(shAll, inc))
+    else {
+      val shCold = shAll.filter(!col("shingle").isin(hotIds: _*))
+      val shHot = shAll.filter(col("shingle").isin(hotIds: _*))
+      val cold = incPairCounts(shCold, inc)
+      val hotInter = cold.select("doc_a", "doc_b")
+        .join(shHot.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(shHot.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("hinter"))
+      val coldExact = cold
+        .join(hotInter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("inter", col("inter") + coalesce(col("hinter"), lit(0L)))
+        .drop("hinter")
+      // τ′ = effective threshold at the round-4 boundary — the same
+      // derivation (and the same reason) as the batch kernel's sweep
+      val tEff = math.max(threshold - 0.00005, 0.0)
+      val hd = shHot.groupBy("doc_id")
+        .agg(count(lit(1)).as("h"), max(col("n")).as("hn"))
+        .filter(col("h") * (1.0 + tEff) >= lit(tEff) * col("hn"))
+        .select("doc_id")
+      val hdProbe = hd.limit(maxHd + 1).collect()
+      require(hdProbe.length <= maxHd,
+        s"more than $maxHd documents are hot-dominated (≥ ${tEff / (1 + tEff)} " +
+          "of their shingles are above the df cap) — this is not an outlier " +
+          "corpus; raise the cap or maxHd")
+      val sweep = jac(incPairCounts(
+        shAll.join(hd, Seq("doc_id"), "left_semi"), inc))
+      jac(coldExact).unionByName(sweep).distinct()
+    }
   }
 
   /** Deterministic DBSCAN (Ester et al. 1996) over a precomputed
@@ -2070,9 +2127,9 @@ object Dedup extends QueryGroup {
     // loses nothing and invents nothing.
     "dedup_incremental" -> ((s, dir) => {
       val sh = shingleSet(s, dir)
-      jaccardPairsIncremental(sh,
+      jaccardPairsIncrementalCapped(sh,
           sh.select("doc_id").distinct().filter(col("doc_id") % 5 === 0),
-          0.2)
+          0.2, hotShinglesFor(s, dir))
         .orderBy("doc_a", "doc_b")
     }),
 

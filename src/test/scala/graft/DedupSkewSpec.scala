@@ -36,6 +36,27 @@ class DedupSkewSpec extends SparkSuite {
     assert(plain.nonEmpty)
   }
 
+  test("capped incremental kernel ≡ plain incremental with a forcing cap") {
+    // round-17 ADVICE #2: a hot shingle exploded the inc×corpus bucket
+    // join with no guard. The ported decomposition (cold + hot
+    // correction + hot-dominated sweep, increment-restricted) must
+    // reproduce the uncapped incremental kernel exactly on a real
+    // corpus under a cap that makes most shingles hot.
+    val sh = Dedup.hashedShinglePlan(spark, Tables.documents(spark, sf001))
+    val inc = sh.select("doc_id").distinct().filter(col("doc_id") % 5 === 0)
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = pairRows(Dedup.jaccardPairsIncremental(sh, inc, 0.2))
+    val hot = Dedup.hotShingleProbe(sh, dfCap = 2, maxHot = 1 << 20)
+    assert(hot.nonEmpty, "forcing cap found no hot shingles — test is vacuous")
+    val capped = pairRows(
+      Dedup.jaccardPairsIncrementalCapped(sh, inc, 0.2, hot, maxHd = 1 << 20))
+    assert(capped == plain,
+      s"capped incremental diverged: missing=${(plain diff capped).take(5)} " +
+        s"extra=${(capped diff plain).take(5)}")
+    assert(plain.nonEmpty, "fixture increment produced no pairs — vacuous")
+  }
+
   test("minhash mega-bucket engages chain edges: linear output, components unchanged") {
     // round-12 review: a duplicate mega-group shares every band bucket,
     // and uncapped within-bucket pair generation is quadratic in the
