@@ -23,15 +23,21 @@ object Joins extends QueryGroup {
   private[graft] def asofPrev(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val probe = o.withColumn("tag", lit(0))
       .withColumn("bid", lit(null).cast("long"))
+      .withColumn("bdt", lit(null).cast(o.schema("o_orderdate").dataType))
     val build = o.withColumn("tag", lit(1))
       .withColumn("bid", col("o_orderkey"))
+      .withColumn("bdt", col("o_orderdate"))
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("tag"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // prev_orderdate rides the SAME frame (no extra exchange) so a
+    // max-gap tolerance (join_asof_tolerance) is one map-side
+    // comparison downstream
     probe.unionByName(build)
       .withColumn("prev_orderkey", last(col("bid"), ignoreNulls = true).over(w))
+      .withColumn("prev_orderdate", last(col("bdt"), ignoreNulls = true).over(w))
       .filter(col("tag") === 0)
-      .select("o_orderkey", "prev_orderkey")
+      .select("o_orderkey", "prev_orderkey", "prev_orderdate", "o_orderdate")
   }
 
   /** NEAREST as-of join (pandas merge_asof direction='nearest'):
@@ -48,12 +54,19 @@ object Joins extends QueryGroup {
     * difference cancels any fixed offset). Ties: backward wins
     * (same-instant builds sort before the probe, so Δ=0 is a backward
     * match); equal-t build ties break max-bid backward / min-bid
-    * forward (the frame edge rows under ascending bid — D6). Input:
+    * forward (the frame edge rows under ascending bid — D6).
+    * `tolMicros` is pandas merge_asof's `tolerance=`: a candidate
+    * farther than the bound (in either direction) does not qualify —
+    * the valid-side selection below degenerates to the unbounded rule
+    * at the Long.MaxValue default (distances are bounded by the data's
+    * time span, so the comparison never overflows). Input:
     * probe (key, t: timestamp, event_id), build (key, t, bid). Output
     * (event_id, key, matched_id, d_us); both null when the key has no
-    * build rows (D4). */
+    * build rows within tolerance (D4). */
   private[graft] def asofNearest(probe: org.apache.spark.sql.DataFrame,
-      build: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      build: org.apache.spark.sql.DataFrame,
+      tolMicros: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    require(tolMicros >= 0, s"asofNearest: tolerance $tolMicros < 0")
     val p = probe.withColumn("tag", lit(1))
       .withColumn("bid", lit(null).cast("long"))
       .withColumn("bt", lit(null).cast("timestamp"))
@@ -73,14 +86,14 @@ object Joins extends QueryGroup {
       .withColumn("nbid", first(col("bid"), ignoreNulls = true).over(wNext))
       .withColumn("nbt", first(col("bt"), ignoreNulls = true).over(wNext))
       .filter(col("tag") === 1)
-    val takePrev = col("nbid").isNull ||
-      (col("pbid").isNotNull &&
-        (unix_micros(col("t")) - unix_micros(col("pbt")) <=
-          unix_micros(col("nbt")) - unix_micros(col("t"))))
+    val pd = unix_micros(col("t")) - unix_micros(col("pbt"))
+    val nd = unix_micros(col("nbt")) - unix_micros(col("t"))
+    val validPrev = col("pbid").isNotNull && pd <= tolMicros
+    val validNext = col("nbid").isNotNull && nd <= tolMicros
+    val takePrev = validPrev && (!validNext || pd <= nd)
     u.select(col("event_id"), col("key"),
-      when(takePrev, col("pbid")).otherwise(col("nbid")).as("matched_id"),
-      when(takePrev, unix_micros(col("t")) - unix_micros(col("pbt")))
-        .otherwise(unix_micros(col("nbt")) - unix_micros(col("t"))).as("d_us"))
+      when(takePrev, col("pbid")).when(validNext, col("nbid")).as("matched_id"),
+      when(takePrev, pd).when(validNext, nd).as("d_us"))
   }
 
   def queries: Seq[(String, Q)] = Seq(
@@ -257,6 +270,7 @@ object Joins extends QueryGroup {
     "join_asof" -> ((s, dir) =>
       asofPrev(Tables.orders(s, dir)
           .select("o_custkey", "o_orderkey", "o_orderdate"))
+        .select("o_orderkey", "prev_orderkey")
         .orderBy("o_orderkey")),
 
     // Null-safe equality join (<=>): rows with a NULL key still match the
@@ -307,8 +321,37 @@ object Joins extends QueryGroup {
             .select(col("o_custkey").as("key"), col("o_orderdate").as("t"),
               col("o_orderkey").as("bid")))
         .select(col("event_id"), col("key").as("user_id"), col("okey").as("o_orderkey"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // As-of with a MAX-GAP tolerance (pandas merge_asof tolerance=):
+    // join_asof's previous-order match, but a predecessor staler than
+    // the bound nulls out instead of matching — the freshness rule
+    // every feature-join pipeline needs ("the customer's previous
+    // order, IF within 90 days"). One map-side comparison on the
+    // kernel's prev_orderdate column (same window, no extra exchange);
+    // backward's latest-<-t is also the nearest <-t, so pick-then-null
+    // ≡ pandas' filter-then-pick (the property suite pins the law on
+    // random instances; both kernels — this strict form via
+    // prev_orderdate and the inclusive form via obt — carry it).
+    "join_asof_tolerance" -> ((s, dir) => {
+      val m = asofPrev(Tables.orders(s, dir)
+        .select("o_custkey", "o_orderkey", "o_orderdate"))
+      val dUs = unix_micros(col("o_orderdate").cast("timestamp")) -
+        unix_micros(col("prev_orderdate").cast("timestamp"))
+      val fresh = col("prev_orderkey").isNotNull && dUs <= asofToleranceMicros
+      m.select(col("o_orderkey"),
+          when(fresh, col("prev_orderkey")).as("prev_orderkey"),
+          when(fresh, dUs).as("d_us"))
+        .orderBy("o_orderkey")
+    })
   )
+
+  /** join_asof_tolerance's max gap: 90 days in microseconds, against a
+    * fixture prev-order gap whose median is ~151 days (measured at
+    * sf0.01) — so both branches (kept match, nulled-out stale) are
+    * load-bearing at every SF. One constant feeding the Spark predicate
+    * and the oracle. */
+  private[graft] val asofToleranceMicros: Long = 90L * 86400L * 1000000L
 
   /** Banded range self-join kernel — pairs (id_a, id_b) of rows sharing
     * `key` with ts_b ∈ (ts_a, ts_a + windowMicros]. Input columns:
@@ -342,27 +385,37 @@ object Joins extends QueryGroup {
       .select("id_a", "id_b")
   }
 
-  /** INCLUSIVE as-of kernel shared by `join_asof_event` and the property
-    * suite: for each probe row, the latest build row with build.t ≤
-    * probe.t (ties on t broken by max bid — builds sort with tag 0
-    * BEFORE same-instant probes, so the strictly-preceding frame still
-    * sees them). (t, tag, bid) order is deterministic for builds; probes
-    * tie only with other probes (bid null), whose relative order cannot
-    * change the preceding-build set — output is deterministic (D6).
-    * `probe`: (key, t, event_id); `build`: (key, t, bid: long). */
+  /** INCLUSIVE as-of kernel shared by `join_asof_event`,
+    * `join_asof_tolerance` and the property suite: for each probe row,
+    * the latest build row with build.t ≤ probe.t (ties on t broken by
+    * max bid — builds sort with tag 0 BEFORE same-instant probes, so
+    * the strictly-preceding frame still sees them). (t, tag, bid) order
+    * is deterministic for builds; probes tie only with other probes
+    * (bid null), whose relative order cannot change the preceding-build
+    * set — output is deterministic (D6). Also emits `obt` — the matched
+    * build row's own t, from the SAME window frame (no extra exchange)
+    * — so a tolerance bound (pandas merge_asof `tolerance=`) is one
+    * map-side comparison on the output; backward picks the LATEST ≤ t,
+    * which is also the NEAREST ≤ t, so filter-then-pick ≡
+    * pick-then-null-if-stale. `probe`: (key, t, event_id); `build`:
+    * (key, t, bid: long). */
   private[graft] def asofInclusive(probe: org.apache.spark.sql.DataFrame,
       build: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tType = build.schema("t").dataType
     val p = probe.withColumn("tag", lit(1))
       .withColumn("bid", lit(null).cast("long"))
+      .withColumn("bt", lit(null).cast(tType))
     val b = build.select(col("key"), col("t"),
       lit(null).cast(probe.schema("event_id").dataType).as("event_id"),
-      lit(0).as("tag"), col("bid"))
+      lit(0).as("tag"), col("bid"), col("t").as("bt"))
     val w = Window.partitionBy("key")
       .orderBy(col("t"), col("tag"), col("bid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     p.unionByName(b.select(p.columns.map(col).toIndexedSeq: _*))
       .withColumn("okey", last(col("bid"), ignoreNulls = true).over(w))
+      .withColumn("obt", last(col("bt"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
+      .drop("bt")
   }
 
   def oracles: Seq[(String, String)] = Seq(
@@ -461,6 +514,21 @@ object Joins extends QueryGroup {
         |QUALIFY row_number() OVER (PARTITION BY e.event_id
         |  ORDER BY b.o_orderdate DESC NULLS LAST, b.o_orderkey DESC NULLS LAST) = 1
         |ORDER BY e.event_id""".stripMargin,
+    // pandas-semantics form: the tolerance bound sits IN the join
+    // predicate (filter-then-pick), which backward's latest-before-t
+    // makes equivalent to the kernel's pick-then-null — the property
+    // suite carries the proof on adversarial instances
+    "join_asof_tolerance" ->
+      s"""SELECT o.o_orderkey, b.o_orderkey AS prev_orderkey,
+        |  epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |    - epoch_us(CAST(b.o_orderdate AS TIMESTAMP)) AS d_us
+        |FROM orders o LEFT JOIN orders b
+        |  ON b.o_custkey = o.o_custkey AND b.o_orderdate < o.o_orderdate
+        |  AND epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |    - epoch_us(CAST(b.o_orderdate AS TIMESTAMP)) <= $asofToleranceMicros
+        |QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+        |  ORDER BY b.o_orderdate DESC NULLS LAST, b.o_orderkey DESC NULLS LAST) = 1
+        |ORDER BY o.o_orderkey""".stripMargin,
     // Independent naive form of the nearest as-of: join ALL the key's
     // build rows and rank by (|distance|, backward-first, max-bid
     // backward / min-bid forward) — the kernel's frame-edge tie rules

@@ -30,12 +30,15 @@ object JoinAsofProperties extends Properties("join_asof") {
     forAll(instances) { rows =>
       import spark.implicits._
       val df = rows.toDF("o_custkey", "o_orderdate", "o_orderkey")
+      // (orderkey, prev_orderkey, prev_orderdate, ...) — the carried
+      // prev date must pair with the chosen key (the tolerance surface)
       val got = queries.Joins.asofPrev(df).collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2)))))
         .toMap
       val expected = rows.map { case (c, d, k) =>
         val earlier = rows.filter(r => r._1 == c && r._2 < d)
-        k -> earlier.maxByOption(r => (r._2, r._3)).map(_._3)
+        k -> earlier.maxByOption(r => (r._2, r._3)).map(r => (r._3, r._2))
       }.toMap
       got == expected
     }
@@ -62,6 +65,62 @@ object JoinAsofProperties extends Properties("join_asof") {
       val expected = probes.map { case (c, t, eid) =>
         val eligible = builds.filter(r => r._1 == c && r._2 <= t)
         eid -> eligible.maxByOption(r => (r._2, r._3)).map(_._3)
+      }.toMap
+      got == expected
+    }
+
+  // Tolerance law (round-17 VERDICT #8, pandas merge_asof tolerance=):
+  // the kernel picks the latest ≤ t and nulls it when staler than the
+  // bound (via the obt column); pandas filters candidates FIRST. For
+  // the backward direction these are the same function — pinned here on
+  // the adversarial duplicate-instant instances.
+  property("backward tolerance: pick-then-null = filter-then-pick") =
+    forAll(for { pb <- asymInstances; tol <- Gen.choose(0, 3) }
+        yield (pb._1, pb._2, tol)) { case (probes, builds, tol) =>
+      import spark.implicits._
+      val p = probes.toDF("key", "t", "event_id")
+      val b = builds.toDF("key", "t", "bid")
+      // output columns: (key, t, event_id, tag, bid, okey, obt)
+      val got = queries.Joins.asofInclusive(p, b).collect()
+        .map(r => r.getLong(2) -> (
+          if (r.isNullAt(5) || r.getInt(1) - r.getInt(6) > tol) None
+          else Some(r.getLong(5))))
+        .toMap
+      val expected = probes.map { case (c, t, eid) =>
+        val eligible = builds.filter(r => r._1 == c && r._2 <= t && t - r._2 <= tol)
+        eid -> eligible.maxByOption(r => (r._2, r._3)).map(_._3)
+      }.toMap
+      got == expected
+    }
+
+  // Nearest with tolerance: a candidate farther than the bound in
+  // either direction must not win even when the other side has no
+  // candidate at all — the naive recompute spells out the kernel's
+  // (distance, backward-first, frame-edge bid) tie rules.
+  property("nearest tolerance: kernel = naive filtered nearest") =
+    forAll(for { pb <- asymInstances; tol <- Gen.choose(0, 3) }
+        yield (pb._1, pb._2, tol)) { case (probes, builds, tol) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      val p = probes.toDF("key", "ti", "event_id")
+        .select(col("key"), timestamp_micros(col("ti").cast("long")).as("t"),
+          col("event_id"))
+      val b = builds.toDF("key", "ti", "bid")
+        .select(col("key"), timestamp_micros(col("ti").cast("long")).as("t"),
+          col("bid"))
+      val got = queries.Joins.asofNearest(p, b, tol.toLong).collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+        .toMap
+      val expected = probes.map { case (c, t, eid) =>
+        val best = builds
+          .filter(r => r._1 == c && math.abs(r._2 - t) <= tol)
+          .minByOption { r =>
+            val back = r._2 <= t
+            (math.abs(r._2 - t).toLong, if (back) 0 else 1,
+              if (back) -r._3 else r._3)
+          }
+        eid -> best.map(r => (r._3, math.abs(r._2 - t).toLong))
       }.toMap
       got == expected
     }
