@@ -401,6 +401,21 @@ object Graft {
       seeds.select(col(seedCol).cast("long").as("node")), maxDist)
   }
 
+  /** Bounded-round weighted shortest paths over a DIRECTED graph (see
+    * [[graft.queries.Dedup.ssspBounded]]; frontier Bellman-Ford): exact
+    * minimum path cost from any seed using paths of at most `maxRounds`
+    * edges — pass both orientations for an undirected graph. Exact
+    * integer weights; negative weights fail loud. Returns
+    * (node, dist), reachable nodes only. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      maxRounds: Int = 4): DataFrame =
+    queries.Dedup.ssspBounded(
+      edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w")),
+      seeds.select(col(seedCol).cast("long").as("node")), maxRounds)
+
   /** Link prediction over an undirected graph (see
     * [[graft.queries.Dedup.linkPredict]]): non-adjacent node pairs
     * scored by common-neighbor count and the resource-allocation index

@@ -2275,6 +2275,26 @@ object Dedup extends QueryGroup {
       bfsDistances(edges, seeds, bfsMaxDist).orderBy("node")
     }),
 
+    // Bounded-round weighted shortest paths over the same thinned
+    // bipartite graph (kernel scaladoc on [[ssspBounded]]): exact min
+    // COST from the seed suppliers over ≤4-edge paths, edge weight the
+    // key-derived (u+v) mod 5 + 1 ∈ 1..5 (a pure function of the edge —
+    // deterministic, symmetric across orientations, and integer-exact
+    // in both engines). Fully oracled: the DuckDB recursive walk
+    // enumerates ≤4-edge paths as deduped (node, cost, hops) states and
+    // takes the min — the state count stays |V|×R×O(costs), bounded.
+    "graph_sssp_bounded" -> ((s, dir) => {
+      val p = Tables.lineitem(s, dir).filter(col("l_quantity") <= 2)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = p.select(col("sk").as("u"), (col("pk") + 1000000L).as("v"))
+        .unionByName(p.select((col("pk") + 1000000L).as("u"), col("sk").as("v")))
+      val edges = e0.withColumn("w", pmod(col("u") + col("v"), lit(5L)) + 1L)
+      val seeds = e0.select(col("u").as("node")).distinct()
+        .filter(col("node") < 1000000L && col("node") % 10 === 0)
+      ssspBounded(edges, seeds, ssspMaxRounds).orderBy("node")
+    }),
+
     // Link prediction over the part co-purchase graph — the sixth
     // graph-analytics key (kernel scaladoc on [[linkPredict]]): score
     // non-adjacent part pairs by common-neighbor count and the
@@ -2621,6 +2641,12 @@ object Dedup extends QueryGroup {
     * the Spark loop bound and the oracle's recursion cutoff. */
   private[graft] val bfsMaxDist: Int = 6
 
+  /** Relaxation-round bound for graph_sssp_bounded — one constant
+    * feeding the Spark loop and the oracle's recursion cutoff. Small on
+    * purpose: the oracle enumerates ≤R-edge paths (deduped to distinct
+    * (node, cost, hops) states), whose count grows with R. */
+  private[graft] val ssspMaxRounds: Int = 4
+
   /** Pointer-doubling rounds for [[hierFlatten]]: resolves any
     * hierarchy of depth ≤ 2^rounds (256 at the default 8 — org charts
     * and bill-of-materials trees are nowhere near; raise for
@@ -2773,6 +2799,61 @@ object Dedup extends QueryGroup {
       releaseCheckpoint(nxt)
       settled = s2
       frontier = f2
+    }
+    releaseCheckpoint(frontier)
+    settled
+  }
+
+  /** Bounded-round single/multi-source shortest paths — frontier
+    * Bellman-Ford (Bellman 1958; the label-correcting form every
+    * distributed graph engine runs, because Dijkstra's priority queue
+    * does not shard): exact minimum path COST from any seed using
+    * paths of at most `maxRounds` edges — the cost-distance companion
+    * to [[bfsDistances]]'s hop counts (routing cost, fee-weighted
+    * transfer chains, latency-weighted service graphs). Invariant:
+    * after round r, `settled` holds the exact min cost over ≤r-edge
+    * paths (an improved prefix puts its node in that round's frontier,
+    * so the extension is relaxed next round); frontier exhaustion
+    * before the bound means the answer is the UNBOUNDED shortest path.
+    * Per round: one keyed equi-join frontier→edges, a min-aggregate on
+    * the destination, one join against settled to keep improvements —
+    * work is frontier×degree rows, never |V|²; per-round eager
+    * checkpoint + release (the kcore discipline). Negative weights
+    * fail LOUD (bounded probe): a negative cycle makes the bounded
+    * answer silently diverge from any shortest-path reading, and no
+    * truncated answer should ship unseen. `edges`: (u, v, w ≥ 0,
+    * directed — pass both orientations for undirected); `seeds`:
+    * (node). Returns (node, dist), reachable nodes only. */
+  private[graft] def ssspBounded(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = ssspMaxRounds): DataFrame = {
+    require(maxRounds >= 0, s"ssspBounded: negative round bound $maxRounds")
+    val neg = edges.filter(col("w") < 0).limit(1).collect()
+    require(neg.isEmpty,
+      s"ssspBounded: negative edge weight ${neg.headOption.map(_.get(2)).orNull} " +
+        "- bounded Bellman-Ford over negative weights silently diverges from " +
+        "the shortest-path answer (negative cycles); reweight the graph")
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = settled.localCheckpoint(true)
+    var r = 0
+    var live = frontier.count() > 0
+    while (live && r < maxRounds) {
+      r += 1
+      val imp = frontier.join(edges, frontier("node") === edges("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+        .join(settled.withColumnRenamed("dist", "cur"), Seq("node"), "left")
+        .filter(col("cur").isNull || col("nd") < col("cur"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      val s2 = settled.unionByName(imp)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      live = imp.count() > 0
+      releaseCheckpoint(settled)
+      releaseCheckpoint(frontier)
+      settled = s2
+      frontier = imp
     }
     releaseCheckpoint(frontier)
     settled
@@ -3215,6 +3296,30 @@ object Dedup extends QueryGroup {
          |  UNION
          |  SELECT e.v, w.dist + 1 FROM walk w JOIN edges e ON e.u = w.node
          |  WHERE w.dist < $bfsMaxDist)
+         |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    // Min path COST re-derived by enumerating ≤R-edge paths as deduped
+    // (node, cost, hops) states (UNION set-semantics); MIN at the end —
+    // enumeration-then-min equals the kernel's frontier relaxation.
+    "graph_sssp_bounded" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+         |  FROM lineitem WHERE l_quantity <= 2),
+         |edges AS (
+         |  SELECT sk AS u, pk + 1000000 AS v FROM p
+         |  UNION ALL
+         |  SELECT pk + 1000000, sk FROM p),
+         |ew AS (SELECT u, v, ((u + v) % 5) + 1 AS w FROM edges),
+         |seeds AS (
+         |  SELECT DISTINCT u AS node FROM edges
+         |  WHERE u < 1000000 AND u % 10 = 0),
+         |walk(node, dist, r) AS (
+         |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+         |  UNION
+         |  SELECT e.v, w.dist + e.w, w.r + 1
+         |  FROM walk w JOIN ew e ON e.u = w.node
+         |  WHERE w.r < $ssspMaxRounds)
          |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
          |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 

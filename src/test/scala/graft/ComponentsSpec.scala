@@ -380,6 +380,39 @@ class ComponentsSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("sssp bounded: cost beats hops, round bound truncates, negatives fail loud") {
+    import spark.implicits._
+    // diamond: 1→2→4 costs 1+1=2 over two edges; the direct 1→4 edge
+    // costs 5 — min COST must take the longer-hop path (the case hop
+    // BFS gets wrong by construction); 4→5 extends it
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 4L, 1L), (1L, 4L, 5L), (4L, 5L, 2L),
+      (7L, 8L, 3L) // disconnected from the seed
+    ).toDF("s", "d", "w")
+    def run(r: Int): Map[Long, Long] =
+      Graft.shortestPaths(edges, "s", "d", "w", Seq(1L).toDF("n"), "n",
+          maxRounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(4) == Map(1L -> 0L, 2L -> 1L, 4L -> 2L, 5L -> 4L),
+      s"diamond costs: ${run(4)}")
+    // round bound 1: only direct edges relax — node 4 keeps the
+    // expensive 1-edge path, node 5 unreached
+    assert(run(1) == Map(1L -> 0L, 2L -> 1L, 4L -> 5L),
+      s"1-round truncation: ${run(1)}")
+    // multi-seed minimum + frontier short-circuit well under the bound
+    val multi = Graft.shortestPaths(edges, "s", "d", "w",
+        Seq(1L, 7L).toDF("n"), "n", maxRounds = 64)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 2L -> 1L, 4L -> 2L, 5L -> 4L,
+      7L -> 0L, 8L -> 3L), s"multi-seed: $multi")
+    // a negative weight must fail loud, never ship a diverging answer
+    val boom = intercept[IllegalArgumentException] {
+      Graft.shortestPaths(Seq((1L, 2L, -1L)).toDF("s", "d", "w"),
+        "s", "d", "w", Seq(1L).toDF("n"), "n")
+    }
+    assert(boom.getMessage.contains("negative edge weight"))
+  }
+
   test("bfs distances: chain radius cutoff, multi-seed minimum, disconnected stays out") {
     import spark.implicits._
     // chain 1-2-…-10 plus the isolated edge 100-101
