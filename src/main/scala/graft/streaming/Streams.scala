@@ -181,10 +181,11 @@ object Streams {
     *
     * Each apply reads the last committed snapshot, merges one shuffle
     * on the key, writes `snap=<batchId>`, then commits the marker —
-    * no driver-resident state, snapshots are immutable once committed
-    * (compaction/vacuum of superseded snapshots is an offline concern,
-    * exactly as in Delta). Seed the target first with
-    * [[initUpsertTarget]]; read it with [[readUpsertTarget]]. */
+    * no driver-resident state, snapshots are immutable once committed.
+    * Superseded snapshots accumulate until [[vacuumUpsertTarget]]
+    * retires them (offline, exactly as Delta's VACUUM/OPTIMIZE). Seed
+    * the target first with [[initUpsertTarget]]; read it with
+    * [[readUpsertTarget]]. */
   def upsertSink(changes: DataFrame, targetDir: String, keyCol: String,
       opCol: String = "op"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch {
@@ -206,7 +207,8 @@ object Streams {
       s"upsert target $targetDir is not initialized - call initUpsertTarget first")
     if (batchId <= committed.max) false
     else {
-      val target = spark.read.parquet(s"$targetDir/snap=${committed.max}")
+      val target = spark.read.parquet(
+        snapshotPath(spark, targetDir, committed.max))
       graft.Graft.merge(target, batch, keyCol, opCol)
         .write.mode("overwrite").parquet(s"$targetDir/snap=$batchId")
       commitMarker(spark, targetDir, batchId)
@@ -221,11 +223,113 @@ object Streams {
     commitMarker(initial.sparkSession, targetDir, -1L)
   }
 
-  /** The last committed snapshot of an upsert target. */
+  /** The last committed snapshot of an upsert target (its latest
+    * committed compaction generation, when one exists). */
   def readUpsertTarget(spark: SparkSession, targetDir: String): DataFrame = {
     val ids = committedIds(spark, targetDir)
     require(ids.nonEmpty, s"upsert target $targetDir has no committed snapshot")
-    spark.read.parquet(s"$targetDir/snap=${ids.max}")
+    spark.read.parquet(snapshotPath(spark, targetDir, ids.max))
+  }
+
+  /** VACUUM + small-file COMPACTION for a versioned upsert target — the
+    * offline maintenance [[applyUpsertBatch]]'s scaladoc defers (Delta's
+    * OPTIMIZE + VACUUM pair, composed on this target's marker protocol):
+    *
+    *  1. COMPACT the live snapshot when it holds more files than its
+    *     byte size warrants at `targetBytesPerFile` (the
+    *     pipeline_compact_exec sizing rule): rewrite it — same rows,
+    *     `ceil(bytes/target)` files — into the next GENERATION directory
+    *     `snap=<id>g<n>`, and commit the `_compactions/<id>_<n>` marker
+    *     ONLY after the write completes. Readers resolve through the
+    *     marker ([[snapshotPath]]), so a reader at ANY point sees a
+    *     fully-written snapshot: the old generation until the marker
+    *     lands, the new one after. A crash before the marker leaves an
+    *     orphan directory the retry overwrites; the already-compacted
+    *     retry SKIPS (file count ≤ target) and proceeds to deletion.
+    *  2. RETIRE superseded snapshots — every committed id before the
+    *     `retain` newest — and stale generations of the live id. The
+    *     marker scan happened ONCE up front; per id the data directories
+    *     are deleted FIRST and the marker LAST, so a crash mid-delete
+    *     leaves a marker whose retry re-enters the same deletion (an
+    *     orphaned data directory can never outlive its marker unseen).
+    *
+    * As in Delta, vacuum races a CONCURRENT reader that resolved its
+    * path before the vacuum started (retention windows are the
+    * production mitigation); a reader that resolves after any single
+    * step always lands on committed bytes. Returns the retired
+    * snapshot ids. */
+  def vacuumUpsertTarget(spark: SparkSession, targetDir: String,
+      retain: Int = 2, targetBytesPerFile: Long = 128L * 1024 * 1024): Seq[Long] = {
+    require(retain >= 1, s"vacuumUpsertTarget: retain $retain < 1")
+    require(targetBytesPerFile > 0,
+      s"vacuumUpsertTarget: targetBytesPerFile $targetBytesPerFile <= 0")
+    val fs = fsOf(spark, targetDir)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val ids = committedIds(spark, targetDir).sorted
+    require(ids.nonEmpty, s"upsert target $targetDir has no committed snapshot")
+    val live = ids.max
+    // -- 1. compact the live snapshot into the next generation
+    val gen0 = generationOf(spark, targetDir, live)
+    val liveDir = snapshotPath(spark, targetDir, live)
+    val dataFiles = fs.listStatus(path(liveDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val want = math.max(1L, (dataFiles.map(_.getLen).sum +
+      targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    if (dataFiles.length > want) {
+      val dst = s"$targetDir/snap=${live}g${gen0 + 1}"
+      spark.read.parquet(liveDir).repartition(want)
+        .write.mode("overwrite").parquet(dst)
+      val out = fs.create(
+        path(s"$targetDir/_compactions/${live}_${gen0 + 1}"), true)
+      out.close()
+    }
+    // -- 2. retire superseded snapshots (data first, marker last)
+    val dropped = ids.dropRight(retain)
+    dropped.foreach { id =>
+      fs.delete(path(s"$targetDir/snap=$id"), true)
+      generationsOf(spark, targetDir, id).foreach { g =>
+        fs.delete(path(s"$targetDir/snap=${id}g$g"), true)
+        fs.delete(path(s"$targetDir/_compactions/${id}_$g"), false)
+      }
+      fs.delete(path(s"$targetDir/_commits/$id"), false)
+    }
+    // -- 3. stale generations of the live id: once a committed
+    // generation exists, the original snap=<live> directory and every
+    // lower generation are superseded (markers last, same rule)
+    val gMax = generationOf(spark, targetDir, live)
+    if (gMax > 0) {
+      fs.delete(path(s"$targetDir/snap=$live"), true)
+      generationsOf(spark, targetDir, live).filter(_ < gMax).foreach { g =>
+        fs.delete(path(s"$targetDir/snap=${live}g$g"), true)
+        fs.delete(path(s"$targetDir/_compactions/${live}_$g"), false)
+      }
+    }
+    dropped
+  }
+
+  /** Resolve a snapshot id to its directory: the highest committed
+    * compaction generation when one exists, else the original
+    * `snap=<id>` the upsert wrote. */
+  private def snapshotPath(spark: SparkSession, targetDir: String,
+      id: Long): String = {
+    val g = generationOf(spark, targetDir, id)
+    if (g == 0) s"$targetDir/snap=$id" else s"$targetDir/snap=${id}g$g"
+  }
+
+  /** Highest committed compaction generation of a snapshot (0 = the
+    * original upsert-written directory). */
+  private def generationOf(spark: SparkSession, targetDir: String,
+      id: Long): Long =
+    generationsOf(spark, targetDir, id).foldLeft(0L)(math.max)
+
+  private def generationsOf(spark: SparkSession, targetDir: String,
+      id: Long): Seq[Long] = {
+    val fs = fsOf(spark, targetDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$targetDir/_compactions")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"${id}_"))
+      .map(_.stripPrefix(s"${id}_").toLong)
   }
 
   private def commitMarker(spark: SparkSession, targetDir: String,

@@ -507,6 +507,74 @@ class StreamingSpec extends SparkSuite {
     assert(snapshot() == want, "crash-retry re-apply changed the final state")
   }
 
+  test("upsert vacuum: readers resolve committed bytes at every step; crash retries idempotently") {
+    import graft.queries.StreamingBatch
+    val targetDir = Files.createTempDirectory("graft-vacuum-target").toString
+    Streams.initUpsertTarget(StreamingBatch.upsertTarget(spark, sf001), targetDir)
+    val batches = Seq(StreamingBatch.upsertBatch1(spark, sf001),
+      StreamingBatch.upsertBatch2(spark, sf001))
+    assert(Streams.applyUpsertBatch(batches(0), 0L, targetDir, "o_orderkey"))
+    assert(Streams.applyUpsertBatch(batches(1), 1L, targetDir, "o_orderkey"))
+    def snapshot(): Seq[(Long, Long, Long)] =
+      Streams.readUpsertTarget(spark, targetDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val want = snapshot()
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def parquetFiles(dir: String): Int =
+      if (!fs.exists(p(dir))) -1
+      else fs.listStatus(p(dir)).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // crash #1 — a compacted generation fully written but NOT marked:
+    // readers must keep resolving the old generation
+    spark.read.parquet(s"$targetDir/snap=1").repartition(1)
+      .write.mode("overwrite").parquet(s"$targetDir/snap=1g1")
+    assert(snapshot() == want, "uncommitted generation leaked to a reader")
+    // mid-vacuum — marker committed, old generation not yet deleted:
+    // readers resolve the NEW generation, same rows
+    fs.create(p(s"$targetDir/_compactions/1_1"), true).close()
+    assert(snapshot() == want, "committed generation changed the rows")
+    // vacuum retry completes: compaction skips (already 1 file), the
+    // superseded original directory and pre-retention snapshots retire
+    val dropped = Streams.vacuumUpsertTarget(spark, targetDir, retain = 2,
+      targetBytesPerFile = Long.MaxValue)
+    assert(dropped == Seq(-1L), s"retired ids: $dropped")
+    assert(snapshot() == want, "vacuum changed the live rows")
+    assert(!fs.exists(p(s"$targetDir/snap=-1")), "pre-retention snapshot survived")
+    assert(!fs.exists(p(s"$targetDir/_commits/-1")), "retired marker survived")
+    assert(!fs.exists(p(s"$targetDir/snap=1")), "superseded generation survived")
+    assert(parquetFiles(s"$targetDir/snap=1g1") == 1, "live generation not compact")
+    assert(fs.exists(p(s"$targetDir/snap=0")), "retained snapshot was deleted")
+    // vacuum is idempotent at the fixpoint
+    assert(Streams.vacuumUpsertTarget(spark, targetDir, retain = 2,
+      targetBytesPerFile = Long.MaxValue).isEmpty, "second vacuum retired ids")
+    assert(snapshot() == want, "idempotent vacuum changed rows")
+    // the stream continues on top of the compacted generation: an
+    // identical re-merge lands the same bytes as a fresh snapshot
+    assert(Streams.applyUpsertBatch(batches(1), 2L, targetDir, "o_orderkey"))
+    assert(snapshot() == want, "post-vacuum apply diverged")
+    // the REAL compaction path: fragment the fresh snapshot to 4 files
+    // (AQE coalesces the fixture-sized merge to one — craft the
+    // small-files state vacuum exists to fix), then one vacuum rewrites
+    // it to 1 file and retires everything before it
+    val rows2 = spark.read.parquet(s"$targetDir/snap=2").localCheckpoint(true)
+    rows2.repartition(4).write.mode("overwrite").parquet(s"$targetDir/snap=2")
+    val pre = parquetFiles(s"$targetDir/snap=2")
+    assert(pre > 1, s"fixture precondition: fresh snapshot has $pre file(s)")
+    val dropped2 = Streams.vacuumUpsertTarget(spark, targetDir, retain = 1,
+      targetBytesPerFile = Long.MaxValue)
+    assert(dropped2 == Seq(0L, 1L), s"retired ids: $dropped2")
+    assert(snapshot() == want, "compacting vacuum changed the rows")
+    assert(!fs.exists(p(s"$targetDir/snap=2")), "fragmented original survived")
+    assert(parquetFiles(s"$targetDir/snap=2g1") == 1,
+      "compaction did not produce one file")
+    assert(!fs.exists(p(s"$targetDir/snap=1g1")), "retired generation survived")
+    assert(!fs.exists(p(s"$targetDir/_compactions/1_1")),
+      "retired generation marker survived")
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
