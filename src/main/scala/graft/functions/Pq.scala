@@ -634,6 +634,11 @@ object Pq {
     * leaf data identity) gets a correct UNCACHED index each call. */
   def ivfPqIndexCached(vecs: DataFrame, vecCol: String, m: Int = 8,
       k: Int = 256, centroids: Int = 0, idCol: String = "vec_id"): IvfPqIndex = {
+    // the returned homes/codes are consumable directly (count, append,
+    // custom joins) — they must not depend on a LATER search call
+    // registering the vector expressions they reference
+    ApAggs.register(vecs.sparkSession)
+    VectorExprs.register(vecs.sparkSession)
     val v = normalize(vecs, vecCol, idCol)
     def persisted(df: DataFrame, persist: Boolean): DataFrame =
       if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -704,6 +709,98 @@ object Pq {
             }
         }
     }
+  }
+
+  /** [[appendToIndex]]'s outcome: the extended index when the batch is
+    * within the drift bound, else `refitNeeded = true` and no index —
+    * the caller refits over the full corpus ([[ivfPqIndexCached]] after
+    * [[invalidateIndexCache]], or [[fitIvfPq]]). `drift` is the
+    * relative gap between the corpus's and the batch's quantized
+    * residual moments. */
+  final case class AppendedIndex(index: Option[IvfPqIndex], drift: Double,
+      refitNeeded: Boolean)
+
+  /** Mean reconstructed residual energy of an encoded relation — the
+    * quantized second moment E[‖r̂‖²], computed from the CODES alone
+    * (per-(b, code) squared norms are driver-side model arrays; one
+    * broadcast join + two aggregates over the code rows, never a corpus
+    * vector rescan). Both sides of [[appendToIndex]]'s drift test go
+    * through THIS estimator, so the quantization bias cancels: an
+    * i.i.d. batch drifts ≈ 0, a distribution shift the codebooks don't
+    * fit shows up as a moment gap. */
+  private def codeMoment(codes: DataFrame, model: Model): Double = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val n2 = (for {
+      b <- 0 until model.m
+      c <- model.codebooks(b).indices
+    } yield (b, c.toLong, model.codebooks(b)(c).map(x => x * x).sum))
+      .toDF("b", "code", "n2")
+    val r = codes.join(broadcast(n2), Seq("b", "code"))
+      .groupBy("vec_id").agg(sum(col("n2")).as("e"))
+      .agg(avg(col("e"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** INCREMENTAL index maintenance (round-17 VERDICT #3 — the daily
+    * append that should not refit the world): encode ONLY the new
+    * batch against the index's cached centroids and codebooks — one
+    * nprobe-1 assignment + one residual encode over the BATCH, the
+    * untouched corpus side rides its persisted homes/codes storage with
+    * zero new jobs — and extend the index by union. Guards:
+    *
+    *  - DUPLICATE ids fail loud (bounded probe): an appended id already
+    *    in the index would silently double its candidacy in every
+    *    downstream search.
+    *  - STALENESS: a model fit on yesterday's distribution quietly
+    *    degrades recall on a shifted batch. The quantized residual
+    *    moments of corpus and batch ([[codeMoment]] — same estimator
+    *    both sides, so the comparison is bias-free and never rescans
+    *    the corpus) must agree within `driftBound` relative gap;
+    *    past it the append REFUSES (`refitNeeded = true`, the batch's
+    *    work unpersisted) and the caller refits over the full corpus.
+    *
+    * The returned index is a plain [[IvfPqIndex]], so the whole search
+    * surface composes unchanged — ivfAdcTopk's queryIds/allowedIds
+    * (simsearch_filtered's hook) and the rerank tier all run against
+    * appended indexes. Deliberately NOT registered in the session index
+    * cache: the cache key is the corpus PLAN, and an appended index
+    * belongs to corpus+batch — callers hold the returned value (the
+    * pandas-API shape: explicit index object in, explicit out). */
+  def appendToIndex(idx: IvfPqIndex, newVecs: DataFrame, vecCol: String,
+      idCol: String = "vec_id", driftBound: Double = 0.5,
+      persist: Boolean = true): AppendedIndex = {
+    require(driftBound >= 0, s"appendToIndex: driftBound $driftBound < 0")
+    val spark = newVecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val vNew = normalize(newVecs, vecCol, idCol)
+    val dup = vNew.select("vec_id")
+      .join(idx.homes.select("vec_id"), Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"appendToIndex: id ${dup.headOption.map(_.get(0)).orNull} is already " +
+        "indexed - an appended duplicate would double its search candidacy")
+    def persisted(df: DataFrame): DataFrame =
+      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      else df
+    val homesNew = persisted(homesOf(vNew, idx.model.cents))
+    val codesNew = persisted(
+      encodeBlocks(residualsFrom(vNew, homesNew, idx.model.cents), "rv",
+        idx.model.pq))
+    val mOld = codeMoment(idx.codes, idx.model.pq)
+    val mNew = codeMoment(codesNew, idx.model.pq)
+    val drift =
+      if (mOld > 0) math.abs(mNew - mOld) / mOld
+      else if (mNew > 0) Double.PositiveInfinity
+      else 0.0
+    if (drift > driftBound) {
+      if (persist) { homesNew.unpersist(false); codesNew.unpersist(false); () }
+      AppendedIndex(None, drift, refitNeeded = true)
+    } else AppendedIndex(
+      Some(IvfPqIndex(idx.model, idx.homes.unionByName(homesNew),
+        idx.codes.unionByName(codesNew))),
+      drift, refitNeeded = false)
   }
 
   /** Residual IVFADC over a MATERIALIZED index — the repeated-query

@@ -1271,4 +1271,89 @@ class GraftSpec extends SparkSuite {
     val key = rows(SparkEntry.queries("profile_drift_psi")(spark, sf001))
     assert(facade == key)
   }
+
+  test("ANN append: corpus never rescanned, recall matches refit, drift + dup guards") {
+    // round-17 VERDICT #3: the daily vector batch should extend the
+    // cached index — encode ONLY the batch against the cached
+    // centroids/codebooks — never refit the world. The corpus-side
+    // zero-jobs pin is physical: the corpus parquet is DELETED after
+    // the index materializes, so any append/search path that rescans
+    // it fails with a missing-file error, deterministically.
+    import spark.implicits._
+    import graft.functions.Pq
+    val all = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString + "/emb"
+    Tables.embeddings(spark, sf001).filter(col("vec_id") < 400)
+      .write.parquet(dir)
+    val idx = Pq.ivfPqIndexCached(spark.read.parquet(dir), "embedding",
+      centroids = 16)
+    assert(idx.homes.count() == 400 && idx.codes.count() == 400 * 8)
+    // the point of no return: from here the corpus exists ONLY in the
+    // index's persisted homes/codes
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(dir))
+    val batch = (400L to 499L).map(i => (i, all(i).toSeq)).toDF("vec_id", "embedding")
+    val res = Pq.appendToIndex(idx, batch, "embedding")
+    assert(!res.refitNeeded && res.index.nonEmpty,
+      s"in-distribution batch refused: drift=${res.drift}")
+    info(f"append drift = ${res.drift}%.4f")
+    val ix2 = res.index.get
+    assert(ix2.homes.count() == 500 && ix2.codes.count() == 500 * 8)
+    // recall over corpus+batch vs exact, against the full-refit index
+    val topk = 10
+    val qIds = (0L until 500L by 17L).toSeq
+    val queries = qIds.map(i => (i, all(i).toSeq)).toDF("vec_id", "embedding")
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def recallOf(got: Array[(Long, Long)]): Double = {
+      val byQ = got.groupBy(_._1)
+      val rs = qIds.map { q =>
+        val exact = all.keys.filter(_ != q).toSeq
+          .sortBy(x => (d2(all(q), all(x)), x)).take(topk).toSet
+        exact.intersect(byQ.getOrElse(q, Array.empty).map(_._2).toSet)
+          .size.toDouble / topk
+      }
+      rs.sum / rs.length
+    }
+    val gotAppend = Pq.ivfAdcTopk(queries, "embedding", ix2, topk,
+        nprobe = 8, "vec_id", None, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = all.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val gotRefit = Pq.ivfAdcTopk(full, "embedding",
+        Pq.ivfPqIndexCached(full, "embedding", centroids = 16), topk,
+        nprobe = 8, "vec_id", Some(qIds.toDF("id")), None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (rA, rF) = (recallOf(gotAppend), recallOf(gotRefit))
+    info(f"recall@$topk append=$rA%.3f refit=$rF%.3f")
+    assert(rA >= 0.45, s"appended-index recall $rA under the IVFADC floor")
+    assert(rA >= rF - 0.1, s"append recall $rA fell more than 0.1 under refit $rF")
+    assert(gotAppend.exists(_._2 >= 400L), "no appended id ever surfaced")
+    // composes with the filtered search (simsearch_filtered's hook):
+    // restrict candidates to the appended batch only
+    val filtered = Pq.ivfAdcTopk(queries, "embedding", ix2, topk,
+        nprobe = 8, "vec_id", None,
+        Some((400L to 499L).toDF("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(filtered.nonEmpty && filtered.forall(_._2 >= 400L),
+      "allowedIds leaked a non-batch candidate through the appended index")
+    // staleness guard: a shifted batch (×50 scale) must refuse
+    val shifted = (600L to 699L)
+      .map(i => (i, all(i - 600).map(_ * 50.0).toSeq)).toDF("vec_id", "embedding")
+    val res2 = Pq.appendToIndex(ix2, shifted, "embedding")
+    assert(res2.refitNeeded && res2.index.isEmpty,
+      s"shifted batch accepted at drift=${res2.drift}")
+    assert(res2.drift > 0.5, s"shifted drift only ${res2.drift}")
+    // duplicate-id guard
+    val boom = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(ix2, Seq((7L, all(7L).toSeq)).toDF("vec_id", "embedding"),
+        "embedding")
+    }
+    assert(boom.getMessage.contains("already indexed"))
+  }
 }
