@@ -170,6 +170,23 @@ object Bench {
         require(r.converged && r.exemplars.nonEmpty)
       })
 
+    // Iterative-graph representative (round-17 VERDICT #6: none of the
+    // graph keys had a bench row): graph_bfs_distance routes through
+    // the checkpoint-per-round frontier loop — 6 rounds of [neighbor
+    // join, settled anti-join, 2 eager localCheckpoints, frontier
+    // count] over a small graph, so its wall time is per-round JOB
+    // DISPATCH, not data: exactly the signal that catches a regression
+    // in the checkpoint-and-release discipline (a lineage leak inflates
+    // every later round; a lost short-circuit adds whole rounds).
+    // Measured OUTSIDE the round-robin like ap_dist_n200 — its eager
+    // checkpoints make a run multi-second on a throttled box, which
+    // would starve the other queries' window sampling. Floor-aware
+    // internal target in BENCH_NOTES: ~rounds × jobs/round × the
+    // record's dispatch floor; compare before crying regression.
+    val bfsRun = SparkEntry.queries("graph_bfs_distance")
+    for (_ <- 1 to apDistReps)
+      record("graph_bfs_distance", time { bfsRun(spark, sfDir).count(); () })
+
     // Floor rows (BASELINE.md round-5/6 note): jobs with NO query logic
     // bounding what any Spark-local job clocks under this width.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -306,6 +306,26 @@ object Graft {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
     queries.Dedup.connectedComponents(nodes, edges)
 
+  /** GOLDEN-RECORD survivorship — the step AFTER entity matching (see
+    * [[graft.queries.Dedup.goldenRecords]] and the er_golden_record
+    * key): cluster the records by blocked Levenshtein ≤ `maxEdits`
+    * matching on `nameCol`, then emit ONE canonical row per cluster —
+    * mode name (count ties break to the lexicographically smallest),
+    * smallest member id as the record key, max of `valueCol` in exact
+    * cents, member count. Returns (component, canonical_id, n_members,
+    * canonical_name, name_votes, max_value_cents). */
+  def goldenRecords(records: DataFrame, idCol: String, nameCol: String,
+      valueCol: String, maxEdits: Int = 3): DataFrame = {
+    val base = records.select(col(idCol).cast("long").as("id"),
+      col(nameCol).as("name"), Det.cents(col(valueCol)).as("vc"))
+    val pairs = queries.Dedup.blockedEditPairs(
+        base.select("id", "name"), maxEdits)
+      .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
+    queries.Dedup.goldenRecords(
+      queries.Dedup.connectedComponents(base.select("id").distinct(), pairs,
+        nodesComplete = true).join(base, "id"))
+  }
+
   /** Damped PageRank (d = 0.85) over a caller edge list, in exact
     * integer nano-units — bit-deterministic on any engine and any
     * partitioning (no float sum order). Edges are symmetrized (u→v plus

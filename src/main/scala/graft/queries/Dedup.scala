@@ -2600,8 +2600,57 @@ object Dedup extends QueryGroup {
           Tables.part(s, dir)
             .select(col("p_partkey").as("id"), col("p_name").as("name")),
           maxEdits = 3)
-        .orderBy("key_a", "key_b"))
+        .orderBy("key_a", "key_b")),
+
+    // SURVIVORSHIP — the golden-record step AFTER matching (round 18;
+    // er_blocked_match finds the pairs, this key emits the one
+    // canonical row per matched entity cluster, the output an MDM/ER
+    // pipeline actually ships): clusters = connected components over
+    // the blocked-match pair graph; per cluster the canonical name is
+    // the MODE (most frequent value wins — the classic survivorship
+    // rule; count ties break to the lexicographically smallest, D6),
+    // the record key is the smallest member id, the price field keeps
+    // the max in exact cents. Scale shape: blocking bounds the pair
+    // stage, components are the two-regime kernel, survivorship is two
+    // keyed aggregates + one window over the (cluster, name) VOTE
+    // relation — grouped cardinality, never members². Fully ORACLED:
+    // the same pair SQL, the recursive min-label walk, and the same
+    // mode/min/max rules.
+    "er_golden_record" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val pairs = blockedEditPairs(
+          parts.select(col("p_partkey").as("id"), col("p_name").as("name")),
+          maxEdits = 3)
+        .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
+      val comp = connectedComponents(
+        parts.select(col("p_partkey").as("id")), pairs, nodesComplete = true)
+      goldenRecords(comp.join(
+        parts.select(col("p_partkey").as("id"), col("p_name").as("name"),
+          graft.Det.cents(col("p_retailprice")).as("vc")), "id"))
+        .orderBy("component")
+    })
   )
+
+  /** Survivorship kernel over a labeled member relation
+    * (component, id, name, vc): one golden row per component — mode
+    * name (count desc, name asc — D6), min id, max vc, member count.
+    * Split out so [[graft.Graft.goldenRecords]] can run it on caller
+    * frames behind any matcher. */
+  private[graft] def goldenRecords(named: DataFrame): DataFrame = {
+    val votes = named.groupBy("component", "name").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("n").desc, col("name"))
+    val canon = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("name").as("canonical_name"),
+        col("n").as("name_votes"))
+    named.groupBy("component")
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("canonical_id"),
+        max(col("vc")).as("max_value_cents"))
+      .join(canon, "component")
+      .select(col("component"), col("canonical_id"), col("n_members"),
+        col("canonical_name"), col("name_votes"), col("max_value_cents"))
+  }
 
   /** Distributed triangle counting with DEGREE-ORDERED ORIENTATION
     * (Schank & Wagner 2005; the Suri–Vassilvitskii MapReduce
@@ -3089,6 +3138,43 @@ object Dedup extends QueryGroup {
         | AND a.p_partkey < b.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY key_a, key_b""".stripMargin,
+    // same blocked pairs, the recursive min-label component walk, and
+    // the same survivorship rules (mode name with count-desc/name-asc
+    // ties, min id, max cents)
+    "er_golden_record" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.p_partkey AS u, b.p_partkey AS v
+         |  FROM part a JOIN part b
+         |    ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         |   AND a.p_partkey < b.p_partkey
+         |   AND levenshtein(a.p_name, b.p_name) <= 3),
+         |edges AS (
+         |  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |walk(u, r) AS (
+         |  SELECT p_partkey, p_partkey FROM part
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.r),
+         |comp AS (SELECT u AS id, MIN(r) AS component FROM walk GROUP BY u),
+         |named AS (
+         |  SELECT c.component, p.p_partkey AS id, p.p_name AS name,
+         |    ${graft.Det.centsSql("p.p_retailprice")} AS vc
+         |  FROM comp c JOIN part p ON p.p_partkey = c.id),
+         |votes AS (
+         |  SELECT component, name, COUNT(*) AS n
+         |  FROM named GROUP BY component, name),
+         |canon AS (
+         |  SELECT component, name AS canonical_name, CAST(n AS BIGINT) AS name_votes
+         |  FROM votes
+         |  QUALIFY row_number() OVER (PARTITION BY component
+         |    ORDER BY n DESC, name) = 1),
+         |agg AS (
+         |  SELECT component, COUNT(*) AS n_members, MIN(id) AS canonical_id,
+         |    MAX(vc) AS max_value_cents
+         |  FROM named GROUP BY component)
+         |SELECT a.component, a.canonical_id, a.n_members,
+         |  c.canonical_name, c.name_votes, a.max_value_cents
+         |FROM agg a JOIN canon c ON a.component = c.component
+         |ORDER BY a.component""".stripMargin,
     "emb_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1272,6 +1272,35 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("golden records: mode-name survivorship, vote ties, singletons, facade = key") {
+    import spark.implicits._
+    // cluster A (ids 1-5, all within edit 3 of each other under block
+    // "acme"): name votes acme corp ×2, acme co ×2, acme inc ×1 — the
+    // 2-2 tie must break to the lexicographically smaller "acme co";
+    // min id 1, max value 40.00; id 9 is a singleton cluster
+    val recs = Seq(
+      (1L, "acme corp", 10.0), (2L, "acme corp", 20.0),
+      (3L, "acme co", 40.0), (4L, "acme co", 5.0), (5L, "acme inc", 7.5),
+      (9L, "zenith gmbh", 99.99)
+    ).toDF("rid", "rname", "price")
+    val got = Graft.goldenRecords(recs, "rid", "rname", "price")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == ((1L, 5L, "acme co", 2L, 4000L)), s"cluster A: ${got(1L)}")
+    assert(got(9L) == ((9L, 1L, "zenith gmbh", 1L, 9999L)), s"singleton: ${got(9L)}")
+    assert(got.size == 2, s"clusters: ${got.keySet}")
+    // facade over renamed fixture columns ≡ the oracled key
+    val facade = Graft.goldenRecords(
+        Tables.part(spark, sf001).select(col("p_partkey").as("rid"),
+          col("p_name").as("rname"), col("p_retailprice").as("price")),
+        "rid", "rname", "price")
+      .orderBy("component").collect().map(_.toSeq).toSeq
+    val key = SparkEntry.queries("er_golden_record")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(facade == key, "facade diverged from the oracled key")
+  }
+
   test("ANN append: corpus never rescanned, recall matches refit, drift + dup guards") {
     // round-17 VERDICT #3: the daily vector batch should extend the
     // cached index — encode ONLY the batch against the cached
