@@ -775,6 +775,11 @@ object Pq {
     ApAggs.register(spark)
     VectorExprs.register(spark)
     val vNew = normalize(newVecs, vecCol, idCol)
+    // an EMPTY batch is a no-op append, not drift: without this guard
+    // the batch moment reads 0 against mOld > 0 and a quiet day would
+    // demand the full-corpus refit this API exists to avoid
+    if (vNew.limit(1).collect().isEmpty)
+      return AppendedIndex(Some(idx), 0.0, refitNeeded = false)
     val dup = vNew.select("vec_id")
       .join(idx.homes.select("vec_id"), Seq("vec_id"), "left_semi")
       .limit(1).collect()

@@ -45,9 +45,12 @@ case class WqOut(total_w: Long, wq1_cents: Long, wmedian_cents: Long,
   * under any merge tree (the Agarwal et al. 2013 mergeability shape, as
   * in [[MisraGries]]).
   *
-  * Null inputs contribute nothing (SQL aggregate semantics); an
-  * all-null group finishes to null, matching what the window form's
-  * MIN(CASE...) would emit.
+  * Null handling lives in the QUERY layer: the typed encoder rejects a
+  * null in either primitive field at runtime, so
+  * `Aggregates.weightedQuartiles` filters null-value/null-mass rows
+  * before the aggregate (the SQL-aggregate skip, made explicit). An
+  * empty group (or a group whose rows were all filtered — it then never
+  * reaches finish) yields null output.
   */
 class WeightedQuantiles(cap: Int)
     extends Aggregator[WqIn, Map[Long, Long], WqOut] {

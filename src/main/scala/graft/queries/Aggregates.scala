@@ -40,7 +40,12 @@ object Aggregates extends QueryGroup {
   private[graft] def weightedQuartiles(in: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wq = udaf(new graft.functions.WeightedQuantiles(wqSketchCap))
-    in.groupBy("g")
+    // null value/mass rows are skipped HERE (the SQL-aggregate rule):
+    // the typed encoder would otherwise crash on a null primitive field
+    // (round-18 review — the facade regressed from compute to crash on
+    // nullable caller columns)
+    in.filter(col("pc").isNotNull && col("w").isNotNull)
+      .groupBy("g")
       .agg(wq(col("pc"), col("w")).as("r"))
       .select(col("g"), col("r.total_w").as("total_w"),
         col("r.wq1_cents").as("wq1_cents"),

@@ -516,19 +516,27 @@ object Dedup extends QueryGroup {
     * via PARTIAL aggregation (a hot shingle reduces to one count row
     * per task map-side — the per-shingle window this replaces colocated
     * a df-10M boilerplate gram's full row set on one task just to drop
-    * it, round-17 VERDICT advisory #2), the above-cap list (boilerplate
-    * grams only — small by the same argument that makes them prunable)
-    * broadcast-anti-joins the vocabulary out so the corpus never
-    * shuffles for the prune, set sizes on the PRUNED vocabulary (the
-    * denominator must not count dropped shingles) reduce the same way,
-    * then the bucket-grouped pair stage — no Window anywhere, buckets
-    * bounded by dfCap, never all-pairs. */
+    * it, round-17 VERDICT advisory #2); the above-cap list comes back
+    * through a BOUNDED probe (`limit(maxHot+1)`, the hotShingleProbe
+    * discipline — an unbounded driver collect of the hot vocabulary is
+    * exactly the OOM the probe family exists to prevent; past the bound
+    * it fails LOUD) and prunes as an isin filter, so the corpus never
+    * shuffles for the prune at all; set sizes on the PRUNED vocabulary
+    * (the denominator must not count dropped shingles) reduce the same
+    * way, then the bucket-grouped pair stage — no Window anywhere,
+    * buckets bounded by dfCap, never all-pairs. */
   private[graft] def containmentPairs(sh0: DataFrame,
-      tau: Double = ContainmentTau, dfCap: Int = ContainmentDfCap): DataFrame = {
+      tau: Double = ContainmentTau, dfCap: Int = ContainmentDfCap,
+      maxHot: Int = 1 << 16): DataFrame = {
     val base = sh0.select("doc_id", "shingle")
     val hot = base.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("shingle")
-    val kept = base.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .limit(maxHot + 1).collect().map(_.get(0)).toSeq
+    require(hot.length <= maxHot,
+      s"more than $maxHot shingles exceed document frequency $dfCap — this " +
+        "is not an outlier vocabulary; raise dfCap or maxHot")
+    val kept =
+      if (hot.isEmpty) base else base.filter(!col("shingle").isin(hot: _*))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pruned = kept.join(sizes, "doc_id")
     val pairs = bucketPairCounts(pruned)

@@ -283,15 +283,26 @@ object Streams {
         path(s"$targetDir/_compactions/${live}_${gen0 + 1}"), true)
       out.close()
     }
-    // -- 2. retire superseded snapshots (data first, marker last)
+    // -- 2. retire superseded snapshots (data first, marker last).
+    // Generation DIRECTORIES are enumerated from the filesystem, not
+    // the markers: a crash between a compaction write and its marker
+    // leaves an UNMARKED generation dir, and once its id is superseded
+    // no retry ever overwrites it — marker-driven deletion alone would
+    // leak it forever (round-18 review).
     val dropped = ids.dropRight(retain)
-    dropped.foreach { id =>
-      fs.delete(path(s"$targetDir/snap=$id"), true)
-      generationsOf(spark, targetDir, id).foreach { g =>
-        fs.delete(path(s"$targetDir/snap=${id}g$g"), true)
-        fs.delete(path(s"$targetDir/_compactions/${id}_$g"), false)
+    if (dropped.nonEmpty) {
+      val genDirs = fs.listStatus(path(targetDir)).toSeq.map(_.getPath)
+        .filter(_.getName.matches("snap=-?\\d+g\\d+"))
+        .groupBy(d => d.getName.stripPrefix("snap=").takeWhile(c =>
+          c.isDigit || c == '-').toLong)
+      dropped.foreach { id =>
+        fs.delete(path(s"$targetDir/snap=$id"), true)
+        genDirs.getOrElse(id, Seq.empty).foreach(fs.delete(_, true))
+        generationsOf(spark, targetDir, id).foreach { g =>
+          fs.delete(path(s"$targetDir/_compactions/${id}_$g"), false)
+        }
+        fs.delete(path(s"$targetDir/_commits/$id"), false)
       }
-      fs.delete(path(s"$targetDir/_commits/$id"), false)
     }
     // -- 3. stale generations of the live id: once a committed
     // generation exists, the original snap=<live> directory and every

@@ -1159,6 +1159,15 @@ class GraftSpec extends SparkSuite {
     // c: cum(4.0)=4 of 5 → covers q1 (4·4≥5), median (2·4≥5), and q3
     // (4·4≥15): all three quartiles sit on the tie run at 4.0
     assert(got("c") == ((5L, 400L, 400L, 400L)), s"tie run: $got")
+    // null value/mass rows are SKIPPED (the SQL-aggregate rule) — the
+    // typed encoder would crash on a null primitive without the query-
+    // layer filter (round-18 review: compute, never crash, on nullable
+    // caller columns)
+    val withNulls = Seq(("a", Some(5.0), Some(3L)), ("a", None, Some(9L)),
+      ("a", Some(7.0), None)).toDF("g", "v", "m")
+    val nn = Graft.weightedQuartiles(withNulls, "g", "v", "m")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    assert(nn == ((3L, 500L)), s"null rows must be skipped, not crash: $nn")
     // fixture parity: facade ≡ the oracled key on renamed columns
     val facade = rows(Graft.weightedQuartiles(
       Tables.lineitem(spark, sf001).select(col("l_returnflag").as("flag"),
@@ -1371,6 +1380,13 @@ class GraftSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(filtered.nonEmpty && filtered.forall(_._2 >= 400L),
       "allowedIds leaked a non-batch candidate through the appended index")
+    // an EMPTY batch is a no-op append, never drift (round-18 review:
+    // a quiet day must not demand the full-corpus refit)
+    val emptyRes = Pq.appendToIndex(ix2,
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"), "embedding")
+    assert(!emptyRes.refitNeeded && emptyRes.drift == 0.0 &&
+      emptyRes.index.exists(_ eq ix2),
+      s"empty batch must return the index unchanged: $emptyRes")
     // staleness guard: a shifted batch (×50 scale) must refuse
     val shifted = (600L to 699L)
       .map(i => (i, all(i - 600).map(_ * 50.0).toSeq)).toDF("vec_id", "embedding")

@@ -256,6 +256,16 @@ class MatchingSpec extends SparkSuite {
     // while the abc-only (1,3) overlap disappears entirely.
     assert(report(0.5, 2) == Map((1L, 2L) -> 1.0),
       "pruned denominator must count only surviving shingles")
+    // the hot-vocabulary probe is BOUNDED (round-18 review: an
+    // unbounded driver collect of the above-cap list is the OOM the
+    // probe family exists to prevent) — dfCap=1 makes abc AND bcd hot,
+    // so maxHot=1 must fail loud, never truncate the prune silently
+    val boom = intercept[IllegalArgumentException] {
+      graft.queries.Dedup.containmentPairs(
+        graft.queries.Dedup.hashedShinglePlan(spark, docs),
+        tau = 0.5, dfCap = 1, maxHot = 1)
+    }
+    assert(boom.getMessage.contains("raise dfCap or maxHot"))
   }
 
   test("rendezvous sharding: growing the ring moves only the new shard's winners") {

@@ -563,9 +563,17 @@ class StreamingSpec extends SparkSuite {
     rows2.repartition(4).write.mode("overwrite").parquet(s"$targetDir/snap=2")
     val pre = parquetFiles(s"$targetDir/snap=2")
     assert(pre > 1, s"fixture precondition: fresh snapshot has $pre file(s)")
+    // an ORPHANED generation of a soon-retired id (written, never
+    // marked — the crash-before-marker shape) must also retire: the
+    // deletion enumerates generation DIRECTORIES from the filesystem,
+    // not the markers (round-18 review: marker-driven deletion alone
+    // leaked the orphan forever once its id was superseded)
+    rows2.repartition(2).write.mode("overwrite").parquet(s"$targetDir/snap=0g7")
     val dropped2 = Streams.vacuumUpsertTarget(spark, targetDir, retain = 1,
       targetBytesPerFile = Long.MaxValue)
     assert(dropped2 == Seq(0L, 1L), s"retired ids: $dropped2")
+    assert(!fs.exists(p(s"$targetDir/snap=0g7")),
+      "orphaned (unmarked) generation of a retired id survived vacuum")
     assert(snapshot() == want, "compacting vacuum changed the rows")
     assert(!fs.exists(p(s"$targetDir/snap=2")), "fragmented original survived")
     assert(parquetFiles(s"$targetDir/snap=2g1") == 1,
