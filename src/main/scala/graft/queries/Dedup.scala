@@ -254,16 +254,20 @@ object Dedup extends QueryGroup {
     * max-q doc (ties → smallest doc_id, D6) with the cluster size
     * attached. The ONE kernel behind pipeline_keep_canonical and
     * Graft.keepCanonical — quality is double so fractional scores
-    * (classifier outputs) rank correctly. */
+    * (classifier outputs) rank correctly. ONE hash aggregate (argmax =
+    * max_by over the (q, −doc_id) key), not a per-cluster rank window:
+    * partial aggregation reduces a mega-cluster map-side, where the
+    * window form colocated its entire membership on one task just to
+    * keep row 1 (the round-18 keyed-window sweep). */
   private[graft] def keepCanonicalFrom(clusters: DataFrame,
-      quality: DataFrame): DataFrame = {
-    val w = Window.partitionBy("cluster").orderBy(col("q").desc, col("doc_id"))
+      quality: DataFrame): DataFrame =
     clusters.join(quality, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
-      .filter(col("rn") === 1)
+      .groupBy("cluster")
+      .agg(
+        max_by(col("doc_id"), struct(col("q"), (-col("doc_id")).as("nid")))
+          .as("doc_id"),
+        count(lit(1)).as("n_members"))
       .select(col("doc_id"), col("cluster"), col("n_members"))
-  }
 
   /** Broadcast ceiling for the eval gram set: 2²¹ distinct grams ≈
     * 60-120 MB of strings on the driver and per executor — comfortably

@@ -1370,8 +1370,19 @@ object TextOps extends QueryGroup {
     * stays inside a long at ANY id — ANSI mode errors on wrap) with
     * doc_id tie-break (D6), keep the first T·share_l per bucket.
     * Scale: counts are one keyed agg riding back as a broadcast
-    * |buckets|-row relation, selection is one per-bucket window —
-    * every shuffle keyed on the bucket. */
+    * |buckets|-row relation. Selection does NOT rank the corpus
+    * through a per-bucket window (≈5 language buckets would put each
+    * bucket's entire corpus slice on one task — the agg_weighted_median
+    * hazard, round-18 sweep): the rank hash lives in a BOUNDED 2²⁰
+    * domain, so the k_l-th smallest hash per bucket comes exactly from
+    * a (lang, h) count relation — map-side combine collapses the
+    * corpus to ≤ 2²⁰ rows per bucket regardless of N, the cumulative
+    * window runs over THAT bounded relation, and the threshold rides
+    * back broadcast. Row selection is then map-side (h < t), with one
+    * residual row_number over ONLY the threshold hash's tie run
+    * (bounded by the collision rate N/2²⁰, never a bucket's corpus).
+    * The kept set is identical to the rank rule by construction —
+    * below-threshold rows plus the first (k_l − below) ties by doc_id. */
   private[graft] def mixtureResample(s: SparkSession, d: DataFrame,
       shares: Seq[(String, Long)]): DataFrame = {
     import s.implicits._
@@ -1388,12 +1399,28 @@ object TextOps extends QueryGroup {
     val t = counts.agg(min(expr("n_l * 10000 div share_pm")).as("t"))
     val quota = counts.crossJoin(broadcast(t))
       .select(col("lang"), expr("t * share_pm div 10000").as("k_l"))
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    d.withColumn("h", expr(mixtureHashSql("doc_id")))
+    val hashed = d.withColumn("h", expr(mixtureHashSql("doc_id")))
       .join(broadcast(quota), "lang")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("k_l"))
+    // threshold from the bounded (lang, h) count relation: t_h = MIN h
+    // with cum ≥ k_l, and `below` = rows strictly under it (k_l = 0
+    // self-zeroes: t_h = the bucket's min h with below = 0, so neither
+    // branch keeps a row)
+    val cum = hashed.groupBy("lang", "h").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("lang").orderBy("h")))
+    val thr = cum.join(broadcast(quota), "lang")
+      .filter(col("cum") >= col("k_l"))
+      .groupBy("lang")
+      .agg(min(struct(col("h"), (col("cum") - col("c")).as("below"))).as("s"))
+      .select(col("lang"), col("s.h").as("t_h"), col("s.below").as("below"))
+    val marked = hashed.join(broadcast(thr), "lang")
+    val wTie = Window.partitionBy("lang").orderBy("doc_id")
+    marked.filter(col("h") < col("t_h"))
       .select(col("doc_id"), col("lang"))
+      .unionByName(marked.filter(col("h") === col("t_h"))
+        .withColumn("rn", row_number().over(wTie))
+        .filter(col("rn") <= col("k_l") - col("below"))
+        .select(col("doc_id"), col("lang")))
   }
 
   /** The deterministic rank hash of [[mixtureResample]] — identical SQL
