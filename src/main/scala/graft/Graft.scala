@@ -206,6 +206,35 @@ object Graft {
           col(weightCol).cast("long").as("w")))
       .withColumnRenamed("g", "group")
 
+  /** Lower weighted quantiles at ARBITRARY fractions — the p50/p90/p99
+    * corpus-statistics call ([[weightedQuartiles]] generalized; see
+    * [[graft.functions.WeightedQuantilesAt]]): quantile p = smallest
+    * value whose cumulative mass reaches p of the group total, p taken
+    * as the exact rational round(p·10⁴)/10⁴ so every comparison stays
+    * on longs. Same mergeable-sketch plan and exactness contract as the
+    * quartile form; null value/mass rows are skipped. Returns
+    * (group, total_w, p<permyriad>_cents…) — e.g. ps = Seq(0.5, 0.99)
+    * yields columns p5000_cents, p9900_cents. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"weightedQuantiles: fractions must lie in (0, 1], got $ps")
+    val pm = ps.map(p => math.round(p * 10000))
+    require(pm.distinct.length == pm.length,
+      s"weightedQuantiles: fractions collide at 1e-4 resolution: $ps")
+    val wq = udaf(new graft.functions.WeightedQuantilesAt(
+      queries.Aggregates.wqSketchCap, pm.map(n => (n, 10000L))))
+    df.select(col(groupCol).as("group"), Det.cents(col(valueCol)).as("pc"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("pc").isNotNull && col("w").isNotNull)
+      .groupBy("group")
+      .agg(wq(col("pc"), col("w")).as("r"))
+      .select(col("group") +: col("r.total_w").as("total_w") +:
+        pm.zipWithIndex.map { case (n, i) =>
+          col("r.qs").getItem(i).as(s"p${n}_cents")
+        }: _*)
+  }
+
   /** Deterministic DBSCAN over an embedding column (see
     * [[graft.queries.Dedup.dbscan]]; Ester et al. 1996): density
     * clusters on the exact cosine ≥ `threshold` ε-graph — core points

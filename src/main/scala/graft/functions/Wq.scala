@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One (value, mass) input row for [[WeightedQuantiles]]. */
+/** One (value, mass) input row for the weighted-quantile sketches. */
 case class WqIn(v: Long, w: Long)
 
 /** Lower weighted quartiles of a group: total mass plus the three
@@ -15,29 +15,34 @@ case class WqIn(v: Long, w: Long)
 case class WqOut(total_w: Long, wq1_cents: Long, wmedian_cents: Long,
     wq3_cents: Long)
 
-/** Mergeable weighted-quantile sketch as a typed [[Aggregator]] — the
-  * scale-safe replacement for the per-group RANGE-window cumulative sum
-  * (round-17 VERDICT #1: `sum(w) over (partition by g order by v)` puts
-  * a group's entire row set on one task; with a 5-value group key that
-  * is 5 near-global sorts at 100 TB).
+/** [[WeightedQuantilesAt]]'s output: total mass plus one lower
+  * weighted quantile per requested fraction, in request order. */
+case class WqAtOut(total_w: Long, qs: Seq[Long])
+
+/** Shared buffer kernel of the weighted-quantile sketch family — the
+  * scale-safe replacement for the per-group RANGE-window cumulative
+  * sum (round-17 VERDICT #1: `sum(w) over (partition by g order by v)`
+  * puts a group's entire row set on one task; with a 5-value group key
+  * that is 5 near-global sorts at 100 TB).
   *
   * Buffer: a value→mass map of at most `cap` distinct values. Below the
   * cap the sketch is EXACT — the map IS the grouped (value, Σmass)
-  * relation, and finish's sorted prefix scan reproduces the RANGE-frame
-  * cumulative sum bit-for-bit, so the integer quartile rule
-  * `q = MIN v with 4·cum ≥ q·tot` returns exactly what the window form
-  * returns. Every fixture SF sits under the default cap (max distinct
-  * cents per l_returnflag group: 1,962 @ sf0.001 / 20,029 @ sf0.01 /
-  * 198,250 @ sf0.1, measured — vs cap 2²⁰), so agg_weighted_median
-  * STAYS oracled against the window-derived DuckDB SQL while the plan
-  * is two ObjectHashAggregates around one exchange: map-side partials,
-  * sketch-sized shuffle rows, no window, no per-group sort.
+  * relation, and the sorted prefix scan reproduces the RANGE-frame
+  * cumulative sum bit-for-bit, so the integer rule
+  * `q = MIN v with den·cum ≥ num·tot` returns exactly what the window
+  * form returns. Every fixture SF sits under the default cap (max
+  * distinct cents per l_returnflag group: 1,962 @ sf0.001 / 20,029 @
+  * sf0.01 / 198,250 @ sf0.1, measured — vs cap 2²⁰), so
+  * agg_weighted_median STAYS oracled against the window-derived DuckDB
+  * SQL while the plan is two ObjectHashAggregates around one exchange:
+  * map-side partials, sketch-sized shuffle rows, no window, no
+  * per-group sort.
   *
-  * Above the cap (the 100 TB regime) compress() coalesces sorted runs
+  * Above the cap (the 100 TB regime) [[compress]] coalesces sorted runs
   * of consecutive values whose combined mass stays ≤ 2·tot/cap,
   * assigning each run's mass to its LOWEST value. Mass only ever moves
   * down, so cum_sketch(v) ≥ cum_exact(v) pointwise and every reported
-  * quartile is ≤ the exact one (one-sided, like eqdepth_scale's
+  * quantile is ≤ the exact one (one-sided, like eqdepth_scale's
   * ties-assign-low rule), with rank error bounded by the mass of the
   * single run straddling the query point — O(tot/cap) per compression
   * level. Totals are preserved exactly at any cap. Merging partials is
@@ -46,27 +51,23 @@ case class WqOut(total_w: Long, wq1_cents: Long, wmedian_cents: Long,
   * in [[MisraGries]]).
   *
   * Null handling lives in the QUERY layer: the typed encoder rejects a
-  * null in either primitive field at runtime, so
-  * `Aggregates.weightedQuartiles` filters null-value/null-mass rows
-  * before the aggregate (the SQL-aggregate skip, made explicit). An
-  * empty group (or a group whose rows were all filtered — it then never
-  * reaches finish) yields null output.
-  */
-class WeightedQuantiles(cap: Int)
-    extends Aggregator[WqIn, Map[Long, Long], WqOut] {
-  require(cap >= 8, s"WeightedQuantiles: cap must be >= 8, got $cap")
+  * null in either primitive field at runtime, so callers
+  * (`Aggregates.weightedQuartiles`, `Graft.weightedQuantiles`) filter
+  * null-value/null-mass rows before the aggregate (the SQL-aggregate
+  * skip, made explicit). An empty group never reaches finish; a group
+  * whose buffer is empty yields null output. */
+private[functions] object WqKernel {
 
-  def zero: Map[Long, Long] = Map.empty
-
-  def reduce(buf: Map[Long, Long], in: WqIn): Map[Long, Long] = {
+  def add(buf: Map[Long, Long], in: WqIn, cap: Int): Map[Long, Long] = {
     if (in == null) return buf
-    compress(buf.updated(in.v, buf.getOrElse(in.v, 0L) + in.w))
+    compress(buf.updated(in.v, buf.getOrElse(in.v, 0L) + in.w), cap)
   }
 
-  def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =
+  def mergeMaps(x: Map[Long, Long], y: Map[Long, Long],
+      cap: Int): Map[Long, Long] =
     compress(y.foldLeft(x) { case (m, (v, w)) =>
       m.updated(v, m.getOrElse(v, 0L) + w)
-    })
+    }, cap)
 
   /** Greedy run-coalescing: walk values ascending, extend the current
     * run while its mass stays ≤ max(1, 2·tot/cap), emit the run's mass
@@ -74,7 +75,7 @@ class WeightedQuantiles(cap: Int)
     * (never re-coalesced with neighbours), so repeated compressions do
     * not compound a heavy bucket. Result size ≤ cap/2 light runs +
     * the < cap/2 heavy ones. No-op below the cap — the exact regime. */
-  private def compress(m: Map[Long, Long]): Map[Long, Long] = {
+  private def compress(m: Map[Long, Long], cap: Int): Map[Long, Long] = {
     if (m.size <= cap) return m
     val es = m.toArray.sortBy(_._1)
     var tot = 0L
@@ -94,27 +95,87 @@ class WeightedQuantiles(cap: Int)
     out.result()
   }
 
-  def finish(buf: Map[Long, Long]): WqOut = {
-    if (buf.isEmpty) return null
+  /** Lower weighted quantiles at the given exact rational fractions:
+    * q_i = MIN v with den_i·cum ≥ num_i·tot — every comparison on
+    * longs, no interpolation. Fractions must be ascending-compatible
+    * only in cost, not order (one pass serves any order). Returns
+    * (total mass, one value per fraction, request order). */
+  def quantiles(buf: Map[Long, Long],
+      fracs: Seq[(Long, Long)]): (Long, Array[Long]) = {
     val es = buf.toArray.sortBy(_._1)
     var tot = 0L
     es.foreach(tot += _._2)
-    // q = MIN v with 4·cum ≥ q·tot — same longs-only rule as the oracle
-    var q1 = 0L; var q2 = 0L; var q3 = 0L
-    var found1 = false; var found2 = false; var found3 = false
+    val out = new Array[Long](fracs.length)
+    val found = new Array[Boolean](fracs.length)
+    var nFound = 0
     var cum = 0L
     var i = 0
-    while (i < es.length && !found3) {
+    while (i < es.length && nFound < fracs.length) {
       cum += es(i)._2
-      if (!found1 && cum * 4 >= tot) { q1 = es(i)._1; found1 = true }
-      if (!found2 && cum * 2 >= tot) { q2 = es(i)._1; found2 = true }
-      if (!found3 && cum * 4 >= tot * 3) { q3 = es(i)._1; found3 = true }
+      var j = 0
+      while (j < fracs.length) {
+        if (!found(j) && cum * fracs(j)._2 >= fracs(j)._1 * tot) {
+          out(j) = es(i)._1; found(j) = true; nFound += 1
+        }
+        j += 1
+      }
       i += 1
     }
-    WqOut(tot, q1, q2, q3)
+    (tot, out)
+  }
+
+  val QuartileFracs: Seq[(Long, Long)] = Seq((1L, 4L), (2L, 4L), (3L, 4L))
+}
+
+/** The quartile instance of the sketch family (kernel scaladoc on
+  * [[WqKernel]]) — agg_weighted_median's aggregate, fixed output shape
+  * (total_w, wq1, wmedian, wq3). */
+class WeightedQuantiles(cap: Int)
+    extends Aggregator[WqIn, Map[Long, Long], WqOut] {
+  require(cap >= 8, s"WeightedQuantiles: cap must be >= 8, got $cap")
+
+  def zero: Map[Long, Long] = Map.empty
+  def reduce(buf: Map[Long, Long], in: WqIn): Map[Long, Long] =
+    WqKernel.add(buf, in, cap)
+  def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =
+    WqKernel.mergeMaps(x, y, cap)
+
+  def finish(buf: Map[Long, Long]): WqOut = {
+    if (buf.isEmpty) return null
+    val (tot, qs) = WqKernel.quantiles(buf, WqKernel.QuartileFracs)
+    WqOut(tot, qs(0), qs(1), qs(2))
   }
 
   def bufferEncoder: Encoder[Map[Long, Long]] =
     ExpressionEncoder[Map[Long, Long]]()
   def outputEncoder: Encoder[WqOut] = Encoders.product[WqOut]
+}
+
+/** Arbitrary-fraction instance of the sketch family (kernel scaladoc
+  * on [[WqKernel]]): lower weighted quantiles at caller-chosen exact
+  * rationals — the p50/p90/p99 corpus-statistics shape
+  * (`Graft.weightedQuantiles` wires it; same exactness/compression
+  * contract as the quartile form). `fracs` are (num, den) pairs with
+  * 0 < num ≤ den. */
+class WeightedQuantilesAt(cap: Int, fracs: Seq[(Long, Long)])
+    extends Aggregator[WqIn, Map[Long, Long], WqAtOut] {
+  require(cap >= 8, s"WeightedQuantilesAt: cap must be >= 8, got $cap")
+  require(fracs.nonEmpty && fracs.forall { case (n, d) => n > 0 && n <= d },
+    s"WeightedQuantilesAt: fractions must satisfy 0 < num <= den, got $fracs")
+
+  def zero: Map[Long, Long] = Map.empty
+  def reduce(buf: Map[Long, Long], in: WqIn): Map[Long, Long] =
+    WqKernel.add(buf, in, cap)
+  def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] =
+    WqKernel.mergeMaps(x, y, cap)
+
+  def finish(buf: Map[Long, Long]): WqAtOut = {
+    if (buf.isEmpty) return null
+    val (tot, qs) = WqKernel.quantiles(buf, fracs)
+    WqAtOut(tot, qs.toSeq)
+  }
+
+  def bufferEncoder: Encoder[Map[Long, Long]] =
+    ExpressionEncoder[Map[Long, Long]]()
+  def outputEncoder: Encoder[WqAtOut] = Encoders.product[WqAtOut]
 }

@@ -1175,6 +1175,20 @@ class GraftSpec extends SparkSuite {
       "flag", "price", "qty").orderBy("group"))
     val key = rows(SparkEntry.queries("agg_weighted_median")(spark, sf001))
     assert(facade == key)
+    // the arbitrary-fraction facade at (0.25, 0.5, 0.75) reproduces the
+    // quartile columns, and p=0.9 is a new, monotonically later value
+    val gen = Graft.weightedQuantiles(
+        Tables.lineitem(spark, sf001).select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("price"), col("l_quantity").as("qty")),
+        "flag", "price", "qty", Seq(0.25, 0.5, 0.75, 0.9))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(gen.toSeq.map(t => Seq[Any](t._1, t._2, t._3, t._4, t._5)) == key.toSeq,
+      "generalized facade diverged from the quartile key at the quartile fracs")
+    gen.foreach { t =>
+      assert(t._6 >= t._5, s"p90 must not precede p75: $t")
+    }
   }
 
   test("incremental dedup ≡ batch pairs restricted to increment-touching endpoints") {

@@ -699,6 +699,40 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("arbitrary-fraction weighted quantiles are exact and agree with the quartile form") {
+    // the generalized sketch must apply the same MIN-v/den·cum≥num·tot
+    // rule at any rational, and its (1/4, 2/4, 3/4) instance must equal
+    // the quartile aggregator bit-for-bit
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(4000)((rnd.nextInt(900).toLong, 1L + rnd.nextInt(20)))
+    val fracs = Seq((1L, 10L), (1L, 4L), (2L, 4L), (3L, 4L), (99L, 100L), (1L, 1L))
+    val agg = new graft.functions.WeightedQuantilesAt(2048, fracs)
+    val buf = rows.foldLeft(agg.zero) { case (b, (v, w)) =>
+      agg.reduce(b, graft.functions.WqIn(v, w))
+    }
+    val out = agg.finish(buf)
+    val grouped = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val tot = grouped.map(_._2).sum
+    def exactAt(num: Long, den: Long): Long = {
+      var cum = 0L
+      grouped.find { case (_, w) => cum += w; cum * den >= num * tot }.get._1
+    }
+    assert(out.total_w == tot)
+    fracs.zipWithIndex.foreach { case ((n, d), i) =>
+      assert(out.qs(i) == exactAt(n, d), s"q($n/$d): ${out.qs(i)} vs ${exactAt(n, d)}")
+    }
+    // p = 1 is the max value; the quartile aggregator agrees at its fracs
+    assert(out.qs(5) == grouped.last._1)
+    val q4 = new graft.functions.WeightedQuantiles(2048)
+    val b4 = rows.foldLeft(q4.zero) { case (b, (v, w)) =>
+      q4.reduce(b, graft.functions.WqIn(v, w))
+    }
+    val o4 = q4.finish(b4)
+    assert((o4.wq1_cents, o4.wmedian_cents, o4.wq3_cents)
+      == ((out.qs(1), out.qs(2), out.qs(3))), "quartile form diverged")
+  }
+
   test("agg_weighted_median query equals the keyed-window form it replaced") {
     import org.apache.spark.sql.expressions.Window
     val in = Tables.lineitem(spark, sf001).select(
