@@ -2640,6 +2640,42 @@ object Dedup extends QueryGroup {
         parts.select(col("p_partkey").as("id"), col("p_name").as("name"),
           graft.Det.cents(col("p_retailprice")).as("vc")), "id"))
         .orderBy("component")
+    }),
+
+    // SPLIT-LEAKAGE audit (round 18 — the eval-hygiene check every
+    // training pipeline owes its benchmark numbers: a test document
+    // with a near-duplicate in train makes the eval score a memory
+    // test; Lee et al. 2022 §6.2 measure exactly this): per split
+    // bucket (sample_split's deterministic doc_id % 10 rule), the
+    // document count and how many of them have at least one exact
+    // Jaccard ≥ 0.2 near-dup in a DIFFERENT split. Composes the two
+    // oracled relations — the capped near-dup pair kernel and the split
+    // assignment — with keyed joins only: pairs stay bucketed, the
+    // per-endpoint split lookup is id-keyed, the distinct collapses
+    // multi-partner docs, output is |splits| rows. At sf0.001 the
+    // fixture leaks 12 train / 2 val / 8 test docs (measured), so every
+    // split's count and both branches of the LEFT join are load-bearing.
+    "pipeline_split_leakage" -> ((s, dir) => {
+      val split = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 < 8, "train")
+          .when(col("doc_id") % 10 === 8, "val")
+          .otherwise("test").as("split"))
+      val pairs = jaccardPairsHashedCapped(shingleSet(s, dir), 0.2,
+        hotShinglesFor(s, dir))
+      val und = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"),
+          col("doc_a").as("other")))
+      val leaked = und.join(split, "doc_id")
+        .join(split.select(col("doc_id").as("other"),
+          col("split").as("osplit")), "other")
+        .filter(col("split") =!= col("osplit"))
+        .select("doc_id", "split").distinct()
+      split.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .join(leaked.groupBy("split").agg(count(lit(1)).as("n_leaked")),
+          Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+        .orderBy("split")
     })
   )
 
@@ -3187,6 +3223,46 @@ object Dedup extends QueryGroup {
          |  c.canonical_name, c.name_votes, a.max_value_cents
          |FROM agg a JOIN canon c ON a.component = c.component
          |ORDER BY a.component""".stripMargin,
+    // the same jaccard pair chain as dedup_jaccard, composed with the
+    // sample_split CASE rule; leaked = distinct docs with a cross-split
+    // near-dup partner
+    "pipeline_split_leakage" ->
+      s"""WITH $shingleSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |p0 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+         |    FROM p0
+         |    JOIN sz na ON na.doc_id = doc_a
+         |    JOIN sz nb ON nb.doc_id = doc_b)
+         |  WHERE jaccard >= 0.2),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |         WHEN doc_id % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |und AS (
+         |  SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |leaked AS (
+         |  SELECT DISTINCT u.doc_id, s1.split
+         |  FROM und u
+         |  JOIN sp s1 ON s1.doc_id = u.doc_id
+         |  JOIN sp s2 ON s2.doc_id = u.other
+         |  WHERE s1.split <> s2.split),
+         |lc AS (SELECT split, COUNT(*) AS n_leaked FROM leaked GROUP BY split)
+         |SELECT sp.split, COUNT(*) AS n_docs,
+         |  CAST(COALESCE(MAX(lc.n_leaked), 0) AS BIGINT) AS n_leaked
+         |FROM sp LEFT JOIN lc ON lc.split = sp.split
+         |GROUP BY sp.split
+         |ORDER BY sp.split""".stripMargin,
     "emb_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
