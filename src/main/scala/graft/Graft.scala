@@ -220,6 +220,9 @@ object Graft {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"weightedQuantiles: fractions must lie in (0, 1], got $ps")
     val pm = ps.map(p => math.round(p * 10000))
+    require(pm.forall(_ >= 1),
+      s"weightedQuantiles: fractions resolve at 1e-4 — a fraction under " +
+        s"0.00005 rounds to zero mass: $ps")
     require(pm.distinct.length == pm.length,
       s"weightedQuantiles: fractions collide at 1e-4 resolution: $ps")
     val wq = udaf(new graft.functions.WeightedQuantilesAt(

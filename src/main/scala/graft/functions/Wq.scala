@@ -60,6 +60,9 @@ private[functions] object WqKernel {
 
   def add(buf: Map[Long, Long], in: WqIn, cap: Int): Map[Long, Long] = {
     if (in == null) return buf
+    // a negative mass breaks every cumulative invariant silently —
+    // fail at the row that carries it, not at a wrong quantile
+    require(in.w >= 0, s"weighted quantiles: negative mass ${in.w} at value ${in.v}")
     compress(buf.updated(in.v, buf.getOrElse(in.v, 0L) + in.w), cap)
   }
 
@@ -95,11 +98,24 @@ private[functions] object WqKernel {
     out.result()
   }
 
+  /** Exact a·b ≥ c·d over non-negative longs via 128-bit products —
+    * the arbitrary-fraction instances multiply cum·den with den up to
+    * 10⁴ (and callers may pass larger), so the plain 64-bit product
+    * would wrap past tot ≈ 9.2e14 mass and silently flip a comparison
+    * (round-18 review: the quartile-only form's ×4 had 2500× more
+    * headroom; the generalization must not shrink the safe range). */
+  @inline private def mulGe(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b)
+    val hi2 = java.lang.Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) >= 0
+  }
+
   /** Lower weighted quantiles at the given exact rational fractions:
-    * q_i = MIN v with den_i·cum ≥ num_i·tot — every comparison on
-    * longs, no interpolation. Fractions must be ascending-compatible
-    * only in cost, not order (one pass serves any order). Returns
-    * (total mass, one value per fraction, request order). */
+    * q_i = MIN v with den_i·cum ≥ num_i·tot — comparisons 128-bit
+    * exact ([[mulGe]]), no interpolation, no float. Fractions may come
+    * in any order (one pass serves all). Returns (total mass, one
+    * value per fraction, request order). */
   def quantiles(buf: Map[Long, Long],
       fracs: Seq[(Long, Long)]): (Long, Array[Long]) = {
     val es = buf.toArray.sortBy(_._1)
@@ -114,7 +130,7 @@ private[functions] object WqKernel {
       cum += es(i)._2
       var j = 0
       while (j < fracs.length) {
-        if (!found(j) && cum * fracs(j)._2 >= fracs(j)._1 * tot) {
+        if (!found(j) && mulGe(cum, fracs(j)._2, fracs(j)._1, tot)) {
           out(j) = es(i)._1; found(j) = true; nFound += 1
         }
         j += 1

@@ -684,9 +684,10 @@ object TextOps extends QueryGroup {
     // join). Per-bucket selection is deterministic: rank by a
     // multiplicative integer hash of doc_id (Knuth 2654435761, exact in
     // both engines) with doc_id tie-break (D6), keep the first
-    // T·share_l. Scale: counts are one keyed agg, quotas ride a
-    // broadcast 6-row relation, selection is one per-bucket window —
-    // every shuffle keyed on the bucket.
+    // T·share_l. Scale shape on the kernel scaladoc
+    // ([[mixtureResample]]): threshold from the bounded (lang, h)
+    // count relation, map-side keep, tie-run-only residual window —
+    // never a per-bucket rank window over the corpus.
     "pipeline_mixture" -> ((s, dir) =>
       mixtureResample(s,
         Tables.documents(s, dir).select(col("doc_id"), col("lang")),

@@ -731,6 +731,19 @@ class SketchSpec extends SparkSuite {
     val o4 = q4.finish(b4)
     assert((o4.wq1_cents, o4.wmedian_cents, o4.wq3_cents)
       == ((out.qs(1), out.qs(2), out.qs(3))), "quartile form diverged")
+    // 128-bit comparison regime (round-18 review): masses near 2⁶² wrap
+    // a 64-bit cum·den — the median of {1:h, 2:h, 3:h} must stay 2
+    val h = Long.MaxValue / 4
+    val big = new graft.functions.WeightedQuantilesAt(64, Seq((5000L, 10000L)))
+    val bbuf = Seq((1L, h), (2L, h), (3L, h)).foldLeft(big.zero) {
+      case (b, (v, w)) => big.reduce(b, graft.functions.WqIn(v, w))
+    }
+    assert(big.finish(bbuf).qs(0) == 2L, "huge-mass median wrapped")
+    // negative mass fails at the carrying row, never a wrong quantile
+    val boom = intercept[IllegalArgumentException] {
+      big.reduce(big.zero, graft.functions.WqIn(1L, -1L))
+    }
+    assert(boom.getMessage.contains("negative mass"))
   }
 
   test("agg_weighted_median query equals the keyed-window form it replaced") {
