@@ -318,6 +318,122 @@ object Streams {
     dropped
   }
 
+  // ---- streaming ingest-dedup sink (round 18) --------------------------
+
+  /** STREAMING INGEST-DEDUP SINK — the production seat of the
+    * incremental near-dup kernel ("dedup today's crawl against the
+    * corpus BEFORE it lands", the loop every continuously-crawling
+    * training pipeline runs): each micro-batch of (doc_id, text) rows
+    * is near-dup-checked against the accumulated corpus plus itself,
+    * survivors append as an immutable `inc=<batchId>` directory, and
+    * the corpus is the union of committed increments — APPEND-ONLY, so
+    * per-batch work is the incremental pair kernel's O(|inc|·df)
+    * bucket work plus one survivor write; history is never rewritten
+    * and never re-paired (the jaccardPairsIncrementalCapped contract,
+    * hot-shingle df cap probed per batch).
+    *
+    * Keep rule, deterministic (D6): connected components over the
+    * batch-touching Jaccard ≥ `threshold` pair graph; a batch doc is
+    * DROPPED when its component contains any corpus doc (it duplicates
+    * landed content) or any smaller batch doc_id (one representative
+    * per new cluster — the component minimum). Transitive chains
+    * resolve the components way, not the greedy-pair way, so the kept
+    * set is independent of pair enumeration order.
+    *
+    * Exactly-once under micro-batch re-delivery: the same two layers as
+    * [[upsertSink]] — the `_commits/<batchId>` high-water mark skips
+    * stale ids without touching data, and a crash between the increment
+    * write and the marker re-applies idempotently (the increment
+    * directory is overwritten byte-identically, then the marker lands).
+    * A target is therefore bound to ONE checkpoint lineage: a fresh
+    * checkpoint restarts batchIds at 0, which a pre-advanced target
+    * correctly skips (the Delta txn-appId semantics) — resume the
+    * existing checkpoint, or seed a new target.
+    * Seed with [[initDedupCorpus]]; read with [[readDedupCorpus]]. */
+  def dedupIngestSink(docs: DataFrame, targetDir: String,
+      threshold: Double = 0.2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyDedupBatch(batch.toDF(), batchId, targetDir, threshold); ()
+    }
+
+  /** One ingest-dedup transaction (the [[dedupIngestSink]] body,
+    * callable directly for backfills and the replay suite). Returns the
+    * number of batch docs kept, or -1 when the high-water mark skipped
+    * a re-delivered id. */
+  def applyDedupBatch(batch: DataFrame, batchId: Long, targetDir: String,
+      threshold: Double = 0.2): Long = {
+    val spark = batch.sparkSession
+    val committed = committedIds(spark, targetDir)
+    require(committed.nonEmpty,
+      s"dedup corpus $targetDir is not initialized - call initDedupCorpus first")
+    if (batchId <= committed.max) return -1L
+    val corpus = readDedupCorpus(spark, targetDir)
+    val b = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // id hygiene, ONE bounded probe (the hierFlatten union-probe
+    // discipline): a batch id already in the corpus — or repeated
+    // within the batch — would merge two documents' shingle sets into
+    // one phantom doc and silently corrupt every pair downstream
+    val bad = b.select("doc_id")
+      .join(corpus.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("already in the corpus").as("kind"))
+      .unionByName(b.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .select(col("doc_id"), lit("repeated within the batch").as("kind")))
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"applyDedupBatch: doc_id ${r.get(0)} is ${r.getString(1)} - " +
+          "ingest ids must be globally unique")
+    }
+    val all = corpus.select("doc_id", "text").unionByName(b)
+    val sh = graft.queries.Dedup.hashedShinglePlan(spark, all)
+    val pairs = graft.queries.Dedup.jaccardPairsIncrementalCapped(
+        sh, b.select("doc_id"), threshold,
+        graft.queries.Dedup.hotShingleProbe(sh))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    // components over the batch-touching pair graph only — nodes are
+    // the pair endpoints plus the batch (an isolated batch doc must
+    // survive); corpus docs appear only when a batch doc pairs them
+    val nodes = b.select(col("doc_id").as("id"))
+      .unionByName(pairs.select(col("id_a").as("id")))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+    val comp = graft.queries.Dedup.connectedComponents(nodes, pairs,
+      nodesComplete = true)
+    val corpusComps = comp.join(
+        corpus.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val keep = comp
+      .join(b.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .join(corpusComps, Seq("component"), "left_anti")
+      .groupBy("component").agg(min(col("id")).as("doc_id"))
+      .select("doc_id")
+    val survivors = b.join(keep, Seq("doc_id"), "left_semi")
+    survivors.write.mode("overwrite").parquet(s"$targetDir/inc=$batchId")
+    val n = spark.read.parquet(s"$targetDir/inc=$batchId").count()
+    commitMarker(spark, targetDir, batchId)
+    n
+  }
+
+  /** Seed the append-only dedup corpus: the initial kept relation
+    * becomes increment −1 (streaming batchIds start at 0). */
+  def initDedupCorpus(initial: DataFrame, targetDir: String): Unit = {
+    initial.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$targetDir/inc=-1")
+    commitMarker(initial.sparkSession, targetDir, -1L)
+  }
+
+  /** The accumulated dedup corpus: the union of all COMMITTED
+    * increments (an unmarked crash orphan is invisible, exactly as in
+    * the upsert target). */
+  def readDedupCorpus(spark: SparkSession, targetDir: String): DataFrame = {
+    val ids = committedIds(spark, targetDir)
+    require(ids.nonEmpty, s"dedup corpus $targetDir has no committed increment")
+    ids.sorted.map(id => spark.read.parquet(s"$targetDir/inc=$id"))
+      .reduce(_.unionByName(_))
+  }
+
   /** Resolve a snapshot id to its directory: the highest committed
     * compaction generation when one exists, else the original
     * `snap=<id>` the upsert wrote. */

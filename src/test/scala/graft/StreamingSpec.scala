@@ -583,6 +583,100 @@ class StreamingSpec extends SparkSuite {
       "retired generation marker survived")
   }
 
+  test("ingest-dedup sink: corpus dups dropped, one keep per new cluster, replay-safe") {
+    import spark.implicits._
+    // crafted corpus + two batches. Texts are 4-word streams → 3-word
+    // shingles; "identical text" pairs at jaccard 1.0, disjoint texts
+    // never pair at 0.2.
+    val tA = "alpha beta gamma delta"
+    val tB = "epsilon zeta eta theta"
+    val tC = "iota kappa lambda mu"
+    val tD = "nu xi omicron pi"
+    val targetDir = Files.createTempDirectory("graft-ingest-dedup").toString
+    Streams.initDedupCorpus(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"),
+      targetDir)
+    // batch 0: 10 dups corpus doc 1 (drop); 11 and 12 are a NEW dup
+    // cluster (keep the min id 11); 13 is clean (keep)
+    val b0 = Seq((10L, tA), (11L, tC), (12L, tC), (13L, tD))
+      .toDF("doc_id", "text")
+    assert(Streams.applyDedupBatch(b0, 0L, targetDir) == 2L,
+      "batch 0 must keep exactly {11, 13}")
+    def corpusIds(): Seq[Long] =
+      Streams.readDedupCorpus(spark, targetDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpusIds() == Seq(1L, 2L, 11L, 13L), s"after b0: ${corpusIds()}")
+    // batch 1: 20 dups doc 11 — which LANDED in batch 0, so it drops
+    // (the accumulated corpus, not just the seed, is the dedup target);
+    // 21 dups the DROPPED 12's text too (same cluster as 11 — drops);
+    // 22 is clean
+    val b1 = Seq((20L, tC), (21L, tC), (22L, "rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    assert(Streams.applyDedupBatch(b1, 1L, targetDir) == 1L,
+      "batch 1 must keep exactly {22}")
+    assert(corpusIds() == Seq(1L, 2L, 11L, 13L, 22L), s"after b1: ${corpusIds()}")
+    // layer 1 — a re-delivered batchId skips without touching data
+    assert(Streams.applyDedupBatch(b0, 0L, targetDir) == -1L,
+      "replayed batchId 0 was not skipped")
+    assert(corpusIds() == Seq(1L, 2L, 11L, 13L, 22L), "skip changed the corpus")
+    // layer 2 — crash between increment write and marker: drop batch
+    // 1's marker and re-apply; the increment rewrites byte-identically
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/_commits/1"), false)
+    assert(corpusIds() == Seq(1L, 2L, 11L, 13L), "unmarked increment leaked")
+    assert(Streams.applyDedupBatch(b1, 1L, targetDir) == 1L,
+      "crash-retry did not re-apply")
+    assert(corpusIds() == Seq(1L, 2L, 11L, 13L, 22L), "retry diverged")
+    // id hygiene fails loud (corpus collision / within-batch repeat)
+    val boomC = intercept[IllegalArgumentException] {
+      Streams.applyDedupBatch(Seq((11L, tD)).toDF("doc_id", "text"), 2L, targetDir)
+    }
+    assert(boomC.getMessage.contains("already in the corpus"))
+    val boomB = intercept[IllegalArgumentException] {
+      Streams.applyDedupBatch(Seq((30L, tD), (30L, tD)).toDF("doc_id", "text"),
+        2L, targetDir)
+    }
+    assert(boomB.getMessage.contains("repeated within the batch"))
+    // the REAL stream drives the same transactions through foreachBatch.
+    // A target is bound to ONE checkpoint lineage (the high-water mark
+    // encodes "batch N applied" — a fresh checkpoint restarting at
+    // batchId 0 against a pre-advanced target correctly SKIPS, exactly
+    // the Delta txn-appId semantics), so the stream gets its own
+    // freshly-seeded target.
+    val target2 = Files.createTempDirectory("graft-ingest-dedup2").toString
+    Streams.initDedupCorpus(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"),
+      target2)
+    val streamDir = Files.createTempDirectory("graft-ingest-src").toString
+    Seq(Seq((40L, tA), (41L, "phi chi psi omega")),
+        Seq((42L, "phi chi psi omega"), (43L, tC)))
+      .zipWithIndex.foreach { case (rows, idx) =>
+        val tmp = s"${Files.createTempDirectory("graft-ingest-chunk")}/out"
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+        val src = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(f"$streamDir/chunk_$idx%03d.parquet")
+        Files.copy(src.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis() + idx * 1000)
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = Streams.dedupIngestSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(streamDir), target2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    // chunk 0: 40 dups corpus doc 1 (drop), 41 clean (keep);
+    // chunk 1: 42 dups the LANDED 41 (drop), 43 clean (keep)
+    val got2 = Streams.readDedupCorpus(spark, target2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == Seq(1L, 2L, 41L, 43L), s"streamed ingest: $got2")
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
