@@ -575,12 +575,23 @@ class StreamingSpec extends SparkSuite {
     assert(!fs.exists(p(s"$targetDir/snap=0g7")),
       "orphaned (unmarked) generation of a retired id survived vacuum")
     assert(snapshot() == want, "compacting vacuum changed the rows")
-    assert(!fs.exists(p(s"$targetDir/snap=2")), "fragmented original survived")
+    // ONE-CYCLE retention (round-18 ADVICE): the generation THIS call
+    // superseded — the live id's original directory — survives until
+    // the next vacuum, so a reader that resolved its path just before
+    // the compaction marker landed keeps its files for a full cycle
+    assert(fs.exists(p(s"$targetDir/snap=2")),
+      "generation superseded by this call was deleted in the same call")
     assert(parquetFiles(s"$targetDir/snap=2g1") == 1,
       "compaction did not produce one file")
     assert(!fs.exists(p(s"$targetDir/snap=1g1")), "retired generation survived")
     assert(!fs.exists(p(s"$targetDir/_compactions/1_1")),
       "retired generation marker survived")
+    // the NEXT vacuum retires it (deferred deletion completes the cycle)
+    assert(Streams.vacuumUpsertTarget(spark, targetDir, retain = 1,
+      targetBytesPerFile = Long.MaxValue).isEmpty)
+    assert(!fs.exists(p(s"$targetDir/snap=2")),
+      "superseded generation survived a second vacuum")
+    assert(snapshot() == want, "deferred-retention vacuum changed the rows")
   }
 
   test("ingest-dedup sink: corpus dups dropped, one keep per new cluster, replay-safe") {
@@ -614,6 +625,19 @@ class StreamingSpec extends SparkSuite {
     assert(Streams.applyDedupBatch(b1, 1L, targetDir) == 1L,
       "batch 1 must keep exactly {22}")
     assert(corpusIds() == Seq(1L, 2L, 11L, 13L, 22L), s"after b1: ${corpusIds()}")
+    // observability sidecar ≡ independently recomputed values on this
+    // crafted fixture. batch 0: 4 in, kept {11,13}, 10 dropped as a
+    // corpus dup (pairs 1), 12 within-batch (non-min of cluster
+    // {11,12}), pairs {10-1, 11-12}. batch 1: 3 in, kept {22}, 20 and
+    // 21 corpus dups (11 landed), pairs {20-11, 21-11, 20-21}.
+    val stats = Streams.readDedupStats(spark, targetDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(stats == Seq(
+      (0L, 4L, 2L, 1L, 1L, 2L, 0L),
+      (1L, 3L, 1L, 2L, 0L, 3L, 0L)),
+      s"stats rows diverged from hand-derived values: $stats")
     // layer 1 — a re-delivered batchId skips without touching data
     assert(Streams.applyDedupBatch(b0, 0L, targetDir) == -1L,
       "replayed batchId 0 was not skipped")
@@ -675,6 +699,114 @@ class StreamingSpec extends SparkSuite {
     val got2 = Streams.readDedupCorpus(spark, target2)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got2 == Seq(1L, 2L, 41L, 43L), s"streamed ingest: $got2")
+  }
+
+  test("ingest-dedup store: kept set ≡ the rescan form; history text never re-read; vacuum bounds the plan") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    // seed + 3 batches partitioned by doc_id — the fixture corpus has
+    // genuine near-dup structure, so keeps/drops exercise every branch
+    val seed = docs.filter(col("doc_id") % 4 === 0)
+    val batches = (1 to 3).map(r => docs.filter(col("doc_id") % 4 === r))
+    val targetDir = Files.createTempDirectory("graft-ingest-store").toString
+    Streams.initDedupCorpus(seed, targetDir)
+    // the RESCAN form — the round-18 body (full corpus∪batch
+    // re-shingle + fresh df probe every batch) — is the oracle the
+    // store-backed kernel must match byte-for-byte on kept sets
+    def rescanKeeps(corpusDocs: DataFrame, batch: DataFrame): Set[Long] = {
+      val all = corpusDocs.unionByName(batch)
+      val sh = Dedup.hashedShinglePlan(spark, all)
+      val pairs = Dedup.jaccardPairsIncrementalCapped(
+          sh, batch.select("doc_id"), 0.2, Dedup.hotShingleProbe(sh))
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val nodes = batch.select(col("doc_id").as("id"))
+        .unionByName(pairs.select(col("id_a").as("id")))
+        .unionByName(pairs.select(col("id_b").as("id")))
+        .distinct()
+      val comp = Dedup.connectedComponents(nodes, pairs, nodesComplete = true)
+      val corpusComps = comp.join(
+          corpusDocs.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .select(col("component")).distinct()
+      comp.join(batch.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .join(corpusComps, Seq("component"), "left_anti")
+        .groupBy("component").agg(min(col("id")).as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    def corpusIds(): Set[Long] = Streams.readDedupCorpus(spark, targetDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    var rescanCorpus = seed
+    var landed = corpusIds()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val want = rescanKeeps(rescanCorpus, b)
+      val n = Streams.applyDedupBatch(b, i.toLong, targetDir)
+      val got = corpusIds() -- landed
+      assert(got == want,
+        s"batch $i kept set diverged from the rescan form: " +
+          s"extra=${(got -- want).toSeq.sorted.take(5)} " +
+          s"missing=${(want -- got).toSeq.sorted.take(5)}")
+      assert(n == want.size)
+      landed = corpusIds()
+      rescanCorpus = rescanCorpus.unionByName(
+        b.join(want.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
+    }
+    // --- history text is never re-read: scramble every landed doc's
+    // TEXT in place (ids preserved) and re-ingest an exact copy of a
+    // landed document's original text. The store-backed kernel still
+    // drops it (the pair formed against STORED shingles); a rescan of
+    // the scrambled corpus would have found no shingles and kept it.
+    val probeDoc = seed.orderBy("doc_id").limit(1).collect()(0)
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (Seq(-1L) ++ (0L to 2L)).foreach { id =>
+      val dir = s"$targetDir/inc=$id"
+      val ids = spark.read.parquet(dir).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      ids.map(i => (i, "zz")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+    }
+    assert(Streams.applyDedupBatch(
+        Seq((900001L, probeDoc.getString(1))).toDF("doc_id", "text"),
+        3L, targetDir) == 0L,
+      "a dup of landed content survived after the history text was " +
+        "scrambled - the kernel re-read text instead of the shingle store")
+    // --- vacuum: generation 1 compacts; one-cycle retention keeps the
+    // increments this call covered; the SECOND vacuum retires them;
+    // increment _commits markers (the high-water mark) never retire
+    val before = corpusIds()
+    assert(Streams.vacuumDedupCorpus(spark, targetDir).isEmpty,
+      "first vacuum retired increments its own generation just covered")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/gen=1/docs")))
+    assert(corpusIds() == before, "vacuum changed the corpus")
+    assert(Streams.vacuumDedupCorpus(spark, targetDir) ==
+      Seq(-1L, 0L, 1L, 2L, 3L), "second vacuum must retire covered increments")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/inc=-1")),
+      "covered increment data survived the deferred retirement")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/_commits/-1")),
+      "increment marker (the high-water mark) was deleted")
+    assert(corpusIds() == before, "retirement changed the corpus")
+    // the sink continues on top of the compacted generation: a stale
+    // batchId still skips (markers survived), a fresh one applies and
+    // pairs against the GENERATION's shingle store
+    assert(Streams.applyDedupBatch(
+      Seq((900002L, "qq")).toDF("doc_id", "text"), 3L, targetDir) == -1L)
+    assert(Streams.applyDedupBatch(
+        Seq((900002L, probeDoc.getString(1)), (900003L, "aa bb cc dd ee"))
+          .toDF("doc_id", "text"), 4L, targetDir) == 1L,
+      "post-vacuum batch must drop the landed dup and keep the clean doc")
+    assert(corpusIds() == before + 900003L)
+    // third vacuum compacts gen 2 over (gen 1 + inc 4); gen 1 survives
+    // one cycle, then retires
+    Streams.vacuumDedupCorpus(spark, targetDir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/gen=2/docs")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/gen=1")),
+      "the generation this call superseded must survive one cycle")
+    assert(corpusIds() == before + 900003L)
+    Streams.vacuumDedupCorpus(spark, targetDir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/gen=1")),
+      "superseded generation survived a second vacuum")
+    assert(corpusIds() == before + 900003L)
   }
 
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
