@@ -194,10 +194,15 @@ object Graft {
     * [[graft.queries.Aggregates.weightedQuartiles]]) — the aggregate
     * Spark has no builtin for (percentile_approx takes no weights):
     * quartile q = smallest value whose cumulative mass reaches q/4 of
-    * the group total. Interpolation-free and deterministic; computed by
-    * the mergeable [[graft.functions.WeightedQuantiles]] sketch — exact
-    * while a group's distinct values stay under the 2²⁰ cap, one-sided
-    * O(tot/cap) rank error above it, never a keyed window.
+    * the group total. Interpolation-free; computed by the mergeable
+    * [[graft.functions.WeightedQuantiles]] sketch — exact AND
+    * deterministic while a group's distinct values stay under the 2²⁰
+    * cap (the buffer is then literally the grouped (value, Σmass)
+    * relation), never a keyed window. ABOVE the cap the one-sided
+    * O(tot/cap) rank bound always holds, but compress() runs on
+    * merge-order-dependent intermediate buffers, so the picked value
+    * may vary run to run WITHIN that bound — the determinism claim is
+    * scoped to the exact regime (round-18 ADVICE #1).
     * Returns (group, total_w, wq1_cents, wmedian_cents, wq3_cents). */
   def weightedQuartiles(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String): DataFrame =

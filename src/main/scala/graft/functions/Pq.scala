@@ -780,12 +780,22 @@ object Pq {
     // demand the full-corpus refit this API exists to avoid
     if (vNew.limit(1).collect().isEmpty)
       return AppendedIndex(Some(idx), 0.0, refitNeeded = false)
+    // ONE bounded probe for BOTH duplicate shapes (round-18 ADVICE #2 —
+    // the applyDedupBatch union-probe pattern): an id already in the
+    // index, or repeated WITHIN the batch, would land twice in
+    // homes/codes and double its candidacy in every downstream search
     val dup = vNew.select("vec_id")
       .join(idx.homes.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), lit("already indexed").as("kind"))
+      .unionByName(vNew.groupBy("vec_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .select(col("vec_id"), lit("repeated within the batch").as("kind")))
       .limit(1).collect()
-    require(dup.isEmpty,
-      s"appendToIndex: id ${dup.headOption.map(_.get(0)).orNull} is already " +
-        "indexed - an appended duplicate would double its search candidacy")
+    dup.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"appendToIndex: id ${r.get(0)} is ${r.getString(1)} - an appended " +
+          "duplicate would double its search candidacy")
+    }
     def persisted(df: DataFrame): DataFrame =
       if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       else df

@@ -2623,9 +2623,10 @@ object Dedup extends QueryGroup {
     // rule; count ties break to the lexicographically smallest, D6),
     // the record key is the smallest member id, the price field keeps
     // the max in exact cents. Scale shape: blocking bounds the pair
-    // stage, components are the two-regime kernel, survivorship is two
-    // keyed aggregates + one window over the (cluster, name) VOTE
-    // relation — grouped cardinality, never members². Fully ORACLED:
+    // stage, components are the two-regime kernel, survivorship is
+    // keyed hash aggregates ONLY (mode via min_by argmin — no window,
+    // so a mega-cluster's name variants reduce map-side, round 19);
+    // grouped cardinality, never members². Fully ORACLED:
     // the same pair SQL, the recursive min-label walk, and the same
     // mode/min/max rules.
     "er_golden_record" -> ((s, dir) => {
@@ -2683,15 +2684,18 @@ object Dedup extends QueryGroup {
     * (component, id, name, vc): one golden row per component — mode
     * name (count desc, name asc — D6), min id, max vc, member count.
     * Split out so [[graft.Graft.goldenRecords]] can run it on caller
-    * frames behind any matcher. */
+    * frames behind any matcher. Mode selection is ONE hash aggregate
+    * (argmin of the (−votes, name) key — the pipeline_keep_canonical
+    * rewrite applied here, round-18 VERDICT minor #4): the per-component
+    * rank window it replaces put a pathological mega-cluster's full
+    * name-variant set on one task; min_by reduces it map-side. */
   private[graft] def goldenRecords(named: DataFrame): DataFrame = {
     val votes = named.groupBy("component", "name").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("component")
-      .orderBy(col("n").desc, col("name"))
-    val canon = votes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("component"), col("name").as("canonical_name"),
-        col("n").as("name_votes"))
+    val canon = votes.groupBy("component")
+      .agg(min_by(struct(col("name"), col("n")),
+        struct(-col("n"), col("name"))).as("c"))
+      .select(col("component"), col("c.name").as("canonical_name"),
+        col("c.n").as("name_votes"))
     named.groupBy("component")
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("canonical_id"),
         max(col("vc")).as("max_value_cents"))

@@ -207,6 +207,71 @@ object Windows extends QueryGroup {
         .orderBy("c_mktsegment", "c_custkey")
     }),
 
+    // The SCALE form of the distribution window (round-18 VERDICT #3 —
+    // win_distribution partitions by a 5-value key, so each segment's
+    // FULL customer set sorts on one task; the eqdepth_scale playbook
+    // applied to per-row rank functions): per segment, 31 bucket
+    // BOUNDARIES from the mergeable percentile sketch (map-side
+    // partials, exact at fixture accuracy) assign every row a bucket
+    // MAP-SIDE against the broadcast boundary relation; the global rank
+    // is then (broadcast per-(segment,bucket) offset) + (row_number
+    // within the bucket) — the only window partitions by (segment,
+    // bucket), whose occupancy is ~N/32 per segment at ANY scale, never
+    // a whole segment. Offsets come from a bounded self-join over the
+    // ≤ segments×32 count relation (no segment-only window anywhere).
+    // quartile/pr/cd derive EXACTLY from the rank: the order key
+    // (acctbal, custkey) is unique, so percent_rank = (rank−1)/(N−1),
+    // cume_dist = rank/N, and ntile's first-(N mod 4)-buckets-larger
+    // sizing is closed-form. ORACLED with win_distribution's own SQL —
+    // bucket assignment is monotone in the order key, so ranks (and
+    // every derived value) hash-match the exact window; at 100 TB the
+    // same plan runs with the sketch approximate (bucket occupancy
+    // merely skews, values stay exact). Deviation from even occupancy
+    // is bounded by the largest acctbal tie run (all ties share one
+    // bucket), the documented eqdepth_scale caveat.
+    "win_distribution_scale" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          cents(col("c_acctbal")).as("pc"))
+      val fracs = (1 until 32).map(_ / 32.0)
+      val bs = cust.groupBy("c_mktsegment")
+        .agg(percentile_approx(col("pc"), array(fracs.map(lit): _*),
+          lit(Aggregates.eqdepthSketchAccuracy)).as("bs"))
+      val nseg = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("nseg"))
+      val bucketed = cust.join(broadcast(bs), "c_mktsegment")
+        .withColumn("bkt", size(filter(col("bs"), x => x < col("pc"))))
+        .drop("bs")
+      val counts = bucketed.groupBy("c_mktsegment", "bkt")
+        .agg(count(lit(1)).as("bn"))
+      val offs = counts.as("a")
+        .join(counts.as("b"),
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+            col("b.bkt") < col("a.bkt"), "left")
+        .groupBy(col("a.c_mktsegment").as("c_mktsegment"), col("a.bkt").as("bkt"))
+        .agg(coalesce(sum(col("b.bn")), lit(0L)).as("off"))
+      val wIn = Window.partitionBy("c_mktsegment", "bkt")
+        .orderBy(col("pc"), col("c_custkey"))
+      val base = floor(col("nseg") / 4).cast("long")
+      val r = col("nseg") % 4
+      val cut = r * (base + 1)
+      bucketed
+        .withColumn("rn", row_number().over(wIn))
+        .join(broadcast(offs), Seq("c_mktsegment", "bkt"))
+        .join(broadcast(nseg), "c_mktsegment")
+        .withColumn("rank", col("off") + col("rn"))
+        .select(col("c_mktsegment"), col("c_custkey"),
+          when(col("rank") <= cut,
+            ceil(col("rank").cast("double") / (base + 1).cast("double")))
+            .otherwise(r + ceil((col("rank") - cut).cast("double") /
+              greatest(base, lit(1L)).cast("double")))
+            .cast("long").as("quartile"),
+          when(col("nseg") === 1, lit(0.0))
+            .otherwise((col("rank") - 1).cast("double") /
+              (col("nseg") - 1).cast("double")).as("pr"),
+          (col("rank").cast("double") / col("nseg").cast("double")).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // Multi-key sort, mixed direction, explicit null placement (D4 nulls
     // synthesized via CASE).
     "sort_multi" -> ((s, dir) =>
@@ -514,6 +579,15 @@ object Windows extends QueryGroup {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "win_distribution" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    // the scale form must reproduce the exact window's values — same SQL
+    "win_distribution_scale" ->
       """SELECT c_mktsegment, c_custkey,
         |  ntile(4) OVER w AS quartile,
         |  percent_rank() OVER w AS pr,

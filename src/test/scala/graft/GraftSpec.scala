@@ -1408,11 +1408,19 @@ class GraftSpec extends SparkSuite {
     assert(res2.refitNeeded && res2.index.isEmpty,
       s"shifted batch accepted at drift=${res2.drift}")
     assert(res2.drift > 0.5, s"shifted drift only ${res2.drift}")
-    // duplicate-id guard
+    // duplicate-id guard — against the index AND within the batch
+    // itself (round-18 ADVICE #2: an id repeated in newVecs would land
+    // twice in homes/codes and double its search candidacy)
     val boom = intercept[IllegalArgumentException] {
       Pq.appendToIndex(ix2, Seq((7L, all(7L).toSeq)).toDF("vec_id", "embedding"),
         "embedding")
     }
     assert(boom.getMessage.contains("already indexed"))
+    val boomB = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(ix2,
+        Seq((900L, all(7L).toSeq), (900L, all(8L).toSeq))
+          .toDF("vec_id", "embedding"), "embedding")
+    }
+    assert(boomB.getMessage.contains("repeated within the batch"))
   }
 }

@@ -474,6 +474,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Broadcast"), s"boundary relation must broadcast:\n$p")
   }
 
+  test("distribution scale form never windows a whole segment") {
+    // round-18 VERDICT #3: win_distribution's Window.partitionBy on the
+    // 5-value segment key puts each segment's full customer set on one
+    // task. The scale twin may only window WITHIN a sketch bucket —
+    // every Window operator's partition spec must carry the bucket key
+    // alongside the segment — and the boundary/offset/count relations
+    // must broadcast.
+    val p = planOf("win_distribution_scale")
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.nonEmpty, s"expected a within-bucket window:\n$p")
+    wins.foreach(l => assert(l.contains("bkt"),
+      s"a Window partitions without the bucket key (whole-segment sort):\n$l"))
+    assert(p.contains("Broadcast"), s"stats relations must broadcast:\n$p")
+  }
+
+  test("golden-record survivorship plans hash aggregates, no window") {
+    // round-18 VERDICT minor #4: mode selection must be the min_by
+    // argmin aggregate (map-side partial on a mega-cluster), never a
+    // per-component rank window
+    val p = planOf("er_golden_record")
+    assert(!p.contains("Window ["),
+      s"window crept back into the survivorship kernel:\n$p")
+  }
+
   test("weighted quartiles plan no window and one data exchange (sketch agg)") {
     // round-17 VERDICT #1: the per-group RANGE window put each group's
     // entire row set on one task (5 near-global sorts at 100 TB). The

@@ -636,6 +636,23 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("win_distribution_scale reproduces the exact window's rows bit-for-bit") {
+    // round-18 VERDICT #3: the scale twin's rank derivation (sketch
+    // bucket + broadcast offset + within-bucket row_number) must equal
+    // the whole-segment window EXACTLY — quartile by the closed-form
+    // ntile sizing, pr/cd as the same integer divisions — at fixture
+    // accuracy the boundaries are exact, so every value (doubles
+    // included) is bit-identical, which is what keeps the key oracled.
+    val exact = SparkEntry.queries("win_distribution")(spark, sf001).collect()
+    val scale = SparkEntry.queries("win_distribution_scale")(spark, sf001)
+      .collect()
+    assert(exact.length == scale.length,
+      s"row counts diverge: ${exact.length} vs ${scale.length}")
+    exact.zip(scale).foreach { case (a, b) =>
+      assert(a == b, s"scale row diverged: exact=$a scale=$b")
+    }
+  }
+
   /** Exact lower weighted quartiles by the integer rule — the plain-
     * Scala ground truth for the WeightedQuantiles sketch tests. */
   private def exactWq(rows: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
