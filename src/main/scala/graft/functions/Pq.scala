@@ -716,9 +716,13 @@ object Pq {
     * the caller refits over the full corpus ([[ivfPqIndexCached]] after
     * [[invalidateIndexCache]], or [[fitIvfPq]]). `drift` is the
     * relative gap between the corpus's and the batch's quantized
-    * residual moments. */
+    * residual moments. `incHomes`/`incCodes` carry the BATCH's own
+    * encoded rows (the union's right side) so a persistence caller can
+    * [[writeIndexIncrement]] exactly what was encoded — never a second
+    * encode pass. */
   final case class AppendedIndex(index: Option[IvfPqIndex], drift: Double,
-      refitNeeded: Boolean)
+      refitNeeded: Boolean, incHomes: Option[DataFrame] = None,
+      incCodes: Option[DataFrame] = None)
 
   /** Mean reconstructed residual energy of an encoded relation — the
     * quantized second moment E[‖r̂‖²], computed from the CODES alone
@@ -815,7 +819,121 @@ object Pq {
     } else AppendedIndex(
       Some(IvfPqIndex(idx.model, idx.homes.unionByName(homesNew),
         idx.codes.unionByName(codesNew))),
-      drift, refitNeeded = false)
+      drift, refitNeeded = false, Some(homesNew), Some(codesNew))
+  }
+
+  // ---- index persistence (round-18 VERDICT #4) -------------------------
+  //
+  // The faiss write_index/read_index equivalent on the engine's marker
+  // protocol (graft.MarkerStore — the upsert/ingest-corpus discipline):
+  //   <dir>/gen=<g>/{meta,cents,codebooks,homes,codes}   full snapshots
+  //   <dir>/inc=<i>/{homes,codes}                        appended batches
+  //   <dir>/_gens/<g>_<coveredMaxInc>, <dir>/_commits/<i>  markers (LAST)
+  // A fresh session readIndex()es with ZERO fit jobs — three bounded
+  // driver reads (meta row, ≤c centroid rows, m·k codebook rows) plus
+  // lazy parquet plans for homes/codes — and serves every search overload
+  // unchanged. writeIndex is itself the compaction: it snapshots the
+  // CALLER's index (typically readIndex + appendToIndex's result) as the
+  // next generation covering all committed increments, so read-plan
+  // fan-in stays (1 generation + tail) at any append count.
+
+  /** Persist a full index snapshot as the next generation; the
+    * generation marker commits LAST, so a crash mid-write leaves an
+    * invisible orphan the retry overwrites. Increment ids are the
+    * caller's batch sequence and must be ≥ 0 (the seed generation
+    * covers -1). */
+  def writeIndex(idx: IvfPqIndex, dir: String): Unit = {
+    val spark = idx.homes.sparkSession
+    import spark.implicits._
+    val g = graft.MarkerStore.liveGen(spark, dir).map(_._1).getOrElse(0L) + 1
+    val covered = (graft.MarkerStore.committedIncs(spark, dir) :+ -1L).max
+    Seq((idx.model.pq.m, idx.model.pq.k, idx.model.pq.sub))
+      .toDF("m", "k", "sub")
+      .write.mode("overwrite").parquet(s"$dir/gen=$g/meta")
+    idx.model.cents.toDF("c_id", "centv")
+      .write.mode("overwrite").parquet(s"$dir/gen=$g/cents")
+    codebookDF(spark, idx.model.pq)
+      .write.mode("overwrite").parquet(s"$dir/gen=$g/codebooks")
+    idx.homes.write.mode("overwrite").parquet(s"$dir/gen=$g/homes")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/gen=$g/codes")
+    graft.MarkerStore.commitGen(spark, dir, g, covered)
+  }
+
+  /** Persist one appended batch's homes/codes as increment `incId`
+    * (take them from [[AppendedIndex.incHomes]]/[[AppendedIndex.incCodes]]
+    * — encode once, persist the same rows). Returns false when the
+    * increment high-water mark skips a re-delivered id; the marker
+    * commits LAST. */
+  def writeIndexIncrement(homes: DataFrame, codes: DataFrame, dir: String,
+      incId: Long): Boolean = {
+    require(incId >= 0, s"writeIndexIncrement: increment id $incId < 0")
+    val spark = homes.sparkSession
+    val committed = graft.MarkerStore.committedIncs(spark, dir)
+    if (committed.nonEmpty && incId <= committed.max) false
+    else {
+      homes.write.mode("overwrite").parquet(s"$dir/inc=$incId/homes")
+      codes.write.mode("overwrite").parquet(s"$dir/inc=$incId/codes")
+      graft.MarkerStore.commitInc(spark, dir, incId)
+      true
+    }
+  }
+
+  /** Load a persisted index: the live generation's model (bounded
+    * driver reads — never a fit, never a corpus scan) plus homes/codes
+    * as the lazy union of the generation and every committed increment
+    * above its cover. The returned [[IvfPqIndex]] is NOT persisted to
+    * executor storage — callers with a repeated-query workload may
+    * .persist() homes/codes themselves (or writeIndex after appends,
+    * which re-snapshots). */
+  def readIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val (gen, tail) = graft.MarkerStore.resolve(spark, dir)
+    require(gen.nonEmpty, s"index $dir has no committed generation")
+    val g = gen.get._1
+    val meta = spark.read.parquet(s"$dir/gen=$g/meta").head()
+    val (m, k, sub) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cents = spark.read.parquet(s"$dir/gen=$g/cents")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val cbRows = spark.read.parquet(s"$dir/gen=$g/codebooks")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codebooks = Array.tabulate(m)(b =>
+      cbRows.filter(_._1 == b).sortBy(_._2).map(_._3))
+    require(codebooks.forall(_.nonEmpty),
+      s"index $dir generation $g has an empty codebook block")
+    def unionOf(name: String): DataFrame =
+      (Seq(s"$dir/gen=$g/$name") ++ tail.map(i => s"$dir/inc=$i/$name"))
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    IvfPqIndex(IvfPqModel(cents, Model(m, k, sub, codebooks)),
+      unionOf("homes"), unionOf("codes"))
+  }
+
+  /** Retire persisted-index data a reader can no longer resolve — the
+    * ingest-corpus one-cycle rule: increments at or below the live
+    * generation's cover and generations below the live one (both only
+    * reachable by a reader that resolved BEFORE the live generation's
+    * marker landed, i.e. before the last writeIndex). Increment
+    * `_commits` markers never retire — they are the append high-water
+    * mark. Returns the retired increment ids. */
+  def vacuumIndex(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = graft.MarkerStore.fs(spark, dir)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    graft.MarkerStore.liveGen(spark, dir) match {
+      case None => Seq.empty
+      case Some((live, covered)) =>
+        val incs = graft.MarkerStore.committedIncs(spark, dir)
+          .filter(_ <= covered).sorted
+          .filter(i => fs.exists(path(s"$dir/inc=$i")))
+        incs.foreach(i => fs.delete(path(s"$dir/inc=$i"), true))
+        graft.MarkerStore.committedGens(spark, dir)
+          .filter(_._1 < live)
+          .foreach { case (g, c) =>
+            fs.delete(path(s"$dir/gen=$g"), true)
+            fs.delete(path(s"$dir/_gens/${g}_$c"), false)
+          }
+        incs
+    }
   }
 
   /** Residual IVFADC over a MATERIALIZED index — the repeated-query

@@ -670,7 +670,7 @@ object Dedup extends QueryGroup {
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
   }
 
-  private def cosine(va: String, vb: String, na: String, nb: String): Column =
+  private[graft] def cosine(va: String, vb: String, na: String, nb: String): Column =
     expr(s"vec_dot($va, $vb)") / (col(na) * col(nb))
 
   /** The search_hybrid_rrf query set — ids present in BOTH documents

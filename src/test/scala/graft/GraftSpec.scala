@@ -1423,4 +1423,70 @@ class GraftSpec extends SparkSuite {
     }
     assert(boomB.getMessage.contains("repeated within the batch"))
   }
+
+  test("ANN index persistence: read-back serves searches with zero fit jobs; appends compose; vacuum bounds the store") {
+    // round-18 VERDICT #4: the faiss write_index/read_index equivalent.
+    // The no-refit/no-rescan pin is physical: the corpus parquet is
+    // DELETED before readIndex, so any load path that refits (or
+    // re-encodes the corpus) dies on a missing file.
+    import spark.implicits._
+    import graft.functions.Pq
+    val all = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-persist").toString + "/emb"
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-persist-idx").toString
+    Tables.embeddings(spark, sf001).filter(col("vec_id") < 400)
+      .write.parquet(corpusDir)
+    val built = Pq.ivfPqIndexCached(spark.read.parquet(corpusDir), "embedding",
+      centroids = 16)
+    val queries = (0L until 400L by 13L).map(i => (i, all(i).toSeq))
+      .toDF("vec_id", "embedding")
+    def search(ix: Pq.IvfPqIndex): Seq[(Long, Long)] =
+      Pq.ivfAdcTopk(queries, "embedding", ix, 5, nprobe = 8, "vec_id",
+          None, None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val wantBuilt = search(built)
+    Pq.writeIndex(built, idxDir)
+    // the point of no return: the corpus exists only in the store
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(corpusDir))
+    Pq.invalidateIndexCache(spark)
+    val loaded = Pq.readIndex(spark, idxDir)
+    assert(search(loaded) == wantBuilt,
+      "read-back index diverged from the in-session one")
+    // load → append → persist the increment (the composition the API
+    // exists for); a re-read serves generation + increment
+    val batch = (400L to 449L).map(i => (i, all(i).toSeq))
+      .toDF("vec_id", "embedding")
+    val app = Pq.appendToIndex(loaded, batch, "embedding")
+    assert(!app.refitNeeded && app.incHomes.nonEmpty && app.incCodes.nonEmpty)
+    assert(Pq.writeIndexIncrement(app.incHomes.get, app.incCodes.get, idxDir, 0L))
+    assert(!Pq.writeIndexIncrement(app.incHomes.get, app.incCodes.get, idxDir, 0L),
+      "re-delivered increment id was not skipped")
+    val loaded2 = Pq.readIndex(spark, idxDir)
+    assert(loaded2.homes.count() == 450 && loaded2.codes.count() == 450 * 8)
+    // captured BEFORE vacuum: the in-memory appended index lazily reads
+    // generation 1, which the vacuum below legitimately retires
+    val wantApp = search(app.index.get)
+    assert(search(loaded2) == wantApp,
+      "persisted-increment search diverged from the in-memory append")
+    // writeIndex snapshots the appended state as generation 2; vacuum
+    // then retires the covered increment and the superseded generation
+    Pq.writeIndex(loaded2, idxDir)
+    assert(Pq.vacuumIndex(spark, idxDir) == Seq(0L))
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/inc=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/gen=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/_commits/0")),
+      "increment marker (the append high-water mark) was deleted")
+    val loaded3 = Pq.readIndex(spark, idxDir)
+    assert(loaded3.homes.count() == 450)
+    assert(search(loaded3) == wantApp,
+      "compacted generation diverged")
+  }
 }

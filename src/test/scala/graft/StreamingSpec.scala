@@ -809,6 +809,103 @@ class StreamingSpec extends SparkSuite {
     assert(corpusIds() == before + 900003L)
   }
 
+  test("semantic ingest-dedup sink: IVF candidates + exact rerank, keep ≡ same-pair replay, recall floor, drift refit") {
+    import spark.implicits._
+    import graft.functions.Pq
+    import graft.queries.Dedup
+    // cast once so stored increments, batch frames, and driver-side
+    // collects all carry double arrays
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    val seed = emb.filter(col("doc_id") % 3 === 0)
+    val batches = (1 to 2).map(r => emb.filter(col("doc_id") % 3 === r))
+    val target = Files.createTempDirectory("graft-sem-ingest").toString
+    Streams.initSemanticDedupCorpus(seed, target)
+    def corpusIds(): Set[Long] = Streams.readSemanticCorpus(spark, target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def indexSize(): Long =
+      Pq.readIndex(spark, s"$target/_index").homes.count()
+    var landed = corpusIds()
+    assert(indexSize() == landed.size, "seed index must cover the seed")
+    batches.zipWithIndex.foreach { case (bt, i) =>
+      val corpus = Streams.readSemanticCorpus(spark, target)
+      val idx = Pq.readIndex(spark, s"$target/_index")
+      // the sink's own pair stage, replayed: pins the keep rule and the
+      // transaction plumbing independently of the writes
+      val pairs = Streams.semanticBatchPairs(spark, idx,
+          corpus.unionByName(bt), bt.select("doc_id"), 0.4, 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // recall floor vs the EXACT batch-touching cosine ≥ 0.4 graph
+      // (the dedup_embedding block-pair kernel); candidate pairs must
+      // also be a SUBSET — the rerank is exact, so no false positives
+      val bIds = bt.select("doc_id").collect().map(_.getLong(0)).toSet
+      val exact = Dedup.embeddingPairsOf(spark,
+          corpus.unionByName(bt)
+            .select(col("doc_id").as("vec_id"), col("embedding")), 0.4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => bIds(p._1) || bIds(p._2)).toSet
+      assert(pairs.subsetOf(exact),
+        s"sink emitted pairs the exact graph rejects: ${(pairs -- exact).take(3)}")
+      val recall =
+        if (exact.isEmpty) 1.0 else pairs.intersect(exact).size.toDouble / exact.size
+      info(f"batch $i: ${exact.size} exact pairs, candidate recall $recall%.3f")
+      assert(recall >= 0.8, s"batch $i candidate recall $recall under the floor")
+      // expected keep set: the shared D6 rule over the sink's own pairs
+      val want = {
+        val pdf = pairs.toSeq.toDF("id_a", "id_b")
+        val comp = Dedup.connectedComponents(
+          bt.select(col("doc_id").as("id"))
+            .unionByName(pdf.select(col("id_a").as("id")))
+            .unionByName(pdf.select(col("id_b").as("id"))).distinct(),
+          pdf, nodesComplete = true)
+        val corpusComps = comp.join(corpus.select(col("doc_id").as("id")),
+          Seq("id"), "left_semi").select("component").distinct()
+        comp.join(bt.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          .join(corpusComps, Seq("component"), "left_anti")
+          .groupBy("component").agg(min(col("id")).as("doc_id"))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      val n = Streams.applySemanticDedupBatch(bt, i.toLong, target,
+        nprobe = 12)
+      val got = corpusIds() -- landed
+      assert(got == want, s"batch $i kept set diverged: " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(n == want.size)
+      landed = corpusIds()
+      assert(indexSize() == landed.size,
+        "index must cover exactly the landed corpus")
+    }
+    // exactly-once: stale id skips; crash between the index commit and
+    // the outer marker retries cleanly (the index increment SKIPS, the
+    // doc increment rewrites)
+    assert(Streams.applySemanticDedupBatch(batches(1), 1L, target,
+      nprobe = 12) == -1L)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$target/_commits/1"), false)
+    val before = landed
+    val n1 = Streams.applySemanticDedupBatch(batches(1), 1L, target,
+      nprobe = 12)
+    assert(n1 >= 0 && corpusIds() == before, "crash retry diverged")
+    assert(indexSize() == before.size, "crash retry duplicated index rows")
+    // DRIFT path: negated ×50 vectors keep their pairwise cosines (so
+    // some survive the dedup) but shift the residual moments ~2500× —
+    // the sink must REFIT and persist the next index generation
+    val gen0 = graft.MarkerStore.liveGen(spark, s"$target/_index").get._1
+    val drifted = seed.collect().take(24)
+      .map(r => (10000L + r.getLong(0),
+        r.getSeq[Double](1).map(_ * -50.0)))
+      .toSeq.toDF("doc_id", "embedding")
+    val nd = Streams.applySemanticDedupBatch(drifted, 2L, target)
+    assert(nd >= 1, "no drifted doc survived - the refit path never ran")
+    val gen1 = graft.MarkerStore.liveGen(spark, s"$target/_index").get._1
+    assert(gen1 > gen0, s"drift did not advance the index generation ($gen0)")
+    assert(indexSize() == corpusIds().size,
+      "refit index must cover exactly the landed corpus")
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => (t._1, t._2) -> t._3).toMap
   }
