@@ -116,6 +116,17 @@ object Bench {
     // the per-rep scan+explode+hash+distinct, and the signature/set-size
     // aggregates run exchange-free on the reported partitioning.
     graft.queries.Dedup.warmShingles(spark, sfDir)
+    // Residual IVFADC index for the ANN serving row (same params as
+    // the simsearch_pq_ivf key): the session registry serves every rep
+    // from the persisted homes/codes, so the timed row measures the
+    // query side only — forcing homes+codes here materializes the
+    // MEMORY_ONLY storage outside the timed region (warmShingles
+    // discipline).
+    locally {
+      val ix = graft.functions.Pq.ivfPqIndexCached(
+        Tables.embeddings(spark, sfDir), "embedding", centroids = 16)
+      ix.homes.count(); ix.codes.count(); ()
+    }
     // AP's kernel classes JIT-compile on the first solve; warm that one
     // (JVM-wide, but cheap enough to repeat per pass).
     val emb500 = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(500)
@@ -186,6 +197,34 @@ object Bench {
     val bfsRun = SparkEntry.queries("graph_bfs_distance")
     for (_ <- 1 to apDistReps)
       record("graph_bfs_distance", time { bfsRun(spark, sfDir).count(); () })
+
+    // ANN SERVING row (round-18 VERDICT #7: the ANN stack is the
+    // likeliest 100 TB hot path and had no bench row): residual IVFADC
+    // top-5 for a fixed 256-id workload against the warm-time index —
+    // per-rep cost is the QUERY side only (workload assignment,
+    // per-(query, probe) residual LUT, candidate join, rank; the
+    // ingest-side fit/encode is pqivf.json's record). Measured OUTSIDE
+    // the round-robin (the ap_dist rule — multi-second reps starve the
+    // other rows' window sampling). Deliberately NOT the full
+    // self-search: ADC pays a fixed m·k-row LUT per (query, probe), so
+    // an all-2000-query workload at fixture N is LUT-dominated
+    // (measured 19.8 s) and would clock fixture geometry, not the
+    // serving path — the 100 TB regime has N/c ≫ m·k, where the same
+    // plan is candidate-bound.
+    locally {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val pqIdx = graft.functions.Pq.ivfPqIndexCached(
+        Tables.embeddings(spark, sfDir), "embedding", centroids = 16)
+      val pqQids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
+        .localCheckpoint()
+      val run = () => {
+        graft.functions.Pq.ivfAdcTopk(Tables.embeddings(spark, sfDir),
+          "embedding", pqIdx, 5, nprobe = 8, "vec_id", Some(pqQids)).count(); ()
+      }
+      run() // warm this workload shape (JIT/codegen)
+      for (_ <- 1 to apDistReps) record("simsearch_pq_ivf_q256", time(run()))
+    }
 
     // Floor rows (BASELINE.md round-5/6 note): jobs with NO query logic
     // bounding what any Spark-local job clocks under this width.
