@@ -445,6 +445,12 @@ object Streams {
       landedSh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$targetDir/_dfs/inc=$batchId")
       val n = landed.count()
+      // dedup PROVENANCE sidecar (round 19): every dropped batch doc
+      // mapped to the landed/kept document it duplicated — the audit
+      // trail attribution and takedown pipelines need ("which doc did
+      // mine lose to"). Component-sized work, no corpus scan.
+      dupAttribution(b.select("doc_id"), corpus.select("doc_id"), keep, comp)
+        .write.mode("overwrite").parquet(s"$targetDir/_dups/inc=$batchId")
       // observability sidecar (round-18 VERDICT #9): the numbers a
       // production dedup sink is operated by. All counts are
       // batch-sized jobs over already-built relations — no corpus scan
@@ -466,6 +472,36 @@ object Streams {
     } finally graft.Checkpoints.release(pairs)
   }
 
+  /** (dropped doc_id → dup_of) for one batch: the smallest
+    * corpus-or-kept member of the dropped doc's component — every
+    * dropped doc has one (a drop implies a corpus member in the
+    * component, or a smaller KEPT batch doc), and the pick is
+    * deterministic (D6). */
+  private def dupAttribution(bIds: DataFrame, corpusIds: DataFrame,
+      keep: DataFrame, comp: DataFrame): DataFrame = {
+    val canon = comp.join(
+        corpusIds.select(col("doc_id").as("id"))
+          .unionByName(keep.select(col("doc_id").as("id"))),
+        Seq("id"), "left_semi")
+      .groupBy("component").agg(min(col("id")).as("dup_of"))
+    comp.join(bIds.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .join(keep.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .join(canon, "component")
+      .select(col("id").as("doc_id"), col("dup_of"))
+  }
+
+  /** The empty attribution relation (the seed increment's sidecar). */
+  private def emptyDups(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "dup_of")
+  }
+
+  /** Accumulated dedup provenance: (doc_id, dup_of) for every doc ever
+    * DROPPED by this target's ingest, mapped to the landed document it
+    * duplicated. Works on both the lexical and semantic targets. */
+  def readDedupAttribution(spark: SparkSession, targetDir: String): DataFrame =
+    readCorpusStore(spark, targetDir, "dups", id => s"$targetDir/_dups/inc=$id")
+
   /** Seed the append-only dedup corpus: the initial kept relation
     * becomes increment −1 (streaming batchIds start at 0), with its
     * shingle-store and df-partial directories written like any other
@@ -480,6 +516,7 @@ object Streams {
     spark.read.parquet(s"$targetDir/_shingles/inc=-1")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$targetDir/_dfs/inc=-1")
+    emptyDups(spark).write.mode("overwrite").parquet(s"$targetDir/_dups/inc=-1")
     commitMarker(spark, targetDir, -1L)
   }
 
@@ -609,7 +646,7 @@ object Streams {
         corpus.unionByName(b), b.select("doc_id"), threshold, nprobe)
       .localCheckpoint(true)
     try {
-      val (keep, _, _) =
+      val (keep, comp, corpusComps) =
         dedupKeepParts(b.select("doc_id"), corpus.select("doc_id"), pairs)
       val survivors = b.join(keep, Seq("doc_id"), "left_semi")
       survivors.write.mode("overwrite").parquet(s"$targetDir/inc=$batchId")
@@ -625,24 +662,45 @@ object Streams {
           landed.select(col("doc_id").as("vec_id"))
             .join(idx.homes.select("vec_id"), Seq("vec_id"), "left_semi")
             .limit(1).collect().nonEmpty
-      if (!indexHasBatch) {
-        // persist=false: the increment is consumed twice (drift moment +
-        // store write) and recomputes batch-sized; persist=true would
-        // strand MEMORY_ONLY blocks per batch with no release hook here
-        val app = Pq.appendToIndex(idx, landed, "embedding", idCol = "doc_id",
-          persist = false)
-        if (app.refitNeeded) {
-          // distribution shift: full refit over corpus + survivors,
-          // persisted as the next index generation
-          Pq.writeIndex(
-            buildSemanticIndex(spark, corpus.unionByName(landed)), indexDir)
-        } else if (app.incHomes.nonEmpty) {
-          Pq.writeIndexIncrement(app.incHomes.get, app.incCodes.get,
-            indexDir, batchId)
-          ()
+      val indexOp =
+        if (indexHasBatch) "skipped"
+        else {
+          // persist=false: the increment is consumed twice (drift moment
+          // + store write) and recomputes batch-sized; persist=true
+          // would strand MEMORY_ONLY blocks per batch with no release
+          // hook here
+          val app = Pq.appendToIndex(idx, landed, "embedding",
+            idCol = "doc_id", persist = false)
+          if (app.refitNeeded) {
+            // distribution shift: full refit over corpus + survivors,
+            // persisted as the next index generation
+            Pq.writeIndex(
+              buildSemanticIndex(spark, corpus.unionByName(landed)), indexDir)
+            "refit"
+          } else if (app.incHomes.nonEmpty) {
+            Pq.writeIndexIncrement(app.incHomes.get, app.incCodes.get,
+              indexDir, batchId)
+            "appended"
+          } else "empty"
         }
-      }
+      // provenance + observability sidecars (the lexical sink's rows,
+      // with the index decision in place of the shingle column)
+      dupAttribution(b.select("doc_id"), corpus.select("doc_id"), keep, comp)
+        .write.mode("overwrite").parquet(s"$targetDir/_dups/inc=$batchId")
       val n = landed.count()
+      val nBatch = b.count()
+      val nCorpusDup = comp
+        .join(b.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .join(corpusComps, Seq("component"), "left_semi")
+        .count()
+      val nPairs = pairs.count()
+      import spark.implicits._
+      Seq((batchId, nBatch, n, nCorpusDup, nBatch - n - nCorpusDup,
+          nPairs, indexOp))
+        .toDF("batch_id", "n_batch", "n_kept", "n_dropped_corpus_dup",
+          "n_dropped_within_batch", "n_pairs", "index_op")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$targetDir/_stats/$batchId")
       commitMarker(spark, targetDir, batchId)
       n
     } finally graft.Checkpoints.release(pairs)
@@ -694,17 +752,38 @@ object Streams {
     val landed = spark.read.parquet(s"$targetDir/inc=-1")
     graft.functions.Pq.writeIndex(
       buildSemanticIndex(spark, landed), s"$targetDir/_index")
+    emptyDups(spark).write.mode("overwrite").parquet(s"$targetDir/_dups/inc=-1")
     commitMarker(spark, targetDir, -1L)
   }
 
-  /** The accumulated semantic corpus: committed (doc_id, embedding)
+  /** The accumulated semantic corpus: the live compaction generation
+    * (when one exists) plus committed tail (doc_id, embedding)
     * increments. */
-  def readSemanticCorpus(spark: SparkSession, targetDir: String): DataFrame = {
-    val ids = committedIds(spark, targetDir)
-    require(ids.nonEmpty,
-      s"semantic dedup corpus $targetDir has no committed increment")
-    ids.sorted.map(id => spark.read.parquet(s"$targetDir/inc=$id"))
-      .reduce(_.unionByName(_))
+  def readSemanticCorpus(spark: SparkSession, targetDir: String): DataFrame =
+    readCorpusStore(spark, targetDir, "docs", id => s"$targetDir/inc=$id")
+
+  /** COMPACTION for the semantic target — the corpus generation
+    * discipline ([[vacuumDedupCorpus]]'s core) over its docs and
+    * provenance sidecars, PLUS the index store: a drift-free run never
+    * writes an index generation on its own, so without this the
+    * `_index` read plan grows one increment per batch. The vacuum
+    * snapshots the CURRENT index as the next generation
+    * ([[graft.functions.Pq.writeIndex]] — a bounded N·(m+2) write) and
+    * retires what the previous generation covered
+    * ([[graft.functions.Pq.vacuumIndex]], one-cycle). Returns the
+    * retired corpus increment ids. */
+  def vacuumSemanticCorpus(spark: SparkSession, targetDir: String): Seq[Long] = {
+    import graft.functions.Pq
+    val indexDir = s"$targetDir/_index"
+    // snapshot only when appended increments exist above the live
+    // generation's cover — an idle vacuum must not mint identical
+    // generations forever
+    if (graft.MarkerStore.resolve(spark, indexDir)._2.nonEmpty)
+      Pq.writeIndex(Pq.readIndex(spark, indexDir), indexDir)
+    Pq.vacuumIndex(spark, indexDir)
+    vacuumCorpusStore(spark, targetDir, Seq(
+      ("docs", id => s"$targetDir/inc=$id", identity[DataFrame] _),
+      ("dups", id => s"$targetDir/_dups/inc=$id", identity[DataFrame] _)))
   }
 
   /** Full residual-IVF index build over (doc_id, embedding) rows — the
@@ -790,7 +869,24 @@ object Streams {
     *     sink's exactly-once high-water mark.
     *
     * Returns the increment ids whose data directories were retired. */
-  def vacuumDedupCorpus(spark: SparkSession, targetDir: String): Seq[Long] = {
+  def vacuumDedupCorpus(spark: SparkSession, targetDir: String): Seq[Long] =
+    vacuumCorpusStore(spark, targetDir, Seq(
+      ("docs", id => s"$targetDir/inc=$id", identity[DataFrame] _),
+      ("shingles", id => s"$targetDir/_shingles/inc=$id", identity[DataFrame] _),
+      // df partials MERGE on compaction: one row per shingle
+      ("dfs", id => s"$targetDir/_dfs/inc=$id",
+        (df: DataFrame) => df.groupBy("shingle").agg(sum(col("df")).as("df"))),
+      ("dups", id => s"$targetDir/_dups/inc=$id", identity[DataFrame] _)))
+
+  /** The generation compact + one-cycle retire core shared by the
+    * lexical and semantic corpus vacuums. `datasets` lists each
+    * per-increment dataset as (generation name, increment path,
+    * compaction transform — identity, or a merge like the df-partial
+    * sum). Protocol per the [[vacuumDedupCorpus]] scaladoc: compact
+    * marker LAST, retire only what the PRE-vacuum live generation
+    * covered, increment `_commits` markers never retire. */
+  private def vacuumCorpusStore(spark: SparkSession, targetDir: String,
+      datasets: Seq[(String, Long => String, DataFrame => DataFrame)]): Seq[Long] = {
     val fs = fsOf(spark, targetDir)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
     val (gen0, tail) = graft.MarkerStore.resolve(spark, targetDir)
@@ -801,13 +897,10 @@ object Streams {
       if (tail.isEmpty) None
       else {
         val g = gen0.map(_._1).getOrElse(0L) + 1
-        readDedupCorpus(spark, targetDir)
-          .write.mode("overwrite").parquet(s"$targetDir/gen=$g/docs")
-        readShingleStore(spark, targetDir)
-          .write.mode("overwrite").parquet(s"$targetDir/gen=$g/shingles")
-        readDfStore(spark, targetDir)
-          .groupBy("shingle").agg(sum(col("df")).as("df"))
-          .write.mode("overwrite").parquet(s"$targetDir/gen=$g/dfs")
+        datasets.foreach { case (name, incPath, transform) =>
+          transform(readCorpusStore(spark, targetDir, name, incPath))
+            .write.mode("overwrite").parquet(s"$targetDir/gen=$g/$name")
+        }
         graft.MarkerStore.commitGen(spark, targetDir, g, tail.max)
         Some(g)
       }
@@ -820,11 +913,11 @@ object Streams {
       case None => Seq.empty[Long]
       case Some((liveG, covered)) =>
         val incs = committedIds(spark, targetDir).filter(_ <= covered).sorted
-          .filter(id => fs.exists(path(s"$targetDir/inc=$id")))
+          .filter(id => fs.exists(path(datasets.head._2(id))))
         incs.foreach { id =>
-          fs.delete(path(s"$targetDir/inc=$id"), true)
-          fs.delete(path(s"$targetDir/_shingles/inc=$id"), true)
-          fs.delete(path(s"$targetDir/_dfs/inc=$id"), true)
+          datasets.foreach { case (_, incPath, _) =>
+            fs.delete(path(incPath(id)), true)
+          }
           fs.delete(path(s"$targetDir/_stats/$id"), true)
         }
         val committedG = graft.MarkerStore.committedGens(spark, targetDir)

@@ -638,6 +638,13 @@ class StreamingSpec extends SparkSuite {
       (0L, 4L, 2L, 1L, 1L, 2L, 0L),
       (1L, 3L, 1L, 2L, 0L, 3L, 0L)),
       s"stats rows diverged from hand-derived values: $stats")
+    // provenance sidecar: every dropped doc mapped to the landed doc it
+    // duplicated — 10 lost to corpus doc 1; 12 lost within-batch to the
+    // kept 11; 20 and 21 duplicated the (by then landed) 11
+    val dups = Streams.readDedupAttribution(spark, targetDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups == Map(10L -> 1L, 12L -> 11L, 20L -> 11L, 21L -> 11L),
+      s"attribution diverged: $dups")
     // layer 1 — a re-delivered batchId skips without touching data
     assert(Streams.applyDedupBatch(b0, 0L, targetDir) == -1L,
       "replayed batchId 0 was not skipped")
@@ -904,6 +911,58 @@ class StreamingSpec extends SparkSuite {
     assert(gen1 > gen0, s"drift did not advance the index generation ($gen0)")
     assert(indexSize() == corpusIds().size,
       "refit index must cover exactly the landed corpus")
+    // observability: per-batch stats rows balance (batch = kept + both
+    // drop kinds) and the index decision is recorded — appended for the
+    // in-distribution batches, refit for the drifted one
+    val sstats = Streams.readDedupStats(spark, target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(6)))
+      .sortBy(_._1).toSeq
+    sstats.foreach { case (id, nb, nk, ncd, nwb, _) =>
+      assert(nb == nk + ncd + nwb, s"stats row $id does not balance")
+    }
+    // batch 0 appended; batch 1's row was REWRITTEN by the crash retry
+    // above, whose index work correctly skipped; the drifted batch refit
+    assert(sstats.map(_._6) == Seq("appended", "skipped", "refit"),
+      s"index decisions: ${sstats.map(_._6)}")
+    // provenance: exactly the dropped ids appear, each attributed to a
+    // doc that actually landed
+    val sdups = Streams.readDedupAttribution(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allIn = (batches.map(b => b.select("doc_id").collect()
+      .map(_.getLong(0)).toSet) :+ drifted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet).reduce(_ ++ _)
+    assert(sdups.keySet == allIn -- corpusIds(),
+      "attribution keys must be exactly the dropped ingest ids")
+    assert(sdups.values.toSet.subsetOf(corpusIds()),
+      "an attribution points at a doc that never landed")
+    // compaction: docs+dups+index fold into generations; corpus, index
+    // and attribution all read back unchanged; the second vacuum
+    // retires covered increments (one-cycle) while markers survive
+    val beforeV = corpusIds()
+    assert(Streams.vacuumSemanticCorpus(spark, target).isEmpty)
+    assert(corpusIds() == beforeV && indexSize() == beforeV.size)
+    val retiredV = Streams.vacuumSemanticCorpus(spark, target)
+    assert(retiredV == Seq(-1L, 0L, 1L, 2L), s"retired: $retiredV")
+    assert(corpusIds() == beforeV && indexSize() == beforeV.size,
+      "compaction changed the corpus or the index")
+    assert(Streams.readDedupAttribution(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == sdups,
+      "compaction changed the attribution log")
+    val ifs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!ifs.exists(new org.apache.hadoop.fs.Path(s"$target/inc=-1")),
+      "covered doc increment survived the deferred retirement")
+    assert(ifs.exists(new org.apache.hadoop.fs.Path(s"$target/_commits/-1")),
+      "increment marker (the high-water mark) was deleted")
+    // the sink continues on top of the compacted state (embedding dim
+    // taken from the fixture so the model guard passes)
+    val dim = seed.limit(1).collect()(0).getSeq[Double](1).length
+    assert(Streams.applySemanticDedupBatch(
+      Seq((20000L, Seq.fill(dim)(0.5))).toDF("doc_id", "embedding"),
+      3L, target, nprobe = 12) >= 0)
+    assert(indexSize() == corpusIds().size,
+      "post-compaction batch broke corpus/index parity")
   }
 
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
