@@ -646,6 +646,29 @@ object Graft {
         Det.cents(col(valueCol)).as("pc")))
       .select(col("event_type").as("group"), col("n"), col("psi"))
 
+  /** Time-grid RESAMPLE + FORWARD FILL (kernel scaladoc:
+    * [[queries.Profile.resampleFfill]]; the ts_resample key): one row
+    * per `granularitySec` bucket per key from the key's first to last
+    * observation — empty buckets carry n = 0 and the last observed
+    * value forward in exact cents. Ties within one microsecond resolve
+    * by value (D6; pass a uniquely-keyed frame through the ts_resample
+    * shape instead when you have an event id). Returns
+    * (group, bucket, n, last_cents) with bucket = epoch-micros div
+    * granularity. */
+  def resampleForwardFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, granularitySec: Long = 3600): DataFrame = {
+    require(granularitySec > 0,
+      s"resampleForwardFill: granularity $granularitySec s <= 0")
+    queries.Profile.resampleFfill(
+        df.select(col(keyCol).as("key"),
+            unix_micros(col(tsCol).cast("timestamp")).as("us"),
+            Det.cents(col(valueCol)).as("vc"))
+          .withColumn("ord", col("vc")),
+        granUs = granularitySec * 1000000L)
+      .select(col("key").as("group"), col("hb").as("bucket"), col("n"),
+        col("last_cents"))
+  }
+
   /** [[decontaminate]] with a bloom prefilter — identical output at a
     * CONSTANT broadcast size (a 128 KiB filter instead of the exact
     * gram set), for eval corpora past the exact path's broadcast cap:

@@ -23,6 +23,37 @@ object Profile extends QueryGroup {
     * (one-constant discipline). */
   private val weightedK = 5
 
+  /** Time-grid resample + forward-fill kernel (the ts_resample body and
+    * [[graft.Graft.resampleForwardFill]]'s engine): `ev` carries
+    * (key, us, ord, vc) — event-time micros, an orderable tie-break,
+    * integral value — and the result is one row per `granUs` bucket per
+    * key from the key's first to last event: (key, hb, n, last_cents)
+    * with empty buckets at n = 0 carrying the last observed value
+    * forward. Scale shape: the per-(key, bucket) aggregate reduces
+    * map-side; the grid generates by sequence+explode from the 2-column
+    * span relation (rows per key bounded by span/granularity, never by
+    * event count); the fill is a running last-non-null over a window
+    * keyed by `key` — cardinality scales with data, and no partition
+    * outgrows span-buckets rows at any corpus size. D6: "last in
+    * bucket" = max_by over the (us, ord) total order. */
+  private[graft] def resampleFfill(ev0: DataFrame, granUs: Long): DataFrame = {
+    require(granUs > 0, s"resampleFfill: granularity $granUs us <= 0")
+    val ev = ev0.withColumn("hb", floor(col("us") / granUs).cast("long"))
+    val perBucket = ev.groupBy("key", "hb").agg(
+      count(lit(1)).as("n"),
+      max_by(col("vc"), struct(col("us"), col("ord"))).as("vc_last"))
+    val span = ev.groupBy("key")
+      .agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+    val grid = span.select(col("key"),
+      explode(sequence(col("h0"), col("h1"))).as("hb"))
+    val w = Window.partitionBy("key").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("key", "hb"), "left")
+      .select(col("key"), col("hb"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("vc_last"), ignoreNulls = true).over(w).as("last_cents"))
+  }
+
   /** PSI bin boundaries: global quartiles — exact binary doubles so the
     * Scala toString round-trips into the oracle SQL bit-identically. */
   private[graft] val psiFractions: Seq[Double] = Seq(0.25, 0.5, 0.75)
@@ -276,6 +307,33 @@ object Profile extends QueryGroup {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Time-grid RESAMPLE + FORWARD FILL — the gap-filling every metrics
+    // pipeline runs before feature extraction or charting (pandas
+    // resample('1h').ffill(); ClickHouse WITH FILL): per user, one row
+    // per HOUR from the user's first to last event — hours with no
+    // events carry n = 0 and the LAST OBSERVED value forward. Scale
+    // shape: the per-(user, hour) aggregate reduces map-side; the grid
+    // generates by sequence+explode from the 2-column span relation
+    // (rows per key bounded by span/granularity, never by event count);
+    // the forward fill is a running last-non-null over a window KEYED
+    // BY user — key cardinality scales with the data, so no partition
+    // outgrows span-hours rows at any corpus size. Determinism (D6):
+    // "last in hour" = max_by over the (us, event_id) total order;
+    // values in exact integer cents. The first grid row per user is the
+    // user's first event hour, so the fill never reads an empty
+    // history. Fully ORACLED: the same hourly aggregate, the
+    // generate_series grid, and DuckDB's IGNORE NULLS running
+    // last_value.
+    "ts_resample" -> ((s, dir) =>
+      resampleFfill(
+          Tables.events(s, dir)
+            .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+              col("event_id").as("ord"), cents(col("value")).as("vc")),
+          granUs = 3600000000L)
+        .select(col("key").as("user_id"), col("hb"), col("n"),
+          col("last_cents"))
+        .orderBy("user_id", "hb")),
+
     // Robust outlier detection: per event_type, flag values more than
     // 3 scaled-MAD units from the median — the median/MAD pair shrugs
     // off the very outliers a mean/stddev z-score would absorb (50%
@@ -486,6 +544,32 @@ object Profile extends QueryGroup {
         |  COUNT(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN co USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_resample" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+         |    ${Det.centsSql("value")} AS vc,
+         |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) AS hb
+         |  FROM events),
+         |hourly AS (
+         |  SELECT user_id, hb, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         |lastv AS (
+         |  SELECT user_id, hb, vc AS vc_last FROM (
+         |    SELECT user_id, hb, vc,
+         |      row_number() OVER (PARTITION BY user_id, hb
+         |        ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM ev) WHERE rn = 1),
+         |span AS (
+         |  SELECT user_id, MIN(hb) AS h0, MAX(hb) AS h1 FROM ev GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(h0, h1)) AS hb FROM span)
+         |SELECT g.user_id, g.hb, CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+         |  last_value(l.vc_last IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.hb
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_cents
+         |FROM grid g
+         |  LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hb = h.hb
+         |  LEFT JOIN lastv l ON g.user_id = l.user_id AND g.hb = l.hb
+         |ORDER BY g.user_id, g.hb""".stripMargin,
     "join_runtime_bloom" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${Det.sumd2Sql("l_extendedprice")} AS sum_price

@@ -1295,6 +1295,42 @@ class GraftSpec extends SparkSuite {
     assert(facade == key)
   }
 
+  test("resampleForwardFill: grid covers the span, gaps carry the last value, last-in-bucket by time") {
+    import spark.implicits._
+    // key 1: events in hours 0 and 3 of 2024-01-01 — hours 1-2 must
+    // materialize with n = 0 and the hour-0 value carried forward; hour
+    // 3 holds two events and the LATER one (03:40, 2.00) must win the
+    // fill even though the earlier one (03:20, 2.50) has the larger
+    // value. key 2: a single event — a one-row grid, no fill needed.
+    val df = Seq(
+      (1L, "2024-01-01 00:10:00", 1.00),
+      (1L, "2024-01-01 03:20:00", 2.50),
+      (1L, "2024-01-01 03:40:00", 2.00),
+      (2L, "2024-01-02 05:00:00", 9.99)).toDF("k", "ts", "v")
+    val got = Graft.resampleForwardFill(df, "k", "ts", "v")
+      .orderBy("group", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val h0 = 1704067200L / 3600 // 2024-01-01T00Z in epoch hours (UTC session)
+    assert(got == Seq(
+      (1L, h0, 1L, 100L),
+      (1L, h0 + 1, 0L, 100L),
+      (1L, h0 + 2, 0L, 100L),
+      (1L, h0 + 3, 2L, 200L),
+      (2L, h0 + 29, 1L, 999L)), s"resample grid diverged: $got")
+    // facade parity with the oracled key's shape on the fixture (the
+    // key itself tie-breaks by event_id; on distinct-microsecond data
+    // the value tie-break is unreachable, so rows agree)
+    val facade = Graft.resampleForwardFill(
+        Tables.events(spark, sf001).select(col("user_id").as("k"),
+          col("ts"), col("value")), "k", "ts", "value")
+      .orderBy("group", "bucket")
+      .collect().map(_.toSeq).toSeq
+    val key = SparkEntry.queries("ts_resample")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(facade == key, "facade diverged from the oracled key")
+  }
+
   test("golden records: mode-name survivorship, vote ties, singletons, facade = key") {
     import spark.implicits._
     // cluster A (ids 1-5, all within edit 3 of each other under block
