@@ -1090,26 +1090,46 @@ object TextOps extends QueryGroup {
       }
   }
 
+  /** Documents per doc_id bucket in [[packSequences]]'s two-level
+    * running sum — the bound on any single task's sort. */
+  private[graft] val packBucketWidth: Long = 4096L
+
   /** Sequence packing — the step between curation and the trainer:
     * documents are concatenated shard-by-shard into fixed `seqLen`-token
     * windows, a doc starting in window p spills into p+1 (packing WITH
     * document splitting — no padding waste, the standard pretraining
     * layout). Packing is sequential by nature, so the scale form shards
     * first (doc_id mod `shards` here; hash-sharding at 100 TB) and
-    * packs each shard independently — one keyed window per shard, no
-    * global running sum, shards = parallelism. Window ids come from an
-    * exact integral `div` over the running token count (same discipline
-    * as the banded range join: a double quotient's ulp would misplace
-    * boundary docs at large cum). Returns one row per (shard, pack_id):
-    * docs starting in the pack, their token total, first/last doc. */
+    * packs each shard independently; within a shard the running token
+    * count is TWO-LEVEL (round 19 — the round-19 keyed-window sweep
+    * caught the one-level form putting each shard's FULL doc set on one
+    * task, the win_distribution shape): per-(shard, doc_id-div-4096
+    * bucket) token subtotals reduce map-side, their shard-keyed
+    * cumulative window runs over the 4096×-smaller subtotal relation,
+    * and the data-sized window partitions by (shard, bucket) — no task
+    * sorts more than ~4096 docs, and the cum values are IDENTICAL
+    * integers (exact sums at both levels), so the oracle is unchanged.
+    * Window ids come from an exact integral `div` over the running
+    * token count (same discipline as the banded range join: a double
+    * quotient's ulp would misplace boundary docs at large cum).
+    * Returns one row per (shard, pack_id): docs starting in the pack,
+    * their token total, first/last doc. */
   private[graft] def packSequences(docs: DataFrame, seqLen: Int = 512,
       shards: Int = 8): DataFrame = {
     require(seqLen > 0 && shards > 0, "packSequences: seqLen and shards must be positive")
-    docs
+    val base = docs
       .select(col("doc_id"), pmod(col("doc_id"), lit(shards)).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("cum",
-        sum(col("n_tok")).over(Window.partitionBy("shard").orderBy("doc_id")))
+      .withColumn("bkt", expr(s"doc_id div $packBucketWidth"))
+    val off = base.groupBy("shard", "bkt").agg(sum(col("n_tok")).as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.partitionBy("shard").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "bkt", "off")
+    base.join(off, Seq("shard", "bkt"))
+      .withColumn("cum", col("off") +
+        sum(col("n_tok")).over(
+          Window.partitionBy("shard", "bkt").orderBy("doc_id")))
       .withColumn("pack_id", expr(s"(cum - n_tok) div $seqLen"))
       .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),

@@ -333,24 +333,28 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("pipeline_pack reuses the shard partitioning: one exchange for window + aggregate") {
-    // The pack aggregate groups by (shard, pack_id), and rows with equal
-    // (shard, pack_id) are already co-located by the window's
-    // HashPartitioning(shard) — shard is a subset of the grouping keys,
-    // so EnsureRequirements must NOT insert a second shuffle. At 100 TB
-    // that second shuffle would re-move every row of the corpus; the
-    // single-exchange shape is the reason packing shards first.
+  test("pipeline_pack: data-sized window carries the bucket key; bounded exchange inventory") {
+    // Round-19 rewrite: the one-level form's single exchange came at the
+    // price of a SERIAL whole-shard sort (each shard's full doc set on
+    // one task — the win_distribution weak shape). The two-level form's
+    // inventory: the subtotal aggregate and the final pack aggregate
+    // exchange only PARTIAL-aggregated grain (bucket/pack rows, reduced
+    // map-side), the offsets window runs over the 4096×-smaller subtotal
+    // relation, and the ONE data-sized exchange feeds the
+    // (shard, bkt)-partitioned window — whose per-task sort is bounded
+    // by the bucket width at any corpus size.
     val df = SparkEntry.queries("pipeline_pack")(spark, sf001)
     df.collect() // finalize the adaptive plan
     // AdaptiveSparkPlan prints the final plan then "+- == Initial Plan =="
-    // — count exchanges in the final copy only
+    // — inspect the final copy only
     val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.nonEmpty, s"no window in plan:\n$p")
+    wins.filter(_.contains("n_tok")).foreach(l => assert(l.contains("bkt"),
+      s"the data-sized running sum lost its bucket key (whole-shard sort):\n$l"))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    // one hash exchange for the shard window; the final orderBy adds a
-    // range exchange, which is the D1 presentation sort, not data motion
-    // proportional to corpus width
-    assert(exchanges == 1,
-      s"expected exactly 1 hash exchange (shard window reused by the aggregate), got $exchanges:\n$p")
+    assert(exchanges <= 4,
+      s"exchange inventory grew past the two-level budget ($exchanges):\n$p")
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
   }
 
