@@ -963,6 +963,35 @@ class StreamingSpec extends SparkSuite {
       3L, target, nprobe = 12) >= 0)
     assert(indexSize() == corpusIds().size,
       "post-compaction batch broke corpus/index parity")
+    // the REAL stream drives the same transactions through foreachBatch
+    // on a freshly-seeded target (batchIds restart at 0 per checkpoint
+    // lineage) — final corpus must equal the direct-path result after
+    // the same two batches
+    val target2 = Files.createTempDirectory("graft-sem-ingest2").toString
+    Streams.initSemanticDedupCorpus(seed, target2)
+    val streamDir = Files.createTempDirectory("graft-sem-src").toString
+    batches.zipWithIndex.foreach { case (bt, idx) =>
+      val tmp = s"${Files.createTempDirectory("graft-sem-chunk")}/out"
+      bt.coalesce(1).write.parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(f"$streamDir/chunk_$idx%03d.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + idx * 1000)
+    }
+    val q = Streams.dedupIngestSinkSemantic(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir),
+        target2, nprobe = 12)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sem-ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = Streams.readSemanticCorpus(spark, target2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == before,
+      s"streamed semantic corpus diverged from the direct path: " +
+        s"extra=${(streamed -- before).take(3)} missing=${(before -- streamed).take(3)}")
   }
 
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
