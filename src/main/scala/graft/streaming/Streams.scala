@@ -878,6 +878,118 @@ object Streams {
         (df: DataFrame) => df.groupBy("shingle").agg(sum(col("df")).as("df"))),
       ("dups", id => s"$targetDir/_dups/inc=$id", identity[DataFrame] _)))
 
+  /** REDACTION (the GDPR / right-to-be-forgotten delete) for the
+    * lexical ingest-dedup corpus: remove `ids` from every live dataset
+    * by writing the next GENERATION with them filtered out — documents
+    * and stored shingle rows drop the ids, the df partials RECOUNT
+    * exactly from the filtered shingle store (a decrement would drift
+    * under retries; the recount is one pass over stored longs, no text),
+    * and the provenance log drops every row that mentions a redacted id
+    * on either side. The generation marker commits LAST, so readers see
+    * pre- or post-redaction state atomically, and a re-ingest of a
+    * redacted document is KEPT (its content owner is gone — the exact
+    * contract a deletion request implies). PHYSICAL bytes of the
+    * pre-redaction state follow the vacuum's one-cycle retention:
+    * run [[vacuumDedupCorpus]] twice after redacting to retire them
+    * from disk (the Delta DELETE-then-VACUUM discipline). Returns the
+    * number of documents actually removed. */
+  def redactDedupCorpus(spark: SparkSession, targetDir: String,
+      ids: DataFrame): Long = {
+    def keepDoc(df: DataFrame, del: DataFrame): DataFrame =
+      df.join(del, Seq("doc_id"), "left_anti")
+    redactCorpusStore(spark, targetDir, ids, Seq(
+      ("docs", () => readDedupCorpus(spark, targetDir), keepDoc _),
+      ("shingles", () => readShingleStore(spark, targetDir), keepDoc _),
+      // NOT a filter of the partials: the generation's df relation
+      // RECOUNTS from the filtered shingle store (a decrement of the
+      // old partials would drift under retries; this is exact and
+      // never touches text)
+      ("dfs", () => readShingleStore(spark, targetDir),
+        (df: DataFrame, del: DataFrame) =>
+          keepDoc(df, del).groupBy("shingle").agg(count(lit(1)).as("df"))),
+      ("dups", () => readDedupAttribution(spark, targetDir),
+        (df: DataFrame, del: DataFrame) =>
+          keepDoc(df, del)
+            .join(del.select(col("doc_id").as("dup_of")),
+              Seq("dup_of"), "left_anti")
+            .select("doc_id", "dup_of"))))
+  }
+
+  /** [[redactDedupCorpus]] for the SEMANTIC target: documents and
+    * provenance redact through the same generation write, and the
+    * INDEX drops the ids WITHOUT a refit — homes and codes are
+    * per-vector rows, so the filtered index is exact — snapshotted as
+    * the next index generation ([[graft.functions.Pq.writeIndex]]).
+    * The INDEX redacts FIRST: a crash between the two stores then
+    * leaves redacted docs invisible to search (no ghosts — the
+    * direction a deletion request cares about) while the corpus side
+    * completes on retry (both steps are idempotent filters; the retry's
+    * extra generation is harmless). Same retention contract: two
+    * [[vacuumSemanticCorpus]] calls retire the pre-redaction bytes. */
+  def redactSemanticCorpus(spark: SparkSession, targetDir: String,
+      ids: DataFrame): Long = {
+    import graft.functions.Pq
+    val del = normalizeRedactIds(ids)
+    val indexDir = s"$targetDir/_index"
+    val idx = Pq.readIndex(spark, indexDir)
+    val delVec = del.select(col("doc_id").as("vec_id"))
+    Pq.writeIndex(Pq.IvfPqIndex(idx.model,
+      idx.homes.join(delVec, Seq("vec_id"), "left_anti"),
+      idx.codes.join(delVec, Seq("vec_id"), "left_anti")), indexDir)
+    Pq.vacuumIndex(spark, indexDir)
+    redactCorpusStore(spark, targetDir, del, Seq(
+      ("docs", () => readSemanticCorpus(spark, targetDir),
+        (df: DataFrame, d: DataFrame) =>
+          df.join(d, Seq("doc_id"), "left_anti")),
+      ("dups", () => readDedupAttribution(spark, targetDir),
+        (df: DataFrame, d: DataFrame) =>
+          df.join(d, Seq("doc_id"), "left_anti")
+            .join(d.select(col("doc_id").as("dup_of")),
+              Seq("dup_of"), "left_anti")
+            .select("doc_id", "dup_of"))))
+  }
+
+  /** Single-column long-castable id normalization for the redaction
+    * entries (the workloadIds contract: loud on nulls, duplicates
+    * collapse). */
+  private def normalizeRedactIds(ids: DataFrame): DataFrame = {
+    require(ids.columns.length == 1,
+      s"redact: ids must be a single column, got (${ids.columns.mkString(", ")})")
+    val c = col(ids.columns.head)
+    ids.select(
+        when(assert_true(c.cast("long").isNotNull,
+          concat(lit("redact: id does not cast to long: "),
+            coalesce(c.cast("string"), lit("null")))).isNull,
+          c.cast("long")).as("doc_id"))
+      .distinct()
+  }
+
+  /** The redaction core: write generation g+1 with each dataset's
+    * filter applied to the CURRENT live state (each entry = generation
+    * dataset name, live-state reader, filter), covering every committed
+    * increment; marker LAST. Old bytes retire through the regular
+    * vacuum's one-cycle rule. Returns removed-document count. */
+  private def redactCorpusStore(spark: SparkSession, targetDir: String,
+      ids: DataFrame,
+      datasets: Seq[(String, () => DataFrame, (DataFrame, DataFrame) => DataFrame)]): Long = {
+    val del = normalizeRedactIds(ids).localCheckpoint(true)
+    try {
+      val (gen0, _) = graft.MarkerStore.resolve(spark, targetDir)
+      val committed = committedIds(spark, targetDir)
+      require(committed.nonEmpty,
+        s"dedup corpus $targetDir has no committed increment")
+      val removed = datasets.head._2()
+        .join(del, Seq("doc_id"), "left_semi").count()
+      val g = gen0.map(_._1).getOrElse(0L) + 1
+      datasets.foreach { case (name, reader, f) =>
+        f(reader(), del)
+          .write.mode("overwrite").parquet(s"$targetDir/gen=$g/$name")
+      }
+      graft.MarkerStore.commitGen(spark, targetDir, g, committed.max)
+      removed
+    } finally graft.Checkpoints.release(del)
+  }
+
   /** The generation compact + one-cycle retire core shared by the
     * lexical and semantic corpus vacuums. `datasets` lists each
     * per-increment dataset as (generation name, increment path,

@@ -668,6 +668,22 @@ class StreamingSpec extends SparkSuite {
         2L, targetDir)
     }
     assert(boomB.getMessage.contains("repeated within the batch"))
+    // REDACTION (GDPR delete): removing corpus doc 1 filters every live
+    // dataset atomically behind the generation marker — its text may be
+    // RE-INGESTED and must now be kept (the content owner is gone),
+    // while dups of remaining docs still drop against the filtered
+    // shingle store; attribution rows mentioning the id vanish
+    assert(Streams.redactDedupCorpus(spark, targetDir,
+      Seq(1L).toDF("id")) == 1L)
+    assert(corpusIds() == Seq(2L, 11L, 13L, 22L), s"post-redact: ${corpusIds()}")
+    assert(Streams.readDedupAttribution(spark, targetDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(12L -> 11L, 20L -> 11L, 21L -> 11L),
+      "attribution rows mentioning the redacted id survived")
+    assert(Streams.applyDedupBatch(
+      Seq((60L, tA), (61L, tC)).toDF("doc_id", "text"), 2L, targetDir) == 1L,
+      "must keep the re-ingested redacted content and drop the live dup")
+    assert(corpusIds() == Seq(2L, 11L, 13L, 22L, 60L))
     // the REAL stream drives the same transactions through foreachBatch.
     // A target is bound to ONE checkpoint lineage (the high-water mark
     // encodes "batch N applied" — a fresh checkpoint restarting at
@@ -963,6 +979,27 @@ class StreamingSpec extends SparkSuite {
       3L, target, nprobe = 12) >= 0)
     assert(indexSize() == corpusIds().size,
       "post-compaction batch broke corpus/index parity")
+    // REDACTION (GDPR delete) on the semantic target: a landed doc that
+    // other docs were deduped AGAINST leaves the corpus, the index
+    // (filtered homes/codes — no refit), and the provenance log in one
+    // generation step; transactions continue cleanly afterwards
+    val (dropped1, rep1) = sdups.head
+    assert(Streams.redactSemanticCorpus(spark, target,
+      Seq(rep1).toDF("id")) == 1L)
+    assert(!corpusIds().contains(rep1), "redacted doc still in the corpus")
+    assert(indexSize() == corpusIds().size,
+      "redacted index must cover exactly the post-redaction corpus")
+    assert(!Pq.readIndex(spark, s"$target/_index").homes
+      .filter(col("vec_id") === rep1).limit(1).collect().nonEmpty,
+      "redacted doc still serves as a search candidate (ghost)")
+    assert(Streams.readDedupAttribution(spark, target).collect()
+      .forall(r => r.getLong(0) != rep1 && r.getLong(1) != rep1),
+      s"attribution rows mentioning redacted $rep1 survived (dropped $dropped1)")
+    assert(Streams.applySemanticDedupBatch(
+      Seq((30000L, Seq.fill(dim)(0.25))).toDF("doc_id", "embedding"),
+      4L, target, nprobe = 12) >= 0)
+    assert(indexSize() == corpusIds().size,
+      "post-redaction batch broke corpus/index parity")
     // the REAL stream drives the same transactions through foreachBatch
     // on a freshly-seeded target (batchIds restart at 0 per checkpoint
     // lineage) — final corpus must equal the direct-path result after
