@@ -1494,6 +1494,18 @@ class GraftSpec extends SparkSuite {
     val loaded = Pq.readIndex(spark, idxDir)
     assert(search(loaded) == wantBuilt,
       "read-back index diverged from the in-session one")
+    // and through a genuinely FRESH session (isolated state, conf, and
+    // function registries — the cross-session claim, not just a cache
+    // flush; the query workload rebuilds inside that session too)
+    locally {
+      val s2 = spark.newSession()
+      val q2 = s2.createDataFrame(
+        java.util.Arrays.asList(queries.collect(): _*), queries.schema)
+      val got2 = Pq.ivfAdcTopk(q2, "embedding", Pq.readIndex(s2, idxDir),
+          5, nprobe = 8, "vec_id", None, None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got2 == wantBuilt, "fresh-session read-back diverged")
+    }
     // load → append → persist the increment (the composition the API
     // exists for); a re-read serves generation + increment
     val batch = (400L to 449L).map(i => (i, all(i).toSeq))
