@@ -925,7 +925,18 @@ object Streams {
     * direction a deletion request cares about) while the corpus side
     * completes on retry (both steps are idempotent filters; the retry's
     * extra generation is harmless). Same retention contract: two
-    * [[vacuumSemanticCorpus]] calls retire the pre-redaction bytes. */
+    * [[vacuumSemanticCorpus]] calls retire the pre-redaction bytes.
+    *
+    * Honest cost note shared with [[applySemanticDedupBatch]]: the
+    * exact-cosine rerank joins candidate ids against the corpus DOC
+    * relation for their raw vectors — an id-keyed join whose SCAN side
+    * is one column-pruned pass over (doc_id, embedding) per batch (the
+    * index never stores raw vectors; ADC-only rerank would avoid the
+    * scan at a recall cost). The 100 TB mitigation is LAYOUT, not a new
+    * kernel: write doc increments partitioned by their IVF home cell,
+    * and the rerank's bounded probed-cell list (≤ the centroid count)
+    * partition-prunes the scan to the probed cells — the same plan,
+    * touching only candidate-bearing files. */
   def redactSemanticCorpus(spark: SparkSession, targetDir: String,
       ids: DataFrame): Long = {
     import graft.functions.Pq
