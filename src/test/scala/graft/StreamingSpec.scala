@@ -832,6 +832,40 @@ class StreamingSpec extends SparkSuite {
     assert(corpusIds() == before + 900003L)
   }
 
+  test("ingest-dedup store engages the hot-shingle cap from merged df partials") {
+    import spark.implicits._
+    // 1031 four-word docs sharing ONE trigram (the quick fox ·) — its
+    // merged df (1 from the seed's stored partial + 1030 from the
+    // batch) crosses the 1024 cap, so the probe must flag it from the
+    // PARTIALS (no text recount) and the capped kernel's hot-dominated
+    // sweep must still find every pair: each doc pair shares only the
+    // hot shingle (jaccard 1/3 ≥ 0.2), so the whole batch is one
+    // cluster around the seed and NOTHING lands. A fresh clean doc
+    // then lands normally, and the stats row records the hot count.
+    def mk(i: Long) = (i, s"the quick fox w$i")
+    val target = Files.createTempDirectory("graft-ingest-hot").toString
+    Streams.initDedupCorpus(Seq(mk(0)).toDF("doc_id", "text"), target)
+    val batch = (1L to 1030L).map(mk).toDF("doc_id", "text")
+    assert(Streams.applyDedupBatch(batch, 0L, target) == 0L,
+      "a hot-only dup cluster leaked past the capped incremental kernel")
+    def ids(): Set[Long] = Streams.readDedupCorpus(spark, target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(0L))
+    val st = Streams.readDedupStats(spark, target)
+      .filter(col("batch_id") === 0).collect()(0)
+    assert(st.getAs[Long]("n_hot_shingles") == 1L,
+      s"hot probe missed the above-cap shingle: $st")
+    assert(st.getAs[Long]("n_dropped_corpus_dup") == 1030L)
+    assert(Streams.applyDedupBatch(
+      Seq((5000L, "zz yy xx ww vv")).toDF("doc_id", "text"), 1L, target) == 1L)
+    assert(ids() == Set(0L, 5000L))
+    // provenance: every dropped doc attributes to the seed
+    val dups = Streams.readDedupAttribution(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(dups.length == 1030 && dups.forall(_._2 == 0L),
+      "hot-cluster drops must attribute to the seed")
+  }
+
   test("semantic ingest-dedup sink: IVF candidates + exact rerank, keep ≡ same-pair replay, recall floor, drift refit") {
     import spark.implicits._
     import graft.functions.Pq
