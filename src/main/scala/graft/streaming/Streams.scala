@@ -527,16 +527,27 @@ object Streams {
   def readDedupCorpus(spark: SparkSession, targetDir: String): DataFrame =
     readCorpusStore(spark, targetDir, "docs", id => s"$targetDir/inc=$id")
 
-  /** Per-batch ingest stats rows (`_stats/<batchId>`, committed batches
-    * only) — the sink's operational surface: batch size, kept/dropped
-    * breakdown, pair and hot-shingle counts. */
+  /** Per-batch ingest stats rows — the sink's operational surface:
+    * batch size, kept/dropped breakdown, plus the pair/hot-shingle
+    * counts (lexical) or the index decision (semantic). The log
+    * SURVIVES compaction: vacuum folds covered batches' rows into
+    * `gen=<g>/stats` before retiring their `_stats/<batchId>` files,
+    * so history is complete at any lifetime batch count. */
   def readDedupStats(spark: SparkSession, targetDir: String): DataFrame = {
-    val ids = committedIds(spark, targetDir)
-      .filter(id => fsOf(spark, targetDir)
-        .exists(new org.apache.hadoop.fs.Path(s"$targetDir/_stats/$id")))
-    require(ids.nonEmpty, s"dedup corpus $targetDir has no committed stats")
-    ids.sorted.map(id => spark.read.parquet(s"$targetDir/_stats/$id"))
-      .reduce(_.unionByName(_))
+    val parts = statsParts(spark, targetDir)
+    require(parts.nonEmpty, s"dedup corpus $targetDir has no committed stats")
+    parts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Existing stats paths: the live generation's compacted log (if it
+    * has one) plus committed tail batches' sidecars (the seed increment
+    * writes none, so presence is checked per path). */
+  private def statsParts(spark: SparkSession, targetDir: String): Seq[String] = {
+    val fs = fsOf(spark, targetDir)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val (gen, tail) = graft.MarkerStore.resolve(spark, targetDir)
+    gen.map(g => s"$targetDir/gen=${g._1}/stats").filter(exists).toSeq ++
+      tail.map(id => s"$targetDir/_stats/$id").filter(exists)
   }
 
   /** Corpus-side hashed shingle rows (doc_id, shingle, n) from the
@@ -996,6 +1007,14 @@ object Streams {
         f(reader(), del)
           .write.mode("overwrite").parquet(s"$targetDir/gen=$g/$name")
       }
+      // the operational log carries forward unredacted — its rows are
+      // per-batch aggregates with no document content or ids
+      statsParts(spark, targetDir) match {
+        case ps if ps.nonEmpty =>
+          ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(s"$targetDir/gen=$g/stats")
+        case _ => ()
+      }
       graft.MarkerStore.commitGen(spark, targetDir, g, committed.max)
       removed
     } finally graft.Checkpoints.release(del)
@@ -1023,6 +1042,14 @@ object Streams {
         datasets.foreach { case (name, incPath, transform) =>
           transform(readCorpusStore(spark, targetDir, name, incPath))
             .write.mode("overwrite").parquet(s"$targetDir/gen=$g/$name")
+        }
+        // the operational log folds forward too (its per-batch files
+        // retire below; without this the history would truncate)
+        statsParts(spark, targetDir) match {
+          case ps if ps.nonEmpty =>
+            ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+              .write.mode("overwrite").parquet(s"$targetDir/gen=$g/stats")
+          case _ => ()
         }
         graft.MarkerStore.commitGen(spark, targetDir, g, tail.max)
         Some(g)

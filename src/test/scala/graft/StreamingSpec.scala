@@ -809,6 +809,9 @@ class StreamingSpec extends SparkSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/_commits/-1")),
       "increment marker (the high-water mark) was deleted")
     assert(corpusIds() == before, "retirement changed the corpus")
+    assert(Streams.readDedupStats(spark, targetDir)
+      .select("batch_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L), "vacuum truncated the stats history")
     // the sink continues on top of the compacted generation: a stale
     // batchId still skips (markers survived), a fresh one applies and
     // pairs against the GENERATION's shingle store
@@ -830,6 +833,10 @@ class StreamingSpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/gen=1")),
       "superseded generation survived a second vacuum")
     assert(corpusIds() == before + 900003L)
+    assert(Streams.readDedupStats(spark, targetDir)
+      .select("batch_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L),
+      "stats history lost across generation folds")
   }
 
   test("ingest-dedup store engages the hot-shingle cap from merged df partials") {
