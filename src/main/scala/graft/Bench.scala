@@ -226,6 +226,47 @@ object Bench {
       for (_ <- 1 to apDistReps) record("simsearch_pq_ivf_q256", time(run()))
     }
 
+    // STREAMING INGEST-DEDUP row (round-19 VERDICT #3): the
+    // store-backed applyDedupBatch hot loop — the rounds-18/19
+    // flagship had replay/scan pins but no wall-time record, so a
+    // per-batch regression (e.g. the shingle-store read losing column
+    // pruning, or a keyed stage collapsing to one task) would be
+    // invisible to the bench. Per rep: a FRESH target seeded with half
+    // the sf documents (seeding is UNTIMED — it is ingest history, not
+    // the hot loop), then a timed 4-micro-batch replay of the other
+    // half. Measured OUTSIDE the round-robin (the ap_dist rule:
+    // multi-second reps starve the other rows' window sampling).
+    // Per-batch cost is job-dispatch-dominated at fixture scale —
+    // floor decomposition + regression threshold live in BENCH_NOTES
+    // §36; compare against the dispatch floor before crying regression.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val seed = docs.filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val parts = (0 until 4)
+        .map(r => docs.filter(col("doc_id") % 8 === 2 * r + 1).localCheckpoint())
+      def rep(): Double = {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-bench-ingest").toString
+        graft.streaming.Streams.initDedupCorpus(seed, t)
+        val sec = time {
+          parts.zipWithIndex.foreach { case (p, i) =>
+            graft.streaming.Streams.applyDedupBatch(p, i.toLong, t); ()
+          }
+        }
+        // bench hygiene: drop the throwaway target (reps × passes would
+        // otherwise strand dozens of corpus copies in /tmp)
+        graft.MarkerStore.fs(spark, t)
+          .delete(new org.apache.hadoop.fs.Path(t), true)
+        sec
+      }
+      rep() // warm the transaction's plan/JIT shapes
+      for (_ <- 1 to apDistReps) record("ingest_dedup_lex_b4", rep())
+      graft.Checkpoints.release(seed)
+      parts.foreach(graft.Checkpoints.release)
+    }
+
     // Floor rows (BASELINE.md round-5/6 note): jobs with NO query logic
     // bounding what any Spark-local job clocks under this width.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -773,54 +773,25 @@ object Pq {
     * pandas-API shape: explicit index object in, explicit out). */
   def appendToIndex(idx: IvfPqIndex, newVecs: DataFrame, vecCol: String,
       idCol: String = "vec_id", driftBound: Double = 0.5,
-      persist: Boolean = true): AppendedIndex = {
-    require(driftBound >= 0, s"appendToIndex: driftBound $driftBound < 0")
-    val spark = newVecs.sparkSession
-    ApAggs.register(spark)
-    VectorExprs.register(spark)
-    val vNew = normalize(newVecs, vecCol, idCol)
-    // an EMPTY batch is a no-op append, not drift: without this guard
-    // the batch moment reads 0 against mOld > 0 and a quiet day would
-    // demand the full-corpus refit this API exists to avoid
-    if (vNew.limit(1).collect().isEmpty)
-      return AppendedIndex(Some(idx), 0.0, refitNeeded = false)
-    // ONE bounded probe for BOTH duplicate shapes (round-18 ADVICE #2 —
-    // the applyDedupBatch union-probe pattern): an id already in the
-    // index, or repeated WITHIN the batch, would land twice in
-    // homes/codes and double its candidacy in every downstream search
-    val dup = vNew.select("vec_id")
-      .join(idx.homes.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), lit("already indexed").as("kind"))
-      .unionByName(vNew.groupBy("vec_id").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1)
-        .select(col("vec_id"), lit("repeated within the batch").as("kind")))
-      .limit(1).collect()
-    dup.headOption.foreach { r =>
-      throw new IllegalArgumentException(
-        s"appendToIndex: id ${r.get(0)} is ${r.getString(1)} - an appended " +
-          "duplicate would double its search candidacy")
+      persist: Boolean = true): AppendedIndex =
+    // empty-batch no-op, the union duplicate probe, and the bias-free
+    // drift estimator all live in the shared core (one recipe for the
+    // residual and rotated families — round-20, when the rotated
+    // append landed)
+    appendCore(idx.homes, idx.codes, idx.model.pq, idx.model.cents,
+      newVecs, vecCol, idCol, driftBound, persist,
+      (vNew, homesNew) => encodeBlocks(
+        residualsFrom(vNew, homesNew, idx.model.cents), "rv",
+        idx.model.pq)) match {
+      case None => AppendedIndex(Some(idx), 0.0, refitNeeded = false)
+      case Some((_, _, drift)) if drift > driftBound =>
+        AppendedIndex(None, drift, refitNeeded = true)
+      case Some((homesNew, codesNew, drift)) =>
+        AppendedIndex(
+          Some(IvfPqIndex(idx.model, idx.homes.unionByName(homesNew),
+            idx.codes.unionByName(codesNew))),
+          drift, refitNeeded = false, Some(homesNew), Some(codesNew))
     }
-    def persisted(df: DataFrame): DataFrame =
-      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      else df
-    val homesNew = persisted(homesOf(vNew, idx.model.cents))
-    val codesNew = persisted(
-      encodeBlocks(residualsFrom(vNew, homesNew, idx.model.cents), "rv",
-        idx.model.pq))
-    val mOld = codeMoment(idx.codes, idx.model.pq)
-    val mNew = codeMoment(codesNew, idx.model.pq)
-    val drift =
-      if (mOld > 0) math.abs(mNew - mOld) / mOld
-      else if (mNew > 0) Double.PositiveInfinity
-      else 0.0
-    if (drift > driftBound) {
-      if (persist) { homesNew.unpersist(false); codesNew.unpersist(false); () }
-      AppendedIndex(None, drift, refitNeeded = true)
-    } else AppendedIndex(
-      Some(IvfPqIndex(idx.model, idx.homes.unionByName(homesNew),
-        idx.codes.unionByName(codesNew))),
-      drift, refitNeeded = false, Some(homesNew), Some(codesNew))
-  }
 
   // ---- index persistence (round-18 VERDICT #4) -------------------------
   //
@@ -842,20 +813,36 @@ object Pq {
     * invisible orphan the retry overwrites. Increment ids are the
     * caller's batch sequence and must be ≥ 0 (the seed generation
     * covers -1). */
-  def writeIndex(idx: IvfPqIndex, dir: String): Unit = {
-    val spark = idx.homes.sparkSession
+  def writeIndex(idx: IvfPqIndex, dir: String): Unit =
+    writeIndexFamily(idx.homes.sparkSession, dir, "ivfpq", idx.model.pq,
+      idx.model.cents, idx.homes, idx.codes)
+
+  /** The shared generation-write core of the three persisted families
+    * (`ivfpq` residual / `opq` rotated-residual / `rawpq`): meta +
+    * cents + codebooks + homes + codes under `gen=<g>/`, marker LAST.
+    * `extras` adds family-specific datasets (the rotated family's
+    * rotation). The `family` column in meta makes a wrong-family read
+    * fail LOUD — readIndex on an OPQ store would otherwise silently
+    * decode rotated codes as unrotated residuals. */
+  private def writeIndexFamily(spark: SparkSession, dir: String,
+      family: String, pq: Model, cents: Seq[(Long, Seq[Double])],
+      homes: DataFrame, codes: DataFrame,
+      extras: Seq[(String, DataFrame)] = Nil): Unit = {
     import spark.implicits._
     val g = graft.MarkerStore.liveGen(spark, dir).map(_._1).getOrElse(0L) + 1
     val covered = (graft.MarkerStore.committedIncs(spark, dir) :+ -1L).max
-    Seq((idx.model.pq.m, idx.model.pq.k, idx.model.pq.sub))
-      .toDF("m", "k", "sub")
+    Seq((pq.m, pq.k, pq.sub, family))
+      .toDF("m", "k", "sub", "family")
       .write.mode("overwrite").parquet(s"$dir/gen=$g/meta")
-    idx.model.cents.toDF("c_id", "centv")
+    cents.toDF("c_id", "centv")
       .write.mode("overwrite").parquet(s"$dir/gen=$g/cents")
-    codebookDF(spark, idx.model.pq)
+    codebookDF(spark, pq)
       .write.mode("overwrite").parquet(s"$dir/gen=$g/codebooks")
-    idx.homes.write.mode("overwrite").parquet(s"$dir/gen=$g/homes")
-    idx.codes.write.mode("overwrite").parquet(s"$dir/gen=$g/codes")
+    homes.write.mode("overwrite").parquet(s"$dir/gen=$g/homes")
+    codes.write.mode("overwrite").parquet(s"$dir/gen=$g/codes")
+    extras.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/gen=$g/$name")
+    }
     graft.MarkerStore.commitGen(spark, dir, g, covered)
   }
 
@@ -886,26 +873,54 @@ object Pq {
     * .persist() homes/codes themselves (or writeIndex after appends,
     * which re-snapshots). */
   def readIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    val p = readIndexFamily(spark, dir, "ivfpq")
+    IvfPqIndex(IvfPqModel(p.cents, p.pq), p.homes, p.codes)
+  }
+
+  /** The common loaded shape of a persisted generation + tail: the
+    * driver-side model pieces plus the lazy homes/codes unions (and the
+    * generation path for family-specific extras). */
+  private final case class LoadedIndex(gen: Long, genDir: String,
+      family: String, pq: Model, cents: Seq[(Long, Seq[Double])],
+      homes: DataFrame, codes: DataFrame)
+
+  /** Load the shared datasets of a persisted index generation,
+    * asserting the store's family matches the reader (`family = null`
+    * skips the check — the [[readStoredIndex]] dispatcher's probe).
+    * Pre-family stores (no `family` column in meta) read as `ivfpq` —
+    * the only family that existed before the column did. */
+  private def readIndexFamily(spark: SparkSession, dir: String,
+      family: String): LoadedIndex = {
     ApAggs.register(spark)
     VectorExprs.register(spark)
     val (gen, tail) = graft.MarkerStore.resolve(spark, dir)
     require(gen.nonEmpty, s"index $dir has no committed generation")
     val g = gen.get._1
-    val meta = spark.read.parquet(s"$dir/gen=$g/meta").head()
+    val genDir = s"$dir/gen=$g"
+    val metaDf = spark.read.parquet(s"$genDir/meta")
+    val meta = metaDf.head()
+    val fam =
+      if (metaDf.schema.fieldNames.contains("family"))
+        meta.getString(metaDf.schema.fieldIndex("family"))
+      else "ivfpq"
+    require(family == null || fam == family,
+      s"index $dir generation $g is family '$fam', not '$family' - " +
+        "load it with its own reader (readIndex / readIndexRotated / " +
+        "readIndexRaw, or readStoredIndex to dispatch)")
     val (m, k, sub) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val cents = spark.read.parquet(s"$dir/gen=$g/cents")
+    val cents = spark.read.parquet(s"$genDir/cents")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
-    val cbRows = spark.read.parquet(s"$dir/gen=$g/codebooks")
+    val cbRows = spark.read.parquet(s"$genDir/codebooks")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     val codebooks = Array.tabulate(m)(b =>
       cbRows.filter(_._1 == b).sortBy(_._2).map(_._3))
     require(codebooks.forall(_.nonEmpty),
       s"index $dir generation $g has an empty codebook block")
     def unionOf(name: String): DataFrame =
-      (Seq(s"$dir/gen=$g/$name") ++ tail.map(i => s"$dir/inc=$i/$name"))
+      (Seq(s"$genDir/$name") ++ tail.map(i => s"$dir/inc=$i/$name"))
         .map(spark.read.parquet(_)).reduce(_.unionByName(_))
-    IvfPqIndex(IvfPqModel(cents, Model(m, k, sub, codebooks)),
+    LoadedIndex(g, genDir, fam, Model(m, k, sub, codebooks), cents,
       unionOf("homes"), unionOf("codes"))
   }
 
@@ -915,11 +930,22 @@ object Pq {
     * reachable by a reader that resolved BEFORE the live generation's
     * marker landed, i.e. before the last writeIndex). Increment
     * `_commits` markers never retire — they are the append high-water
-    * mark. Returns the retired increment ids. */
-  def vacuumIndex(spark: SparkSession, dir: String): Seq[Long] = {
+    * mark. Returns the retired increment ids.
+    *
+    * `asOf` (round-19 ADVICE #2): a caller that writeIndexes a snapshot
+    * and vacuums IN THE SAME CALL must pass the live (generation,
+    * cover) it captured at ENTRY — retiring against the just-written
+    * generation would delete the data a reader that resolved moments
+    * before the new marker is still scanning (zero-cycle retention,
+    * the exact bug shape vacuumUpsertTarget fixed in round 18). With
+    * `asOf` the call retires only what was ALREADY superseded when it
+    * started; the snapshot it wrote supersedes the rest for the NEXT
+    * vacuum. */
+  def vacuumIndex(spark: SparkSession, dir: String,
+      asOf: Option[(Long, Long)] = None): Seq[Long] = {
     val fs = graft.MarkerStore.fs(spark, dir)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    graft.MarkerStore.liveGen(spark, dir) match {
+    asOf.orElse(graft.MarkerStore.liveGen(spark, dir)) match {
       case None => Seq.empty
       case Some((live, covered)) =>
         val incs = graft.MarkerStore.committedIncs(spark, dir)
@@ -934,6 +960,304 @@ object Pq {
           }
         incs
     }
+  }
+
+  // ---- rotated + raw index persistence (round-19 VERDICT #2) -----------
+  //
+  // Round 19 persisted only the residual IvfPqIndex; the OPQ/rotated
+  // family that fitIvfPqAuto SELECTS on clustered/heteroscedastic
+  // corpora had no store — a fresh session serving the auto-picked
+  // index refit from scratch, exactly the cost writeIndex exists to
+  // kill. The rotated generation adds one dataset (`rot`: PCA mean +
+  // eigenvalues + loadings + the balanced block permutation) beside
+  // cents/codebooks; homes/codes/increments/vacuum are the shared
+  // protocol. The raw flat-PQ family (the auto chooser's isotropic
+  // pick) persists too, so EVERY auto verdict round-trips.
+
+  /** Materialized rotated-residual index: the model plus persisted-able
+    * homes and ROTATED residual block codes. */
+  final case class RotatedIvfPqIndex(model: RotatedIvfPqModel,
+      homes: DataFrame, codes: DataFrame)
+
+  /** Materialized raw flat-PQ index: IVF centroids for candidate
+    * generation (the same recipe the self-building raw search runs per
+    * call) plus RAW-vector block codes — no centroid subtraction, the
+    * auto chooser's isotropic-regime pick. */
+  final case class RawPqIndex(cents: Seq[(Long, Seq[Double])], pq: Model,
+      homes: DataFrame, codes: DataFrame)
+
+  /** Build the rotated index relations for a fitted model over its
+    * corpus: one homes pass + one rotated-residual encode (both lazy —
+    * persist or writeIndexRotated them). */
+  def rotatedIndexOf(vecs: DataFrame, vecCol: String, rim: RotatedIvfPqModel,
+      idCol: String = "vec_id"): RotatedIvfPqIndex = {
+    ApAggs.register(vecs.sparkSession)
+    VectorExprs.register(vecs.sparkSession)
+    val v = normalize(vecs, vecCol, idCol)
+    val homes = homesOf(v, rim.cents)
+    val rot = residualsFrom(v, homes, rim.cents)
+      .select(col("vec_id"), rotateExpr(col("rv"), rim.pca, rim.basisPerm).as("rv"))
+    RotatedIvfPqIndex(rim, homes, encodeBlocks(rot, "rv", rim.pq))
+  }
+
+  /** Build the raw index relations for a fitted flat model: centroids
+    * via the shared recipe (auto-sized unless pinned), homes, raw
+    * codes. */
+  def rawIndexOf(vecs: DataFrame, vecCol: String, model: Model,
+      centroids: Int = 0, idCol: String = "vec_id"): RawPqIndex = {
+    ApAggs.register(vecs.sparkSession)
+    VectorExprs.register(vecs.sparkSession)
+    val v = normalize(vecs, vecCol, idCol)
+    val c = if (centroids > 0) centroids else Ivf.autoCentroids(v.count())
+    val cents = Ivf.buildCentroids(v, c)
+    RawPqIndex(cents, model, homesOf(v, cents), encodeBlocks(v, "v", model))
+  }
+
+  /** [[writeIndex]] for the rotated family — same marker protocol, one
+    * extra `rot` dataset carrying the rotation, meta family = "opq" so
+    * the unrotated reader fails loud instead of silently serving
+    * rotated codes as residual ones. */
+  def writeIndexRotated(idx: RotatedIvfPqIndex, dir: String): Unit = {
+    val spark = idx.homes.sparkSession
+    import spark.implicits._
+    val rm = idx.model
+    val rot = Seq((rm.pca.mean.toSeq, rm.pca.eigenvalues.toSeq,
+        rm.basisPerm.toSeq, rm.pca.loadings.map(_.toSeq).toSeq))
+      .toDF("mean", "eigenvalues", "perm", "loadings")
+    writeIndexFamily(spark, dir, "opq", rm.pq, rm.cents, idx.homes,
+      idx.codes, Seq("rot" -> rot))
+  }
+
+  /** [[writeIndex]] for the raw flat-PQ family (meta family =
+    * "rawpq"). */
+  def writeIndexRaw(idx: RawPqIndex, dir: String): Unit =
+    writeIndexFamily(idx.homes.sparkSession, dir, "rawpq", idx.pq,
+      idx.cents, idx.homes, idx.codes)
+
+  /** [[readIndex]] for the rotated family: model pieces (including the
+    * rotation) via bounded driver reads — zero fit jobs — plus lazy
+    * homes/codes unions over generation + committed increments. */
+  def readIndexRotated(spark: SparkSession, dir: String): RotatedIvfPqIndex = {
+    val p = readIndexFamily(spark, dir, "opq")
+    val r = spark.read.parquet(s"${p.genDir}/rot").head()
+    // the nested rows come back as mutable ArraySeqs — type them as the
+    // collection root, not immutable.Seq (a CCE inside map otherwise)
+    val pca = Pca.Model(r.getSeq[Double](0).toArray,
+      r.getSeq[Double](1).toArray,
+      r.getSeq[scala.collection.Seq[Double]](3).map(_.toArray).toArray)
+    RotatedIvfPqIndex(
+      RotatedIvfPqModel(p.cents, pca, r.getSeq[Int](2).toArray, p.pq),
+      p.homes, p.codes)
+  }
+
+  /** [[readIndex]] for the raw family. */
+  def readIndexRaw(spark: SparkSession, dir: String): RawPqIndex = {
+    val p = readIndexFamily(spark, dir, "rawpq")
+    RawPqIndex(p.cents, p.pq, p.homes, p.codes)
+  }
+
+  /** [[appendToIndex]]'s outcome for the rotated family. */
+  final case class AppendedRotatedIndex(index: Option[RotatedIvfPqIndex],
+      drift: Double, refitNeeded: Boolean,
+      incHomes: Option[DataFrame] = None, incCodes: Option[DataFrame] = None)
+
+  /** [[appendToIndex]] for the rotated family: batch-only homes +
+    * rotated-residual encode, the same bias-free quantized-moment drift
+    * test (both sides' moments read from ROTATED codes, so the rotation
+    * cancels too). */
+  def appendToIndexRotated(idx: RotatedIvfPqIndex, newVecs: DataFrame,
+      vecCol: String, idCol: String = "vec_id", driftBound: Double = 0.5,
+      persist: Boolean = true): AppendedRotatedIndex = {
+    val rm = idx.model
+    appendCore(idx.homes, idx.codes, rm.pq, rm.cents, newVecs, vecCol,
+      idCol, driftBound, persist,
+      (vNew, homesNew) => encodeBlocks(
+        residualsFrom(vNew, homesNew, rm.cents)
+          .select(col("vec_id"), rotateExpr(col("rv"), rm.pca, rm.basisPerm).as("rv")),
+        "rv", rm.pq)) match {
+      case None => AppendedRotatedIndex(Some(idx), 0.0, refitNeeded = false)
+      case Some((_, _, drift)) if drift > driftBound =>
+        AppendedRotatedIndex(None, drift, refitNeeded = true)
+      case Some((homesNew, codesNew, drift)) =>
+        AppendedRotatedIndex(
+          Some(RotatedIvfPqIndex(rm, idx.homes.unionByName(homesNew),
+            idx.codes.unionByName(codesNew))),
+          drift, refitNeeded = false, Some(homesNew), Some(codesNew))
+    }
+  }
+
+  /** One persisted index of ANY family — what [[readStoredIndex]]
+    * loads and [[searchStoredIndex]] serves, so the auto chooser's
+    * verdict survives a session restart regardless of which variant it
+    * picked. */
+  sealed trait StoredIndex { def family: String }
+  final case class StoredIvfPq(index: IvfPqIndex) extends StoredIndex {
+    def family = "ivfpq"
+  }
+  final case class StoredRotated(index: RotatedIvfPqIndex) extends StoredIndex {
+    def family = "opq"
+  }
+  final case class StoredRaw(index: RawPqIndex) extends StoredIndex {
+    def family = "rawpq"
+  }
+
+  /** Materialize the auto chooser's pick over its corpus as a
+    * persistable index: AutoRotated → the rotated index (reusing the
+    * chooser's own centroids), AutoRaw → the raw index (centroids via
+    * the shared recipe — the same per-call build the self-building raw
+    * search would pay, now paid once). */
+  def indexOfAuto(auto: AutoIndex, vecs: DataFrame, vecCol: String,
+      centroids: Int = 0, idCol: String = "vec_id"): StoredIndex = auto match {
+    case AutoRotated(rm, _, _) =>
+      StoredRotated(rotatedIndexOf(vecs, vecCol, rm, idCol))
+    case AutoRaw(m0, _, _) =>
+      StoredRaw(rawIndexOf(vecs, vecCol, m0, centroids, idCol))
+  }
+
+  /** Persist any family's index (dispatch on the variant). */
+  def writeStoredIndex(s: StoredIndex, dir: String): Unit = s match {
+    case StoredIvfPq(ix) => writeIndex(ix, dir)
+    case StoredRotated(ix) => writeIndexRotated(ix, dir)
+    case StoredRaw(ix) => writeIndexRaw(ix, dir)
+  }
+
+  /** Load a persisted index of whatever family the store holds —
+    * bounded driver reads, zero fit jobs, any family. */
+  def readStoredIndex(spark: SparkSession, dir: String): StoredIndex =
+    readIndexFamily(spark, dir, null) match {
+      case p if p.family == "opq" => StoredRotated(readIndexRotated(spark, dir))
+      case p if p.family == "rawpq" => StoredRaw(readIndexRaw(spark, dir))
+      case p => StoredIvfPq(IvfPqIndex(IvfPqModel(p.cents, p.pq),
+        p.homes, p.codes))
+    }
+
+  /** Search a persisted index of any family — the [[ivfAdcTopkAuto]]
+    * contract over the persisted tier. */
+  def searchStoredIndex(vecs: DataFrame, vecCol: String, s: StoredIndex,
+      topk: Int, nprobe: Int = 8, idCol: String = "vec_id",
+      queryIds: Option[DataFrame] = None,
+      allowedIds: Option[DataFrame] = None): DataFrame = s match {
+    case StoredIvfPq(ix) =>
+      ivfAdcTopk(vecs, vecCol, ix, topk, nprobe, idCol, queryIds, allowedIds)
+    case StoredRotated(ix) =>
+      ivfAdcTopk(vecs, vecCol, ix, topk, nprobe, idCol, queryIds, allowedIds)
+    case StoredRaw(ix) =>
+      ivfAdcTopk(vecs, vecCol, ix, topk, nprobe, idCol, queryIds, allowedIds)
+  }
+
+  /** The shared append core (batch hygiene + encode + drift): empty
+    * batch → None (a no-op append); otherwise the batch's homes, its
+    * codes via `encode(vNew, homesNew)`, and the drift between the
+    * corpus's and the batch's quantized residual moments. The caller
+    * assembles its family's result (and decides on drift). When the
+    * drift REFUSES, the batch frames are unpersisted before return. */
+  private def appendCore(homes: DataFrame, codes: DataFrame, pq: Model,
+      cents: Seq[(Long, Seq[Double])], newVecs: DataFrame, vecCol: String,
+      idCol: String, driftBound: Double, persist: Boolean,
+      encode: (DataFrame, DataFrame) => DataFrame)
+      : Option[(DataFrame, DataFrame, Double)] = {
+    require(driftBound >= 0, s"appendToIndex: driftBound $driftBound < 0")
+    val spark = newVecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val vNew = normalize(newVecs, vecCol, idCol)
+    if (vNew.limit(1).collect().isEmpty) return None
+    val dup = vNew.select("vec_id")
+      .join(homes.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), lit("already indexed").as("kind"))
+      .unionByName(vNew.groupBy("vec_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .select(col("vec_id"), lit("repeated within the batch").as("kind")))
+      .limit(1).collect()
+    dup.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"appendToIndex: id ${r.get(0)} is ${r.getString(1)} - an appended " +
+          "duplicate would double its search candidacy")
+    }
+    def persisted(df: DataFrame): DataFrame =
+      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      else df
+    val homesNew = persisted(homesOf(vNew, cents))
+    val codesNew = persisted(encode(vNew, homesNew))
+    val mOld = codeMoment(codes, pq)
+    val mNew = codeMoment(codesNew, pq)
+    val drift =
+      if (mOld > 0) math.abs(mNew - mOld) / mOld
+      else if (mNew > 0) Double.PositiveInfinity
+      else 0.0
+    if (drift > driftBound && persist) {
+      homesNew.unpersist(false); codesNew.unpersist(false); ()
+    }
+    Some((homesNew, codesNew, drift))
+  }
+
+  /** Rotated-residual IVFADC over a MATERIALIZED/persisted rotated
+    * index — query-side-only work, the rotated twin of the
+    * [[IvfPqIndex]] overload below: workload assignment, a residual
+    * LUT whose query residuals pass through the model's [[rotateExpr]]
+    * (the same expression tree the stored codes were encoded with),
+    * candidate join against the stored homes/codes. */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, idx: RotatedIvfPqIndex,
+      topk: Int, nprobe: Int, idCol: String, queryIds: Option[DataFrame],
+      allowedIds: Option[DataFrame]): DataFrame = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val rm = idx.model
+    val v = normalize(vecs, vecCol, idCol)
+    val qids = workloadIds(queryIds)
+    def queriesOnly(df: DataFrame): DataFrame =
+      qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val allow = allowedRel(allowedIds)
+    def allowedOnly(df: DataFrame): DataFrame =
+      allow.fold(df)(a => df.join(a, "vec_id"))
+    val qv = queriesOnly(v)
+    val probes = Ivf.assignments(qv, rm.cents, nprobe,
+        (a, b) => call_function("vec_sqdist", a, b))
+      .select(col("vec_id").as("i"), col("c_id"))
+    val cand = probes.join(allowedOnly(idx.homes), "c_id")
+      .filter(col("i") =!= col("vec_id"))
+      .select("i", "c_id", "vec_id")
+    adcRank(
+      cand
+        .join(idx.codes, "vec_id")
+        .join(lutResidualDF(qv, probes, rm.pq, rm.cents,
+            qr => rotateExpr(qr, rm.pca, rm.basisPerm)),
+          Seq("i", "c_id", "b", "code")),
+      topk)
+  }
+
+  /** Raw flat-PQ ADC over a MATERIALIZED/persisted raw index: IVF
+    * candidates from the stored homes, raw codes against the plain
+    * per-query LUT (no centroid term — the codes quantize raw
+    * vectors, so the LUT joins on (i, b, code) without c_id). */
+  def ivfAdcTopk(vecs: DataFrame, vecCol: String, idx: RawPqIndex,
+      topk: Int, nprobe: Int, idCol: String, queryIds: Option[DataFrame],
+      allowedIds: Option[DataFrame]): DataFrame = {
+    val spark = vecs.sparkSession
+    ApAggs.register(spark)
+    VectorExprs.register(spark)
+    val v = normalize(vecs, vecCol, idCol)
+    val qids = workloadIds(queryIds)
+    def queriesOnly(df: DataFrame): DataFrame =
+      qids.fold(df)(q => df.join(broadcast(q), "vec_id"))
+    val allow = allowedRel(allowedIds)
+    def allowedOnly(df: DataFrame): DataFrame =
+      allow.fold(df)(a => df.join(a, "vec_id"))
+    val qv = queriesOnly(v)
+    val probes = Ivf.assignments(qv, idx.cents, nprobe,
+        (a, b) => call_function("vec_sqdist", a, b))
+      .select(col("vec_id").as("i"), col("c_id"))
+    // one home per point ⇒ each (query, candidate) pair meets at most
+    // once — no distinct needed (the IvfPqIndex overload's property)
+    val cand = probes.join(allowedOnly(idx.homes), "c_id")
+      .filter(col("i") =!= col("vec_id"))
+      .select("i", "vec_id")
+    adcRank(
+      cand
+        .join(idx.codes, "vec_id")
+        .join(lutDF(qv, "v", idx.pq, "vec_id"), Seq("i", "b", "code")),
+      topk)
   }
 
   /** Residual IVFADC over a MATERIALIZED index — the repeated-query

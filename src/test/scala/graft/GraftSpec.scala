@@ -1537,4 +1537,108 @@ class GraftSpec extends SparkSuite {
     assert(search(loaded3) == wantApp,
       "compacted generation diverged")
   }
+
+  test("rotated + auto index persistence: every auto verdict round-trips with zero fit jobs; wrong-family reads fail loud") {
+    // round-19 VERDICT #2: writeIndex covered only the residual family,
+    // so the OPQ/rotated index fitIvfPqAuto picks on clustered corpora
+    // refit from scratch every fresh session. Same physical pin as the
+    // residual test above: the corpus parquet is DELETED before the
+    // read-back, so any load path that refits or re-encodes dies on a
+    // missing file.
+    import spark.implicits._
+    import graft.functions.Pq
+    // the clustered fixture of PqSpec's auto-selection test (64 tight
+    // 10σ-separated clusters): the chooser must go rotated
+    val rnd = new scala.util.Random(777)
+    val centers = Array.fill(64, 64)(rnd.nextGaussian() * 10.0)
+    val clDir = java.nio.file.Files
+      .createTempDirectory("graft-rot-persist").toString + "/emb"
+    (0 until 1000).map { i =>
+      val c = centers(i % 64)
+      (i.toLong, (0 until 64).map(j => c(j) + rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding").write.parquet(clDir)
+    val corpus = spark.read.parquet(clDir)
+    val queries = corpus.filter(col("vec_id") % 97 === 0)
+      .collect()
+    val qdf = queries.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("vec_id", "embedding").localCheckpoint(true)
+    val auto = Pq.fitIvfPqAuto(corpus, "embedding", k = 32, centroids = 64)
+    assert(auto.variant == "opq+residual",
+      s"clustered corpus must pick the rotated family, got ${auto.variant}")
+    val stored = Pq.indexOfAuto(auto, corpus, "embedding", centroids = 64)
+    assert(stored.family == "opq")
+    def search(ix: Pq.StoredIndex): Seq[(Long, Long)] =
+      Pq.searchStoredIndex(qdf, "embedding", ix, 5, nprobe = 8, "vec_id",
+          queryIds = Some(qdf.select("vec_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = search(stored)
+    assert(want.nonEmpty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rot-persist-idx").toString
+    Pq.writeStoredIndex(stored, dir)
+    // the point of no return: the corpus exists only in the store
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(clDir))
+    Pq.invalidateIndexCache(spark)
+    val loaded = Pq.readStoredIndex(spark, dir)
+    assert(loaded.family == "opq", s"family dispatch broke: ${loaded.family}")
+    assert(search(loaded) == want,
+      "read-back rotated index diverged from the in-session one")
+    // wrong-family read fails LOUD (a silent unrotated read would
+    // decode rotated codes as residual ones)
+    val boom = intercept[IllegalArgumentException] {
+      Pq.readIndex(spark, dir)
+    }
+    assert(boom.getMessage.contains("family"), boom.getMessage)
+    // append + persisted increment on the rotated family: batch-only
+    // encode, the same increment/marker protocol, reads compose
+    val rix = loaded.asInstanceOf[Pq.StoredRotated].index
+    val rnd2 = new scala.util.Random(778)
+    val batch = (2000L until 2080L).map { i =>
+      val c = centers((i % 64).toInt)
+      (i, (0 until 64).map(j => c(j) + rnd2.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+    val app = Pq.appendToIndexRotated(rix, batch, "embedding")
+    assert(!app.refitNeeded && app.incHomes.nonEmpty,
+      s"in-distribution rotated append refused (drift=${app.drift})")
+    assert(Pq.writeIndexIncrement(app.incHomes.get, app.incCodes.get, dir, 0L))
+    val reloaded = Pq.readStoredIndex(spark, dir)
+      .asInstanceOf[Pq.StoredRotated].index
+    assert(reloaded.homes.count() == 1080)
+    assert(search(Pq.StoredRotated(reloaded)) ==
+      search(Pq.StoredRotated(app.index.get)),
+      "persisted rotated increment diverged from the in-memory append")
+    // the RAW family (the chooser's isotropic pick) round-trips too —
+    // every auto verdict has a persisted tier
+    val isoDir = java.nio.file.Files
+      .createTempDirectory("graft-raw-persist").toString + "/emb"
+    Tables.embeddings(spark, sf001).write.parquet(isoDir)
+    val iso = spark.read.parquet(isoDir)
+    val autoIso = Pq.fitIvfPqAuto(iso, "embedding", centroids = 16)
+    assert(autoIso.variant == "raw",
+      s"isotropic corpus must pick raw, got ${autoIso.variant}")
+    val storedIso = Pq.indexOfAuto(autoIso, iso, "embedding", centroids = 16)
+    val qIso = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .localCheckpoint(true)
+    def searchIso(ix: Pq.StoredIndex): Seq[(Long, Long)] =
+      Pq.searchStoredIndex(qIso, "embedding", ix, 5, nprobe = 8, "vec_id",
+          queryIds = Some(qIso.select("vec_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val wantIso = searchIso(storedIso)
+    assert(wantIso.nonEmpty)
+    val isoIdxDir = java.nio.file.Files
+      .createTempDirectory("graft-raw-persist-idx").toString
+    Pq.writeStoredIndex(storedIso, isoIdxDir)
+    deleteRec(new java.io.File(isoDir))
+    val loadedIso = Pq.readStoredIndex(spark, isoIdxDir)
+    assert(loadedIso.family == "rawpq", s"family: ${loadedIso.family}")
+    assert(searchIso(loadedIso) == wantIso,
+      "read-back raw index diverged from the in-session one")
+  }
 }
