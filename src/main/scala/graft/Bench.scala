@@ -267,6 +267,39 @@ object Bench {
       parts.foreach(graft.Checkpoints.release)
     }
 
+    // SEMANTIC ingest-dedup twin (round 20): the home-cell-pruned
+    // rerank is the round's flagship fix — this row is the number that
+    // catches its regression (a lost partition pruning or a corpus
+    // re-encode shows as a per-batch jump; the index fit lives in the
+    // UNTIMED seeding, exactly like the lexical row's shingle seeding).
+    // 2 timed batches of ~500 sf0.1 vectors against a 1000-vector
+    // seeded corpus + persisted index per rep.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val seed = emb.filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val parts = (0 until 2)
+        .map(r => emb.filter(col("doc_id") % 4 === 2 * r + 1).localCheckpoint())
+      def rep(): Double = {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-bench-ingest-sem").toString
+        graft.streaming.Streams.initSemanticDedupCorpus(seed, t)
+        val sec = time {
+          parts.zipWithIndex.foreach { case (p, i) =>
+            graft.streaming.Streams.applySemanticDedupBatch(p, i.toLong, t); ()
+          }
+        }
+        graft.MarkerStore.fs(spark, t)
+          .delete(new org.apache.hadoop.fs.Path(t), true)
+        sec
+      }
+      rep() // warm
+      for (_ <- 1 to apDistReps) record("ingest_dedup_sem_b2", rep())
+      graft.Checkpoints.release(seed)
+      parts.foreach(graft.Checkpoints.release)
+    }
+
     // Floor rows (BASELINE.md round-5/6 note): jobs with NO query logic
     // bounding what any Spark-local job clocks under this width.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
