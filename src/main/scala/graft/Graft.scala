@@ -1153,6 +1153,41 @@ object Graft {
       idCol = "vec_id", queryIds = queryIds)
   }
 
+  /** Build and PERSIST the auto-selected ANN index for an embedding
+    * column — the faiss train→write_index lifecycle on a caller
+    * DataFrame: [[graft.functions.Pq.fitIvfPqAuto]] picks the variant
+    * this corpus needs (raw flat-PQ on isotropic data, OPQ-rotated
+    * residual on clustered/heteroscedastic), the index materializes
+    * over the corpus, and the store's next generation commits behind
+    * the marker protocol. Serve it — in this session or any later one —
+    * with [[searchSimilarityIndex]]; append with the
+    * [[graft.functions.Pq]] increment API; compact with
+    * [[graft.functions.Pq.vacuumIndex]]. */
+  def buildSimilarityIndex(spark: SparkSession, embeddings: DataFrame,
+      dir: String, idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 8, pqK: Int = 256, centroids: Int = 0): Unit = {
+    val e = embOf(embeddings, idCol, vecCol)
+    val auto = functions.Pq.fitIvfPqAuto(e, "embedding", m, pqK, centroids)
+    functions.Pq.writeStoredIndex(
+      functions.Pq.indexOfAuto(auto, e, "embedding", centroids), dir)
+  }
+
+  /** Serve ANN top-k from a PERSISTED index directory (whatever family
+    * [[buildSimilarityIndex]] — or the Pq writers directly — stored
+    * there): the load is bounded driver reads + lazy parquet plans,
+    * ZERO fit jobs and zero corpus scans, so a fresh session answers
+    * its first query at query-side cost only. Returns
+    * (i, k_id, adc, rnk) for the query relation (optionally restricted
+    * to `queryIds`). */
+  def searchSimilarityIndex(spark: SparkSession, queries: DataFrame,
+      dir: String, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", nprobe: Int = 8,
+      queryIds: Option[DataFrame] = None): DataFrame = {
+    val q = embOf(queries, idCol, vecCol)
+    functions.Pq.searchStoredIndex(q, "embedding",
+      functions.Pq.readStoredIndex(spark, dir), k, nprobe, "vec_id", queryIds)
+  }
+
   /** Product-quantize an embedding column: trains m per-block
     * codebooks on a bounded sample and encodes every row to m codes
     * (comma-joined, block order) in one exchange — see

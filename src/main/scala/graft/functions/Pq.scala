@@ -917,9 +917,14 @@ object Pq {
       cbRows.filter(_._1 == b).sortBy(_._2).map(_._3))
     require(codebooks.forall(_.nonEmpty),
       s"index $dir generation $g has an empty codebook block")
+    // ONE multi-path read per dataset (parts are homogeneous flat
+    // parquet): a single file listing + schema inference for the whole
+    // store — the per-part union form cost one inference job per
+    // committed increment per readIndex call, a per-micro-batch tax in
+    // the semantic ingest sink (round 20, the store-reader finding)
     def unionOf(name: String): DataFrame =
-      (Seq(s"$genDir/$name") ++ tail.map(i => s"$dir/inc=$i/$name"))
-        .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      spark.read.parquet(
+        (Seq(s"$genDir/$name") ++ tail.map(i => s"$dir/inc=$i/$name")): _*)
     LoadedIndex(g, genDir, fam, Model(m, k, sub, codebooks), cents,
       unionOf("homes"), unionOf("codes"))
   }

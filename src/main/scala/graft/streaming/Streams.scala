@@ -1249,7 +1249,7 @@ object Streams {
       // per-batch aggregates with no document content or ids
       statsParts(spark, targetDir) match {
         case ps if ps.nonEmpty =>
-          ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+          spark.read.parquet(ps: _*)
             .write.mode("overwrite").parquet(s"$targetDir/gen=$g/stats")
         case _ => ()
       }
@@ -1287,7 +1287,7 @@ object Streams {
         // retire below; without this the history would truncate)
         statsParts(spark, targetDir) match {
           case ps if ps.nonEmpty =>
-            ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+            spark.read.parquet(ps: _*)
               .write.mode("overwrite").parquet(s"$targetDir/gen=$g/stats")
           case _ => ()
         }

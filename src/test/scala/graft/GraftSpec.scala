@@ -1641,4 +1641,31 @@ class GraftSpec extends SparkSuite {
     assert(searchIso(loadedIso) == wantIso,
       "read-back raw index diverged from the in-session one")
   }
+
+  test("similarity-index facade: build+persist then serve from the store ≡ the live auto search, renamed columns") {
+    // the train→write_index→read_index→search lifecycle on caller
+    // DataFrames: the persisted answer must be row-equal to the live
+    // similarTopKAuto composition (same deterministic centroid/codebook
+    // recipes on both paths), through renamed columns
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val renamed = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("item"), col("embedding").as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-facade-simidx").toString
+    Graft.buildSimilarityIndex(spark, renamed, dir,
+      idCol = "item", vecCol = "vec", centroids = 16)
+    val qids = (0L until 500L by 31L).toDF("item")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0),
+        r.getAs[Long]("k_id"), r.getAs[Long]("rnk"))).toSeq.sorted
+    val got = rows(Graft.searchSimilarityIndex(spark, renamed, dir, k = 5,
+      idCol = "item", vecCol = "vec", queryIds = Some(qids)))
+    val want = rows(Graft.similarTopKAuto(spark, renamed, 5,
+      idCol = "item", vecCol = "vec", centroids = 16,
+      queryIds = Some(qids)))
+    assert(got.nonEmpty && got == want,
+      s"persisted-facade search diverged from the live auto search " +
+        s"(${got.size} vs ${want.size} rows)")
+  }
 }
