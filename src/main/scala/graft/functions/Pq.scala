@@ -731,7 +731,11 @@ object Pq {
     * vector rescan). Both sides of [[appendToIndex]]'s drift test go
     * through THIS estimator, so the quantization bias cancels: an
     * i.i.d. batch drifts ≈ 0, a distribution shift the codebooks don't
-    * fit shows up as a moment gap. */
+    * fit shows up as a moment gap. The corpus side is still an N·m-row
+    * scan per call — a PERSISTED index avoids it entirely via the
+    * moment sidecars ([[indexMoment]]): the ingest sinks pass that
+    * merged value as `corpusMoment`, and this scan is the fallback for
+    * in-memory indexes and sidecar-less stores. */
   private def codeMoment(codes: DataFrame, model: Model): Double = {
     val spark = codes.sparkSession
     import spark.implicits._
@@ -773,7 +777,8 @@ object Pq {
     * pandas-API shape: explicit index object in, explicit out). */
   def appendToIndex(idx: IvfPqIndex, newVecs: DataFrame, vecCol: String,
       idCol: String = "vec_id", driftBound: Double = 0.5,
-      persist: Boolean = true): AppendedIndex =
+      persist: Boolean = true,
+      corpusMoment: Option[Double] = None): AppendedIndex =
     // empty-batch no-op, the union duplicate probe, and the bias-free
     // drift estimator all live in the shared core (one recipe for the
     // residual and rotated families — round-20, when the rotated
@@ -782,7 +787,7 @@ object Pq {
       newVecs, vecCol, idCol, driftBound, persist,
       (vNew, homesNew) => encodeBlocks(
         residualsFrom(vNew, homesNew, idx.model.cents), "rv",
-        idx.model.pq)) match {
+        idx.model.pq), corpusMoment) match {
       case None => AppendedIndex(Some(idx), 0.0, refitNeeded = false)
       case Some((_, _, drift)) if drift > driftBound =>
         AppendedIndex(None, drift, refitNeeded = true)
@@ -840,10 +845,47 @@ object Pq {
       .write.mode("overwrite").parquet(s"$dir/gen=$g/codebooks")
     homes.write.mode("overwrite").parquet(s"$dir/gen=$g/homes")
     codes.write.mode("overwrite").parquet(s"$dir/gen=$g/codes")
+    momentCounts(codes).write.mode("overwrite").parquet(s"$dir/gen=$g/moment")
     extras.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/gen=$g/$name")
     }
     graft.MarkerStore.commitGen(spark, dir, g, covered)
+  }
+
+  /** The moment SIDECAR of an encoded relation: per-(b, code) row
+    * counts — ≤ m·k rows, model-independent, and sufficient to
+    * reconstruct [[codeMoment]]'s estimator exactly (Σ cnt·‖c‖² over a
+    * driver-side codebook walk, n_vecs = Σ cnt / m). Written beside
+    * every persisted generation and increment so the ingest sinks'
+    * per-batch drift test never re-scans the stored codes
+    * ([[indexMoment]]). */
+  private def momentCounts(codes: DataFrame): DataFrame =
+    codes.groupBy("b", "code").agg(count(lit(1)).as("cnt"))
+
+  /** The persisted index's corpus moment ([[codeMoment]]'s value),
+    * merged from the live generation's and committed increments'
+    * moment sidecars — bounded driver reads (≤ m·k rows per part),
+    * never a scan of the stored codes. None when any live part
+    * predates the sidecar (the caller falls back to the scan). */
+  def indexMoment(spark: SparkSession, dir: String,
+      model: Model): Option[Double] = {
+    val (gen, tail) = graft.MarkerStore.resolve(spark, dir)
+    require(gen.nonEmpty, s"index $dir has no committed generation")
+    val parts = Seq(s"$dir/gen=${gen.get._1}/moment") ++
+      tail.map(i => s"$dir/inc=$i/moment")
+    val fs = graft.MarkerStore.fs(spark, dir)
+    if (!parts.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))))
+      return None
+    val counts = spark.read.parquet(parts: _*)
+      .groupBy("b", "code").agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    val total = counts.map(_._3).sum
+    if (total == 0) return Some(0.0)
+    val energy = counts.map { case (b, c, n) =>
+      n * model.codebooks(b)(c.toInt).map(x => x * x).sum
+    }.sum
+    Some(energy / (total.toDouble / model.m))
   }
 
   /** Persist one appended batch's homes/codes as increment `incId`
@@ -860,6 +902,8 @@ object Pq {
     else {
       homes.write.mode("overwrite").parquet(s"$dir/inc=$incId/homes")
       codes.write.mode("overwrite").parquet(s"$dir/inc=$incId/codes")
+      momentCounts(codes).write.mode("overwrite")
+        .parquet(s"$dir/inc=$incId/moment")
       graft.MarkerStore.commitInc(spark, dir, incId)
       true
     }
@@ -1072,14 +1116,15 @@ object Pq {
     * cancels too). */
   def appendToIndexRotated(idx: RotatedIvfPqIndex, newVecs: DataFrame,
       vecCol: String, idCol: String = "vec_id", driftBound: Double = 0.5,
-      persist: Boolean = true): AppendedRotatedIndex = {
+      persist: Boolean = true,
+      corpusMoment: Option[Double] = None): AppendedRotatedIndex = {
     val rm = idx.model
     appendCore(idx.homes, idx.codes, rm.pq, rm.cents, newVecs, vecCol,
       idCol, driftBound, persist,
       (vNew, homesNew) => encodeBlocks(
         residualsFrom(vNew, homesNew, rm.cents)
           .select(col("vec_id"), rotateExpr(col("rv"), rm.pca, rm.basisPerm).as("rv")),
-        "rv", rm.pq)) match {
+        "rv", rm.pq), corpusMoment) match {
       case None => AppendedRotatedIndex(Some(idx), 0.0, refitNeeded = false)
       case Some((_, _, drift)) if drift > driftBound =>
         AppendedRotatedIndex(None, drift, refitNeeded = true)
@@ -1159,7 +1204,8 @@ object Pq {
   private def appendCore(homes: DataFrame, codes: DataFrame, pq: Model,
       cents: Seq[(Long, Seq[Double])], newVecs: DataFrame, vecCol: String,
       idCol: String, driftBound: Double, persist: Boolean,
-      encode: (DataFrame, DataFrame) => DataFrame)
+      encode: (DataFrame, DataFrame) => DataFrame,
+      corpusMoment: Option[Double])
       : Option[(DataFrame, DataFrame, Double)] = {
     require(driftBound >= 0, s"appendToIndex: driftBound $driftBound < 0")
     val spark = newVecs.sparkSession
@@ -1184,7 +1230,10 @@ object Pq {
       else df
     val homesNew = persisted(homesOf(vNew, cents))
     val codesNew = persisted(encode(vNew, homesNew))
-    val mOld = codeMoment(codes, pq)
+    // corpus side from the caller's sidecar-merged value when it has
+    // one (the persisted-index hot path — see [[indexMoment]]); the
+    // batch side is always a batch-sized scan
+    val mOld = corpusMoment.getOrElse(codeMoment(codes, pq))
     val mNew = codeMoment(codesNew, pq)
     val drift =
       if (mOld > 0) math.abs(mNew - mOld) / mOld

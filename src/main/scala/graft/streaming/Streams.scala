@@ -778,9 +778,16 @@ object Streams {
           // persist=false: the increment is consumed twice (drift moment
           // + store write) and recomputes batch-sized; persist=true
           // would strand MEMORY_ONLY blocks per batch with no release
-          // hook here
+          // hook here. corpusMoment from the persisted MOMENT SIDECARS
+          // (round 20): the corpus side of the drift test merges ≤ m·k
+          // count rows per store part instead of scanning the stored
+          // codes — with it, this transaction never reads the codes
+          // relation at all (candidates come from homes, the rerank is
+          // exact cosine), which the suite pins by scrambling the
+          // stored codes in place.
           val app = Pq.appendToIndex(idx, landed, "embedding",
-            idCol = "doc_id", persist = false)
+            idCol = "doc_id", persist = false,
+            corpusMoment = Pq.indexMoment(spark, indexDir, idx.model.pq))
           if (app.refitNeeded) {
             // distribution shift: full refit over corpus + survivors,
             // persisted as the next index generation — then an EMPTY

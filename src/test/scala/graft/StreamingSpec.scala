@@ -1227,6 +1227,52 @@ class StreamingSpec extends SparkSuite {
       "a dup of recovered content leaked past the post-retry sink")
   }
 
+  test("semantic sink drift test reads the moment sidecars, never the stored codes") {
+    // round 20: the corpus side of appendToIndex's drift test used to
+    // scan the stored codes per micro-batch (N·m rows at corpus
+    // scale); the sink now merges the ≤ m·k-row moment sidecars
+    // instead. The pin is behavioral: scramble the stored codes IN
+    // PLACE to the per-block minimum-energy code (a scan-based corpus
+    // moment collapses toward zero, which would force a refit on ANY
+    // non-degenerate batch), then ingest an in-distribution batch —
+    // the sink must still APPEND, because its decision never read the
+    // codes.
+    import spark.implicits._
+    import graft.functions.Pq
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    val seed = emb.filter(col("doc_id") % 3 === 0)
+    val target = Files.createTempDirectory("graft-sem-moment").toString
+    val indexDir = s"$target/_index"
+    Streams.initSemanticDedupCorpus(seed, target)
+    val idx = Pq.readIndex(spark, indexDir)
+    val pq = idx.model.pq
+    val mSide = Pq.indexMoment(spark, indexDir, pq)
+      .getOrElse(fail("persisted generation has no moment sidecar"))
+    def energy(b: Int, c: Int): Double =
+      pq.codebooks(b)(c).map(x => x * x).sum
+    val minCode = (0 until pq.m)
+      .map(b => b -> pq.codebooks(b).indices.minBy(energy(b, _)))
+    val mGarbage = minCode.map { case (b, c) => energy(b, c) }.sum
+    assert(mGarbage < 0.5 * mSide,
+      s"fixture precondition: garbage moment $mGarbage vs sidecar $mSide — " +
+        "the scramble must be distinguishable from the true moment")
+    val ids = idx.homes.select("vec_id").collect().map(_.getLong(0)).toSeq
+    minCode.flatMap { case (b, c) => ids.map(id => (id, b, c.toLong)) }
+      .toDF("vec_id", "b", "code")
+      .write.mode("overwrite").parquet(s"$indexDir/gen=1/codes")
+    val batch = emb.filter(col("doc_id") % 3 === 1)
+    assert(Streams.applySemanticDedupBatch(batch, 0L, target) >= 0)
+    assert(Streams.readDedupStats(spark, target)
+      .filter(col("batch_id") === 0).collect()(0)
+      .getAs[String]("index_op") == "appended",
+      "an in-distribution batch refit - the drift test read the " +
+        "scrambled codes instead of the moment sidecars")
+    assert(graft.MarkerStore.liveGen(spark, indexDir).get._1 == 1L,
+      "the index minted a new generation on an in-distribution append")
+  }
+
   test("sf0.1 semantic replay: kept ≡ the D6 rule over the sink's own pairs; drift-free appends never refit; an all-dup batch lands an empty increment that round-trips") {
     // round-19 VERDICT task 5 — the lexical sink's multi-batch replay
     // discipline at the larger fixture (2000 vectors): per batch the
