@@ -778,16 +778,21 @@ object Pq {
   def appendToIndex(idx: IvfPqIndex, newVecs: DataFrame, vecCol: String,
       idCol: String = "vec_id", driftBound: Double = 0.5,
       persist: Boolean = true,
-      corpusMoment: Option[Double] = None): AppendedIndex =
+      corpusMoment: Option[Double] = None,
+      precomputedHomes: Option[DataFrame] = None): AppendedIndex =
     // empty-batch no-op, the union duplicate probe, and the bias-free
     // drift estimator all live in the shared core (one recipe for the
     // residual and rotated families — round-20, when the rotated
-    // append landed)
+    // append landed). precomputedHomes: the batch's (vec_id, c_id)
+    // nprobe=1 assignment against idx's OWN centroids when the caller
+    // already materialized it (the semantic sink's home-cell layout
+    // write) — bit-identical to the recompute, one assignment pass
+    // instead of two (round 21).
     appendCore(idx.homes, idx.codes, idx.model.pq, idx.model.cents,
       newVecs, vecCol, idCol, driftBound, persist,
       (vNew, homesNew) => encodeBlocks(
         residualsFrom(vNew, homesNew, idx.model.cents), "rv",
-        idx.model.pq), corpusMoment) match {
+        idx.model.pq), corpusMoment, precomputedHomes) match {
       case None => AppendedIndex(Some(idx), 0.0, refitNeeded = false)
       case Some((_, _, drift)) if drift > driftBound =>
         AppendedIndex(None, drift, refitNeeded = true)
@@ -845,12 +850,49 @@ object Pq {
       .write.mode("overwrite").parquet(s"$dir/gen=$g/codebooks")
     homes.write.mode("overwrite").parquet(s"$dir/gen=$g/homes")
     codes.write.mode("overwrite").parquet(s"$dir/gen=$g/codes")
-    momentCounts(codes).write.mode("overwrite").parquet(s"$dir/gen=$g/moment")
+    // sidecar from the just-WRITTEN bytes, not a re-execution of the
+    // lazy codes plan (round-20 ADVICE): the plan is corpus-sized on the
+    // refit/vacuum paths — a second full encode pass — and any
+    // re-execution nondeterminism would silently desync the sidecar
+    // from the stored codes; reading the file back guarantees
+    // sidecar ≡ stored and costs one bounded aggregate
+    momentCounts(spark.read.schema(codesSchema).parquet(s"$dir/gen=$g/codes"))
+      .write.mode("overwrite").parquet(s"$dir/gen=$g/moment")
     extras.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/gen=$g/$name")
     }
     graft.MarkerStore.commitGen(spark, dir, g, covered)
   }
+
+  // Explicit schemas of the persisted index datasets — the exact shapes
+  // writeIndexFamily/writeIndexIncrement land (round-21 optimization:
+  // parquet reads WITHOUT a user schema pay one footer-inference job
+  // per relation build, a per-micro-batch tax in the ingest sinks; the
+  // parts are homogeneous by the store invariant, so the schema is
+  // static). PqStoreSchemaSpec pins each against a freshly-written
+  // store's inferred schema, so a writer change fails loud here.
+  private[graft] val homesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType)))
+  private[graft] val codesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType)))
+  private[graft] val momentSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
 
   /** The moment SIDECAR of an encoded relation: per-(b, code) row
     * counts — ≤ m·k rows, model-independent, and sufficient to
@@ -876,7 +918,7 @@ object Pq {
     val fs = graft.MarkerStore.fs(spark, dir)
     if (!parts.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))))
       return None
-    val counts = spark.read.parquet(parts: _*)
+    val counts = spark.read.schema(momentSchema).parquet(parts: _*)
       .groupBy("b", "code").agg(sum(col("cnt")).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(r => (r._1, r._2))
@@ -902,8 +944,10 @@ object Pq {
     else {
       homes.write.mode("overwrite").parquet(s"$dir/inc=$incId/homes")
       codes.write.mode("overwrite").parquet(s"$dir/inc=$incId/codes")
-      momentCounts(codes).write.mode("overwrite")
-        .parquet(s"$dir/inc=$incId/moment")
+      // sidecar from the WRITTEN bytes — see writeIndexFamily: no third
+      // execution of the batch encode, sidecar ≡ stored by construction
+      momentCounts(spark.read.schema(codesSchema).parquet(s"$dir/inc=$incId/codes"))
+        .write.mode("overwrite").parquet(s"$dir/inc=$incId/moment")
       graft.MarkerStore.commitInc(spark, dir, incId)
       true
     }
@@ -928,6 +972,62 @@ object Pq {
       family: String, pq: Model, cents: Seq[(Long, Seq[Double])],
       homes: DataFrame, codes: DataFrame)
 
+  /** Driver-side model pieces of one persisted generation — the
+    * cacheable immutable part of [[LoadedIndex]] (everything except the
+    * tail-dependent homes/codes unions). */
+  private final case class LoadedModel(family: String, pq: Model,
+      cents: Seq[(Long, Seq[Double])])
+
+  /** Per-session cache of the LATEST loaded generation model per index
+    * dir (round 21): a marked generation is IMMUTABLE (writeIndexFamily
+    * lands `gen=<g>/` then the marker; vacuum only ever deletes
+    * superseded generations), so the meta/cents/codebooks driver reads
+    * — three Spark jobs plus their file listings, re-paid on every
+    * readIndex call, i.e. once per ingest micro-batch — can be reused
+    * for as long as the live generation id is unchanged. Generation
+    * resolution itself stays a per-call driver FS read (MarkerStore),
+    * so a refit/redaction/vacuum that advances the generation misses
+    * the cache and reloads. One entry per dir (the latest generation)
+    * bounds the held codebooks; the weak session key is the
+    * sessionIndexCache discipline. */
+  private val loadedModelCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, (Long, LoadedModel)]]()
+
+  private def loadedModelCacheFor(spark: SparkSession) =
+    loadedModelCache.synchronized {
+      var m = loadedModelCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (Long, LoadedModel)]()
+        loadedModelCache.put(spark, m)
+      }
+      m
+    }
+
+  /** Test hook: drop the cached generation models for `spark`. */
+  private[graft] def invalidateLoadedModelCache(spark: SparkSession): Unit =
+    loadedModelCache.synchronized { loadedModelCache.remove(spark); () }
+
+  private def loadModel(spark: SparkSession, dir: String, g: Long): LoadedModel = {
+    val genDir = s"$dir/gen=$g"
+    val metaDf = spark.read.parquet(s"$genDir/meta")
+    val meta = metaDf.head()
+    val fam =
+      if (metaDf.schema.fieldNames.contains("family"))
+        meta.getString(metaDf.schema.fieldIndex("family"))
+      else "ivfpq"
+    val (m, k, sub) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cents = spark.read.parquet(s"$genDir/cents")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val cbRows = spark.read.parquet(s"$genDir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codebooks = Array.tabulate(m)(b =>
+      cbRows.filter(_._1 == b).sortBy(_._2).map(_._3))
+    require(codebooks.forall(_.nonEmpty),
+      s"index $dir generation $g has an empty codebook block")
+    LoadedModel(fam, Model(m, k, sub, codebooks), cents)
+  }
+
   /** Load the shared datasets of a persisted index generation,
     * asserting the store's family matches the reader (`family = null`
     * skips the check — the [[readStoredIndex]] dispatcher's probe).
@@ -941,36 +1041,31 @@ object Pq {
     require(gen.nonEmpty, s"index $dir has no committed generation")
     val g = gen.get._1
     val genDir = s"$dir/gen=$g"
-    val metaDf = spark.read.parquet(s"$genDir/meta")
-    val meta = metaDf.head()
-    val fam =
-      if (metaDf.schema.fieldNames.contains("family"))
-        meta.getString(metaDf.schema.fieldIndex("family"))
-      else "ivfpq"
-    require(family == null || fam == family,
-      s"index $dir generation $g is family '$fam', not '$family' - " +
+    val cache = loadedModelCacheFor(spark)
+    val lm = Option(cache.get(dir)) match {
+      case Some((cg, m)) if cg == g => m
+      case _ =>
+        val m = loadModel(spark, dir, g)
+        cache.put(dir, (g, m))
+        m
+    }
+    require(family == null || lm.family == family,
+      s"index $dir generation $g is family '${lm.family}', not '$family' - " +
         "load it with its own reader (readIndex / readIndexRotated / " +
         "readIndexRaw, or readStoredIndex to dispatch)")
-    val (m, k, sub) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val cents = spark.read.parquet(s"$genDir/cents")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
-    val cbRows = spark.read.parquet(s"$genDir/codebooks")
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    val codebooks = Array.tabulate(m)(b =>
-      cbRows.filter(_._1 == b).sortBy(_._2).map(_._3))
-    require(codebooks.forall(_.nonEmpty),
-      s"index $dir generation $g has an empty codebook block")
     // ONE multi-path read per dataset (parts are homogeneous flat
-    // parquet): a single file listing + schema inference for the whole
-    // store — the per-part union form cost one inference job per
-    // committed increment per readIndex call, a per-micro-batch tax in
-    // the semantic ingest sink (round 20, the store-reader finding)
-    def unionOf(name: String): DataFrame =
-      spark.read.parquet(
+    // parquet): a single file listing for the whole store — the
+    // per-part union form cost one inference job per committed
+    // increment per readIndex call, a per-micro-batch tax in the
+    // semantic ingest sink (round 20, the store-reader finding).
+    // Round 21: the EXPLICIT schema kills the remaining footer
+    // inference job per relation build (the parts are homogeneous by
+    // the store invariant; PqStoreSchemaSpec pins schema ≡ written).
+    def unionOf(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.read.schema(schema).parquet(
         (Seq(s"$genDir/$name") ++ tail.map(i => s"$dir/inc=$i/$name")): _*)
-    LoadedIndex(g, genDir, fam, Model(m, k, sub, codebooks), cents,
-      unionOf("homes"), unionOf("codes"))
+    LoadedIndex(g, genDir, lm.family, lm.pq, lm.cents,
+      unionOf("homes", homesSchema), unionOf("codes", codesSchema))
   }
 
   /** Retire persisted-index data a reader can no longer resolve — the
@@ -1086,8 +1181,15 @@ object Pq {
   /** [[readIndex]] for the rotated family: model pieces (including the
     * rotation) via bounded driver reads — zero fit jobs — plus lazy
     * homes/codes unions over generation + committed increments. */
-  def readIndexRotated(spark: SparkSession, dir: String): RotatedIvfPqIndex = {
-    val p = readIndexFamily(spark, dir, "opq")
+  def readIndexRotated(spark: SparkSession, dir: String): RotatedIvfPqIndex =
+    rotatedOf(spark, readIndexFamily(spark, dir, "opq"))
+
+  /** Assemble the rotated index from an already-loaded generation (the
+    * family-specific `rot` extra is the only additional read) — shared
+    * by [[readIndexRotated]] and [[readStoredIndex]]'s dispatcher, so
+    * the dispatcher never re-runs the full family load (round-20
+    * ADVICE #2). */
+  private def rotatedOf(spark: SparkSession, p: LoadedIndex): RotatedIvfPqIndex = {
     val r = spark.read.parquet(s"${p.genDir}/rot").head()
     // the nested rows come back as mutable ArraySeqs — type them as the
     // collection root, not immutable.Seq (a CCE inside map otherwise)
@@ -1174,9 +1276,13 @@ object Pq {
   /** Load a persisted index of whatever family the store holds —
     * bounded driver reads, zero fit jobs, any family. */
   def readStoredIndex(spark: SparkSession, dir: String): StoredIndex =
+    // one family load, results built from the probe directly (the
+    // dispatch-to-public-readers form re-ran the whole load for the
+    // opq/rawpq families — round-20 ADVICE #2)
     readIndexFamily(spark, dir, null) match {
-      case p if p.family == "opq" => StoredRotated(readIndexRotated(spark, dir))
-      case p if p.family == "rawpq" => StoredRaw(readIndexRaw(spark, dir))
+      case p if p.family == "opq" => StoredRotated(rotatedOf(spark, p))
+      case p if p.family == "rawpq" =>
+        StoredRaw(RawPqIndex(p.cents, p.pq, p.homes, p.codes))
       case p => StoredIvfPq(IvfPqIndex(IvfPqModel(p.cents, p.pq),
         p.homes, p.codes))
     }
@@ -1205,7 +1311,8 @@ object Pq {
       cents: Seq[(Long, Seq[Double])], newVecs: DataFrame, vecCol: String,
       idCol: String, driftBound: Double, persist: Boolean,
       encode: (DataFrame, DataFrame) => DataFrame,
-      corpusMoment: Option[Double])
+      corpusMoment: Option[Double],
+      precomputedHomes: Option[DataFrame] = None)
       : Option[(DataFrame, DataFrame, Double)] = {
     require(driftBound >= 0, s"appendToIndex: driftBound $driftBound < 0")
     val spark = newVecs.sparkSession
@@ -1228,7 +1335,12 @@ object Pq {
     def persisted(df: DataFrame): DataFrame =
       if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       else df
-    val homesNew = persisted(homesOf(vNew, cents))
+    // a caller-materialized home relation (the sink's layout write) is
+    // already storage-backed — persisting it again would just layer
+    // storage on storage
+    val homesNew = precomputedHomes
+      .map(_.select(col("vec_id"), col("c_id")))
+      .getOrElse(persisted(homesOf(vNew, cents)))
     val codesNew = persisted(encode(vNew, homesNew))
     // corpus side from the caller's sidecar-merged value when it has
     // one (the persisted-index hot path — see [[indexMoment]]); the
@@ -1240,7 +1352,11 @@ object Pq {
       else if (mNew > 0) Double.PositiveInfinity
       else 0.0
     if (drift > driftBound && persist) {
-      homesNew.unpersist(false); codesNew.unpersist(false); ()
+      // only release what THIS call persisted — a precomputed home
+      // relation is caller-owned storage (its checkpoint lifecycle is
+      // the caller's release contract)
+      if (precomputedHomes.isEmpty) homesNew.unpersist(false)
+      codesNew.unpersist(false); ()
     }
     Some((homesNew, codesNew, drift))
   }

@@ -437,17 +437,24 @@ object Streams {
         shAll, b.select("doc_id"), threshold, hot)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       .localCheckpoint(true)
+    // released with pairs in the finally (dedupKeepParts' checkpoint
+    // contract)
+    var keepCp: DataFrame = null
+    var compCp: DataFrame = null
     try {
       val (keep, comp, corpusComps) =
         dedupKeepParts(b.select("doc_id"), corpus.select("doc_id"), pairs)
+      keepCp = keep; compCp = comp
       val survivors = b.join(keep, Seq("doc_id"), "left_semi")
       survivors.write.mode("overwrite").parquet(s"$targetDir/inc=$batchId")
       // the increment's shingle store and df partial derive from the
       // WRITTEN files, so store ≡ docs exactly even across a crash retry
-      val landed = spark.read.parquet(s"$targetDir/inc=$batchId")
+      val landed = spark.read.schema(lexDocsSchema)
+        .parquet(s"$targetDir/inc=$batchId")
       graft.queries.Dedup.hashedShinglePlan(spark, landed)
         .write.mode("overwrite").parquet(s"$targetDir/_shingles/inc=$batchId")
-      val landedSh = spark.read.parquet(s"$targetDir/_shingles/inc=$batchId")
+      val landedSh = spark.read.schema(shingleStoreSchema)
+        .parquet(s"$targetDir/_shingles/inc=$batchId")
       landedSh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$targetDir/_dfs/inc=$batchId")
       val n = landed.count()
@@ -475,7 +482,11 @@ object Streams {
         .write.mode("overwrite").parquet(s"$targetDir/_stats/$batchId")
       commitMarker(spark, targetDir, batchId)
       n
-    } finally graft.Checkpoints.release(pairs)
+    } finally {
+      graft.Checkpoints.release(pairs)
+      if (keepCp != null) graft.Checkpoints.release(keepCp)
+      if (compCp != null) graft.Checkpoints.release(compCp)
+    }
   }
 
   /** (dropped doc_id → dup_of) for one batch: the smallest
@@ -509,7 +520,8 @@ object Streams {
     * an operational surface, not an oracled key); sort before any
     * order-sensitive comparison. */
   def readDedupAttribution(spark: SparkSession, targetDir: String): DataFrame =
-    readCorpusStore(spark, targetDir, "dups", id => s"$targetDir/_dups/inc=$id")
+    readCorpusStore(spark, targetDir, "dups", id => s"$targetDir/_dups/inc=$id",
+      Some(dupsSchema))
 
   /** Seed the append-only dedup corpus: the initial kept relation
     * becomes increment −1 (streaming batchIds start at 0), with its
@@ -534,7 +546,8 @@ object Streams {
     * bounded by (1 + tail) at any lifetime batch count (an unmarked
     * crash orphan is invisible, exactly as in the upsert target). */
   def readDedupCorpus(spark: SparkSession, targetDir: String): DataFrame =
-    readCorpusStore(spark, targetDir, "docs", id => s"$targetDir/inc=$id")
+    readCorpusStore(spark, targetDir, "docs", id => s"$targetDir/inc=$id",
+      Some(lexDocsSchema))
 
   /** Per-batch ingest stats rows — the sink's operational surface:
     * batch size, kept/dropped breakdown, plus the pair/hot-shingle
@@ -562,16 +575,57 @@ object Streams {
       tail.map(id => s"$targetDir/_stats/$id").filter(exists)
   }
 
+  // Explicit schemas of the corpus-store datasets — exactly what the
+  // writers land (round-21 optimization: a parquet read without a user
+  // schema pays one footer-inference job per relation build, and the
+  // sinks build several relations per micro-batch; the parts are
+  // homogeneous by the store invariant — StreamingSpec pins each
+  // schema against a freshly-written store, so a writer change fails
+  // loud, which keeps the ADVICE-r20 "silent schema drift" concern at
+  // the same risk level as the inferred multi-path read it replaces).
+  private[graft] val lexDocsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private[graft] val shingleStoreSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("shingle", LongType),
+    StructField("n", LongType)))
+  private[graft] val dfStoreSchema: StructType = StructType(Seq(
+    StructField("shingle", LongType), StructField("df", LongType)))
+  private[graft] val dupsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dup_of", LongType)))
+  /** Semantic docs parts: (doc_id, embedding) data columns plus the
+    * home-cell layout's partition columns. The embedding ELEMENT type
+    * is the caller's (float for the fixture tables, double in several
+    * suites), so the per-batch hot path derives it from the batch's own
+    * schema — one writer per store means batch type ≡ stored type —
+    * while the offline readers keep inference. One schema covers EVERY
+    * part shape: partitioned parts bind ig/c_id from the directory
+    * layout; flat parts (the zero-row fallbacks — writeSemanticDocs
+    * only ever writes flat when empty) surface them as null data
+    * columns, which the prune filter then touches zero rows through. */
+  private[graft] def semDocsSchema(embType: org.apache.spark.sql.types.DataType): StructType = {
+    // parquet storage is element-nullable regardless of the writing
+    // frame's containsNull — declare what the FILES say
+    val stored = embType match {
+      case ArrayType(e, _) => ArrayType(e, containsNull = true)
+      case t => t
+    }
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", stored),
+      StructField("ig", LongType), StructField("c_id", LongType)))
+  }
+
   /** Corpus-side hashed shingle rows (doc_id, shingle, n) from the
     * materialized store. */
   private def readShingleStore(spark: SparkSession, targetDir: String): DataFrame =
     readCorpusStore(spark, targetDir, "shingles",
-      id => s"$targetDir/_shingles/inc=$id")
+      id => s"$targetDir/_shingles/inc=$id", Some(shingleStoreSchema))
 
   /** Corpus-side shingle-df PARTIAL counts (shingle, df) — one relation
     * per increment plus one per generation; consumers merge by sum. */
   private def readDfStore(spark: SparkSession, targetDir: String): DataFrame =
-    readCorpusStore(spark, targetDir, "dfs", id => s"$targetDir/_dfs/inc=$id")
+    readCorpusStore(spark, targetDir, "dfs", id => s"$targetDir/_dfs/inc=$id",
+      Some(dfStoreSchema))
 
   /** Committed part directories of one corpus dataset: `gen=<g>/<name>`
     * (live generation, if any) plus `incPath(id)` for every committed
@@ -599,8 +653,11 @@ object Streams {
     * increment per store per batch — measured 68–77 jobs/batch at 4
     * increments, growing +3 per increment.) */
   private def readCorpusStore(spark: SparkSession, targetDir: String,
-      name: String, incPath: Long => String): DataFrame =
-    spark.read.parquet(storeParts(spark, targetDir, name, incPath): _*)
+      name: String, incPath: Long => String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = schema.map(spark.read.schema).getOrElse(spark.read)
+    r.parquet(storeParts(spark, targetDir, name, incPath): _*)
+  }
 
   /** Per-part read of one corpus dataset: `project` runs on EACH part
     * before the union — the hook partitioned layouts use to prune and
@@ -608,9 +665,13 @@ object Streams {
     * columns, so the union must see the projected shape). */
   private def readCorpusStoreParts(spark: SparkSession, targetDir: String,
       name: String, incPath: Long => String,
-      project: DataFrame => DataFrame): DataFrame =
+      project: DataFrame => DataFrame,
+      schema: Option[StructType] = None): DataFrame = {
+    def read(p: String): DataFrame =
+      schema.map(spark.read.schema).getOrElse(spark.read).parquet(p)
     storeParts(spark, targetDir, name, incPath)
-      .map(p => project(spark.read.parquet(p))).reduce(_.unionByName(_))
+      .map(p => project(read(p))).reduce(_.unionByName(_))
+  }
 
   // ---- SEMANTIC streaming ingest-dedup sink (round 19) -----------------
 
@@ -700,9 +761,14 @@ object Streams {
         "initSemanticDedupCorpus first")
     if (batchId <= committed.max) return -1L
     val indexDir = s"$targetDir/_index"
-    val corpus = readSemanticCorpus(spark, targetDir)
     val b = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("embedding"))
+    // explicit docs-store schema for every read in this transaction
+    // (round 21): one writer per store means the stored embedding type
+    // ≡ the batch's own, so inference — one footer job per part per
+    // batch — buys nothing
+    val docSchema = semDocsSchema(b.schema("embedding").dataType)
+    val corpus = readSemanticVectors(spark, targetDir, None, Some(docSchema))
     // id hygiene vs the COMMITTED corpus (not the index homes — a crash
     // between the index commit and the outer marker leaves the batch in
     // the index but not the corpus, and the retry must pass). The
@@ -730,12 +796,19 @@ object Streams {
           .join(idx.homes.select("vec_id"), Seq("vec_id"), "left_semi")
           .limit(1).collect().nonEmpty
     val pairs = semanticBatchPairs(spark, idx,
-        cells => readSemanticVectors(spark, targetDir, Some((liveIg, cells))),
+        cells => readSemanticVectors(spark, targetDir, Some((liveIg, cells)),
+          Some(docSchema)),
         b, threshold, nprobe)
       .localCheckpoint(true)
+    // released with pairs in the finally (dedupKeepParts' checkpoint
+    // contract; survHomesCp is the fresh path's shared assignment)
+    var keepCp: DataFrame = null
+    var compCp: DataFrame = null
+    var survHomesCp: DataFrame = null
     try {
       val (keepDerived, comp, corpusComps) =
         dedupKeepParts(b.select("doc_id"), corpus.select("doc_id"), pairs)
+      keepCp = keepDerived; compCp = comp
       // on a replay the index's homes are the authoritative record of
       // the original keep decision; a recompute against a post-refit
       // index could differ and diverge corpus from index forever
@@ -747,22 +820,28 @@ object Streams {
         else keepDerived
       val survivors = b.join(keep, Seq("doc_id"), "left_semi")
       // survivor home cells for the partitioned layout: on the fresh
-      // path one batch-sized assignment against the entry centroids
-      // (bit-identical to what appendToIndex recomputes below); on the
-      // replay path the stored homes themselves
+      // path ONE batch-sized assignment against the entry centroids,
+      // eager-checkpointed so the layout write AND appendToIndex below
+      // read the same materialized rows (round 21 — the un-shared form
+      // ran the assignment twice per batch); on the replay path the
+      // stored homes themselves
       val survHomes =
         if (indexHasBatch)
           idx.homes.join(keep.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
-        else Pq.homesOf(
-          survivors.select(col("doc_id").as("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v")),
-          idx.model.cents)
+        else {
+          survHomesCp = Pq.homesOf(
+            survivors.select(col("doc_id").as("vec_id"),
+              transform(col("embedding"), _.cast("double")).as("v")),
+            idx.model.cents).localCheckpoint(true)
+          survHomesCp
+        }
       writeSemanticDocs(survivors, survHomes, liveIg,
         s"$targetDir/inc=$batchId")
       // index maintenance from the WRITTEN rows (store ≡ docs even
       // across a crash retry)
-      val landed = readSemanticDocsPart(spark, s"$targetDir/inc=$batchId")
+      val landed = readSemanticDocsPart(spark, s"$targetDir/inc=$batchId",
+        Some(docSchema))
       val indexOp =
         if (indexHasBatch) {
           // backfill the high-water mark a refit-path crash may have
@@ -775,35 +854,47 @@ object Streams {
               indexDir, batchId)
           "skipped"
         } else {
-          // persist=false: the increment is consumed twice (drift moment
-          // + store write) and recomputes batch-sized; persist=true
-          // would strand MEMORY_ONLY blocks per batch with no release
-          // hook here. corpusMoment from the persisted MOMENT SIDECARS
-          // (round 20): the corpus side of the drift test merges ≤ m·k
-          // count rows per store part instead of scanning the stored
-          // codes — with it, this transaction never reads the codes
-          // relation at all (candidates come from homes, the rerank is
-          // exact cosine), which the suite pins by scrambling the
-          // stored codes in place.
+          // persist=true + explicit unpersist below (round 21 — the
+          // persist=false form re-ran the batch encode per consumer:
+          // drift moment, then the store write; with the moment
+          // sidecar now computed from the WRITTEN bytes the encode
+          // runs ONCE, at the drift moment, and the write reads the
+          // persisted blocks). precomputedHomes: the layout write's
+          // checkpointed assignment — no second assignment pass.
+          // corpusMoment from the persisted MOMENT SIDECARS (round
+          // 20): the corpus side of the drift test merges ≤ m·k count
+          // rows per store part instead of scanning the stored codes —
+          // with it, this transaction never reads the codes relation
+          // at all (candidates come from homes, the rerank is exact
+          // cosine), which the suite pins by scrambling the stored
+          // codes in place.
           val app = Pq.appendToIndex(idx, landed, "embedding",
-            idCol = "doc_id", persist = false,
-            corpusMoment = Pq.indexMoment(spark, indexDir, idx.model.pq))
-          if (app.refitNeeded) {
-            // distribution shift: full refit over corpus + survivors,
-            // persisted as the next index generation — then an EMPTY
-            // increment for batchId advances the index high-water mark
-            // (the generation already contains the batch's vectors), so
-            // a crash retry detects ownership from the marker alone
-            Pq.writeIndex(
-              buildSemanticIndex(spark, corpus.unionByName(landed)), indexDir)
-            Pq.writeIndexIncrement(emptyHomes(spark), emptyCodes(spark),
-              indexDir, batchId)
-            "refit"
-          } else if (app.incHomes.nonEmpty) {
-            Pq.writeIndexIncrement(app.incHomes.get, app.incCodes.get,
-              indexDir, batchId)
-            "appended"
-          } else "empty"
+            idCol = "doc_id", persist = true,
+            corpusMoment = Pq.indexMoment(spark, indexDir, idx.model.pq),
+            precomputedHomes = Some(survHomes))
+          try {
+            if (app.refitNeeded) {
+              // distribution shift: full refit over corpus + survivors,
+              // persisted as the next index generation — then an EMPTY
+              // increment for batchId advances the index high-water mark
+              // (the generation already contains the batch's vectors), so
+              // a crash retry detects ownership from the marker alone
+              Pq.writeIndex(
+                buildSemanticIndex(spark, corpus.unionByName(landed)), indexDir)
+              Pq.writeIndexIncrement(emptyHomes(spark), emptyCodes(spark),
+                indexDir, batchId)
+              "refit"
+            } else if (app.incHomes.nonEmpty) {
+              Pq.writeIndexIncrement(app.incHomes.get, app.incCodes.get,
+                indexDir, batchId)
+              "appended"
+            } else "empty"
+          } finally {
+            // the release hook persist=true needs here: the increment's
+            // MEMORY_ONLY blocks are dead once the store write landed
+            app.incHomes.foreach(_.unpersist(false))
+            app.incCodes.foreach(_.unpersist(false))
+          }
         }
       // provenance + observability sidecars (the lexical sink's rows,
       // with the index decision in place of the shingle column)
@@ -825,7 +916,12 @@ object Streams {
         .write.mode("overwrite").parquet(s"$targetDir/_stats/$batchId")
       commitMarker(spark, targetDir, batchId)
       n
-    } finally graft.Checkpoints.release(pairs)
+    } finally {
+      graft.Checkpoints.release(pairs)
+      if (keepCp != null) graft.Checkpoints.release(keepCp)
+      if (compCp != null) graft.Checkpoints.release(compCp)
+      if (survHomesCp != null) graft.Checkpoints.release(survHomesCp)
+    }
   }
 
   /** Empty index-increment relations (the refit path's bookkeeping
@@ -928,23 +1024,37 @@ object Streams {
     * Compaction re-homes stale layouts ([[vacuumSemanticCorpus]]), so
     * the unpruned tail is bounded by the vacuum cadence. */
   private[graft] def readSemanticVectors(spark: SparkSession,
-      targetDir: String, prune: Option[(Long, Seq[Long])]): DataFrame =
+      targetDir: String, prune: Option[(Long, Seq[Long])],
+      schemaHint: Option[StructType] = None): DataFrame =
     readCorpusStoreParts(spark, targetDir, "docs", id => s"$targetDir/inc=$id",
       df => {
+        // with a schemaHint, ig/c_id surface on EVERY part: partitioned
+        // parts bind them from the layout (the prune below resolves at
+        // file-listing time exactly as before); flat parts — always the
+        // zero-row fallback — read them as null data columns, which
+        // the filter touches zero rows through
         val pruned = prune match {
           case Some((ig, cells))
               if df.columns.contains("ig") && df.columns.contains("c_id") =>
-            df.filter(col("ig").cast("long") =!= lit(ig) ||
+            // isNull keeps the pre-layout/flat case read-whole (under a
+            // schemaHint its ig is a null data column, never a
+            // partition value — the partition-only prune on laid-out
+            // parts is unaffected)
+            df.filter(col("ig").isNull ||
+              col("ig").cast("long") =!= lit(ig) ||
               col("c_id").cast("long").isInCollection(cells))
           case _ => df
         }
         pruned.select("doc_id", "embedding")
-      })
+      }, schema = schemaHint)
 
   /** One semantic docs part (an increment or generation directory),
     * projected to (doc_id, embedding). */
-  private def readSemanticDocsPart(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).select("doc_id", "embedding")
+  private def readSemanticDocsPart(spark: SparkSession, dir: String,
+      schemaHint: Option[StructType] = None): DataFrame = {
+    val r = schemaHint.map(spark.read.schema).getOrElse(spark.read)
+    r.parquet(dir).select("doc_id", "embedding")
+  }
 
   /** Write one semantic docs dataset HOME-CELL PARTITIONED:
     * `ig=<indexGen>/c_id=<homeCell>` subdirectories, where `ig` is the
@@ -1043,7 +1153,17 @@ object Streams {
     * is kept iff its component contains NO corpus doc and it is the
     * component's smallest batch id. Returns (keep ids, the component
     * relation, the corpus-touching component ids) so callers can also
-    * derive the drop breakdown for their stats row. */
+    * derive the drop breakdown for their stats row.
+    *
+    * `comp` and `keep` come back EAGER-CHECKPOINTED (round-21
+    * measurement: each sink transaction consumes them from 3–4
+    * separate actions — survivor write, provenance write, drop-count
+    * stat — and the un-checkpointed subtrees re-executed per action,
+    * ~35 of the lexical batch's 68 jobs; both relations are
+    * batch-graph-sized, so the pinned storage is tiny). CALLERS MUST
+    * RELEASE both (graft.Checkpoints.release) when the transaction's
+    * actions are done — same contract as the pairs checkpoint they
+    * already hold. */
   private def dedupKeepParts(bIds: DataFrame, corpusIds: DataFrame,
       pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val nodes = bIds.select(col("doc_id").as("id"))
@@ -1051,7 +1171,8 @@ object Streams {
       .unionByName(pairs.select(col("id_b").as("id")))
       .distinct()
     val comp = graft.queries.Dedup.connectedComponents(nodes, pairs,
-      nodesComplete = true)
+        nodesComplete = true)
+      .localCheckpoint(true)
     val corpusComps = comp.join(
         corpusIds.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       .select(col("component")).distinct()
@@ -1060,6 +1181,7 @@ object Streams {
       .join(corpusComps, Seq("component"), "left_anti")
       .groupBy("component").agg(min(col("id")).as("doc_id"))
       .select("doc_id")
+      .localCheckpoint(true)
     (keep, comp, corpusComps)
   }
 
